@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided star-schema parquet tables
+  * (see /root/repo/TESTDATA.md). Every query receives the sf directory at
+  * call time, so the same query runs at any scale factor.
+  *
+  * Scale note: `spark.read.parquet` gives Catalyst a V1 FileScan with
+  * filter/column pushdown; at 100 TB the same call over a partitioned
+  * table root gets partition pruning for free. Nothing here collects
+  * to the driver.
+  */
+object Tables {
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4 rejects;
+    // read nanos as LongType (epoch-nanos) instead of failing the scan.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nonparametric statistics from the reference, as window/agg compositions:
+  * Benjamini–Hochberg FDR (consumed at vital_status_DESeq.R:93), grouped
+  * Wilcoxon rank-sum (`compare_means(method="wilcox")`,
+  * vital_status_DESeq.R:130), and the normal CDF tail used for its p-value.
+  *
+  * Everything is built-in expressions (codegen'd, whole-stage) — no UDFs.
+  */
+object Stats {
+
+  /** Benjamini–Hochberg adjusted p-values.
+    *
+    * `padj_i = min_{j : p_j >= p_i} min(1, p_j * n / rank_j)` — implemented
+    * as a rank window + a running min over descending p.
+    *
+    * Scale caveat: BH is a global ordered statistic, so this sorts all
+    * p-values. In the reference's domain n = |genes| (~60k) — tiny. For a
+    * 100 TB case partition by contrast/experiment first (`partitionCols`).
+    *
+    * @param df        input with a p-value column
+    * @param pCol      p-value column name
+    * @param tieBreak  unique column making the rank deterministic under ties
+    * @return df plus `padj`
+    */
+  def bhAdjust(df: DataFrame, pCol: String, tieBreak: String,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val part = partitionCols.map(col)
+    val wRank = Window.partitionBy(part: _*).orderBy(col(pCol), col(tieBreak))
+    val wCummin = Window.partitionBy(part: _*)
+      .orderBy(col(pCol).desc, col(tieBreak).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(part: _*)
+    df.withColumn("bh_rank", row_number().over(wRank))
+      .withColumn("bh_n", count(lit(1)).over(wAll))
+      .withColumn("padj",
+        min(least(lit(1.0), col(pCol) * col("bh_n") / col("bh_rank"))).over(wCummin))
+      .drop("bh_rank", "bh_n")
+  }
+
+  /** Grouped two-sample Wilcoxon rank-sum (Mann–Whitney U), normal
+    * approximation with tie correction (pinned semantics per SURVEY.md §7.5;
+    * R `wilcox.test` exact-mode is n-dependent and not reproduced).
+    *
+    * @param df       long-form `(groupCol, condCol, valueCol)`
+    * @param condA    the "treatment" level whose rank-sum forms U
+    * @param condB    the other level (all other rows are dropped)
+    * @return per group: `(groupCol, n1, n2, u, z, pvalue)`
+    */
+  def wilcoxon(df: DataFrame, groupCol: String, condCol: String,
+      valueCol: String, condA: String, condB: String): DataFrame = {
+    val t = df.filter(col(condCol).isin(condA, condB))
+      .select(col(groupCol), col(condCol), col(valueCol))
+    val wRank = Window.partitionBy(groupCol).orderBy(valueCol)
+    val wTie = Window.partitionBy(col(groupCol), col(valueCol))
+    // mid-rank for ties = min-rank + (tieSize - 1)/2
+    val ranked = t
+      .withColumn("rmin", rank().over(wRank))
+      .withColumn("tcnt", count(lit(1)).over(wTie))
+      .withColumn("ravg", col("rmin") + (col("tcnt") - 1) / 2.0)
+    val grouped = ranked.groupBy(groupCol).agg(
+      sum(when(col(condCol) === condA, col("ravg"))).as("r1"),
+      sum(when(col(condCol) === condA, 1L).otherwise(0L)).as("n1"),
+      sum(when(col(condCol) === condB, 1L).otherwise(0L)).as("n2"))
+    val ties = t.groupBy(col(groupCol), col(valueCol)).count()
+      .groupBy(groupCol)
+      .agg(sum(col("count") * col("count") * col("count") - col("count")).as("tie3"))
+    val n = col("n1") + col("n2")
+    val u = col("r1") - col("n1") * (col("n1") + 1) / 2.0
+    // Degenerate groups (one-sided or zero-variance under total ties) have no
+    // defined z — dropped on both the Spark and the oracle side.
+    grouped.join(ties, groupCol)
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("sigma2", (col("n1") * col("n2") / 12.0) *
+        ((n + 1) - col("tie3") / ((n * (n - 1)).cast("double"))))
+      .filter(col("sigma2") > 0)
+      .withColumn("u", u)
+      .withColumn("z", (col("u") - col("n1") * col("n2") / 2.0) / sqrt(col("sigma2")))
+      .withColumn("pvalue", normalSfTwoSided(col("z")))
+      .select(col(groupCol), col("n1"), col("n2"), col("u"), col("z"), col("pvalue"))
+  }
+
+  /** Two-sided normal tail probability `2 * P(Z > |z|)` via the
+    * Abramowitz–Stegun 7.1.26 erf polynomial (|err| < 1.5e-7) — pure Column
+    * arithmetic, stays inside whole-stage codegen. */
+  def normalSfTwoSided(z: Column): Column = {
+    val x = abs(z) / math.sqrt(2.0)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t + lit(1.421413741)) * t
+      - lit(0.284496736)) * t + lit(0.254829592)) * t
+    val erfc = poly * exp(-x * x)
+    least(lit(1.0), erfc)
+  }
+
+  /** Significance banding of adjusted p-values with R's NA propagation
+    * (vital_status_DESeq.R:93-97): NULL padj stays NULL. */
+  def signifBand(padj: Column): Column =
+    when(padj.isNull, lit(null: String))
+      .when(padj > 0.05, "ns")
+      .when(padj > 0.01, "*")
+      .when(padj > 0.001, "**")
+      .when(padj > 0.0001, "***")
+      .otherwise("****")
+}

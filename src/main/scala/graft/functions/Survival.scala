@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Kaplan–Meier product-limit estimator and log-rank test (reference:
+  * `survfit(Surv(time, status) ~ strat)` + `ggsurvplot(pval=T)`,
+  * surv_analysis_median_exp.R:129-155, drug_km_median_exp.R:103-117),
+  * re-expressed as grouped aggregation + cumulative windows.
+  *
+  * Scale: the heavy input (one row per subject) collapses to one row per
+  * (stratum, distinct time) in a single hash agg before any window runs, so
+  * the ordered windows sort only event-table-sized data per stratum.
+  */
+object Survival {
+
+  /** KM curve per stratum.
+    *
+    * @param df       one row per subject: (stratCol, timeCol, eventCol)
+    * @param eventCol 1 = event (death), 0 = censored
+    * @return per (stratum, death time): n_risk, n_event, n_censor,
+    *         survival, se (Greenwood), ci_lo/ci_hi (log-transform CI)
+    */
+  def kmCurve(df: DataFrame, stratCol: String, timeCol: String,
+      eventCol: String): DataFrame = {
+    val perTime = df.groupBy(col(stratCol), col(timeCol)).agg(
+      sum(col(eventCol)).as("d"),
+      sum(lit(1) - col(eventCol)).as("c"))
+    val totals = df.groupBy(col(stratCol)).agg(count(lit(1)).as("n_total"))
+    val wPrev = Window.partitionBy(stratCol).orderBy(timeCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(stratCol).orderBy(timeCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTime
+      .join(broadcast(totals), stratCol)
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      // ln(1 - d/n) only while d < n; once d == n survival is exactly 0.
+      .withColumn("lnterm",
+        when(col("d") < col("n_risk"), log(lit(1.0) - col("d") / col("n_risk"))))
+      .withColumn("gwterm",
+        when(col("d") < col("n_risk"),
+          col("d") / (col("n_risk") * (col("n_risk") - col("d")))))
+      .withColumn("extinct", max((col("d") >= col("n_risk")).cast("int")).over(wCum))
+      .withColumn("survival",
+        when(col("extinct") === 1, 0.0).otherwise(exp(sum(col("lnterm")).over(wCum))))
+      .withColumn("se",
+        when(col("extinct") === 1, 0.0)
+          .otherwise(col("survival") * sqrt(sum(col("gwterm")).over(wCum))))
+      .withColumn("ci_lo", greatest(lit(0.0), col("survival") - lit(1.96) * col("se")))
+      .withColumn("ci_hi", least(lit(1.0), col("survival") + lit(1.96) * col("se")))
+      .filter(col("d") > 0)
+      .select(col(stratCol), col(timeCol), col("n_risk"),
+        col("d").as("n_event"), col("c").as("n_censor"),
+        col("survival"), col("se"), col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Two-group log-rank test. Returns one row:
+    * (observed_a, expected_a, chi2, pvalue) where group "a" is the
+    * lexicographically-first stratum value.
+    *
+    * The at-risk table is evaluated on the pooled time grid so each group's
+    * cumulative removals (deaths + censors) are counted between pooled
+    * event times.
+    */
+  def logRank(df: DataFrame, stratCol: String, timeCol: String,
+      eventCol: String): DataFrame = {
+    val perTime = df.groupBy(col(stratCol), col(timeCol)).agg(
+      sum(col(eventCol)).as("d"),
+      sum(lit(1) - col(eventCol)).as("c"))
+    val grid = df.select(col(timeCol)).distinct()
+    val strata = df.select(col(stratCol)).distinct()
+    val totals = df.groupBy(col(stratCol)).agg(count(lit(1)).as("n_total"))
+    val wPrev = Window.partitionBy(stratCol).orderBy(timeCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val full = strata.crossJoin(grid)
+      .join(perTime, Seq(stratCol, timeCol), "left")
+      .na.fill(0L, Seq("d", "c"))
+      .join(broadcast(totals), stratCol)
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+    val wTime = Window.partitionBy(timeCol)
+    // 1-row broadcast dim instead of a global window: no single-task pass.
+    val firstStrat = strata.agg(min(col(stratCol)).as("strat_a"))
+    val perTimePooled = full
+      .withColumn("d_tot", sum(col("d")).over(wTime))
+      .withColumn("n_tot", sum(col("n_risk")).over(wTime))
+      .filter(col("d_tot") > 0 && col("n_tot") > 1)
+      .crossJoin(broadcast(firstStrat))
+      .filter(col(stratCol) === col("strat_a"))
+      .withColumn("e_a", col("d_tot") * (col("n_risk") / col("n_tot")))
+      .withColumn("v_a",
+        col("d_tot") * (col("n_risk") / col("n_tot")) *
+          (lit(1.0) - col("n_risk") / col("n_tot")) *
+          ((col("n_tot") - col("d_tot")) / (col("n_tot") - lit(1.0))))
+    perTimePooled.agg(
+      sum(col("d")).as("observed_a"),
+      sum(col("e_a")).as("expected_a"),
+      sum(col("v_a")).as("v_sum"))
+      .withColumn("chi2",
+        (col("observed_a") - col("expected_a")) * (col("observed_a") - col("expected_a"))
+          / col("v_sum"))
+      .withColumn("pvalue", Stats.normalSfTwoSided(sqrt(col("chi2"))))
+      .select(col("observed_a"), col("expected_a"), col("chi2"), col("pvalue"))
+  }
+}

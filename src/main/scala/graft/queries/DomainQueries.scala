@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{CountCell, DiffExpression, Normalization, Stats, Survival}
+
+/** End-to-end reference pipelines (SURVEY.md §3) mapped onto the driver
+  * star schema: gene = l_partkey, sample = l_suppkey, count = Σ quantity;
+  * sample metadata comes from `supplier`.
+  *
+  * - de1:  §3.1 minimum slice — prefilter → size factors → VST → two-group
+  *         Wilcoxon per gene → BH → significance banding.
+  * - km1:  §3.3 — VST → per-gene median split (ntile) → Kaplan–Meier per
+  *         (gene, stratum).
+  * - fan1: §3.2 contrast fan-out — one aggregation feeding all 10 pairwise
+  *         level contrasts.
+  * - d3/d4: NB-GLM Wald + K contrasts (the custom per-gene grouped fit; not
+  *         SQL-expressible → no oracle, rows-only check).
+  */
+object DomainQueries {
+
+  // ---- shared front end: long-form expression fact + condition dimension
+
+  private def cells(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("gene"), col("l_suppkey").as("smp"))
+      .agg(sum(col("l_quantity")).as("cnt"))
+
+  private val cellsSql =
+    """SELECT l_partkey AS gene, l_suppkey AS smp, sum(l_quantity) AS cnt
+       FROM lineitem GROUP BY 1, 2"""
+
+  /** D1 prefilter: keep genes with Σcount ≥ 10 (vital_status_DESeq.R:47-48),
+    * as a left-semi join so the fact table streams through once. */
+  private def keptCells(s: SparkSession, d: String): DataFrame = {
+    val c = cells(s, d)
+    val keep = c.groupBy("gene").agg(sum(col("cnt")).as("tot"))
+      .filter(col("tot") >= 10).select("gene")
+    c.join(keep, Seq("gene"), "left_semi")
+  }
+
+  private val keptCellsSql =
+    s"""SELECT cell.* FROM ($cellsSql) cell
+        JOIN (SELECT gene FROM ($cellsSql) GROUP BY gene HAVING sum(cnt) >= 10) k
+        USING (gene)"""
+
+  /** VST values rounded to 6 dp BEFORE any ranking — absorbs the ≤1-ulp
+    * median-interpolation difference between engines so rank/ntile tie
+    * structure is identical on both sides. */
+  private def vstVals(s: SparkSession, d: String): DataFrame =
+    Normalization.vst(keptCells(s, d), "gene", "smp", "cnt")
+      .select(col("gene"), col("smp"), round(col("vst"), 6).as("val"))
+
+  private val vstValsSql =
+    s"""WITH cellk AS ($keptCellsSql),
+        gm AS (SELECT gene, exp(avg(ln(cnt))) AS geomean
+               FROM cellk WHERE cnt > 0 GROUP BY gene),
+        sfac AS (SELECT smp,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY ratio) AS size_factor
+                 FROM (SELECT smp, cnt / geomean AS ratio
+                       FROM cellk JOIN gm USING (gene) WHERE cnt > 0)
+                 GROUP BY smp)
+        SELECT gene, smp, round(log2(cnt / size_factor + 1), 6) AS val
+        FROM cellk JOIN sfac USING (smp)"""
+
+  /** Two-level condition from the sample dimension (NT/TP of
+    * lettercode_DESeq.R:27-28, manufactured from supplier parity). */
+  private val condExprSql = "CASE WHEN s_suppkey % 2 = 0 THEN 'NT' ELSE 'TP' END"
+
+  private def condDim(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).select(col("s_suppkey"),
+      when(col("s_suppkey") % 2 === 0, "NT").otherwise("TP").as("cond"))
+
+  /** Abramowitz–Stegun p-value wrapper (same polynomial as
+    * Stats.normalSfTwoSided) over a column `z` of `inner`. */
+  private def withNormalSf(inner: String, keep: String): String =
+    s"""SELECT $keep,
+          least(1.0, ((((1.061405429*tt - 1.453152027)*tt + 1.421413741)*tt
+            - 0.284496736)*tt + 0.254829592)*tt * exp(-xx*xx)) AS pvalue
+        FROM (SELECT *, 1.0/(1.0 + 0.3275911*xx) AS tt
+              FROM (SELECT *, abs(z)/sqrt(2) AS xx FROM ($inner)))"""
+
+  /** DE1 — §3.1 minimum slice (lettercode_DESeq.R minus the GLM):
+    * scan → D1 → D2 size factors → D6 VST → join condition → D7 Wilcoxon
+    * per gene → D5 BH → F5 banding. One fact-table pass + two dim-sized
+    * aggs; the per-gene window sorts only |samples| rows per gene. */
+  private val de1 = Q(
+    "de1_pipeline_wilcoxon",
+    (s, d) => {
+      val t = vstVals(s, d)
+        .join(broadcast(condDim(s, d)), col("smp") === col("s_suppkey"))
+        .select(col("gene"), col("cond"), col("val"))
+      val wil = Stats.wilcoxon(t, "gene", "cond", "val", "NT", "TP")
+      Stats.bhAdjust(wil, "pvalue", "gene")
+        .withColumn("p_signif", Stats.signifBand(col("padj")))
+        .select(col("gene"), col("n1"), col("n2"), round(col("z"), 6).as("z"),
+          round(col("pvalue"), 6).as("pvalue"), round(col("padj"), 6).as("padj"),
+          col("p_signif"))
+    },
+    Some {
+      val zInner =
+        s"""WITH v AS ($vstValsSql),
+            t AS (SELECT gene, $condExprSql AS cond, val
+                  FROM v JOIN supplier ON smp = s_suppkey),
+            r AS (SELECT gene, cond, val,
+                    rank() OVER (PARTITION BY gene ORDER BY val) AS rmin,
+                    count(*) OVER (PARTITION BY gene, val) AS tcnt
+                  FROM t),
+            g AS (SELECT gene,
+                    sum(CASE WHEN cond = 'NT' THEN rmin + (tcnt - 1) / 2.0 END) AS r1,
+                    CAST(sum(CASE WHEN cond = 'NT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                    CAST(sum(CASE WHEN cond = 'TP' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+                  FROM r GROUP BY gene),
+            ties AS (SELECT gene, sum(tc*tc*tc - tc) AS tie3
+                     FROM (SELECT gene, val, count(*) AS tc FROM t GROUP BY 1, 2)
+                     GROUP BY gene),
+            s2 AS (SELECT g.gene, n1, n2, r1,
+                     (n1 * n2 / 12.0) *
+                     ((n1 + n2 + 1) - tie3 / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))
+                       AS sigma2
+                   FROM g JOIN ties ON g.gene = ties.gene
+                   WHERE n1 > 0 AND n2 > 0)
+            SELECT gene, n1, n2,
+              (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) / sqrt(sigma2) AS z
+            FROM s2 WHERE sigma2 > 0"""
+      val pv = withNormalSf(zInner, "gene, n1, n2, z")
+      s"""WITH pv AS ($pv),
+          bh AS (SELECT gene, n1, n2, z, pvalue,
+                   min(least(1.0, pvalue * n / rk)) OVER (
+                     ORDER BY pvalue DESC, gene DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS padj
+                 FROM (SELECT *, row_number() OVER (ORDER BY pvalue, gene) AS rk,
+                         count(*) OVER () AS n
+                       FROM pv))
+          SELECT gene, n1, n2, round(z, 6) AS z, round(pvalue, 6) AS pvalue,
+            round(padj, 6) AS padj,
+            CASE WHEN padj IS NULL THEN NULL
+                 WHEN padj > 0.05 THEN 'ns'
+                 WHEN padj > 0.01 THEN '*'
+                 WHEN padj > 0.001 THEN '**'
+                 WHEN padj > 0.0001 THEN '***'
+                 ELSE '****' END AS p_signif
+          FROM bh"""
+    })
+
+  // ---- KM pipeline
+
+  private val goi = Seq(0L, 1L, 2L) // genes of interest (vital_status_DESeq.R:3)
+
+  /** Subject survival columns manufactured deterministically from the sample
+    * dimension (time/status construction of surv_analysis_median_exp.R:109-113). */
+  private val subjSql =
+    """SELECT s_suppkey,
+         CAST((s_suppkey * 37) % 997 AS BIGINT) AS time,
+         CAST(CASE WHEN s_suppkey % 3 = 0 THEN 0 ELSE 1 END AS BIGINT) AS event
+       FROM supplier"""
+
+  private def subjDim(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).select(col("s_suppkey"),
+      ((col("s_suppkey") * 37) % 997).cast("long").as("time"),
+      when(col("s_suppkey") % 3 === 0, 0L).otherwise(1L).as("event"))
+
+  /** KM1 — §3.3 end to end: VST (size factors over ALL genes, like the
+    * reference's full-matrix vst) → goi filter → per-gene ntile(2) median
+    * split (E1) → LOW/HIGH label (F11) → KM curve per (gene, stratum)
+    * (D10). */
+  private val km1 = Q(
+    "km1_pipeline_km",
+    (s, d) => {
+      val w = Window.partitionBy(col("gene")).orderBy(col("val"), col("smp"))
+      val strat = vstVals(s, d)
+        .filter(col("gene").isin(goi: _*))
+        .withColumn("tile", ntile(2).over(w))
+        .withColumn("strat", when(col("tile") === 1, "LOW").otherwise("HIGH"))
+        .join(broadcast(subjDim(s, d)), col("smp") === col("s_suppkey"))
+        .withColumn("gs", concat_ws("_", col("gene"), col("strat")))
+      Survival.kmCurve(strat, "gs", "time", "event")
+        .select(col("gs"), col("time"), col("n_risk"), col("n_event"),
+          col("n_censor"), round(col("survival"), 6).as("survival"),
+          round(col("se"), 6).as("se"))
+    },
+    Some {
+      val goiList = goi.mkString(",")
+      s"""WITH v AS ($vstValsSql),
+          st AS (SELECT gene, smp,
+                   ntile(2) OVER (PARTITION BY gene ORDER BY val, smp) AS tile
+                 FROM v WHERE gene IN ($goiList)),
+          subj AS (SELECT st.gene,
+                     CAST(gene AS VARCHAR) || '_' ||
+                       CASE WHEN tile = 1 THEN 'LOW' ELSE 'HIGH' END AS gs,
+                     time, event
+                   FROM st JOIN ($subjSql) ON smp = s_suppkey),
+          pt AS (SELECT gs, time, sum(event) AS d, sum(1 - event) AS c
+                 FROM subj GROUP BY 1, 2),
+          tot AS (SELECT gs, count(*) AS n_total FROM subj GROUP BY 1),
+          r AS (SELECT pt.gs, time, d, c,
+                  n_total - coalesce(sum(d + c) OVER (PARTITION BY pt.gs
+                    ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n_risk
+                FROM pt JOIN tot ON pt.gs = tot.gs),
+          terms AS (SELECT gs, time, d, c, n_risk,
+                  CASE WHEN d < n_risk THEN ln(1.0 - d / n_risk) END AS lnterm,
+                  CASE WHEN d < n_risk THEN d / (n_risk * (n_risk - d)) END AS gwterm,
+                  CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+                FROM r),
+          cum AS (SELECT gs, time, d, c, n_risk,
+                  max(dead) OVER w AS extinct,
+                  exp(sum(lnterm) OVER w) AS surv_raw,
+                  sqrt(sum(gwterm) OVER w) AS gw_raw
+                FROM terms
+                WINDOW w AS (PARTITION BY gs ORDER BY time
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT gs, time, CAST(n_risk AS BIGINT) AS n_risk,
+            CAST(d AS BIGINT) AS n_event, CAST(c AS BIGINT) AS n_censor,
+            round(CASE WHEN extinct = 1 THEN 0.0 ELSE surv_raw END, 6) AS survival,
+            round(CASE WHEN extinct = 1 THEN 0.0
+                       ELSE surv_raw * gw_raw END, 6) AS se
+          FROM cum WHERE d > 0"""
+    })
+
+  // ---- contrast fan-out (§3.2 structure, SQL-expressible mean contrasts)
+
+  /** FAN1 — K-contrast fan-out from ONE aggregation (H2/D4 structure,
+    * BRCA_path_stage_DESeq.R:113-148): per-gene per-level means computed
+    * once, then all 10 pairwise contrasts as a self-join on the tiny
+    * aggregate. Decimal-exact sums make the means association-order-proof. */
+  private val fan1 = Q(
+    "fan1_contrast_fanout",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority").as("level"))
+      val means = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey").as("gene"), col("level"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / count(lit(1))).as("m"))
+      means.as("a").join(means.as("b"),
+          col("a.gene") === col("b.gene") && col("a.level") < col("b.level"))
+        .select(col("a.gene").as("gene"),
+          concat_ws("_vs_", col("a.level"), col("b.level")).as("contrast"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"),
+          round(col("a.m"), 6).as("mean_a"), round(col("b.m"), 6).as("mean_b"),
+          round(log2(col("a.m") / col("b.m")), 6).as("lfc"))
+    },
+    Some("""WITH means AS (
+              SELECT l_partkey AS gene, o_orderpriority AS level,
+                count(*) AS n,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*) AS m
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2)
+            SELECT a.gene AS gene,
+              a.level || '_vs_' || b.level AS contrast,
+              a.n AS n_a, b.n AS n_b,
+              round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+              round(log2(a.m / b.m), 6) AS lfc
+            FROM means a JOIN means b
+              ON a.gene = b.gene AND a.level < b.level"""))
+
+  // ---- NB-GLM (custom per-gene grouped fit; no SQL oracle)
+
+  private val stageLevels = Seq("Stage_0", "Stage_I", "Stage_II", "Stage_III", "Stage_IV")
+
+  private def nbInput(s: SparkSession, d: String, levels: Int): DataFrame = {
+    val cond =
+      if (levels == 2) when(col("s_suppkey") % 2 === 0, "NT").otherwise("TP")
+      else element_at(lit(stageLevels.toArray), (col("s_suppkey") % levels).cast("int") + 1)
+    val dim = Tables.supplier(s, d).select(col("s_suppkey"), cond.as("cond"))
+    val kc = keptCells(s, d)
+    val sf = Normalization.sizeFactors(kc, "gene", "smp", "cnt")
+    kc.join(broadcast(sf), "smp")
+      .join(broadcast(dim), col("smp") === col("s_suppkey"))
+      .select(col("gene"), col("smp"), col("cnt"), col("cond"),
+        col("size_factor").as("sf"))
+  }
+
+  /** D3 — per-gene NB-GLM Wald test (DESeq(), vital_status_DESeq.R:51) with
+    * BH + banding. Iterative fit → no SQL oracle (driver rows-only check);
+    * statistical behavior is unit-tested in DiffExpressionSpec. */
+  private val d3 = Q(
+    "d3_nbglm_wald",
+    (s, d) => {
+      import s.implicits._
+      val de = DiffExpression.waldTest(
+        nbInput(s, d, 2).as[CountCell], Seq("NT", "TP")).toDF()
+      Stats.bhAdjust(de, "pvalue", "gene")
+        .withColumn("p_signif", Stats.signifBand(col("padj")))
+        .select(col("gene"), round(col("base_mean"), 6).as("base_mean"),
+          round(col("log2fc"), 6).as("log2fc"), round(col("lfc_se"), 6).as("lfc_se"),
+          round(col("stat"), 6).as("stat"), round(col("pvalue"), 6).as("pvalue"),
+          round(col("padj"), 6).as("padj"), col("p_signif"))
+    },
+    None)
+
+  /** D4 — 10 pairwise contrasts from one 5-level fit
+    * (BRCA_path_stage_DESeq.R:113-122). */
+  private val d4 = Q(
+    "d4_nbglm_contrasts",
+    (s, d) => {
+      import s.implicits._
+      val pairs = for {
+        i <- stageLevels.indices
+        j <- stageLevels.indices if i < j
+      } yield (stageLevels(i), stageLevels(j))
+      DiffExpression.contrasts(
+        nbInput(s, d, 5).as[CountCell], stageLevels, pairs).toDF()
+        .select(col("gene"), col("contrast"), round(col("log2fc"), 6).as("log2fc"),
+          round(col("lfc_se"), 6).as("lfc_se"), round(col("stat"), 6).as("stat"),
+          round(col("pvalue"), 6).as("pvalue"))
+    },
+    None)
+
+  def all: Seq[Q] = Seq(de1, km1, fan1, d3, d4)
+}

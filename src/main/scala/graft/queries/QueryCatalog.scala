@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered query: a Spark implementation plus (optionally) the
+  * equivalent ANSI SQL the driver replays in DuckDB on the same parquet.
+  *
+  * Contract notes (driver compare):
+  *  - columns are sorted by NAME before hashing → every computed column is
+  *    aliased identically on both sides;
+  *  - doubles that are not exactly representable / order-independent are
+  *    `round(x, 6)`-ed on BOTH sides so shuffle-order float association
+  *    can't flip the hash.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object QueryCatalog {
+  /** All registered query groups, in SURVEY.md §2 order. */
+  def all: Seq[Q] =
+    RelationalQueries.all ++
+      StatsQueries.all ++
+      SurvivalQueries.all ++
+      ReshapeQueries.all ++
+      ScaleOpsQueries.all ++
+      DomainQueries.all
+
+  lazy val byName: Map[String, Q] = {
+    val qs = all
+    require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
+    qs.map(q => q.name -> q).toMap
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    byName.map { case (n, q) => n -> q.run }
+
+  def oracleSql: Map[String, String] =
+    byName.collect { case (n, q) if q.oracle.isDefined => n -> q.oracle.get }
+}

@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2 groups A (scan/sink), B (filter/project), C (join),
+  * F (scalar), G (sort/limit) re-expressed over the driver star schema.
+  *
+  * Reference semantics being reproduced are cited per query
+  * (file:line into /root/reference).
+  *
+  * Scale stance: every query here is a declarative single-pass plan —
+  * filters/projections reach the parquet scan (PushedFilters/ReadSchema),
+  * dimension joins are broadcast, nothing collects on the fact path.
+  */
+object RelationalQueries {
+
+  /** A2 — parquet scan of a cached/staged table (vital_status_DESeq.R:25-26). */
+  private val a2 = Q(
+    "a2_scan_cache",
+    (s, d) => Tables.region(s, d).select($("r_regionkey"), $("r_name")),
+    Some("SELECT r_regionkey, r_name FROM region"))
+
+  /** B1 — NULL-drop row filter (vital_status_DESeq.R:29). The driver data has
+    * no NULLs, so nulls are manufactured deterministically first (nullif),
+    * then dropped — exercising 3-valued logic end to end. */
+  private val b1 = Q(
+    "b1_null_filter",
+    (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("status_n", expr("nullif(o_orderstatus, 'P')"))
+        .filter(col("status_n").isNotNull)
+        .select(col("o_orderkey"), col("status_n")),
+    Some("""SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_n
+            FROM orders WHERE nullif(o_orderstatus, 'P') IS NOT NULL"""))
+
+  /** B2 — lockstep sample filter as a left-semi join: keep fact rows whose
+    * dimension row survives the predicate (vital_status_DESeq.R:40). */
+  private val b2 = Q(
+    "b2_semi_filter",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val keep = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      li.join(keep, li("l_orderkey") === keep("o_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')"""))
+
+  /** B3 — inequality predicate (BRCA_path_stage_DESeq.R:45). */
+  private val b3 = Q(
+    "b3_not_equal",
+    (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_type") =!= "ECONOMY")
+        .select(col("p_partkey"), col("p_type")),
+    Some("SELECT p_partkey, p_type FROM part WHERE p_type <> 'ECONOMY'"))
+
+  /** B4 — IN-list membership, the reference's workhorse gene-of-interest
+    * predicate (vital_status_DESeq.R:88). */
+  private val b4 = Q(
+    "b4_in_list",
+    (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"), col("p_name")),
+    Some("""SELECT p_partkey, p_brand, p_name FROM part
+            WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')"""))
+
+  /** B5 — OR of memberships across two columns (drug_km_median_exp.R:50). */
+  private val b5 = Q(
+    "b5_or_membership",
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type").isin("error", "signup") || col("props").like("%\"k\": 9%"))
+        .select(col("event_id"), col("event_type"), col("props")),
+    Some("""SELECT event_id, event_type, props FROM events
+            WHERE event_type IN ('error','signup') OR props LIKE '%"k": 9%'"""))
+
+  /** B6 — column projection (surv_analysis_median_exp.R:107). */
+  private val b6 = Q(
+    "b6_projection",
+    (s, d) => Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment"),
+    Some("SELECT c_custkey, c_name, c_mktsegment FROM customer"))
+
+  /** B7 — boolean-mask multi-column NULL drop (surv_analysis_median_exp.R:114-117). */
+  private val b7 = Q(
+    "b7_mask_filter",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("v", expr("CASE WHEN value < 0.05 THEN NULL ELSE value END"))
+        .filter(col("v").isNotNull && col("event_type").isNotNull)
+        .select(col("event_id"), round(col("v"), 6).as("v")),
+    Some("""SELECT event_id, round(v, 6) AS v FROM (
+              SELECT event_id, event_type, CASE WHEN value < 0.05 THEN NULL ELSE value END AS v
+              FROM events)
+            WHERE v IS NOT NULL AND event_type IS NOT NULL"""))
+
+  /** B8 — empty-string drop (drug_km_median_exp.R:40-41). */
+  private val b8 = Q(
+    "b8_empty_drop",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("frag", expr("CASE WHEN n_chars < 40 THEN '' ELSE lang END"))
+        .filter(col("frag") =!= "")
+        .select(col("doc_id"), col("frag")),
+    Some("""SELECT doc_id, frag FROM (
+              SELECT doc_id, CASE WHEN n_chars < 40 THEN '' ELSE lang END AS frag
+              FROM documents)
+            WHERE frag <> ''"""))
+
+  /** B9 — row subset by group value (vital_status_DESeq.R:159-162). */
+  private val b9 = Q(
+    "b9_group_subset",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")),
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+            WHERE l_returnflag = 'A'"""))
+
+  /** C1 — left outer equi-join, dim broadcast (vital_status_DESeq.R:116).
+    * `broadcast()` pins the hash side so the fact table never shuffles —
+    * the plan that survives 100× scale. */
+  private val c1 = Q(
+    "c1_join_broadcast",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("n_name")),
+    Some("""SELECT c_custkey, c_name, n_name FROM customer
+            LEFT JOIN nation ON c_nationkey = n_nationkey"""))
+
+  /** C2 — same join, reversed build side (lettercode_DESeq.R:116); AQE/stats
+    * pick the broadcast side. */
+  private val c2 = Q(
+    "c2_join_reversed",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_name"), round(col("o_totalprice"), 6).as("o_totalprice")),
+    Some("""SELECT o_orderkey, c_name, round(o_totalprice, 6) AS o_totalprice FROM orders
+            LEFT JOIN customer ON o_custkey = c_custkey"""))
+
+  /** C3 — join on a derived/manufactured key (surv_analysis_median_exp.R:118-119):
+    * the key is parsed out of a formatted name, then joined. */
+  private val c3 = Q(
+    "c3_join_derived_key",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .withColumn("key_from_name", expr("CAST(substring(c_name, 10, 9) AS BIGINT)"))
+      Tables.orders(s, d)
+        .join(cust, col("o_custkey") === col("key_from_name"), "left")
+        .select(col("o_orderkey"), col("c_name"))
+    },
+    Some("""SELECT o_orderkey, c_name FROM orders LEFT JOIN (
+              SELECT c_name, CAST(substring(c_name, 10, 9) AS BIGINT) AS key_from_name
+              FROM customer) c
+            ON o_custkey = key_from_name"""))
+
+  /** C4 — semi-join cohort restriction (drug_km_median_exp.R:55-56). */
+  private val c4 = Q(
+    "c4_semi_cohort",
+    (s, d) => {
+      val buyers = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(buyers, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"""))
+
+  /** C5 — dictionary join replacing positional id→symbol rename
+    * (vital_status_DESeq.R:109-113): fact keyed by surrogate id, joined to a
+    * dim to expose the display name. */
+  private val c5 = Q(
+    "c5_dictionary_join",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_name"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .select(col("p_name"), col("total_qty")),
+    Some("""SELECT p_name, sum(l_quantity) AS total_qty FROM lineitem
+            JOIN part ON l_partkey = p_partkey GROUP BY p_name"""))
+
+  /** F1–F4, F9 — scalar string/cast functions (toupper vital_status_DESeq.R:4,
+    * paste :22, substr drug_km_median_exp.R:48, gsub BRCA_path_stage_DESeq.R:43-44,
+    * as.numeric surv_analysis_median_exp.R:109). */
+  private val fScalars = Q(
+    "f1_f4_scalars",
+    (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        concat_ws("_", col("p_brand"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        regexp_replace(regexp_replace(col("p_type"), "A|B|C", ""), " ", "_").as("type_recoded"),
+        col("p_size").cast("double").as("size_dbl")),
+    Some("""SELECT p_partkey,
+              upper(p_name) AS name_upper,
+              concat_ws('_', p_brand, p_type) AS brand_type,
+              substring(p_name, 1, 5) AS name_prefix,
+              regexp_replace(regexp_replace(p_type, 'A|B|C', '', 'g'), ' ', '_', 'g') AS type_recoded,
+              CAST(p_size AS DOUBLE) AS size_dbl
+            FROM part"""))
+
+  /** F5 — significance banding with R NA→SQL NULL propagation
+    * (vital_status_DESeq.R:93-97): a NULL padj must band to NULL, not '****'. */
+  private val f5 = Q(
+    "f5_signif_band",
+    (s, d) =>
+      Tables.orders(s, d)
+        // lit(10000.0) keeps the division in DOUBLE (SQL-parsed `10000.0`
+        // would be a DECIMAL literal and change the result type)
+        .withColumn("padj", expr("nullif(o_orderkey % 10000, 9999)") / lit(10000.0))
+        .withColumn(
+          "p_signif",
+          when(col("padj").isNull, lit(null))
+            .when(col("padj") > 0.05, "ns")
+            .when(col("padj") > 0.01, "*")
+            .when(col("padj") > 0.001, "**")
+            .when(col("padj") > 0.0001, "***")
+            .otherwise("****"))
+        .select(col("o_orderkey"), round(col("padj"), 6).as("padj"), col("p_signif")),
+    Some("""SELECT o_orderkey, round(padj, 6) AS padj,
+              CASE WHEN padj IS NULL THEN NULL
+                   WHEN padj > 0.05 THEN 'ns'
+                   WHEN padj > 0.01 THEN '*'
+                   WHEN padj > 0.001 THEN '**'
+                   WHEN padj > 0.0001 THEN '***'
+                   ELSE '****' END AS p_signif
+            FROM (SELECT o_orderkey, nullif(o_orderkey % 10000, 9999) / 10000.0 AS padj
+                  FROM orders)"""))
+
+  /** F6 — factor encode with explicit level order; out-of-level → NULL
+    * (BRCA_path_stage_DESeq.R:47,60-62). `array_position` supplies the
+    * level ordinal used for sorting/contrast direction. */
+  private val f6 = Q(
+    "f6_factor_levels",
+    (s, d) => {
+      val levels = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+      Tables.orders(s, d)
+        .withColumn(
+          "prio_factor",
+          when(col("o_orderpriority").isin(levels: _*), col("o_orderpriority")))
+        .withColumn(
+          "prio_level",
+          when(col("prio_factor").isNotNull,
+            array_position(lit(levels.toArray), col("o_orderpriority"))))
+        .select(col("o_orderkey"), col("prio_factor"), col("prio_level"))
+    },
+    Some("""SELECT o_orderkey,
+              CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+                   THEN o_orderpriority END AS prio_factor,
+              CAST(CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                   WHEN '3-MEDIUM' THEN 3 END AS BIGINT) AS prio_level
+            FROM orders"""))
+
+  /** F7+F8+F9 — survival time/status construction (surv_analysis_median_exp.R:109-113):
+    * binary event recode + conditional coalesce of two duration columns. */
+  private val f7 = Q(
+    "f7_f8_time_status",
+    (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("status", when(col("o_orderstatus") === "O", 1).otherwise(2))
+        .withColumn("t_open", datediff(col("o_orderdate"), to_date(lit("1995-01-01"))))
+        .withColumn("t_closed", datediff(to_date(lit("2002-01-01")), col("o_orderdate")))
+        .withColumn("time",
+          when(col("status") === 1, col("t_open")).otherwise(col("t_closed")).cast("double"))
+        .select(col("o_orderkey"), col("status"), col("time")),
+    Some("""SELECT o_orderkey,
+              CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 2 END AS status,
+              CAST(CASE WHEN o_orderstatus = 'O'
+                   THEN date_diff('day', DATE '1995-01-01', o_orderdate)
+                   ELSE date_diff('day', o_orderdate, DATE '2002-01-01')
+                   END AS DOUBLE) AS time
+            FROM orders"""))
+
+  /** F10 — NA → empty-string fill at the export edge (vital_status_DESeq.R:174). */
+  private val f10 = Q(
+    "f10_na_fill",
+    (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("maybe", expr("nullif(o_orderstatus, 'P')"))
+        .na.fill("", Seq("maybe"))
+        .select(col("o_orderkey"), col("maybe")),
+    Some("""SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'P'), '') AS maybe
+            FROM orders"""))
+
+  /** G1 — deterministic global sort exposed as an explicit rank column
+    * (vital_status_DESeq.R:92); the tiebreak key makes it reproducible. */
+  private val g1 = Q(
+    "g1_order_by",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.part(s, d)
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("p_name"), col("p_partkey"))).cast("long"))
+        .select(col("rn"), col("p_partkey"), col("p_name"))
+    },
+    Some("""SELECT row_number() OVER (ORDER BY p_name, p_partkey) AS rn, p_partkey, p_name
+            FROM part"""))
+
+  /** G3 — head-n after explicit ordering (BRCA_subtype_DESeq.R:172). */
+  private val g3 = Q(
+    "g3_top_n",
+    (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(4)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 6).as("o_totalprice")),
+    Some("""SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 4"""))
+
+  private def $(c: String) = col(c)
+
+  def all: Seq[Q] = Seq(a2, b1, b2, b3, b4, b5, b6, b7, b8, b9,
+    c1, c2, c3, c4, c5, fScalars, f5, f6, f7, f10, g1, g3)
+}

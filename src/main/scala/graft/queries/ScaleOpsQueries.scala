@@ -1,0 +1,433 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextFunctions
+
+/** Large-scale training-data-pipeline operators over the `documents` and
+  * `embeddings` tables: exact + MinHash/LSH + SimHash + n-gram-Jaccard +
+  * embedding-cosine deduplication, brute-force and LSH-bucketed cosine
+  * top-k similarity search, and text analysis (language ID, quality
+  * scoring, token counting, fingerprinting).
+  *
+  * Everything is built-in Column expressions (whole-stage codegen, no
+  * UDFs). Hashes are engine-portable: the first 15 hex chars of md5 read
+  * as a base-16 integer (< 2^60, always positive) — Spark
+  * `conv(substring(md5(x),1,15),16,10)` ≡ DuckDB
+  * `CAST('0x'||substring(md5(x),1,15) AS BIGINT)`.
+  *
+  * Scale stance: every dedup/similarity op is a shuffle-lean
+  * candidate-generation + verify pattern. MinHash banding and LSH
+  * hyperplane bucketing turn the O(n²) all-pairs problem into a
+  * `groupBy(bucket)` self-join — the 100 TB path; the brute-force and
+  * block-local Jaccard variants are the small-side/verification baseline.
+  */
+object ScaleOpsQueries {
+
+  /** 60-bit portable hash of a string column. */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Same hash in DuckDB SQL, over a SQL string expression. */
+  private def h60sql(e: String): String =
+    s"CAST(('0x'||substring(md5($e),1,15)) AS BIGINT)"
+
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("toks"))
+
+  private val toksSql =
+    """SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks
+       FROM documents"""
+
+  // ---------------------------------------------------------------- text ops
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("window", "group", "batch", "merge"),
+    "es" -> Seq("line", "value", "scan", "part"),
+    "fr" -> Seq("sort", "hash", "key", "join"),
+    "zh" -> Seq("spark", "data", "query", "row"))
+
+  /** X1 — n-gram-frequency language ID: score = marker-token hits per
+    * language, guess = argmax (first language in fixed order wins ties). */
+  private val x1 = Q(
+    "x1_lang_id",
+    (s, d) => {
+      val base = langMarkers.foldLeft(docsWithTokens(s, d)) { case (df, (lang, ws)) =>
+        df.withColumn(s"s_$lang",
+          size(filter(col("toks"), t => t.isin(ws.map(lit): _*))).cast("long"))
+      }
+      val best = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+      val guess = langMarkers.foldRight(lit(null: String): Column) {
+        case ((l, _), acc) => when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+      }
+      // foldRight builds zh-innermost, so the when-chain tests en first.
+      base.withColumn("lang_guess", guess)
+        .select(col("doc_id") +: langMarkers.map { case (l, _) => col(s"s_$l") } :+
+          col("lang_guess"): _*)
+    },
+    Some {
+      val scores = langMarkers.map { case (l, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(",")
+        s"CAST(len(list_filter(toks, t -> t IN ($inList))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val best = s"greatest(${langMarkers.map { case (l, _) => s"s_$l" }.mkString(",")})"
+      val guess = langMarkers.map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }
+        .mkString("CASE ", " ", " END")
+      s"""WITH t AS ($toksSql),
+          sc AS (SELECT doc_id, $scores FROM t)
+          SELECT doc_id, ${langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")},
+            $guess AS lang_guess
+          FROM sc"""
+    })
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** X2 — quality scoring: token counts, mean word length, punctuation
+    * ratio, stopword ratio, and a quality band (when-chain with NULL
+    * propagation like the reference's F5 significance banding). */
+  private val x2 = Q(
+    "x2_quality_score",
+    (s, d) =>
+      docsWithTokens(s, d)
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_regex_tokens", TextFunctions.regexTokenCount(col("text")).cast("long"))
+        .withColumn("mean_word_len", round(TextFunctions.meanWordLen(col("toks")), 6))
+        .withColumn("punct_ratio", round(TextFunctions.punctRatio(col("text")), 6))
+        .withColumn("stop_ratio",
+          round(TextFunctions.stopwordRatio(col("toks"), stopwords), 6))
+        .withColumn("band",
+          TextFunctions.qualityBand(col("n_tokens"), col("punct_ratio"), col("stop_ratio")))
+        .select("doc_id", "n_tokens", "n_regex_tokens", "mean_word_len",
+          "punct_ratio", "stop_ratio", "band"),
+    Some {
+      val stopList = stopwords.map(w => s"'$w'").mkString(",")
+      s"""WITH t AS ($toksSql),
+          m AS (SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT)
+                    AS n_regex_tokens,
+                  round(CAST(list_reduce(list_transform(toks, x -> CAST(len(x) AS BIGINT)),
+                    (a, b) -> a + b) AS DOUBLE) / len(toks), 6) AS mean_word_len,
+                  round(CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                    / len(text), 6) AS punct_ratio,
+                  round(CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE)
+                    / len(toks), 6) AS stop_ratio
+                FROM t)
+          SELECT doc_id, n_tokens, n_regex_tokens, mean_word_len, punct_ratio, stop_ratio,
+            CASE WHEN n_tokens IS NULL THEN NULL
+                 WHEN n_tokens < 5 THEN 'too_short'
+                 WHEN punct_ratio > 0.3 THEN 'too_noisy'
+                 WHEN stop_ratio < 0.01 THEN 'low_signal'
+                 ELSE 'ok' END AS band
+          FROM m"""
+    })
+
+  /** DuckDB 3-shingle list over `toks` (1-based); Spark equivalent is
+    * TextFunctions.shingles(toks, 3). */
+  private val shingle3Sql =
+    "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+
+  /** X3 — document fingerprints: md5 of the first 8 tokens (prefix) and the
+    * minimum 3-shingle md5 (winnowing-style rolling fingerprint). */
+  private val x3 = Q(
+    "x3_fingerprint",
+    (s, d) =>
+      docsWithTokens(s, d).select(
+        col("doc_id"),
+        TextFunctions.prefixFingerprint(col("toks"), 8).as("prefix_fp"),
+        TextFunctions.minShingleFingerprint(col("toks"), 3).as("min_shingle_fp")),
+    Some(s"""WITH t AS ($toksSql)
+             SELECT doc_id,
+               md5(array_to_string(list_slice(toks, 1, 8), ' ')) AS prefix_fp,
+               list_min(list_transform($shingle3Sql, sh -> md5(sh))) AS min_shingle_fp
+             FROM t"""))
+
+  // ------------------------------------------------------------------ dedup
+
+  /** DD1 — exact dedup: hash-groupBy on md5(text); keeper = min doc_id.
+    * At 100 TB this is one partial+final hash agg over the corpus. */
+  private val dd1 = Q(
+    "dd1_exact_dedup",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies")),
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
+              count(*) AS n_copies
+            FROM documents GROUP BY 1"""))
+
+  private val numHashes = 6
+  private val bandsOf = 2 // 3 bands of 2 hashes
+
+  /** Distinct (doc_id, 3-shingle) pairs. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .select(col("doc_id"), explode(TextFunctions.shingles(col("toks"), 3)).as("sh"))
+      .distinct()
+
+  private val shingleRowsSql =
+    s"""SELECT DISTINCT doc_id, sh
+        FROM (SELECT doc_id, unnest($shingle3Sql) AS sh FROM ($toksSql))"""
+
+  /** DD2 — MinHash + LSH banding: K=6 min-hashes over 3-shingles, bands of
+    * 2 rows; docs sharing any band bucket become candidate pairs. The
+    * band self-join is the scale path: candidates come from a
+    * `groupBy(band, key)` bucket, never an all-pairs product. */
+  private val dd2 = Q(
+    "dd2_minhash_lsh",
+    (s, d) => {
+      val mh = shingleRows(s, d)
+        .groupBy("doc_id")
+        .agg(
+          min(hash60(concat(lit("0_"), col("sh")))).as("h0"),
+          (1 until numHashes).map(k =>
+            min(hash60(concat(lit(s"${k}_"), col("sh")))).as(s"h$k")): _*)
+      val bands = (0 until numHashes / bandsOf).map { b =>
+        mh.select(col("doc_id"), lit(b).as("band"),
+          md5(concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
+      }.reduce(_ unionByName _)
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+    },
+    Some {
+      val mins = (0 until numHashes)
+        .map(k => s"min(${h60sql(s"'${k}_' || sh")}) AS h$k").mkString(",\n  ")
+      val bandSelects = (0 until numHashes / bandsOf).map { b =>
+        s"""SELECT doc_id, $b AS band,
+              md5(CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR)) AS bkey
+            FROM mh"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sh AS ($shingleRowsSql),
+          mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+          bands AS ($bandSelects)
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"""
+    })
+
+  private val simhashBits = 16
+
+  /** DD3 — SimHash: per document, each of 16 bits is the sign of the sum of
+    * ±1 votes from every token's hash bit. One hash-agg pass over the
+    * exploded tokens; near-dups then differ in few bits. */
+  private val dd3 = Q(
+    "dd3_simhash",
+    (s, d) => {
+      val tok = docsWithTokens(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .withColumn("h", hash60(col("t")))
+      val votes = (0 until simhashBits).map(b =>
+        sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"v$b"))
+      tok.groupBy("doc_id")
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until simhashBits)
+            .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+    },
+    Some {
+      val votes = (0 until simhashBits)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(",\n  ")
+      val assemble = (0 until simhashBits)
+        .map(b => s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, ${h60sql("t")} AS h
+                       FROM (SELECT doc_id, unnest(toks) AS t FROM ($toksSql))),
+          v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+          SELECT doc_id, $assemble AS simhash FROM v"""
+    })
+
+  /** DD4 — n-gram (2-gram) Jaccard near-dup within a blocking key
+    * (`source`): |A∩B| via a shingle self-join inside the block,
+    * |A∪B| = |A|+|B|−|A∩B|. Blocking bounds the pair space — the same
+    * shape LSH buckets give at 100 TB. */
+  private val dd4 = Q(
+    "dd4_ngram_jaccard",
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.source") === col("y.source") && col("x.sh") === col("y.sh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+        .withColumn("jaccard",
+          round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
+        .filter(col("jaccard") >= 0.01)
+        .select("doc_a", "doc_b", "na", "nb", "n_inter", "jaccard")
+    },
+    Some {
+      val shingle2 =
+        "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+      s"""WITH t AS (SELECT doc_id, source,
+                       string_split_regex(trim(lower(text)), '\\s+') AS toks
+                     FROM documents),
+          sh AS (SELECT DISTINCT doc_id, source, sh
+                 FROM (SELECT doc_id, source, unnest($shingle2) AS sh FROM t)),
+          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+          inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+                    FROM sh x JOIN sh y
+                      ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b, sa.nsh AS na, sb.nsh AS nb, n_inter,
+            round(n_inter / (sa.nsh + sb.nsh - n_inter), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE round(n_inter / (sa.nsh + sb.nsh - n_inter), 6) >= 0.01"""
+    })
+
+  // ----------------------------------------------------- embeddings / ANN
+
+  private val dim = 64
+
+  /** Embeddings with the float vector cast to double (both engines then do
+    * identical double arithmetic) plus its L2 norm (sequential fold —
+    * bit-identical to the DuckDB list_reduce). */
+  private def embNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+
+  private val embNormSql =
+    s"""SELECT vec_id, label, embedding,
+          sqrt(list_reduce(list_transform(range(1, ${dim + 1}),
+            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+            (a, b) -> a + b)) AS nrm
+        FROM embeddings"""
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${dim + 1}),
+          i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)),
+          (x, y) -> x + y)"""
+
+  private def cosine(qv: Column, v: Column, nq: Column, nv: Column): Column =
+    aggregate(zip_with(qv, v, (x, y) => x * y), lit(0.0), (a, x) => a + x) / (nq * nv)
+
+  /** SS1 — brute-force cosine top-k: query vectors (vec_id % 100 = 0)
+    * broadcast against the corpus scan; row_number per query keeps k=5.
+    * The baseline every ANN variant is verified against. */
+  private val ss1 = Q(
+    "ss1_cosine_topk",
+    (s, d) => {
+      val e = embNorm(s, d)
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    },
+    Some(s"""WITH e AS ($embNormSql),
+             q AS (SELECT vec_id AS q_id, embedding, nrm AS qn FROM e WHERE vec_id % 100 = 0),
+             pairs AS (SELECT q.q_id, e.vec_id, ${dotSql("q", "e")} / (q.qn * e.nrm) AS cos
+                       FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+             r AS (SELECT q_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+                   FROM pairs)
+             SELECT q_id, rnk, vec_id, round(cos, 6) AS cos FROM r WHERE rnk <= 5"""))
+
+  private val numPlanes = 8
+
+  /** Deterministic pseudo-random hyperplane component: must equal the
+    * DuckDB expression `(h60(j||'_'||i) % 2001 - 1000) / 1000.0`. */
+  private def planeComponent(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${j}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    (h % 2001 - 1000) / 1000.0
+  }
+
+  private def planeLit(j: Int): Column =
+    array((1 to dim).map(i => lit(planeComponent(j, i))): _*)
+
+  private def bucketCol(v: Column): Column =
+    (0 until numPlanes).map { j =>
+      val dot = aggregate(zip_with(v, planeLit(j), (x, p) => x * p), lit(0.0), (a, x) => a + x)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private val bucketSql: String = (0 until numPlanes).map { j =>
+    val planeDot =
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+            i -> CAST(embedding[i] AS DOUBLE)
+                 * ((${h60sql(s"'${j}_' || CAST(i AS VARCHAR)")} % 2001 - 1000) / 1000.0)),
+            (x, y) -> x + y)"""
+    s"(CASE WHEN $planeDot > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+  }.mkString(" + ")
+
+  /** SS2 — LSH-bucketed ANN: 8 random-hyperplane sign bits form a bucket
+    * key; candidates are bucket-mates only (a `groupBy(bucket)` join —
+    * the 100 TB scale path, ~2^8 × fewer comparisons), then exact cosine
+    * re-ranks the bucket. */
+  private val ss2 = Q(
+    "ss2_lsh_ann",
+    (s, d) => {
+      val e = embNorm(s, d).withColumn("bucket", bucketCol(col("v")))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+          col("bucket"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("vec_id"), col("bucket"),
+          round(col("cos"), 6).as("cos"))
+    },
+    Some(s"""WITH e AS (SELECT *, $bucketSql AS bucket FROM ($embNormSql)),
+             q AS (SELECT vec_id AS q_id, embedding, nrm AS qn, bucket
+                   FROM e WHERE vec_id % 100 = 0),
+             pairs AS (SELECT q.q_id, e.vec_id, e.bucket,
+                         ${dotSql("q", "e")} / (q.qn * e.nrm) AS cos
+                       FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
+             r AS (SELECT q_id, vec_id, bucket, cos,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+                   FROM pairs)
+             SELECT q_id, rnk, vec_id, bucket, round(cos, 6) AS cos FROM r WHERE rnk <= 3"""))
+
+  /** DD5 — embedding-cosine near-duplicate pairs, blocked by `label`
+    * (stand-in for an IVF/coarse-quantizer cell at scale): exact cosine
+    * inside the block, threshold 0.35. */
+  private val dd5 = Q(
+    "dd5_embed_neardup",
+    (s, d) => {
+      val e = embNorm(s, d)
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("cos") >= 0.35)
+        .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    },
+    Some(s"""WITH e AS ($embNormSql)
+             SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${dotSql("a", "b")} / (a.nrm * b.nrm), 6) AS cos
+             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+             WHERE ${dotSql("a", "b")} / (a.nrm * b.nrm) >= 0.35"""))
+
+  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, ss1, ss2, dd5)
+}

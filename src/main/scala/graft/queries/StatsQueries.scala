@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Normalization, Stats}
+
+/** SURVEY.md §2 groups D (aggregation/statistics) and E (windows) over the
+  * driver star schema: D1 having-prefilter, D2 size factors, D5 BH, D6 VST,
+  * D7 Wilcoxon, D8/D9 scalars, E1 ntile median-split.
+  *
+  * Oracle parity rules: exact `percentile` ↔ `percentile_cont`; identical
+  * floating-op order on both sides; `round(x, 6)` on every
+  * order-of-association-sensitive double.
+  */
+object StatsQueries {
+
+  /** Shared p-value wrapper: Abramowitz–Stegun erfc polynomial (identical to
+    * Stats.normalSfTwoSided) applied to a column `z` of `inner`. */
+  private def withNormalSf(inner: String, keep: String): String =
+    s"""SELECT $keep,
+          round(least(1.0, ((((1.061405429*tt - 1.453152027)*tt + 1.421413741)*tt
+            - 0.284496736)*tt + 0.254829592)*tt * exp(-xx*xx)), 6) AS pvalue
+        FROM (SELECT *, 1.0/(1.0 + 0.3275911*xx) AS tt
+              FROM (SELECT *, abs(z)/sqrt(2) AS xx FROM ($inner)))"""
+
+  /** D1 — grouped sum + HAVING prefilter (`rowSums(counts) >= 10`,
+    * vital_status_DESeq.R:47-48). Partial+final hash agg; the filter runs on
+    * the aggregated side so no second pass over the fact table. */
+  private val d1 = Q(
+    "d1_sum_having",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") >= 800),
+    Some("""SELECT l_partkey, sum(l_quantity) AS total_qty FROM lineitem
+            GROUP BY l_partkey HAVING sum(l_quantity) >= 800"""))
+
+  /** Long-form count fact used by D2/D6: cell = (gene=part, sample=supplier,
+    * count=Σqty), mirroring the expression matrix in long form (§1.4). */
+  private def cells(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("gene"), col("l_suppkey").as("smp"))
+      .agg(sum(col("l_quantity")).as("cnt"))
+
+  private val cellsSql =
+    """SELECT l_partkey AS gene, l_suppkey AS smp, sum(l_quantity) AS cnt
+       FROM lineitem GROUP BY 1, 2"""
+
+  /** D2 — DESeq2 median-of-ratios size factors (vital_status_DESeq.R:51). */
+  private val d2 = Q(
+    "d2_size_factors",
+    (s, d) =>
+      Normalization.sizeFactors(cells(s, d), "gene", "smp", "cnt")
+        .select(col("smp"), round(col("size_factor"), 6).as("size_factor")),
+    Some(s"""WITH cell AS ($cellsSql),
+             gm AS (SELECT gene, exp(avg(ln(cnt))) AS geomean
+                    FROM cell WHERE cnt > 0 GROUP BY gene)
+             SELECT smp,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY ratio), 6) AS size_factor
+             FROM (SELECT smp, cnt / geomean AS ratio
+                   FROM cell JOIN gm USING (gene) WHERE cnt > 0)
+             GROUP BY smp"""))
+
+  /** D6 — VST-approx normalized counts `log2(cnt/sf + 1)`
+    * (vital_status_DESeq.R:100-101; deviation documented in Normalization). */
+  private val d6 = Q(
+    "d6_vst",
+    (s, d) =>
+      Normalization.vst(cells(s, d), "gene", "smp", "cnt")
+        .select(col("gene"), col("smp"), round(col("vst"), 6).as("vst")),
+    Some(s"""WITH cell AS ($cellsSql),
+             gm AS (SELECT gene, exp(avg(ln(cnt))) AS geomean
+                    FROM cell WHERE cnt > 0 GROUP BY gene),
+             sf AS (SELECT smp,
+                      percentile_cont(0.5) WITHIN GROUP (ORDER BY ratio) AS size_factor
+                    FROM (SELECT smp, cnt / geomean AS ratio
+                          FROM cell JOIN gm USING (gene) WHERE cnt > 0)
+                    GROUP BY smp)
+             SELECT gene, smp, round(log2(cnt / size_factor + 1), 6) AS vst
+             FROM cell JOIN sf USING (smp)"""))
+
+  /** D5 — Benjamini–Hochberg FDR over a deterministic pseudo p-value
+    * (padj consumed at vital_status_DESeq.R:93). */
+  private val d5 = Q(
+    "d5_bh_adjust",
+    (s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"),
+          (expr("(p_partkey * 2654435761) % 1000003") / 1000003.0).as("pval"))
+      Stats.bhAdjust(p, "pval", "p_partkey")
+        .select(col("p_partkey"), round(col("pval"), 6).as("pval"),
+          round(col("padj"), 6).as("padj"))
+    },
+    Some("""WITH p AS (SELECT p_partkey,
+                        ((p_partkey * 2654435761) % 1000003) / 1000003.0 AS pval
+                       FROM part),
+            r AS (SELECT p_partkey, pval,
+                    row_number() OVER (ORDER BY pval, p_partkey) AS rk,
+                    count(*) OVER () AS n
+                  FROM p)
+            SELECT p_partkey, round(pval, 6) AS pval,
+              round(min(least(1.0, pval * n / rk)) OVER (
+                ORDER BY pval DESC, p_partkey DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS padj
+            FROM r"""))
+
+  /** D7 — grouped Wilcoxon rank-sum, normal approx with tie correction
+    * (`compare_means(counts ~ group, group.by = gene)`,
+    * vital_status_DESeq.R:130). Quantities are integer-valued → heavy ties,
+    * exercising the mid-rank + tie-variance path. */
+  private val d7 = Q(
+    "d7_wilcoxon",
+    (s, d) => {
+      val t = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"), col("l_returnflag").as("cond"),
+          col("l_quantity").as("v"))
+      Stats.wilcoxon(t, "brand", "cond", "v", "A", "R")
+        .select(col("brand"), col("n1"), col("n2"), round(col("u"), 6).as("u"),
+          round(col("z"), 6).as("z"), round(col("pvalue"), 6).as("pvalue"))
+    },
+    Some {
+      val inner =
+        """WITH t AS (SELECT p_brand AS brand, l_returnflag AS flag, l_quantity AS v
+                      FROM lineitem JOIN part ON l_partkey = p_partkey
+                      WHERE l_returnflag IN ('A','R')),
+           r AS (SELECT brand, flag, v,
+                   rank() OVER (PARTITION BY brand ORDER BY v) AS rmin,
+                   count(*) OVER (PARTITION BY brand, v) AS tcnt
+                 FROM t),
+           g AS (SELECT brand,
+                   sum(CASE WHEN flag = 'A' THEN rmin + (tcnt - 1) / 2.0 END) AS r1,
+                   CAST(sum(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+                 FROM r GROUP BY brand),
+           ties AS (SELECT brand, sum(tc*tc*tc - tc) AS tie3
+                    FROM (SELECT brand, v, count(*) AS tc FROM t GROUP BY brand, v)
+                    GROUP BY brand)
+           SELECT g.brand, n1, n2,
+             r1 - n1 * (n1 + 1) / 2.0 AS u,
+             (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+               / sqrt((n1 * n2 / 12.0) *
+                      ((n1 + n2 + 1) - tie3 / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))) AS z
+           FROM g JOIN ties ON g.brand = ties.brand
+           WHERE n1 > 0 AND n2 > 0
+             AND (n1 * n2 / 12.0) *
+                 ((n1 + n2 + 1) - tie3 / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) > 0"""
+      withNormalSf(inner, "brand, n1, n2, round(u, 6) AS u, round(z, 6) AS z")
+    })
+
+  /** D8 — scalar max for plot bounds (vital_status_DESeq.R:142). */
+  private val d8 = Q(
+    "d8_scalar_max",
+    (s, d) =>
+      Tables.orders(s, d).agg(
+        round(max(col("o_totalprice")), 6).as("max_price"),
+        max(col("o_orderkey")).as("max_key")),
+    Some("""SELECT round(max(o_totalprice), 6) AS max_price, max(o_orderkey) AS max_key
+            FROM orders"""))
+
+  /** D9 — group sizes for the plot legend (surv_analysis_median_exp.R:143-144). */
+  private val d9 = Q(
+    "d9_group_counts",
+    (s, d) => Tables.events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+    Some("SELECT event_type, count(*) AS n FROM events GROUP BY event_type"))
+
+  /** E1 — ntile(2) median split → LOW/HIGH stratification
+    * (surv_analysis_median_exp.R:134-141). Tiebreak keys pin tile assignment
+    * (dplyr::ntile and SQL NTILE are both order-dependent under ties). */
+  private val e1 = Q(
+    "e1_ntile_split",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .withColumn("tile", ntile(2).over(w))
+        .withColumn("strat", when(col("tile") === 1, "LOW").otherwise("HIGH"))
+        .groupBy(col("l_returnflag"), col("strat"))
+        // exact decimal sum → double: association-order-proof across engines
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)), 6).as("avg_v"))
+    },
+    Some("""WITH t AS (SELECT l_returnflag, l_extendedprice AS v,
+                         ntile(2) OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS tile
+                       FROM lineitem)
+            SELECT l_returnflag, CASE WHEN tile = 1 THEN 'LOW' ELSE 'HIGH' END AS strat,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_v
+            FROM t GROUP BY 1, 2"""))
+
+  def all: Seq[Q] = Seq(d1, d2, d5, d6, d7, d8, d9, e1)
+}
