@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Stats
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wilcoxon rank-sum with ties matches hand computation") {
+    // A = {1,2,3,4}, B = {3,4,5,6}; pooled ranks 1,2,3.5,3.5,5.5,5.5,7,8
+    // R1 = 12, U = 2, tie3 = 12, sigma = 3.42261, z = -1.75305, p = 0.07963
+    val df = Seq(
+      ("g", "A", 1.0), ("g", "A", 2.0), ("g", "A", 3.0), ("g", "A", 4.0),
+      ("g", "B", 3.0), ("g", "B", 4.0), ("g", "B", 5.0), ("g", "B", 6.0))
+      .toDF("gene", "cond", "v")
+    val r = Stats.wilcoxon(df, "gene", "cond", "v", "A", "B").collect().head
+    assert(r.getAs[Long]("n1") == 4 && r.getAs[Long]("n2") == 4)
+    assert(math.abs(r.getAs[Double]("u") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - (-1.75305)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("pvalue") - 0.07963) < 1e-3)
+  }
+
+  test("wilcoxon drops degenerate groups (one-sided or zero variance)") {
+    val df = Seq(
+      ("only_a", "A", 1.0), ("only_a", "A", 2.0),
+      ("tied", "A", 5.0), ("tied", "B", 5.0), ("tied", "A", 5.0), ("tied", "B", 5.0))
+      .toDF("gene", "cond", "v")
+    assert(Stats.wilcoxon(df, "gene", "cond", "v", "A", "B").count() == 0)
+  }
+
+  test("BH adjustment matches hand computation and is monotone in rank") {
+    // p = (.005, .03, .04): raw p*n/rank = (.015, .045, .12)? no:
+    // sorted p .005(.015) .03(.045) .04(.04) -> cummin desc: .04, .04, .015
+    val df = Seq((1L, 0.005), (2L, 0.04), (3L, 0.03)).toDF("id", "pval")
+    val got = Stats.bhAdjust(df, "pval", "id").orderBy("id")
+      .select("padj").as[Double].collect()
+    assert(math.abs(got(0) - 0.015) < 1e-12)
+    assert(math.abs(got(1) - 0.04) < 1e-12)
+    assert(math.abs(got(2) - 0.04) < 1e-12)
+  }
+
+  test("BH padj preserves p-value order (property)") {
+    val ps = (1 to 97).map(i => (i.toLong, (i * 2654435761L % 1000003) / 1000003.0))
+    val out = Stats.bhAdjust(ps.toDF("id", "pval"), "pval", "id")
+      .orderBy("pval").select("padj").as[Double].collect()
+    out.sliding(2).foreach { case Array(a, b) => assert(a <= b + 1e-15); case _ => }
+    assert(out.forall(p => p >= 0.0 && p <= 1.0))
+  }
+
+  test("normal survival function is accurate") {
+    // 2*(1-Phi(1.96)) = 0.0500, 2*(1-Phi(2.5758)) = 0.0100
+    val df = Seq(1.959964, 2.575829, 0.0).toDF("z")
+      .select(Stats.normalSfTwoSided(col("z")).as("p")).as[Double].collect()
+    assert(math.abs(df(0) - 0.05) < 1e-5)
+    assert(math.abs(df(1) - 0.01) < 1e-5)
+    assert(math.abs(df(2) - 1.0) < 1e-6)
+  }
+
+  test("significance banding propagates NULL like R's NA") {
+    val df = Seq(Some(0.2), Some(0.03), Some(0.005), Some(0.0005), Some(0.00001), None)
+      .toDF("padj").select(Stats.signifBand(col("padj")).as("b"))
+    assert(df.collect().map(r => Option(r.getString(0))).toSeq ==
+      Seq(Some("ns"), Some("*"), Some("**"), Some("***"), Some("****"), None))
+  }
+}

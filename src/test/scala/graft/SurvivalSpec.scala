@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.Survival
+
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // times 1(event), 2(censor), 3(event), 4(censor), 5(event)
+  private def subjects = Seq(
+    ("s", 1L, 1L), ("s", 2L, 0L), ("s", 3L, 1L), ("s", 4L, 0L), ("s", 5L, 1L))
+    .toDF("strat", "time", "event")
+
+  test("KM product-limit curve matches hand computation") {
+    val rows = Survival.kmCurve(subjects, "strat", "time", "event")
+      .orderBy("time").collect()
+    // event rows only: t=1 S=4/5, t=3 S=.8*2/3=.5333, t=5 n_risk=1 -> S=0
+    assert(rows.map(_.getAs[Long]("time")).toSeq == Seq(1L, 3L, 5L))
+    assert(rows.map(_.getAs[Long]("n_risk")).toSeq == Seq(5L, 3L, 1L))
+    val s = rows.map(_.getAs[Double]("survival"))
+    assert(math.abs(s(0) - 0.8) < 1e-12)
+    assert(math.abs(s(1) - 0.53333333) < 1e-6)
+    assert(s(2) == 0.0)
+  }
+
+  test("KM survival is non-increasing within [0,1] (property)") {
+    val n = 200
+    val df = (1 to n).map { i =>
+      (if (i % 2 == 0) "a" else "b", (i * 37 % 97).toLong, (i % 3 min 1).toLong)
+    }.toDF("strat", "time", "event")
+    val curve = Survival.kmCurve(df, "strat", "time", "event")
+      .orderBy("strat", "time")
+      .select("strat", "survival").collect()
+    curve.groupBy(_.getString(0)).values.foreach { rows =>
+      val s = rows.map(_.getDouble(1))
+      assert(s.forall(x => x >= 0.0 && x <= 1.0))
+      s.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-12); case _ => }
+    }
+  }
+
+  test("KM with no censoring equals empirical survival (property)") {
+    val df = Seq(1L, 2L, 3L, 4L).map(("s", _, 1L)).toDF("strat", "time", "event")
+    val s = Survival.kmCurve(df, "strat", "time", "event")
+      .orderBy("time").select("survival").as[Double].collect()
+    assert(s.zip(Seq(0.75, 0.5, 0.25, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("log-rank test: identical groups give chi2 near 0, separated groups large") {
+    val same = (1 to 20).flatMap(i => Seq(("a", i.toLong, 1L), ("b", i.toLong, 1L)))
+      .toDF("strat", "time", "event")
+    val r1 = Survival.logRank(same, "strat", "time", "event").collect().head
+    assert(math.abs(r1.getAs[Double]("chi2")) < 1e-9)
+    val split = ((1 to 20).map(i => ("a", i.toLong, 1L)) ++
+      (1 to 20).map(i => ("b", (i + 100).toLong, 1L))).toDF("strat", "time", "event")
+    val r2 = Survival.logRank(split, "strat", "time", "event").collect().head
+    assert(r2.getAs[Double]("chi2") > 10.0)
+    assert(r2.getAs[Double]("pvalue") < 0.01)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextFunctions
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens and shingles") {
+    val df = Seq("The quick  brown fox").toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("t"))
+    val toks = df.select("t").as[Seq[String]].collect().head
+    assert(toks == Seq("the", "quick", "brown", "fox"))
+    val sh = df.select(TextFunctions.shingles(col("t"), 2).as("s"))
+      .as[Seq[String]].collect().head
+    assert(sh == Seq("the quick", "quick brown", "brown fox"))
+  }
+
+  test("shingles shorter than n give an empty array, not a broken sequence") {
+    val df = Seq("one two").toDF("text")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("s"))
+    assert(df.as[Seq[String]].collect().head.isEmpty)
+  }
+
+  test("quality heuristics on a known sentence") {
+    val df = Seq("the cat sat on the mat!!").toDF("text")
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(
+        TextFunctions.meanWordLen(col("toks")).as("mwl"),
+        TextFunctions.punctRatio(col("text")).as("pr"),
+        TextFunctions.stopwordRatio(col("toks"), Seq("the", "on")).as("sr"))
+    val r = df.collect().head
+    // tokens: the cat sat on the mat!! -> lengths 3,3,3,2,3,5 = 19/6
+    assert(math.abs(r.getAs[Double]("mwl") - 19.0 / 6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pr") - 2.0 / 24) < 1e-12)
+    assert(math.abs(r.getAs[Double]("sr") - 3.0 / 6) < 1e-12)
+  }
+
+  test("quality band thresholds and NULL propagation") {
+    val df = Seq(
+      (Some(3L), 0.0, 0.5), (Some(100L), 0.5, 0.5),
+      (Some(100L), 0.1, 0.0), (Some(100L), 0.1, 0.2))
+      .toDF("n", "p", "s")
+      .select(TextFunctions.qualityBand(col("n"), col("p"), col("s")).as("b"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("too_short", "too_noisy", "low_signal", "ok"))
+  }
+
+  test("fingerprints are deterministic and prefix-stable") {
+    val df = Seq("alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "alpha beta gamma delta epsilon zeta eta theta iota DIFFERENT")
+      .toDF("text").withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(TextFunctions.prefixFingerprint(col("toks"), 8).as("fp"))
+    val fps = df.as[String].collect()
+    assert(fps(0) == fps(1)) // first 8 tokens identical
+  }
+}
