@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.streaming.{Event, EventStreams}
+import graft.api.Tcga
+
+/** Usage sample / smoke-drive of the library surfaces that are not part of
+  * the driver's query catalog: batch-mode streaming operators over the real
+  * `events` table, and the nested-treatments drug-cohort API.
+  * Run: `sbt "runMain graft.Demo /root/testdata/sf0.01"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ev = Tables.events(spark, sfDir).select(
+      col("user_id").as("userId"),
+      EventStreams.nanosToTs(col("ts")).as("ts"),
+      col("event_type").as("eventType"), col("value"))
+    val win = EventStreams.windowedTypeCounts(ev, windowLen = "1 hour")
+    println(s"[demo] windowed rows = ${win.count()}")
+    win.orderBy("win_start", "eventType").show(3, truncate = false)
+    val sessions = EventStreams.sessionize(ev.as[Event], gapSeconds = 3600)
+    println(s"[demo] sessions = ${sessions.count()}")
+
+    val nested = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").cast("string").as("submitter_id"))
+      .agg(collect_list(struct(
+        col("o_custkey").cast("string").as("submitter_id"),
+        col("o_orderpriority").as("treatment_type"),
+        col("o_orderstatus").as("therapeutic_agents"))).as("treatments"))
+      .withColumn("barcode", col("submitter_id"))
+    val cohort = Tcga.drugCohort(nested, Seq("1-URGENT"))
+    println(s"[demo] cohort = ${cohort.count()} of ${nested.count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,201 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{CountCell, DiffExpression, Normalization, Stats, Survival}
+
+/** The star-schema handles of SURVEY.md §1.4 — the rebuild's
+  * `SummarizedExperiment`:
+  * {{{
+  * expression(gene_id, barcode, count)        // assay, long form
+  * genes(gene_id, gene_name)                  // rowRanges
+  * samples(barcode, submitter_id, vital_status, short_letter_code,
+  *         ajcc_pathologic_stage, paper_brca_subtype_pam50,
+  *         days_to_death, paper_days_to_last_followup,
+  *         treatments ARRAY<STRUCT<submitter_id, treatment_type,
+  *                                 therapeutic_agents>>)  // colData
+  * }}}
+  */
+final case class TcgaTables(expression: DataFrame, genes: DataFrame, samples: DataFrame)
+
+/** Public library surface replacing the six reference scripts (SURVEY.md
+  * §3): each method is one reference pipeline as a single declarative
+  * Spark plan over the long star schema — no transposes, no positional
+  * renames, no per-gene driver loops.
+  */
+object Tcga {
+
+  /** F6 — factor guard: values outside the ordered level list become NULL
+    * (BRCA_path_stage_DESeq.R:60-62 semantics). */
+  def factor(c: Column, levels: Seq[String]): Column =
+    when(c.isin(levels.map(_.asInstanceOf[Any]): _*), c)
+
+  /** F4 — AJCC substage collapse: "Stage IIA" → "Stage_II"
+    * (BRCA_path_stage_DESeq.R:43-44). */
+  def collapseStage(c: Column): Column =
+    regexp_replace(regexp_replace(c, "A|B|C", ""), " ", "_")
+
+  /** D1 — drop genes with total count < `minTotal`
+    * (`rowSums(counts) >= 10`, vital_status_DESeq.R:47-48). */
+  def prefilterGenes(expression: DataFrame, minTotal: Long = 10): DataFrame = {
+    val keep = expression.groupBy("gene_id")
+      .agg(sum(col("count")).as("tot")).filter(col("tot") >= minTotal)
+      .select("gene_id")
+    expression.join(keep, Seq("gene_id"), "left_semi")
+  }
+
+  /** D2+D6 — VST-normalized long counts `(gene_id, barcode, vst)`
+    * (vst(), vital_status_DESeq.R:100-101; log2(count/sf+1) approximation
+    * per SURVEY.md §7.5). */
+  def normalizedCounts(expression: DataFrame): DataFrame =
+    Normalization.vst(expression, "gene_id", "barcode", "count")
+      .select(col("gene_id"), col("barcode"), col("vst"))
+
+  /** §3.1/§3.2 — NB-GLM differential expression.
+    *
+    * @param conditionCol samples column holding the factor
+    * @param levels       ordered levels; first = reference (fixes the
+    *                     contrast direction, §1.1(d))
+    * @param contrasts    extra pairwise contrasts (D4); empty → the default
+    *                     last-vs-first `results()` contrast
+    * @param goi          genes of interest by `gene_name` (B4); empty → all
+    * @return long results `(gene_id, gene_name, contrast, base_mean,
+    *         log2fc, lfc_se, stat, pvalue, padj, p_signif)`
+    */
+  def differentialExpression(t: TcgaTables, conditionCol: String,
+      levels: Seq[String], contrasts: Seq[(String, String)] = Nil,
+      goi: Seq[String] = Nil): DataFrame = {
+    val spark = t.expression.sparkSession
+    import spark.implicits._
+    val cond = t.samples
+      .withColumn("cond", factor(col(conditionCol), levels))
+      .filter(col("cond").isNotNull)
+      .select(col("barcode"), col("cond"))
+    val expr0 = prefilterGenes(t.expression)
+    val sf = Normalization.sizeFactors(expr0, "gene_id", "barcode", "count")
+    // dense surrogate ids: the typed NB fit groups by a long key
+    val geneIds = t.genes.select(col("gene_id"))
+      .withColumn("gid", dense_rank().over(Window.orderBy(col("gene_id"))).cast("long"))
+    val cells = expr0
+      .join(broadcast(sf), "barcode")
+      .join(cond, "barcode")
+      .join(broadcast(geneIds), "gene_id")
+      .withColumn("bid", abs(hash(col("barcode"))).cast("long"))
+      .select(col("gid").as("gene"), col("bid").as("smp"),
+        col("count").cast("double").as("cnt"), col("cond"),
+        col("size_factor").as("sf")).as[CountCell]
+    val pairs = if (contrasts.nonEmpty) contrasts else Seq((levels.last, levels.head))
+    val de = DiffExpression.contrasts(cells, levels, pairs).toDF()
+    val named = de
+      .join(broadcast(geneIds), de("gene") === geneIds("gid"))
+      .join(broadcast(t.genes), "gene_id")
+    val out = Stats.bhAdjust(named, "pvalue", "gene_id", partitionCols = Seq("contrast"))
+      .withColumn("p_signif", Stats.signifBand(col("padj")))
+      .select(col("gene_id"), col("gene_name"), col("contrast"),
+        col("log2fc"), col("lfc_se"), col("stat"), col("pvalue"),
+        col("padj"), col("p_signif"))
+    if (goi.isEmpty) out else out.filter(col("gene_name").isin(goi.map(_.asInstanceOf[Any]): _*))
+  }
+
+  /** D7 — per-gene two-group Wilcoxon on VST counts
+    * (`compare_means(counts ~ cond, group.by = gene)`,
+    * vital_status_DESeq.R:130), plus F5 banding on BH-adjusted p. */
+  def wilcoxonByGene(t: TcgaTables, conditionCol: String,
+      levels: (String, String), goi: Seq[String] = Nil): DataFrame = {
+    val vst = normalizedCounts(prefilterGenes(t.expression))
+    val vstNamed = vst.join(broadcast(t.genes), "gene_id")
+    val selected =
+      if (goi.isEmpty) vstNamed
+      else vstNamed.filter(col("gene_name").isin(goi.map(_.asInstanceOf[Any]): _*))
+    val cond = t.samples
+      .withColumn("cond", factor(col(conditionCol), Seq(levels._1, levels._2)))
+      .filter(col("cond").isNotNull)
+      .select(col("barcode"), col("cond"))
+    val long = selected.join(cond, "barcode")
+      .select(col("gene_name"), col("cond"), col("vst"))
+    val wil = Stats.wilcoxon(long, "gene_name", "cond", "vst", levels._1, levels._2)
+    Stats.bhAdjust(wil, "pvalue", "gene_name")
+      .withColumn("p_signif", Stats.signifBand(col("padj")))
+  }
+
+  /** H3 — presentation-edge wide counts (samples × genes), the only place
+    * the reference's transpose survives (`t(gene_count)`,
+    * vital_status_DESeq.R:106). Explicit pivot values: no distinct-scan job. */
+  def wideCounts(t: TcgaTables, goi: Seq[String]): DataFrame = {
+    val vst = normalizedCounts(t.expression)
+      .join(broadcast(t.genes), "gene_id")
+      .filter(col("gene_name").isin(goi.map(_.asInstanceOf[Any]): _*))
+    vst.groupBy("barcode").pivot("gene_name", goi).agg(first(col("vst")))
+  }
+
+  /** H5 — ragged `cbind.fill` export: one column per (gene, group), rows
+    * row_number-keyed, NULL-padded (vital_status_DESeq.R:147-168). */
+  def raggedExport(t: TcgaTables, conditionCol: String, goi: Seq[String],
+      groups: Seq[String]): DataFrame = {
+    val vst = normalizedCounts(t.expression)
+      .join(broadcast(t.genes), "gene_id")
+      .filter(col("gene_name").isin(goi.map(_.asInstanceOf[Any]): _*))
+      .join(t.samples.select(col("barcode"),
+        factor(col(conditionCol), groups).as("grp")), "barcode")
+      .filter(col("grp").isNotNull)
+      .withColumn("colkey", concat_ws("_", col("gene_name"), col("grp")))
+    val keys = for { g <- goi; c <- groups } yield s"${g}_$c"
+    val w = Window.partitionBy(col("colkey"))
+      .orderBy(col("vst"), col("barcode"))
+    vst.withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("rn").pivot("colkey", keys).agg(first(col("vst")))
+  }
+
+  /** §3.3 — KM survival stratified by median expression: per gene of
+    * interest, samples split LOW/HIGH at the median VST (E1 ntile), curves
+    * via D10, log-rank via D11 — all genes in one plan.
+    *
+    * @return (curves, tests): curves keyed by (gene_name, strat); tests one
+    *         row per gene_name with chi2/pvalue
+    */
+  def kmByMedianExpression(t: TcgaTables, goi: Seq[String],
+      tiles: Int = 2): (DataFrame, DataFrame) = {
+    val subjects = t.samples
+      .withColumn("status",
+        when(col("vital_status") === "Alive", 1).otherwise(2)) // F7
+      .withColumn("time",
+        when(col("vital_status") === "Alive",
+          col("paper_days_to_last_followup").cast("double"))
+          .otherwise(col("days_to_death").cast("double"))) // F8+F9
+      .filter(col("time").isNotNull && col("vital_status").isNotNull) // B7
+      .select(col("barcode"), col("time"), (col("status") - 1).cast("long").as("event"))
+    val vst = normalizedCounts(prefilterGenes(t.expression))
+      .join(broadcast(t.genes), "gene_id")
+      .filter(col("gene_name").isin(goi.map(_.asInstanceOf[Any]): _*))
+    val w = Window.partitionBy(col("gene_name")).orderBy(col("vst"), col("barcode"))
+    val strat = vst
+      .withColumn("tile", ntile(tiles).over(w))
+      .filter(col("tile") === 1 || col("tile") === tiles) // keep extremes (E1)
+      .withColumn("strat", when(col("tile") === 1, "LOW").otherwise("HIGH")) // F11
+      .join(subjects, "barcode")
+    val curves = Survival.kmCurve(
+      strat.withColumn("gs", concat_ws("|", col("gene_name"), col("strat"))),
+      "gs", "time", "event")
+      .withColumn("gene_name", split(col("gs"), "\\|").getItem(0))
+      .withColumn("strat", split(col("gs"), "\\|").getItem(1))
+      .drop("gs")
+    val tests = Survival.logRankBy(strat, "gene_name", "strat", "time", "event")
+    (curves, tests)
+  }
+
+  /** N1+B5+D12+F3+C4 — drug-cohort restriction (drug_km_median_exp.R:36-56):
+    * explode the nested treatments table, match the drug class on either
+    * column, harvest distinct patient prefixes, semi-join the samples. */
+  def drugCohort(samples: DataFrame, drugClasses: Seq[String]): DataFrame = {
+    val cls = drugClasses.map(_.asInstanceOf[Any])
+    val patients = samples
+      .select(explode(col("treatments")).as("t"))
+      .filter(col("t.treatment_type").isin(cls: _*) ||
+        col("t.therapeutic_agents").isin(cls: _*))
+      .select(substring(col("t.submitter_id"), 1, 12).as("patient"))
+      .distinct()
+    samples.join(patients,
+      substring(col("submitter_id"), 1, 12) === col("patient"), "left_semi")
+  }
+}

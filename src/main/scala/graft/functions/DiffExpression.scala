@@ -104,7 +104,8 @@ object DiffExpression {
     * one-hot of non-reference levels actually present in the data. */
   private def fitGene(gene: Long, it: Iterator[CountCell],
       levels: Seq[String]): Option[Fit] = {
-    val rows = it.toArray.sortBy(_.smp) // deterministic accumulation order
+    // deterministic accumulation order, robust to surrogate-id collisions
+    val rows = it.toArray.sortBy(r => (r.smp, r.cond, r.cnt))
     if (rows.length < 2) return None
     val present = levels.filter(l => rows.exists(_.cond == l))
     if (present.size < 2) return None

@@ -65,43 +65,53 @@ object Survival {
     * event times.
     */
   def logRank(df: DataFrame, stratCol: String, timeCol: String,
-      eventCol: String): DataFrame = {
-    val perTime = df.groupBy(col(stratCol), col(timeCol)).agg(
+      eventCol: String): DataFrame =
+    logRankBy(df.withColumn("__g", lit(1)), "__g", stratCol, timeCol, eventCol)
+      .select(col("observed_a"), col("expected_a"), col("chi2"), col("pvalue"))
+
+  /** Grouped two-group log-rank: one test per `groupCol` value (the per-gene
+    * fan-out of the KM pipeline, §3.3 run once per gene). Same math as
+    * `logRank`, with every stage additionally keyed by the group — the
+    * whole fan-out is ONE plan, no per-gene driver loop. */
+  def logRankBy(df: DataFrame, groupCol: String, stratCol: String,
+      timeCol: String, eventCol: String): DataFrame = {
+    val perTime = df.groupBy(col(groupCol), col(stratCol), col(timeCol)).agg(
       sum(col(eventCol)).as("d"),
       sum(lit(1) - col(eventCol)).as("c"))
-    val grid = df.select(col(timeCol)).distinct()
-    val strata = df.select(col(stratCol)).distinct()
-    val totals = df.groupBy(col(stratCol)).agg(count(lit(1)).as("n_total"))
-    val wPrev = Window.partitionBy(stratCol).orderBy(timeCol)
+    val grid = df.select(col(groupCol), col(timeCol)).distinct()
+    val strata = df.select(col(groupCol), col(stratCol)).distinct()
+    val totals = df.groupBy(col(groupCol), col(stratCol)).agg(count(lit(1)).as("n_total"))
+    val wPrev = Window.partitionBy(groupCol, stratCol).orderBy(timeCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val full = strata.crossJoin(grid)
-      .join(perTime, Seq(stratCol, timeCol), "left")
+    val full = strata.join(grid, groupCol)
+      .join(perTime, Seq(groupCol, stratCol, timeCol), "left")
       .na.fill(0L, Seq("d", "c"))
-      .join(broadcast(totals), stratCol)
+      .join(totals, Seq(groupCol, stratCol))
       .withColumn("n_risk",
         col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
-    val wTime = Window.partitionBy(timeCol)
-    // 1-row broadcast dim instead of a global window: no single-task pass.
-    val firstStrat = strata.agg(min(col(stratCol)).as("strat_a"))
+    val wTime = Window.partitionBy(groupCol, timeCol)
+    val firstStrat = strata.groupBy(groupCol).agg(min(col(stratCol)).as("strat_a"))
     val perTimePooled = full
       .withColumn("d_tot", sum(col("d")).over(wTime))
       .withColumn("n_tot", sum(col("n_risk")).over(wTime))
       .filter(col("d_tot") > 0 && col("n_tot") > 1)
-      .crossJoin(broadcast(firstStrat))
+      .join(broadcast(firstStrat), Seq(groupCol))
       .filter(col(stratCol) === col("strat_a"))
       .withColumn("e_a", col("d_tot") * (col("n_risk") / col("n_tot")))
       .withColumn("v_a",
         col("d_tot") * (col("n_risk") / col("n_tot")) *
           (lit(1.0) - col("n_risk") / col("n_tot")) *
           ((col("n_tot") - col("d_tot")) / (col("n_tot") - lit(1.0))))
-    perTimePooled.agg(
+    perTimePooled.groupBy(groupCol).agg(
       sum(col("d")).as("observed_a"),
       sum(col("e_a")).as("expected_a"),
       sum(col("v_a")).as("v_sum"))
+      .filter(col("v_sum") > 0)
       .withColumn("chi2",
         (col("observed_a") - col("expected_a")) * (col("observed_a") - col("expected_a"))
           / col("v_sum"))
       .withColumn("pvalue", Stats.normalSfTwoSided(sqrt(col("chi2"))))
-      .select(col("observed_a"), col("expected_a"), col("chi2"), col("pvalue"))
+      .select(col(groupCol), col("observed_a"), col("expected_a"), col("chi2"),
+        col("pvalue"))
   }
 }

@@ -220,6 +220,72 @@ object DomainQueries {
           FROM cum WHERE d > 0"""
     })
 
+  /** KM2 — per-gene two-group log-rank (D11 fanned out over genes like the
+    * reference's per-gene KM loop, §3.3) — ONE plan for all genes, no
+    * driver-side loop. */
+  private val km2 = Q(
+    "km2_logrank_by_gene",
+    (s, d) => {
+      val w = Window.partitionBy(col("gene")).orderBy(col("val"), col("smp"))
+      val strat = vstVals(s, d)
+        .filter(col("gene").isin(goi: _*))
+        .withColumn("tile", ntile(2).over(w))
+        .withColumn("strat", when(col("tile") === 1, "LOW").otherwise("HIGH"))
+        .join(broadcast(subjDim(s, d)), col("smp") === col("s_suppkey"))
+      Survival.logRankBy(strat, "gene", "strat", "time", "event")
+        .select(col("gene"), col("observed_a"),
+          round(col("expected_a"), 6).as("expected_a"),
+          round(col("chi2"), 6).as("chi2"), round(col("pvalue"), 6).as("pvalue"))
+    },
+    Some {
+      val goiList = goi.mkString(",")
+      s"""WITH v AS ($vstValsSql),
+          st AS (SELECT gene, smp,
+                   ntile(2) OVER (PARTITION BY gene ORDER BY val, smp) AS tile
+                 FROM v WHERE gene IN ($goiList)),
+          subj AS (SELECT st.gene,
+                     CASE WHEN tile = 1 THEN 'LOW' ELSE 'HIGH' END AS strat,
+                     time, event
+                   FROM st JOIN ($subjSql) ON smp = s_suppkey),
+          pt AS (SELECT gene, strat, time, sum(event) AS d, sum(1 - event) AS c
+                 FROM subj GROUP BY 1, 2, 3),
+          grid AS (SELECT DISTINCT gene, time FROM subj),
+          strata AS (SELECT DISTINCT gene, strat FROM subj),
+          tot AS (SELECT gene, strat, count(*) AS n_total FROM subj GROUP BY 1, 2),
+          fullg AS (SELECT s.gene, s.strat, g.time,
+                      coalesce(d, 0) AS d, coalesce(c, 0) AS c
+                    FROM strata s JOIN grid g ON s.gene = g.gene
+                    LEFT JOIN pt ON pt.gene = s.gene AND pt.strat = s.strat
+                      AND pt.time = g.time),
+          r AS (SELECT f.gene, f.strat, time, d,
+                  n_total - coalesce(sum(d + c) OVER (PARTITION BY f.gene, f.strat
+                    ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n_risk
+                FROM fullg f JOIN tot ON f.gene = tot.gene AND f.strat = tot.strat),
+          p AS (SELECT gene, strat, time, d, n_risk,
+                  sum(d) OVER (PARTITION BY gene, time) AS d_tot,
+                  sum(n_risk) OVER (PARTITION BY gene, time) AS n_tot
+                FROM r),
+          fs AS (SELECT gene, min(strat) AS strat_a FROM strata GROUP BY gene),
+          a AS (SELECT p.* FROM p JOIN fs ON p.gene = fs.gene AND p.strat = fs.strat_a
+                WHERE d_tot > 0 AND n_tot > 1),
+          agg AS (SELECT gene, sum(d) AS observed_a,
+                    sum(d_tot * (n_risk / n_tot)) AS expected_a,
+                    sum(d_tot * (n_risk / n_tot) * (1.0 - n_risk / n_tot)
+                        * ((n_tot - d_tot) / (n_tot - 1.0))) AS v_sum
+                  FROM a GROUP BY gene),
+          c2 AS (SELECT gene, observed_a, expected_a,
+                   (observed_a - expected_a) * (observed_a - expected_a) / v_sum AS chi2
+                 FROM agg WHERE v_sum > 0),
+          z AS (SELECT gene, observed_a, expected_a, chi2, sqrt(chi2) AS z FROM c2)
+          SELECT gene, CAST(observed_a AS BIGINT) AS observed_a,
+            round(expected_a, 6) AS expected_a, round(chi2, 6) AS chi2,
+            round(least(1.0, ((((1.061405429*tt - 1.453152027)*tt + 1.421413741)*tt
+              - 0.284496736)*tt + 0.254829592)*tt * exp(-xx*xx)), 6) AS pvalue
+          FROM (SELECT *, 1.0/(1.0 + 0.3275911*xx) AS tt
+                FROM (SELECT *, abs(z)/sqrt(2) AS xx FROM z))"""
+    })
+
   // ---- contrast fan-out (§3.2 structure, SQL-expressible mean contrasts)
 
   /** FAN1 — K-contrast fan-out from ONE aggregation (H2/D4 structure,
@@ -312,5 +378,5 @@ object DomainQueries {
     },
     None)
 
-  def all: Seq[Q] = Seq(de1, km1, fan1, d3, d4)
+  def all: Seq[Q] = Seq(de1, km1, km2, fan1, d3, d4)
 }

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event of the `events` table in stream form. */
+final case class Event(userId: Long, ts: Timestamp, eventType: String, value: Double)
+
+/** A closed (or batch-final) per-user session. */
+final case class UserSession(userId: Long, start: Timestamp, end: Timestamp,
+    nEvents: Long, totalValue: Double)
+
+private final case class SessionState(startMs: Long, endMs: Long,
+    nEvents: Long, totalValue: Double)
+
+/** Structured Streaming over the `events` schema (scale extension — the
+  * reference is pure batch, SURVEY.md §2.S; this is the `readStream` →
+  * watermark → windowed-agg / stateful-session path a 100 TB event feed
+  * needs).
+  *
+  * Both entry points take a source DataFrame/Dataset, so the same code runs
+  * on `spark.readStream` (incremental, stateful) and on the batch parquet
+  * table (one-shot) — the test suite exercises both.
+  */
+object EventStreams {
+
+  /** events.parquet carries epoch-nanos longs (read via nanosAsLong);
+    * convert to an event-time timestamp column. */
+  def nanosToTs(nanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_micros((nanos / 1000L).cast("long"))
+
+  /** Tumbling-window per-type counts with a watermark: late rows beyond
+    * `watermark` are dropped from the aggregation state (bounded state —
+    * the property that keeps this runnable forever on a real stream). */
+  def windowedTypeCounts(events: DataFrame, tsCol: String = "ts",
+      watermark: String = "10 minutes", windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("eventType"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("eventType"), col("n"), col("total_value"))
+
+  /** Per-user session assembly via flatMapGroupsWithState with event-time
+    * timeout: a session closes after `gapSeconds` of silence (emitted on
+    * watermark passage in streaming; batch mode emits every session, the
+    * last one included, since batch has no "future"). */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    val isStreaming = events.isStreaming
+
+    def toSession(uid: Long, s: SessionState): UserSession =
+      UserSession(uid, new Timestamp(s.startMs), new Timestamp(s.endMs),
+        s.nEvents, s.totalValue)
+
+    def handle(uid: Long, evs: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(toSession(uid, _)).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.eventType, e.value))
+        var cur = state.getOption
+        val closed = Seq.newBuilder[UserSession]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.endMs <= gapMs =>
+              cur = Some(SessionState(s.startMs, math.max(s.endMs, t),
+                s.nEvents + 1, s.totalValue + e.value))
+            case Some(s) =>
+              closed += toSession(uid, s)
+              cur = Some(SessionState(t, t, 1L, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          if (isStreaming) {
+            state.update(s)
+            state.setTimeoutTimestamp(s.endMs + gapMs)
+          } else {
+            closed += toSession(uid, s) // batch: no future rows can extend it
+          }
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (isStreaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(handle)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.{CsvIO, Stages}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A5: delimited param list reads, trims, uppercases") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "genes.txt")
+    Files.writeString(f.toPath, "brca1\ntp53\n\negfr\n")
+    assert(CsvIO.readParamList(spark, f.getAbsolutePath) == Seq("BRCA1", "TP53", "EGFR"))
+  }
+
+  test("A6: wide CSV export fills NULL with empty string and round-trips") {
+    val dir = Files.createTempDirectory("graft_csv_out").toFile.getAbsolutePath + "/wide"
+    val df = Seq((1L, Some("x"), Some(2.5)), (2L, None, None))
+      .toDF("id", "name", "score")
+    CsvIO.writeWideCsv(df, dir)
+    val back = spark.read.option("header", "true").csv(dir).orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(1).getString(1) == null || back(1).getString(1) == "") // NULL -> ""
+    assert(back(0).getString(2) == "2.5")
+  }
+
+  test("A2-A4: loadOrBuild probes, materializes once, then reuses") {
+    val path = Files.createTempDirectory("graft_stage").toFile.getAbsolutePath + "/stage1"
+    var builds = 0
+    def build = { builds += 1; Seq((1L, "a"), (2L, "b")).toDF("k", "v") }
+    assert(!Stages.exists(spark, path))
+    val first = Stages.loadOrBuild(spark, path)(build)
+    assert(first.count() == 2 && builds == 1)
+    val second = Stages.loadOrBuild(spark, path)(build)
+    assert(second.count() == 2 && builds == 1) // cache hit, no rebuild
+    assert(Stages.exists(spark, path))
+  }
+}
