@@ -38,6 +38,21 @@ object Demo {
       .withColumn("barcode", col("submitter_id"))
     val cohort = Tcga.drugCohort(nested, Seq("1-URGENT"))
     println(s"[demo] cohort = ${cohort.count()} of ${nested.count()}")
+
+    // star-schema mapping of the driver tables -> boxplot frame + F12 branch
+    val t = graft.api.TcgaTables(
+      expression = Tables.lineitem(spark, sfDir).groupBy(
+          col("l_partkey").cast("string").as("gene_id"),
+          col("l_suppkey").cast("string").as("barcode"))
+        .agg(sum(col("l_quantity")).cast("long").as("count")),
+      genes = Tables.part(spark, sfDir).select(
+        col("p_partkey").cast("string").as("gene_id"), col("p_name").as("gene_name")),
+      samples = Tables.supplier(spark, sfDir).select(
+        col("s_suppkey").cast("string").as("barcode"),
+        when(col("s_suppkey") % 2 === 0, "NT").otherwise("TP").as("short_letter_code")))
+    val goi = t.genes.limit(2).collect().map(_.getString(1)).toSeq
+    val bp = Tcga.boxplotFrame(t, "short_letter_code", Seq("NT", "TP"), goi)
+    println(s"[demo] boxplot frame rows = ${bp.count()} for goi=$goi")
     spark.stop()
   }
 }

@@ -184,6 +184,29 @@ object Tcga {
     (curves, tests)
   }
 
+  /** H4 — boxplot-ready long frame `(gene, cond, counts)` (the melt at
+    * vital_status_DESeq.R:118-126 feeding ggplot, A7): the engine's
+    * deliverable for the plot sink. */
+  def boxplotFrame(t: TcgaTables, conditionCol: String, levels: Seq[String],
+      goi: Seq[String]): DataFrame = {
+    val cond = t.samples
+      .withColumn("cond", factor(col(conditionCol), levels))
+      .filter(col("cond").isNotNull)
+      .select(col("barcode"), col("cond"))
+    normalizedCounts(prefilterGenes(t.expression))
+      .join(broadcast(t.genes), "gene_id")
+      .filter(col("gene_name").isin(goi.map(_.asInstanceOf[Any]): _*))
+      .join(cond, "barcode")
+      .select(col("gene_name").as("gene"), col("cond"), col("vst").as("counts"))
+  }
+
+  /** F12 — the all-ns plot-fallback branch (BRCA_path_stage_DESeq.R:182-201):
+    * driver-side control flow on one collected scalar, never a fact-path
+    * collect. */
+  def allNonSignificant(deResults: DataFrame): Boolean =
+    deResults.filter(col("p_signif").isNotNull && col("p_signif") =!= "ns")
+      .limit(1).count() == 0L
+
   /** N1+B5+D12+F3+C4 — drug-cohort restriction (drug_km_median_exp.R:36-56):
     * explode the nested treatments table, match the drug class on either
     * column, harvest distinct patient prefixes, semi-join the samples. */

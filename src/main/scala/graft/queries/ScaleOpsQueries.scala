@@ -252,9 +252,12 @@ object ScaleOpsQueries {
   private val dd4 = Q(
     "dd4_ngram_jaccard",
     (s, d) => {
+      // shingles join on their 60-bit hash, not the string: ~2x smaller
+      // shuffle payload and cheaper key compares in the self-join
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("sh"))
+          explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("sh0"))
+        .select(col("doc_id"), col("source"), hash60(col("sh0")).as("sh"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val inter = sh.as("x").join(sh.as("y"),
@@ -276,7 +279,7 @@ object ScaleOpsQueries {
       s"""WITH t AS (SELECT doc_id, source,
                        string_split_regex(trim(lower(text)), '\\s+') AS toks
                      FROM documents),
-          sh AS (SELECT DISTINCT doc_id, source, sh
+          sh AS (SELECT DISTINCT doc_id, source, ${h60sql("sh")} AS sh
                  FROM (SELECT doc_id, source, unnest($shingle2) AS sh FROM t)),
           sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
           inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter

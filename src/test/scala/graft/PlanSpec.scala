@@ -1,0 +1,81 @@
+package graft
+
+import graft.queries.QueryCatalog
+
+/** Physical-plan audit (SURVEY.md §4): the properties that make these plans
+  * survive a 100× scale-up, asserted so regressions fail CI — filters reach
+  * the parquet scan, dimension joins broadcast, aggregations are
+  * partial+final hash aggs, fact paths stay in whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = QueryCatalog.byName(name).run(spark, dir)
+    df.collect() // finalize AQE so the inspected plan is the executed one
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("B4 IN-list predicate is pushed to the parquet scan") {
+    val p = plan("b4_in_list")
+    assert(p.contains("PushedFilters: [In(p_brand"), p)
+  }
+
+  test("B1 null filter is pushed down") {
+    assert(plan("b1_null_filter").contains("PushedFilters"))
+  }
+
+  test("scan reads only projected columns (column pruning)") {
+    val p = plan("b6_projection")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("c_acctbal"), "pruned column still read:\n" + p)
+  }
+
+  test("C1 dimension join is a broadcast hash join, no fact shuffle") {
+    val p = plan("c1_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("C5 dictionary join broadcasts the dim under the aggregation") {
+    val p = plan("c5_dictionary_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("B2 semi filter plans as a broadcast/shuffled semi join") {
+    assert(plan("b2_semi_filter").contains("LeftSemi"))
+  }
+
+  test("D1 grouped sum+having is a partial+final hash aggregate") {
+    val p = plan("d1_sum_having")
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("fact-path queries run inside whole-stage codegen") {
+    // executedPlan.toString renders codegen stages as "*(n) " prefixes
+    Seq("b4_in_list", "d1_sum_having", "c1_join_broadcast", "f1_f4_scalars")
+      .foreach { q => assert(plan(q).contains("*(1)"), q) }
+  }
+
+  test("KM pipeline aggregates to event-table size before any window sort") {
+    val p = plan("d10_km_curve")
+    // the window must consume the (strat,time)-aggregated table, so a
+    // HashAggregate appears below the Window in the plan tree
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx, p)
+  }
+
+  test("de1 pipeline: no cartesian product, condition dim broadcast") {
+    val p = plan("de1_pipeline_wilcoxon")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ss1 broadcast the query side of the brute-force top-k") {
+    val p = plan("ss1_cosine_topk")
+    assert(p.contains("Broadcast"), p)
+  }
+}

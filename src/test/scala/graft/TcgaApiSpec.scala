@@ -92,6 +92,15 @@ class TcgaApiSpec extends SparkSpec {
     assert(chemo.count() > 0)
   }
 
+  test("A7/F12: boxplot frame shape and the all-ns fallback branch") {
+    val bp = Tcga.boxplotFrame(t, "short_letter_code", Seq("NT", "TP"), Seq("DEG10"))
+    assert(bp.columns.toSeq == Seq("gene", "cond", "counts"))
+    assert(bp.select("cond").distinct().count() == 2)
+    val de = Tcga.differentialExpression(t, "short_letter_code", Seq("NT", "TP"))
+    assert(!Tcga.allNonSignificant(de)) // planted genes are significant
+    assert(Tcga.allNonSignificant(de.filter(col("p_signif") === "ns")))
+  }
+
   test("presentation edge: wide pivot and ragged export shapes") {
     val wide = Tcga.wideCounts(t, Seq("DEG10", "GENE1", "GENE2"))
     assert(wide.columns.toSeq == Seq("barcode", "DEG10", "GENE1", "GENE2"))
