@@ -320,8 +320,12 @@ object ScaleOpsQueries {
           i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)),
           (x, y) -> x + y)"""
 
-  private def cosine(qv: Column, v: Column, nq: Column, nv: Column): Column =
-    aggregate(zip_with(qv, v, (x, y) => x * y), lit(0.0), (a, x) => a + x) / (nq * nv)
+  /** Fused single-loop cosine (graft.expressions.CosineSimilarity): same
+    * left-to-right accumulation as the fold composition — bit-identical to
+    * the DuckDB list_reduce oracle — but no per-row array allocations.
+    * Callers must GraftFunctions.register(s) first. */
+  private def cosine(qvName: String, vName: String): Column =
+    expr(s"cosine_sim($qvName, $vName)")
 
   /** SS1 — brute-force cosine top-k: query vectors (vec_id % 100 = 0)
     * broadcast against the corpus scan; row_number per query keeps k=5.
@@ -329,13 +333,14 @@ object ScaleOpsQueries {
   private val ss1 = Q(
     "ss1_cosine_topk",
     (s, d) => {
+      graft.expressions.GraftFunctions.register(s)
       val e = embNorm(s, d)
       val q = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .withColumn("cos", cosine("qv", "v"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("rnk"), col("vec_id"), round(col("cos"), 6).as("cos"))
@@ -385,14 +390,14 @@ object ScaleOpsQueries {
   private val ss2 = Q(
     "ss2_lsh_ann",
     (s, d) => {
+      graft.expressions.GraftFunctions.register(s)
       val e = embNorm(s, d).withColumn("bucket", bucketCol(col("v")))
       val q = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-          col("bucket"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .withColumn("cos", cosine("qv", "v"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("q_id"), col("rnk"), col("vec_id"), col("bucket"),
@@ -415,14 +420,13 @@ object ScaleOpsQueries {
   private val dd5 = Q(
     "dd5_embed_neardup",
     (s, d) => {
+      graft.expressions.GraftFunctions.register(s)
       val e = embNorm(s, d)
-      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"),
-        col("nrm").as("na"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"),
-        col("nrm").as("nb"))
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
       a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+        .withColumn("cos", cosine("va", "vb"))
         .filter(col("cos") >= 0.35)
         .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     },

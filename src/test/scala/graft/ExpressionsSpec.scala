@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.expressions.{GraftExtensions, GraftFunctions}
+import graft.operators.Skew
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim matches the built-in fold composition bit-for-bit") {
+    GraftFunctions.register(spark)
+    val df = (1 to 50).map { i =>
+      val a = Array.tabulate(16)(j => math.sin(i * 16 + j))
+      val b = Array.tabulate(16)(j => math.cos(i * 7 + j))
+      (a, b)
+    }.toDF("a", "b")
+    val both = df.select(
+      expr("cosine_sim(a, b)").as("fused"),
+      (aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (s, x) => s + x) /
+        (sqrt(aggregate(transform(col("a"), x => x * x), lit(0.0), (s, x) => s + x)) *
+          sqrt(aggregate(transform(col("b"), x => x * x), lit(0.0), (s, x) => s + x))))
+        .as("folded")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("cosine_sim: NULL inputs and zero vectors yield NULL; self-cos is 1") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS self,
+                cosine_sim(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS zero,
+                cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS nul""")
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("cosine_sim runs inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // spark.range source (not a LocalRelation, which would constant-fold)
+    val df = spark.range(8)
+      .select(expr("transform(sequence(0, 15), i -> CAST(id + i AS DOUBLE))").as("a"),
+        expr("transform(sequence(0, 15), i -> CAST(id * 2 + i AS DOUBLE))").as("b"))
+      .select(expr("cosine_sim(a, b)").as("c"))
+    assert(df.collect().forall(r => r.getDouble(0) > 0.0))
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+
+  test("GraftExtensions injects without error (plug-in path)") {
+    new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
+  }
+
+  test("saltedJoin equals the plain join on skewed data") {
+    val facts = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i => (2L + i % 5, i)))
+      .toDF("k", "v")
+    val dim = (1L to 7L).map(k => (k, s"name$k")).toDF("k", "name")
+    val plain = facts.join(dim, Seq("k")).groupBy("k", "name")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val salted = Skew.saltedJoin(facts, dim, "k", 8).groupBy("k", "name")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0)
+    val hot = Skew.hotKeys(facts, "k", 1).collect().head
+    assert(hot.getLong(0) == 1L && hot.getLong(1) == 900L)
+  }
+}
