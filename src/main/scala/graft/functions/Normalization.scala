@@ -20,22 +20,27 @@ object Normalization {
     * @return one row per sample: `(sampleCol, size_factor)`
     */
   def sizeFactors(counts: DataFrame, geneCol: String, sampleCol: String,
-      countCol: String): DataFrame = {
+      countCol: String, exact: Boolean = true): DataFrame = {
     // Per-gene geometric mean across samples (counts > 0, as DESeq2 does
     // with its log-based geomean).
     val geomean = counts
       .filter(col(countCol) > 0)
       .groupBy(geneCol)
       .agg(exp(avg(log(col(countCol)))).as("geomean"))
-    // Per-sample median of count/geomean ratios. Exact percentile here
-    // (matches the oracle); swap to percentile_approx for the 100 TB path
-    // where a 1e-4-accurate size factor is statistically identical.
+    // Per-sample median of count/geomean ratios. exact=true buffers each
+    // sample's ratios for a true median (oracle-matching; fine while
+    // |genes| fits a task). exact=false is the 100 TB path: a bounded-
+    // memory t-digest sketch whose ~1e-4-relative-error median is
+    // statistically identical for normalization purposes.
+    val median =
+      if (exact) expr("percentile(ratio, 0.5)")
+      else percentile_approx(col("ratio"), lit(0.5), lit(10000))
     counts
       .filter(col(countCol) > 0)
       .join(broadcast(geomean), geneCol)
       .withColumn("ratio", col(countCol) / col("geomean"))
       .groupBy(sampleCol)
-      .agg(expr("percentile(ratio, 0.5)").as("size_factor"))
+      .agg(median.as("size_factor"))
   }
 
   /** VST-approximate normalized counts: `log2(count / size_factor + 1)`.

@@ -24,6 +24,19 @@ class NormalizationSpec extends SparkSpec {
     assert(sf.forall(r => !r.getAs[Double]("size_factor").isNaN))
   }
 
+  test("approx size factors (100 TB path) track the exact ones") {
+    // odd gene count: the exact median is a data point, so the only gap
+    // left is genuine sketch error (with even n the exact path interpolates
+    // between the two middle ratios, which a quantile sketch never does)
+    val df = (for { g <- 1 to 41; s <- 1 to 6 }
+      yield (s"g$g", s"s$s", (g * s % 23 + 1).toDouble)).toDF("gene", "smp", "cnt")
+    val ex = Normalization.sizeFactors(df, "gene", "smp", "cnt")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ap = Normalization.sizeFactors(df, "gene", "smp", "cnt", exact = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ex.foreach { case (s, v) => assert(math.abs(ap(s) - v) / v < 0.05, s) }
+  }
+
   test("vst is monotone in counts within a sample") {
     val df = Seq(("g1", "s1", 2.0), ("g2", "s1", 8.0), ("g1", "s2", 3.0), ("g2", "s2", 12.0))
       .toDF("gene", "smp", "cnt")
