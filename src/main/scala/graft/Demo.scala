@@ -53,6 +53,14 @@ object Demo {
     val goi = t.genes.limit(2).collect().map(_.getString(1)).toSeq
     val bp = Tcga.boxplotFrame(t, "short_letter_code", Seq("NT", "TP"), goi)
     println(s"[demo] boxplot frame rows = ${bp.count()} for goi=$goi")
+
+    // IVF ANN over the real embeddings table
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val ivf = graft.operators.Ann.ivfTopK(emb, q, "vec_id", "embedding",
+      k = 8, iters = 3, nProbe = 3, topK = 5)
+    println(s"[demo] ivf top-k rows = ${ivf.count()}")
+    ivf.orderBy("q_id", "rnk").show(5, truncate = false)
     spark.stop()
   }
 }
