@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{Stats, Survival}
+import graft.operators.TextFunctions
+
+/** ScalaCheck-generator property tests (SURVEY.md §5.3): engine invariants
+  * over generated inputs, sampled with fixed seeds (deterministic CI). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("BH: padj in [p,1] and monotone in p-rank (generated p-vectors)") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(0.0, 1.0)).map(_.take(40))
+    samples(gen, 6).foreach { ps =>
+      val df = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "pval")
+      val out = Stats.bhAdjust(df, "pval", "id").orderBy("pval", "id")
+        .select("pval", "padj").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+      assert(out.forall { case (p, q) => q >= p - 1e-15 && q <= 1.0 + 1e-15 })
+      out.sliding(2).foreach {
+        case Array((_, q1), (_, q2)) => assert(q1 <= q2 + 1e-12)
+        case _ =>
+      }
+    }
+  }
+
+  test("KM: survival in [0,1] non-increasing; no censoring => empirical survival") {
+    val gen = for {
+      n <- Gen.chooseNum(2, 25)
+      times <- Gen.listOfN(n, Gen.chooseNum(1L, 15L))
+      events <- Gen.listOfN(n, Gen.oneOf(0L, 1L))
+    } yield times.zip(events)
+    samples(gen, 6).foreach { subj =>
+      val df = subj.map { case (t, e) => ("s", t, e) }.toDF("strat", "time", "event")
+      val s = Survival.kmCurve(df, "strat", "time", "event")
+        .orderBy("time").select("survival").as[Double].collect()
+      assert(s.forall(x => x >= -1e-12 && x <= 1 + 1e-12))
+      s.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-12); case _ => }
+
+      val n = subj.size.toDouble
+      Survival.kmCurve(subj.map { case (t, _) => ("s", t, 1L) }
+          .toDF("strat", "time", "event"), "strat", "time", "event")
+        .orderBy("time").select("time", "survival").collect().foreach { r =>
+          val expected = subj.count(_._1 > r.getLong(0)) / n
+          assert(math.abs(r.getDouble(1) - expected) < 1e-9)
+        }
+    }
+  }
+
+  test("ntile(2): bucket sizes differ by at most 1") {
+    samples(Gen.chooseNum(1, 60), 6).foreach { n =>
+      val df = (1 to n).map(i => ("g", i)).toDF("g", "v")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("v")
+      val sizes = df.withColumn("t", ntile(2).over(w))
+        .groupBy("t").count().select("count").as[Long].collect()
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
+  test("shingles: count = max(0, n-k+1); every shingle has k tokens") {
+    val gen = for {
+      toks <- Gen.listOf(Gen.identifier.map(_.take(6))).map(_.take(12))
+      k <- Gen.chooseNum(2, 4)
+    } yield (toks.filter(_.nonEmpty), k)
+    samples(gen, 8).foreach { case (toks, k) =>
+      val text = if (toks.isEmpty) " " else toks.mkString(" ")
+      val df = Seq(text).toDF("text")
+        .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), k).as("s"))
+      val sh = df.as[Seq[String]].collect().head
+      if (toks.size < k) assert(sh.isEmpty)
+      else {
+        assert(sh.size == toks.size - k + 1)
+        sh.foreach(x => assert(x.split(" ").length == k))
+      }
+    }
+  }
+
+  test("signif banding: smaller padj never gets fewer stars") {
+    val rank = Map("ns" -> 0, "*" -> 1, "**" -> 2, "***" -> 3, "****" -> 4)
+    samples(Gen.listOfN(10, Gen.chooseNum(0.0, 0.2)), 6).foreach { ps =>
+      val bands = ps.sorted.map(p => Tuple1(p)).toDF("padj")
+        .select(Stats.signifBand(col("padj")).as("b")).as[String].collect()
+      bands.sliding(2).foreach {
+        case Array(a, b) => assert(rank(a) >= rank(b))
+        case _ =>
+      }
+    }
+  }
+}
