@@ -53,9 +53,12 @@ object Normalization {
     */
   def vst(counts: DataFrame, geneCol: String, sampleCol: String,
       countCol: String): DataFrame = {
-    val sf = sizeFactors(counts, geneCol, sampleCol, countCol)
-    counts
-      .join(broadcast(sf), sampleCol)
+    // the fact plan feeds the geomean agg, the ratio join, and the final
+    // normalize join — persist so Spark computes it once instead of 3x
+    // (the in-memory form of the reference's saveRDS checkpoint, A3)
+    val c = counts.persist()
+    val sf = sizeFactors(c, geneCol, sampleCol, countCol)
+    c.join(broadcast(sf), sampleCol)
       .withColumn("vst", log2(col(countCol) / col("size_factor") + 1))
   }
 }

@@ -32,14 +32,15 @@ object DomainQueries {
     """SELECT l_partkey AS gene, l_suppkey AS smp, sum(l_quantity) AS cnt
        FROM lineitem GROUP BY 1, 2"""
 
-  /** D1 prefilter: keep genes with Σcount ≥ 10 (vital_status_DESeq.R:47-48),
-    * as a left-semi join so the fact table streams through once. */
-  private def keptCells(s: SparkSession, d: String): DataFrame = {
-    val c = cells(s, d)
-    val keep = c.groupBy("gene").agg(sum(col("cnt")).as("tot"))
-      .filter(col("tot") >= 10).select("gene")
-    c.join(keep, Seq("gene"), "left_semi")
-  }
+  /** D1 prefilter: keep genes with Σcount ≥ 10 (vital_status_DESeq.R:47-48).
+    * A per-gene window total instead of a groupBy+semi-join: the fact table
+    * is scanned ONCE (Spark recomputes shared subtrees, so the join form
+    * would re-read and re-aggregate lineitem for the keep-list). */
+  private def keptCells(s: SparkSession, d: String): DataFrame =
+    cells(s, d)
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("gene"))))
+      .filter(col("tot") >= 10)
+      .drop("tot")
 
   private val keptCellsSql =
     s"""SELECT cell.* FROM ($cellsSql) cell
@@ -334,7 +335,10 @@ object DomainQueries {
       if (levels == 2) when(col("s_suppkey") % 2 === 0, "NT").otherwise("TP")
       else element_at(lit(stageLevels.toArray), (col("s_suppkey") % levels).cast("int") + 1)
     val dim = Tables.supplier(s, d).select(col("s_suppkey"), cond.as("cond"))
-    val kc = keptCells(s, d)
+    // kc feeds both the size-factor aggregation and the cell join: persist
+    // so the scan+prefilter pipeline runs once (A3's materialize pattern,
+    // in-memory scope)
+    val kc = keptCells(s, d).persist()
     val sf = Normalization.sizeFactors(kc, "gene", "smp", "cnt")
     kc.join(broadcast(sf), "smp")
       .join(broadcast(dim), col("smp") === col("s_suppkey"))

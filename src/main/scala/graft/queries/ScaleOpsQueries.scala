@@ -180,16 +180,20 @@ object ScaleOpsQueries {
   private val dd2 = Q(
     "dd2_minhash_lsh",
     (s, d) => {
+      // persist: the signature table feeds 3 band projections × 2 join
+      // sides — without it Spark recomputes the shingle scan + minhash agg
+      // 6 times (at scale this is the stage you materialize, A3 pattern)
       val mh = shingleRows(s, d)
         .groupBy("doc_id")
         .agg(
           min(hash60(concat(lit("0_"), col("sh")))).as("h0"),
           (1 until numHashes).map(k =>
             min(hash60(concat(lit(s"${k}_"), col("sh")))).as(s"h$k")): _*)
+        .persist()
       val bands = (0 until numHashes / bandsOf).map { b =>
         mh.select(col("doc_id"), lit(b).as("band"),
           md5(concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
-      }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _).persist()
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -254,11 +258,13 @@ object ScaleOpsQueries {
     (s, d) => {
       // shingles join on their 60-bit hash, not the string: ~2x smaller
       // shuffle payload and cheaper key compares in the self-join
+      // persist: referenced by both join sides and the per-doc sizes agg
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("sh0"))
         .select(col("doc_id"), col("source"), hash60(col("sh0")).as("sh"))
         .distinct()
+        .persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val inter = sh.as("x").join(sh.as("y"),
           col("x.source") === col("y.source") && col("x.sh") === col("y.sh") &&
@@ -391,7 +397,8 @@ object ScaleOpsQueries {
     "ss2_lsh_ann",
     (s, d) => {
       graft.expressions.GraftFunctions.register(s)
-      val e = embNorm(s, d).withColumn("bucket", bucketCol(col("v")))
+      // persist: the md5-heavy bucket projection feeds corpus AND queries
+      val e = embNorm(s, d).withColumn("bucket", bucketCol(col("v"))).persist()
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
