@@ -15,6 +15,7 @@ object Demo {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,6 +62,18 @@ object Demo {
       k = 8, iters = 3, nProbe = 3, topK = 5)
     println(s"[demo] ivf top-k rows = ${ivf.count()}")
     ivf.orderBy("q_id", "rnk").show(5, truncate = false)
+
+    // co-bucketed join: shuffle paid once at write time, none at join time
+    graft.sources.Bucketing.writeBucketed(
+      Tables.lineitem(spark, sfDir).select("l_partkey", "l_quantity"),
+      "demo_facts", "l_partkey", 8)
+    graft.sources.Bucketing.writeBucketed(
+      Tables.part(spark, sfDir).select("p_partkey", "p_name")
+        .withColumnRenamed("p_partkey", "l_partkey"), "demo_dim", "l_partkey", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val j = graft.sources.Bucketing.cocolocatedJoin(spark, "demo_facts", "demo_dim", "l_partkey")
+    println(s"[demo] bucketed join rows = ${j.count()}, exchange in plan = " +
+      j.queryExecution.executedPlan.toString.contains("Exchange"))
     spark.stop()
   }
 }
