@@ -26,7 +26,8 @@ object QueryCatalog {
       SurvivalQueries.all ++
       ReshapeQueries.all ++
       ScaleOpsQueries.all ++
-      DomainQueries.all
+      DomainQueries.all ++
+      StreamParityQueries.all
 
   lazy val byName: Map[String, Q] = {
     val qs = all

@@ -1,0 +1,56 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.CsvIO
+import graft.streaming.EventStreams
+
+/** Catalog entries for §S (streaming operators, batch-replayed so the
+  * DuckDB gate can check them) and A5 (delimited param-list scan). */
+object StreamParityQueries {
+
+  /** S1 — the watermarked tumbling-window aggregation of
+    * EventStreams.windowedTypeCounts, run in batch mode over the `events`
+    * table (same code path the stream uses; on a bounded input the
+    * watermark is a no-op and the result is the complete window set).
+    * Window starts exported as epoch seconds: engine-portable, no
+    * timestamp-precision hashing hazards. */
+  private val s1 = Q(
+    "s1_stream_window",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        EventStreams.nanosToTs(col("ts")).as("ts"),
+        col("event_type").as("eventType"), col("value"))
+      EventStreams.windowedTypeCounts(ev, windowLen = "1 hour")
+        .select(unix_timestamp(col("win_start")).as("win_start_epoch"),
+          col("eventType").as("event_type"), col("n"),
+          round(col("total_value"), 6).as("total_value"))
+    },
+    Some("""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                     AS win_start_epoch,
+                   event_type, count(*) AS n,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2"""))
+
+  /** A5 — delimited parameter-list scan steering a plan
+    * (read.delim("genes.txt")[,1] + toupper, BRCA_path_stage_DESeq.R:7-9):
+    * the Spark side reads a real tab-delimited file through CsvIO; the
+    * oracle states the equivalent literal predicate (the file content is
+    * deterministic). */
+  private val a5 = Q(
+    "a5_param_scan",
+    (s, d) => {
+      val dir = Paths.get("/tmp/graft_params")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("types.txt"), "economy\nstandard\n")
+      val types = CsvIO.readParamList(s, s"$dir/types.txt")
+      Tables.part(s, d)
+        .filter(col("p_type").isin(types.map(_.asInstanceOf[Any]): _*))
+        .select(col("p_partkey"), col("p_type"))
+    },
+    Some("""SELECT p_partkey, p_type FROM part
+            WHERE p_type IN ('ECONOMY','STANDARD')"""))
+
+  def all: Seq[Q] = Seq(s1, a5)
+}
