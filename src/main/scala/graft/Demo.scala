@@ -55,6 +55,25 @@ object Demo {
     val bp = Tcga.boxplotFrame(t, "short_letter_code", Seq("NT", "TP"), goi)
     println(s"[demo] boxplot frame rows = ${bp.count()} for goi=$goi")
 
+    // N2 fan-out: KM per (drug_class, gene) in one plan, survival columns
+    // manufactured deterministically from the sample dimension
+    val samplesFull = t.samples
+      .withColumn("submitter_id", col("barcode"))
+      .withColumn("vital_status",
+        when(col("barcode").cast("long") % 3 === 0, "Alive").otherwise("Dead"))
+      .withColumn("days_to_death", (col("barcode").cast("long") * 37 % 997).cast("double"))
+      .withColumn("paper_days_to_last_followup",
+        (col("barcode").cast("long") * 53 % 997).cast("double"))
+      .withColumn("treatments", array(struct(
+        col("barcode").as("submitter_id"),
+        when(col("barcode").cast("long") % 2 === 0, "Chemotherapy")
+          .otherwise("Radiation Therapy").as("treatment_type"),
+        when(col("barcode").cast("long") % 5 === 0, "Tamoxifen")
+          .otherwise("Cisplatin").as("therapeutic_agents"))))
+    val (kmCurves, kmTests) = Tcga.drugKmFanOut(t.copy(samples = samplesFull),
+      Seq("Chemotherapy", "Tamoxifen"), goi)
+    println(s"[demo] drug-km fan-out: curves = ${kmCurves.count()}, tests = ${kmTests.count()}")
+
     // IVF ANN over the real embeddings table
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") % 100 === 0)

@@ -207,6 +207,64 @@ object Tcga {
     deResults.filter(col("p_signif").isNotNull && col("p_signif") =!= "ns")
       .limit(1).count() == 0L
 
+  /** N2 — the per-drug-class KM fan-out (drug_km_median_exp.R:38-130's
+    * outer loop) as ONE plan: samples are tagged with every drug class
+    * they match (a class-table join over the exploded treatments, so a
+    * patient on two classes contributes to both cohorts), then the KM
+    * median-split pipeline runs once partitioned by (drug_class, gene).
+    *
+    * @return (curves, tests) with a leading `drug_class` column
+    */
+  def drugKmFanOut(t: TcgaTables, drugClasses: Seq[String],
+      goi: Seq[String]): (DataFrame, DataFrame) = {
+    val spark = t.samples.sparkSession
+    import spark.implicits._
+    val classes = drugClasses.toDF("drug_class")
+    val matches = t.samples
+      .select(col("barcode"), col("submitter_id"), explode(col("treatments")).as("tr"))
+      .join(broadcast(classes),
+        col("tr.treatment_type") === col("drug_class") ||
+          col("tr.therapeutic_agents") === col("drug_class")) // B5
+      .select(col("drug_class"), substring(col("submitter_id"), 1, 12).as("patient"))
+      .distinct() // D12
+    val cohortSamples = t.samples
+      .join(matches, substring(col("submitter_id"), 1, 12) === col("patient")) // C4
+      .select(col("drug_class"), t.samples("barcode").as("barcode"),
+        col("vital_status"), col("days_to_death"), col("paper_days_to_last_followup"))
+    val subjects = cohortSamples
+      .withColumn("time",
+        when(col("vital_status") === "Alive",
+          col("paper_days_to_last_followup").cast("double"))
+          .otherwise(col("days_to_death").cast("double")))
+      .filter(col("time").isNotNull && col("vital_status").isNotNull)
+      .withColumn("event",
+        when(col("vital_status") === "Alive", 0L).otherwise(1L))
+      .select(col("drug_class"), col("barcode"), col("time"), col("event"))
+    val vst = normalizedCounts(prefilterGenes(t.expression))
+      .join(broadcast(t.genes), "gene_id")
+      .filter(col("gene_name").isin(goi.map(_.asInstanceOf[Any]): _*))
+    // median split INSIDE each (class, gene) cohort, as the reference does
+    val strat = vst.join(subjects, "barcode")
+      .withColumn("tile", ntile(2).over(Window
+        .partitionBy(col("drug_class"), col("gene_name"))
+        .orderBy(col("vst"), col("barcode"))))
+      .withColumn("strat", when(col("tile") === 1, "LOW").otherwise("HIGH"))
+      .withColumn("cgs",
+        concat_ws("|", col("drug_class"), col("gene_name"), col("strat")))
+    val curves = Survival.kmCurve(strat, "cgs", "time", "event")
+      .withColumn("drug_class", split(col("cgs"), "\\|").getItem(0))
+      .withColumn("gene_name", split(col("cgs"), "\\|").getItem(1))
+      .withColumn("strat", split(col("cgs"), "\\|").getItem(2))
+      .drop("cgs")
+    val tests = Survival.logRankBy(
+      strat.withColumn("cg", concat_ws("|", col("drug_class"), col("gene_name"))),
+      "cg", "strat", "time", "event")
+      .withColumn("drug_class", split(col("cg"), "\\|").getItem(0))
+      .withColumn("gene_name", split(col("cg"), "\\|").getItem(1))
+      .drop("cg")
+    (curves, tests)
+  }
+
   /** N1+B5+D12+F3+C4 — drug-cohort restriction (drug_km_median_exp.R:36-56):
     * explode the nested treatments table, match the drug class on either
     * column, harvest distinct patient prefixes, semi-join the samples. */

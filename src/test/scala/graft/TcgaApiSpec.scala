@@ -101,6 +101,28 @@ class TcgaApiSpec extends SparkSpec {
     assert(Tcga.allNonSignificant(de.filter(col("p_signif") === "ns")))
   }
 
+  test("N2: per-drug-class KM fan-out runs as one plan, cohorts differ") {
+    val (curves, tests) = Tcga.drugKmFanOut(t,
+      Seq("Tamoxifen", "Chemotherapy"), Seq("DEG10", "GENE1"))
+    val c = curves.collect()
+    assert(c.nonEmpty)
+    val classes = c.map(_.getAs[String]("drug_class")).toSet
+    assert(classes == Set("Tamoxifen", "Chemotherapy"))
+    // survival stays a valid curve inside every (class, gene, strat) cohort
+    c.groupBy(r => (r.getAs[String]("drug_class"), r.getAs[String]("gene_name"),
+        r.getAs[String]("strat")))
+      .foreach { case (_, rows) =>
+        val s = rows.sortBy(_.getAs[Double]("time")).map(_.getAs[Double]("survival"))
+        s.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-12); case _ => }
+      }
+    val tst = tests.collect()
+    assert(tst.map(_.getAs[String]("drug_class")).toSet == classes)
+    // the two cohorts are genuinely different sample sets
+    val nTam = Tcga.drugCohort(t.samples, Seq("Tamoxifen")).count()
+    val nChe = Tcga.drugCohort(t.samples, Seq("Chemotherapy")).count()
+    assert(nTam != nChe)
+  }
+
   test("presentation edge: wide pivot and ragged export shapes") {
     val wide = Tcga.wideCounts(t, Seq("DEG10", "GENE1", "GENE2"))
     assert(wide.columns.toSeq == Seq("barcode", "DEG10", "GENE1", "GENE2"))
