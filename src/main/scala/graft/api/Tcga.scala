@@ -46,10 +46,11 @@ object Tcga {
   }
 
   /** D2+D6 — VST-normalized long counts `(gene_id, barcode, vst)`
-    * (vst(), vital_status_DESeq.R:100-101; log2(count/sf+1) approximation
-    * per SURVEY.md §7.5). */
+    * (vst(), vital_status_DESeq.R:100-101): the parametric dispersion-
+    * trend closed form (Normalization.vstTrend), DESeq2's own transform
+    * shape. */
   def normalizedCounts(expression: DataFrame): DataFrame =
-    Normalization.vst(expression, "gene_id", "barcode", "count")
+    Normalization.vstTrend(expression, "gene_id", "barcode", "count")
       .select(col("gene_id"), col("barcode"), col("vst"))
 
   /** §3.1/§3.2 — NB-GLM differential expression.

@@ -43,6 +43,55 @@ object Normalization {
       .agg(median.as("size_factor"))
   }
 
+  /** Parametric dispersion-trend VST — DESeq2's closed-form variance-
+    * stabilizing transform (Love et al. 2014; `vst(blind=F)` at
+    * vital_status_DESeq.R:100): fit the mean-dispersion trend
+    * `α(μ) = a0 + a1/μ` across genes (method-of-moments gene dispersions,
+    * OLS on x = 1/μ), then apply
+    * `vst(q) = log2((1 + a1 + 2·a0·q + 2·√(a0·q·(1 + a1 + a0·q))) / (4·a0))`
+    * to each normalized count q = count/size_factor.
+    *
+    * Deviation note: DESeq2 fits the trend by gamma-family GLM with
+    * outlier re-weighting; the OLS trend here keeps the same functional
+    * form and closed-form transform (and is exactly reproducible in the
+    * DuckDB oracle). Three aggregations total — per-gene moments, the
+    * 1-row trend fit (broadcast back), then a scalar map.
+    *
+    * @return input plus `size_factor`, `q`, and `vst` columns
+    */
+  def vstTrend(counts: DataFrame, geneCol: String, sampleCol: String,
+      countCol: String): DataFrame = {
+    val c = counts.persist()
+    val sf = sizeFactors(c, geneCol, sampleCol, countCol)
+    val q = c.join(broadcast(sf), sampleCol)
+      .withColumn("q", col(countCol) / col("size_factor"))
+    val geneStats = q.groupBy(geneCol).agg(
+      avg(col("q")).as("mu"),
+      var_samp(col("q")).as("v"))
+      .filter(col("mu") > 0 && col("v").isNotNull)
+      .withColumn("disp",
+        greatest((col("v") - col("mu")) / (col("mu") * col("mu")), lit(1e-8)))
+      .withColumn("x", lit(1.0) / col("mu"))
+    val trend = geneStats.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("disp")).as("sy"),
+      sum(col("x") * col("disp")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+      .withColumn("a1", greatest(
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), lit(0.0)))
+      .withColumn("a0", greatest(
+        (col("sy") - col("a1") * col("sx")) / col("n"), lit(1e-8)))
+      .select("a0", "a1")
+    q.crossJoin(broadcast(trend))
+      .withColumn("vst", log2(
+        (lit(1.0) + col("a1") + lit(2.0) * col("a0") * col("q") +
+          lit(2.0) * sqrt(col("a0") * col("q") *
+            (lit(1.0) + col("a1") + col("a0") * col("q")))) /
+          (lit(4.0) * col("a0"))))
+      .drop("a0", "a1")
+  }
+
   /** VST-approximate normalized counts: `log2(count / size_factor + 1)`.
     * Documented deviation from DESeq2's exact VST (which needs the fitted
     * dispersion trend, SURVEY.md §7.5): the rlog-style transform keeps the

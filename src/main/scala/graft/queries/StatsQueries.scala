@@ -81,6 +81,41 @@ object StatsQueries {
              SELECT gene, smp, round(log2(cnt / size_factor + 1), 6) AS vst
              FROM cell JOIN sf USING (smp)"""))
 
+  /** D6b — parametric dispersion-trend VST (DESeq2's closed form, the
+    * "exact VST" of SURVEY.md §7.5): per-gene MoM dispersions → OLS trend
+    * α(μ)=a0+a1/μ → closed-form transform. Entirely aggregations + scalar
+    * math, so the oracle replays it exactly. */
+  private val d6b = Q(
+    "d6b_vst_trend",
+    (s, d) =>
+      Normalization.vstTrend(cells(s, d), "gene", "smp", "cnt")
+        .select(col("gene"), col("smp"), round(col("vst"), 6).as("vst")),
+    Some(s"""WITH cell AS ($cellsSql),
+             gm AS (SELECT gene, exp(avg(ln(cnt))) AS geomean
+                    FROM cell WHERE cnt > 0 GROUP BY gene),
+             sfac AS (SELECT smp,
+                       percentile_cont(0.5) WITHIN GROUP (ORDER BY ratio) AS size_factor
+                      FROM (SELECT smp, cnt / geomean AS ratio
+                            FROM cell JOIN gm USING (gene) WHERE cnt > 0)
+                      GROUP BY smp),
+             qt AS (SELECT gene, smp, cnt / size_factor AS q
+                    FROM cell JOIN sfac USING (smp)),
+             gs AS (SELECT gene, avg(q) AS mu, var_samp(q) AS v
+                    FROM qt GROUP BY gene),
+             ds AS (SELECT gene, 1.0 / mu AS x,
+                      greatest((v - mu) / (mu * mu), 1e-8) AS disp
+                    FROM gs WHERE mu > 0 AND v IS NOT NULL),
+             sums AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+                        sum(disp) AS sy, sum(x * disp) AS sxy, sum(x * x) AS sxx
+                      FROM ds),
+             tr AS (SELECT greatest((n * sxy - sx * sy) / (n * sxx - sx * sx), 0.0) AS a1,
+                      n, sx, sy FROM sums),
+             ab AS (SELECT a1, greatest((sy - a1 * sx) / n, 1e-8) AS a0 FROM tr)
+             SELECT gene, smp,
+               round(log2((1.0 + a1 + 2.0 * a0 * q +
+                 2.0 * sqrt(a0 * q * (1.0 + a1 + a0 * q))) / (4.0 * a0)), 6) AS vst
+             FROM qt CROSS JOIN ab"""))
+
   /** D5 — Benjamini–Hochberg FDR over a deterministic pseudo p-value
     * (padj consumed at vital_status_DESeq.R:93). */
   private val d5 = Q(
@@ -192,5 +227,5 @@ object StatsQueries {
                    round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_v
             FROM t GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(d1, d2, d5, d6, d7, d8, d9, e1)
+  def all: Seq[Q] = Seq(d1, d2, d5, d6, d6b, d7, d8, d9, e1)
 }
