@@ -266,6 +266,9 @@ object ScaleOpsQueries {
         .distinct()
         .persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      // pair self-join on the hashed shingle key (an in-array pair-expansion
+      // variant benched slower: hot shingles concentrate the m² expansion
+      // in single tasks, while the join spreads the probe side)
       val inter = sh.as("x").join(sh.as("y"),
           col("x.source") === col("y.source") && col("x.sh") === col("y.sh") &&
             col("x.doc_id") < col("y.doc_id"))
