@@ -241,11 +241,24 @@ object Tcga {
       .withColumn("event",
         when(col("vital_status") === "Alive", 0L).otherwise(1L))
       .select(col("drug_class"), col("barcode"), col("time"), col("event"))
-    val vst = normalizedCounts(prefilterGenes(t.expression))
+    // per-cohort normalization, as the reference does (vst on the SUBSET,
+    // drug_km_median_exp.R:61-67): expression replicated per matching
+    // class, then prefilter + geomeans + size factors keyed by
+    // (class, gene) / (class, sample) via composite keys. The dispersion
+    // trend pools across cohorts (documented deviation: more stable for
+    // small cohorts; per-cohort sf is the load-bearing normalization).
+    val cohortCells = t.expression
+      .join(subjects.select(col("drug_class"), col("barcode")), "barcode")
+      .withColumn("cg", concat_ws("|", col("drug_class"), col("gene_id")))
+      .withColumn("cb", concat_ws("|", col("drug_class"), col("barcode")))
+      .withColumn("tot", sum(col("count")).over(Window.partitionBy(col("cg"))))
+      .filter(col("tot") >= 10) // D1 within the cohort
+      .drop("tot")
+    val vst = Normalization.vstTrend(cohortCells, "cg", "cb", "count")
       .join(broadcast(t.genes), "gene_id")
       .filter(col("gene_name").isin(goi.map(_.asInstanceOf[Any]): _*))
     // median split INSIDE each (class, gene) cohort, as the reference does
-    val strat = vst.join(subjects, "barcode")
+    val strat = vst.join(subjects, Seq("drug_class", "barcode"))
       .withColumn("tile", ntile(2).over(Window
         .partitionBy(col("drug_class"), col("gene_name"))
         .orderBy(col("vst"), col("barcode"))))

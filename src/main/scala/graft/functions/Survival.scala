@@ -64,6 +64,17 @@ object Survival {
     * cumulative removals (deaths + censors) are counted between pooled
     * event times.
     */
+  /** Median survival per stratum (`surv.median.line="hv"`,
+    * surv_analysis_median_exp.R:153-163): the first event time where the
+    * survival curve drops to ≤ 0.5; NULL when the curve never does. */
+  def medianSurvival(kmCurve: DataFrame, stratCol: String,
+      timeCol: String = "time"): DataFrame =
+    // 1e-12 guard: the curve is exp(Σ log(1-d/n)), so an exact 0.5 can sit
+    // one ulp above the threshold
+    kmCurve.filter(col("survival") <= 0.5 + 1e-12)
+      .groupBy(col(stratCol))
+      .agg(min(col(timeCol)).as("median_survival"))
+
   def logRank(df: DataFrame, stratCol: String, timeCol: String,
       eventCol: String): DataFrame =
     logRankBy(df.withColumn("__g", lit(1)), "__g", stratCol, timeCol, eventCol)

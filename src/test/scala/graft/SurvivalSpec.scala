@@ -44,6 +44,19 @@ class SurvivalSpec extends SparkSpec {
     assert(s.zip(Seq(0.75, 0.5, 0.25, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("median survival: first time the curve reaches 0.5; NULL if never") {
+    // 4 events: S = .75, .5, .25, 0 -> median at the 2nd event time
+    val df = Seq(1L, 2L, 3L, 4L).map(("s", _, 1L)).toDF("strat", "time", "event")
+    val med = Survival.medianSurvival(
+      Survival.kmCurve(df, "strat", "time", "event"), "strat").collect()
+    assert(med.length == 1 && med.head.getAs[Long]("median_survival") == 2L)
+    // heavy censoring: curve stays above 0.5 -> no median row
+    val censored = (Seq(("s", 1L, 1L)) ++ (2L to 9L).map(("s", _, 0L)))
+      .toDF("strat", "time", "event")
+    assert(Survival.medianSurvival(
+      Survival.kmCurve(censored, "strat", "time", "event"), "strat").count() == 0)
+  }
+
   test("log-rank test: identical groups give chi2 near 0, separated groups large") {
     val same = (1 to 20).flatMap(i => Seq(("a", i.toLong, 1L), ("b", i.toLong, 1L)))
       .toDF("strat", "time", "event")
