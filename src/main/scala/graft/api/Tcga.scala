@@ -91,12 +91,16 @@ object Tcga {
     val named = de
       .join(broadcast(geneIds), de("gene") === geneIds("gid"))
       .join(broadcast(t.genes), "gene_id")
-    val out = Stats.bhAdjust(named, "pvalue", "gene_id", partitionCols = Seq("contrast"))
+    // goi restriction BEFORE the BH adjustment: `results(data[keep,])`
+    // (vital_status_DESeq.R:88-89) computes padj over the subset only
+    val selected =
+      if (goi.isEmpty) named
+      else named.filter(col("gene_name").isin(goi.map(_.asInstanceOf[Any]): _*))
+    Stats.bhAdjust(selected, "pvalue", "gene_id", partitionCols = Seq("contrast"))
       .withColumn("p_signif", Stats.signifBand(col("padj")))
       .select(col("gene_id"), col("gene_name"), col("contrast"),
         col("log2fc"), col("lfc_se"), col("stat"), col("pvalue"),
         col("padj"), col("p_signif"))
-    if (goi.isEmpty) out else out.filter(col("gene_name").isin(goi.map(_.asInstanceOf[Any]): _*))
   }
 
   /** D7 — per-gene two-group Wilcoxon on VST counts
