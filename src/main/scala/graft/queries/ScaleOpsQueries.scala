@@ -446,5 +446,48 @@ object ScaleOpsQueries {
              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
              WHERE ${dotSql("a", "b")} / (a.nrm * b.nrm) >= 0.35"""))
 
-  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, ss1, ss2, dd5)
+  /** P1 — corpus-cleaning pipeline: quality gate (X2's band) + exact-dedup
+    * keeper (DD1) in one pass — the canonical pre-training data flow
+    * (filter → dedup → keep), all hash-agg + codegen scalar work. */
+  private val p1 = Q(
+    "p1_corpus_clean",
+    (s, d) => {
+      val scored = docsWithTokens(s, d)
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("punct_ratio", round(TextFunctions.punctRatio(col("text")), 6))
+        .withColumn("stop_ratio",
+          round(TextFunctions.stopwordRatio(col("toks"), stopwords), 6))
+        .withColumn("band",
+          TextFunctions.qualityBand(col("n_tokens"), col("punct_ratio"), col("stop_ratio")))
+        .withColumn("text_hash", md5(col("text")))
+      val keepers = scored.groupBy("text_hash").agg(min(col("doc_id")).as("keeper"))
+      scored.join(keepers, "text_hash")
+        .filter(col("band") === "ok" && col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("n_tokens"), col("band"))
+    },
+    Some {
+      val stopList = stopwords.map(w => s"'$w'").mkString(",")
+      s"""WITH t AS ($toksSql),
+          m AS (SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  round(CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                    / len(text), 6) AS punct_ratio,
+                  round(CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE)
+                    / len(toks), 6) AS stop_ratio,
+                  md5(text) AS text_hash
+                FROM t),
+          b AS (SELECT *,
+                  CASE WHEN n_tokens IS NULL THEN NULL
+                       WHEN n_tokens < 5 THEN 'too_short'
+                       WHEN punct_ratio > 0.3 THEN 'too_noisy'
+                       WHEN stop_ratio < 0.01 THEN 'low_signal'
+                       ELSE 'ok' END AS band
+                FROM m),
+          k AS (SELECT text_hash, min(doc_id) AS keeper FROM b GROUP BY 1)
+          SELECT doc_id, n_tokens, band
+          FROM b JOIN k USING (text_hash)
+          WHERE band = 'ok' AND doc_id = keeper"""
+    })
+
+  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, ss1, ss2, dd5, p1)
 }
