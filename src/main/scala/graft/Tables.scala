@@ -23,6 +23,14 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so the full catalog is reachable
+    * through `spark.sql(...)` as well as the DataFrame API. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4 rejects;
     // read nanos as LongType (epoch-nanos) instead of failing the scan.
