@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Library surface for corpus deduplication — the same operators the
+  * catalog queries expose (ScaleOpsQueries keeps the DuckDB-oracle-checked
+  * wrappers; this API is what a pipeline author calls).
+  *
+  * All candidate-generation paths are shuffle-lean groupBy/bucket shapes
+  * that survive a 100 TB corpus; exact verification (Jaccard, cosine)
+  * runs only inside candidate blocks.
+  */
+object Dedup {
+
+  /** 60-bit engine-portable hash (md5-prefix, always positive). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup: one row per distinct text with the keeper id (min) and
+    * multiplicity. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, n-shingle) rows — the unit of MinHash and Jaccard. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+      .distinct()
+
+  /** MinHash signatures: K min-hashes over the shingle set, one row per doc. */
+  def minhashSignatures(shingles: DataFrame, k: Int): DataFrame =
+    shingles.groupBy("doc_id")
+      .agg(
+        min(hash60(concat(lit("0_"), col("sh")))).as("h0"),
+        (1 until k).map(i =>
+          min(hash60(concat(lit(s"${i}_"), col("sh")))).as(s"h$i")): _*)
+
+  /** LSH banding: candidate pairs = docs sharing any band bucket.
+    * @param bandsOf rows per band (k % bandsOf must be 0) */
+  def minhashCandidates(signatures: DataFrame, k: Int, bandsOf: Int): DataFrame = {
+    require(k % bandsOf == 0, "k must divide into bands")
+    val sigs = signatures.persist()
+    val bands = (0 until k / bandsOf).map { b =>
+      val cols = (0 until bandsOf).map(j => col(s"h${b * bandsOf + j}"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws("_", cols: _*)).as("bkey"))
+    }.reduce(_ unionByName _).persist()
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash over token multisets, `bits` ≤ 60. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("h", hash60(col("t")))
+    val votes = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"v$b"))
+    tok.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits)
+          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard inside a blocking key: pairs with
+    * similarity ≥ threshold. `blockCol` bounds the pair space (a source
+    * bucket, an LSH band, an IVF cell...). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh0"))
+      .select(col("doc_id"), col("blk"), hash60(col("sh0")).as("sh"))
+      .distinct()
+      .persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    sh.as("x").join(sh.as("y"),
+        col("x.blk") === col("y.blk") && col("x.sh") === col("y.sh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "na", "nb", "n_inter", "jaccard")
+  }
+}

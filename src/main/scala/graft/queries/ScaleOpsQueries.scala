@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.TextFunctions
+import graft.operators.{Dedup, TextFunctions}
 
 /** Large-scale training-data-pipeline operators over the `documents` and
   * `embeddings` tables: exact + MinHash/LSH + SimHash + n-gram-Jaccard +
@@ -152,10 +152,7 @@ object ScaleOpsQueries {
     * At 100 TB this is one partial+final hash agg over the corpus. */
   private val dd1 = Q(
     "dd1_exact_dedup",
-    (s, d) =>
-      Tables.documents(s, d)
-        .groupBy(md5(col("text")).as("text_hash"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies")),
+    (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text"),
     Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
               count(*) AS n_copies
             FROM documents GROUP BY 1"""))
@@ -179,27 +176,10 @@ object ScaleOpsQueries {
     * `groupBy(band, key)` bucket, never an all-pairs product. */
   private val dd2 = Q(
     "dd2_minhash_lsh",
-    (s, d) => {
-      // persist: the signature table feeds 3 band projections × 2 join
-      // sides — without it Spark recomputes the shingle scan + minhash agg
-      // 6 times (at scale this is the stage you materialize, A3 pattern)
-      val mh = shingleRows(s, d)
-        .groupBy("doc_id")
-        .agg(
-          min(hash60(concat(lit("0_"), col("sh")))).as("h0"),
-          (1 until numHashes).map(k =>
-            min(hash60(concat(lit(s"${k}_"), col("sh")))).as(s"h$k")): _*)
-        .persist()
-      val bands = (0 until numHashes / bandsOf).map { b =>
-        mh.select(col("doc_id"), lit(b).as("band"),
-          md5(concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
-      }.reduce(_ unionByName _).persist()
-      bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-    },
+    (s, d) => Dedup.minhashCandidates(
+      Dedup.minhashSignatures(
+        Dedup.shingleRows(Tables.documents(s, d), "doc_id", "text", 3), numHashes),
+      numHashes, bandsOf),
     Some {
       val mins = (0 until numHashes)
         .map(k => s"min(${h60sql(s"'${k}_' || sh")}) AS h$k").mkString(",\n  ")
@@ -223,19 +203,7 @@ object ScaleOpsQueries {
     * exploded tokens; near-dups then differ in few bits. */
   private val dd3 = Q(
     "dd3_simhash",
-    (s, d) => {
-      val tok = docsWithTokens(s, d)
-        .select(col("doc_id"), explode(col("toks")).as("t"))
-        .withColumn("h", hash60(col("t")))
-      val votes = (0 until simhashBits).map(b =>
-        sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"v$b"))
-      tok.groupBy("doc_id")
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          (0 until simhashBits)
-            .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
-    },
+    (s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text", simhashBits),
     Some {
       val votes = (0 until simhashBits)
         .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
@@ -255,33 +223,13 @@ object ScaleOpsQueries {
     * shape LSH buckets give at 100 TB. */
   private val dd4 = Q(
     "dd4_ngram_jaccard",
-    (s, d) => {
-      // shingles join on their 60-bit hash, not the string: ~2x smaller
-      // shuffle payload and cheaper key compares in the self-join
-      // persist: referenced by both join sides and the per-doc sizes agg
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("sh0"))
-        .select(col("doc_id"), col("source"), hash60(col("sh0")).as("sh"))
-        .distinct()
-        .persist()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      // pair self-join on the hashed shingle key (an in-array pair-expansion
-      // variant benched slower: hot shingles concentrate the m² expansion
-      // in single tasks, while the join spreads the probe side)
-      val inter = sh.as("x").join(sh.as("y"),
-          col("x.source") === col("y.source") && col("x.sh") === col("y.sh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
-        .withColumn("jaccard",
-          round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
-        .filter(col("jaccard") >= 0.01)
-        .select("doc_a", "doc_b", "na", "nb", "n_inter", "jaccard")
-    },
+    // pair self-join on the hashed shingle key inside the block (an
+    // in-array pair-expansion variant benched slower: hot shingles
+    // concentrate the m² expansion in single tasks, while the join
+    // spreads the probe side)
+    (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      "source", 2, 0.01),
+
     Some {
       val shingle2 =
         "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again", "a"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and often", "a"), // near dup
+    (4L, "completely different content about spark query engines here", "a"),
+    (5L, "totally unrelated words nothing shared with any other row", "b"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact: duplicates collapse to the min-id keeper") {
+    val r = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(r.length == 4) // 5 docs, one exact pair
+    val dup = r.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keeper") == 1L)
+  }
+
+  test("minhash LSH: identical docs are always candidates; disjoint docs never") {
+    val sigs = Dedup.minhashSignatures(Dedup.shingleRows(docs, "doc_id", "text", 3), 6)
+    val cands = Dedup.minhashCandidates(sigs, 6, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L))) // identical shingle sets: all bands match
+    assert(!cands.contains((4L, 5L)) && !cands.contains((1L, 5L)))
+  }
+
+  test("simhash: identical texts equal; near-dups closer than unrelated") {
+    val sh = Dedup.simhash(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) <= ham(sh(1L), sh(5L)))
+  }
+
+  test("jaccardPairs: exact dup scores 1.0, blocking excludes cross-block pairs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 2, 0.0)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    assert(pairs.get((1L, 3L)).exists(j => j > 0.5 && j < 1.0))
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L }) // other block
+  }
+}
