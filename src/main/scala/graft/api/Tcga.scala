@@ -124,6 +124,23 @@ object Tcga {
       .withColumn("p_signif", Stats.signifBand(col("padj")))
   }
 
+  /** §3.1's stat-table assembly: Wilcoxon per gene annotated with the
+    * NB-GLM significance band — the reference copies `res$p.signif` onto
+    * the Wilcoxon rows POSITIONALLY after parallel sorts
+    * (vital_status_DESeq.R:132-133); here it is an explicit join on
+    * gene_name (SURVEY.md G1 note). */
+  def wilcoxonWithDeBanding(t: TcgaTables, conditionCol: String,
+      levels: (String, String), goi: Seq[String] = Nil): DataFrame = {
+    val wil = wilcoxonByGene(t, conditionCol, levels, goi)
+      .withColumnRenamed("padj", "wilcoxon_padj")
+      .withColumnRenamed("p_signif", "wilcoxon_p_signif")
+    val de = differentialExpression(t, conditionCol, Seq(levels._1, levels._2),
+        goi = goi)
+      .select(col("gene_name"), col("log2fc"), col("padj").as("de_padj"),
+        col("p_signif").as("de_p_signif"))
+    wil.join(de, Seq("gene_name"), "left")
+  }
+
   /** H3 — presentation-edge wide counts (samples × genes), the only place
     * the reference's transpose survives (`t(gene_count)`,
     * vital_status_DESeq.R:106). Explicit pivot values: no distinct-scan job. */

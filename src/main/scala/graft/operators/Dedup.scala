@@ -69,6 +69,29 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: band the signature into byte blocks
+    * (pigeonhole: any pair within `maxHamming < nBands` bits must agree on
+    * at least one band), bucket-join candidates, verify with the exact
+    * Hamming distance. Same candidate-then-verify shape as MinHash LSH. */
+  def simhashNearPairs(simhashes: DataFrame, bits: Int, bandBits: Int,
+      maxHamming: Int): DataFrame = {
+    val sigs = simhashes.persist()
+    val nBands = bits / bandBits
+    val bands = (0 until nBands).map { b =>
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"),
+        col("simhash"))
+    }.reduce(_ unionByName _)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard inside a blocking key: pairs with
     * similarity ≥ threshold. `blockCol` bounds the pair space (a source
     * bucket, an LSH band, an IVF cell...). */

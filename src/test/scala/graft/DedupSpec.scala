@@ -36,6 +36,14 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(3L)) <= ham(sh(1L), sh(5L)))
   }
 
+  test("simhashNearPairs: identical docs found at hamming 0, strangers excluded") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text", 16)
+    val near = Dedup.simhashNearPairs(sigs, bits = 16, bandBits = 4, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("hamming"))).toMap
+    assert(near.get((1L, 2L)).contains(0L)) // identical text
+    assert(!near.contains((4L, 5L))) // unrelated docs stay apart
+  }
+
   test("jaccardPairs: exact dup scores 1.0, blocking excludes cross-block pairs") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 2, 0.0)
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),

@@ -60,6 +60,17 @@ class TcgaApiSpec extends SparkSpec {
     planted.foreach(r => assert(r.getAs[Double]("padj") < 0.05))
   }
 
+  test("wilcoxon stat table joins DE banding by gene (not positionally)") {
+    val joined = Tcga.wilcoxonWithDeBanding(t, "short_letter_code", ("NT", "TP"),
+      goi = Seq("DEG10", "GENE1"))
+    val rows = joined.collect()
+    assert(rows.length == 2)
+    val deg = rows.find(_.getAs[String]("gene_name") == "DEG10").get
+    assert(deg.getAs[String]("de_p_signif") != "ns")
+    assert(deg.getAs[Double]("log2fc") > 1.0)
+    assert(!deg.isNullAt(deg.fieldIndex("wilcoxon_p_signif")))
+  }
+
   test("§3.3 KM: curves well-formed, log-rank per gene, strat sizes balanced") {
     val (curves, tests) = Tcga.kmByMedianExpression(t, Seq("DEG10", "GENE1"))
     val c = curves.collect()
