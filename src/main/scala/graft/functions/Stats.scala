@@ -53,8 +53,11 @@ object Stats {
     */
   def wilcoxon(df: DataFrame, groupCol: String, condCol: String,
       valueCol: String, condA: String, condB: String): DataFrame = {
+    // t feeds both the rank window and the tie-count agg: persist so an
+    // expensive upstream (e.g. the VST pipeline) runs once
     val t = df.filter(col(condCol).isin(condA, condB))
       .select(col(groupCol), col(condCol), col(valueCol))
+      .persist()
     val wRank = Window.partitionBy(groupCol).orderBy(valueCol)
     val wTie = Window.partitionBy(col(groupCol), col(valueCol))
     // mid-rank for ties = min-rank + (tieSize - 1)/2

@@ -22,8 +22,11 @@ object Survival {
     * @return per (stratum, death time): n_risk, n_event, n_censor,
     *         survival, se (Greenwood), ci_lo/ci_hi (log-transform CI)
     */
-  def kmCurve(df: DataFrame, stratCol: String, timeCol: String,
+  def kmCurve(df0: DataFrame, stratCol: String, timeCol: String,
       eventCol: String): DataFrame = {
+    // the subject frame feeds the per-time agg AND the totals agg: persist
+    // so an expensive upstream (e.g. the VST pipeline) runs once
+    val df = df0.persist()
     val perTime = df.groupBy(col(stratCol), col(timeCol)).agg(
       sum(col(eventCol)).as("d"),
       sum(lit(1) - col(eventCol)).as("c"))
@@ -84,8 +87,11 @@ object Survival {
     * fan-out of the KM pipeline, §3.3 run once per gene). Same math as
     * `logRank`, with every stage additionally keyed by the group — the
     * whole fan-out is ONE plan, no per-gene driver loop. */
-  def logRankBy(df: DataFrame, groupCol: String, stratCol: String,
+  def logRankBy(df0: DataFrame, groupCol: String, stratCol: String,
       timeCol: String, eventCol: String): DataFrame = {
+    // four derivations of the subject frame (per-time, grid, strata,
+    // totals) — persist or the upstream pipeline runs 4x
+    val df = df0.persist()
     val perTime = df.groupBy(col(groupCol), col(stratCol), col(timeCol)).agg(
       sum(col(eventCol)).as("d"),
       sum(lit(1) - col(eventCol)).as("c"))
