@@ -23,8 +23,12 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     val results = qs.map { case (name, fn) =>
+      spark.catalog.clearCache() // queries persist() internally; keep runs isolated
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }

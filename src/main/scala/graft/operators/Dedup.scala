@@ -23,9 +23,16 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Spread rows across cores before per-row lambda-heavy expressions:
+    * higher-order functions (transform/filter lambdas) evaluate outside
+    * whole-stage codegen, and a single-row-group parquet file gives the
+    * scan ONE partition — without this the shingle work runs on one core. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Distinct (id, n-shingle) rows — the unit of MinHash and Jaccard. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    spread(docs).select(col(idCol).as("doc_id"),
         explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
       .distinct()
 
@@ -56,7 +63,7 @@ object Dedup {
 
   /** SimHash over token multisets, `bits` ≤ 60. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
+    val tok = spread(docs).select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
       .withColumn("h", hash60(col("t")))
     val votes = (0 until bits).map(b =>
@@ -97,7 +104,7 @@ object Dedup {
     * bucket, an LSH band, an IVF cell...). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+    val sh = spread(docs).select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
         explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh0"))
       .select(col("doc_id"), col("blk"), hash60(col("sh0")).as("sh"))
       .distinct()
