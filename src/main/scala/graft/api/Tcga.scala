@@ -75,9 +75,12 @@ object Tcga {
       .select(col("barcode"), col("cond"))
     val expr0 = prefilterGenes(t.expression)
     val sf = Normalization.sizeFactors(expr0, "gene_id", "barcode", "count")
-    // dense surrogate ids: the typed NB fit groups by a long key
+    // surrogate ids: the typed NB fit groups by a long key. A 60-bit
+    // md5-prefix hash is deterministic and collision-free w.h.p. (~60k
+    // genes vs 2^60) — unlike dense_rank over a no-partition Window it
+    // never funnels the dim through one task.
     val geneIds = t.genes.select(col("gene_id"))
-      .withColumn("gid", dense_rank().over(Window.orderBy(col("gene_id"))).cast("long"))
+      .withColumn("gid", graft.operators.Dedup.hash60(col("gene_id")))
     val cells = expr0
       .join(broadcast(sf), "barcode")
       .join(cond, "barcode")

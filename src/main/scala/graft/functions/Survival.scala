@@ -19,11 +19,17 @@ object Survival {
     *
     * @param df       one row per subject: (stratCol, timeCol, eventCol)
     * @param eventCol 1 = event (death), 0 = censored
+    * @param confType CI transform — "log" (the `survfit` default:
+    *                 S·exp(±1.96·se(log S)) with se(log S) = √Σd/(n(n−d)),
+    *                 upper clipped at 1, NULL once the curve hits 0) or
+    *                 "linear" (S ± 1.96·se clamped to [0,1])
     * @return per (stratum, death time): n_risk, n_event, n_censor,
-    *         survival, se (Greenwood), ci_lo/ci_hi (log-transform CI)
+    *         survival, se (Greenwood), ci_lo/ci_hi
     */
   def kmCurve(df0: DataFrame, stratCol: String, timeCol: String,
-      eventCol: String): DataFrame = {
+      eventCol: String, confType: String = "log"): DataFrame = {
+    require(confType == "log" || confType == "linear",
+      s"confType must be log|linear, got $confType")
     // the subject frame feeds the per-time agg AND the totals agg: persist
     // so an expensive upstream (e.g. the VST pipeline) runs once
     val df = df0.persist()
@@ -48,11 +54,20 @@ object Survival {
       .withColumn("extinct", max((col("d") >= col("n_risk")).cast("int")).over(wCum))
       .withColumn("survival",
         when(col("extinct") === 1, 0.0).otherwise(exp(sum(col("lnterm")).over(wCum))))
+      // se(log S) — the Greenwood sum before the delta-method S· factor
+      .withColumn("selog", sqrt(sum(col("gwterm")).over(wCum)))
       .withColumn("se",
-        when(col("extinct") === 1, 0.0)
-          .otherwise(col("survival") * sqrt(sum(col("gwterm")).over(wCum))))
-      .withColumn("ci_lo", greatest(lit(0.0), col("survival") - lit(1.96) * col("se")))
-      .withColumn("ci_hi", least(lit(1.0), col("survival") + lit(1.96) * col("se")))
+        when(col("extinct") === 1, 0.0).otherwise(col("survival") * col("selog")))
+      .withColumn("ci_lo",
+        if (confType == "log")
+          when(col("extinct") === 1, lit(null).cast("double"))
+            .otherwise(col("survival") * exp(lit(-1.96) * col("selog")))
+        else greatest(lit(0.0), col("survival") - lit(1.96) * col("se")))
+      .withColumn("ci_hi",
+        if (confType == "log")
+          when(col("extinct") === 1, lit(null).cast("double"))
+            .otherwise(least(lit(1.0), col("survival") * exp(lit(1.96) * col("selog"))))
+        else least(lit(1.0), col("survival") + lit(1.96) * col("se")))
       .filter(col("d") > 0)
       .select(col(stratCol), col(timeCol), col("n_risk"),
         col("d").as("n_event"), col("c").as("n_censor"),

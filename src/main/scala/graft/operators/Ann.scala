@@ -37,11 +37,15 @@ object Ann {
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     val n = normalized(emb, idCol, vecCol)
-    // deterministic spread seeds: k lowest md5-ordered ids
+    // Deterministic spread seeds: k lowest md5-ordered ids. orderBy+limit
+    // plans as TakeOrderedAndProject (per-partition top-k heaps + driver
+    // merge of k rows), so no single task ever sees the whole corpus; the
+    // row_number window then runs over only k rows.
     var centroids = n
       .withColumn("h", md5(col("id").cast("string")))
+      .orderBy(col("h"), col("id"))
+      .limit(k)
       .withColumn("rk", row_number().over(Window.orderBy(col("h"), col("id"))))
-      .filter(col("rk") <= k)
       .select((col("rk") - 1).cast("int").as("cell"), col("vn").as("cv"))
     var i = 0
     while (i < iters) {

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
 
 /** Library surface for corpus deduplication — the same operators the
   * catalog queries expose (ScaleOpsQueries keeps the DuckDB-oracle-checked
@@ -9,13 +11,34 @@ import org.apache.spark.sql.functions._
   *
   * All candidate-generation paths are shuffle-lean groupBy/bucket shapes
   * that survive a 100 TB corpus; exact verification (Jaccard, cosine)
-  * runs only inside candidate blocks.
+  * runs only inside candidate blocks. Every bucket self-join is capped:
+  * a degenerate hot bucket (empty docs, boilerplate shingles) would
+  * otherwise put m² candidate pairs in one task — capped buckets are
+  * dropped and counted to the log instead.
   */
 object Dedup {
+
+  private val log = LoggerFactory.getLogger(getClass)
 
   /** 60-bit engine-portable hash (md5-prefix, always positive). */
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Modulus for the affine minhash families: 2^31−1 (Mersenne prime).
+    * Keeping residues < 2^31 means `(h*a + b)` stays < 2^63 — no overflow
+    * in either engine's BIGINT arithmetic. */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic affine coefficients (aᵢ, bᵢ) for the K minhash
+    * families: hᵢ = ((h₀ mod p)·aᵢ + bᵢ) mod p. Knuth multiplicative
+    * constants keep families independent; aᵢ is never 0 mod p. */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      val a0 = (2654435761L * (i + 1)) % MinhashP
+      val a = if (a0 == 0L) 1L else a0
+      val b = (40503L * (2 * i + 1) + 17) % MinhashP
+      (a, b)
+    }
 
   /** Exact dedup: one row per distinct text with the keeper id (min) and
     * multiplicity. */
@@ -36,17 +59,43 @@ object Dedup {
         explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
       .distinct()
 
-  /** MinHash signatures: K min-hashes over the shingle set, one row per doc. */
-  def minhashSignatures(shingles: DataFrame, k: Int): DataFrame =
-    shingles.groupBy("doc_id")
-      .agg(
-        min(hash60(concat(lit("0_"), col("sh")))).as("h0"),
-        (1 until k).map(i =>
-          min(hash60(concat(lit(s"${i}_"), col("sh")))).as(s"h$i")): _*)
+  /** MinHash signatures: K min-hashes over the shingle set, one row per
+    * doc. Each shingle is md5-hashed ONCE (`hash60`); the K families are
+    * derived arithmetically (affine mod-p over the base hash), so hashing
+    * cost is 1/K of the naive per-family-md5 scheme. */
+  def minhashSignatures(shingles: DataFrame, k: Int): DataFrame = {
+    val base = shingles.withColumn("hs", hash60(col("sh")) % MinhashP)
+    val fams = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("hs") * a + b) % MinhashP).as(s"h$i")
+    }
+    base.groupBy("doc_id").agg(fams.head, fams.tail: _*)
+  }
+
+  /** Drop rows whose bucket (partition of `keys`) holds more than
+    * `maxBucket` rows, logging how many buckets were dropped. Counting is
+    * a per-bucket window (O(m) per bucket, never m²); `df` must already be
+    * persisted by the caller so the audit count reuses the cache. */
+  private def capBuckets(df: DataFrame, keys: Seq[Column], maxBucket: Int,
+      what: String): DataFrame = {
+    if (maxBucket == Int.MaxValue) df
+    else {
+      val sized = df.withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(keys: _*)))
+      val dropped = sized.filter(col("bsz") > maxBucket)
+        .select(keys: _*).distinct().count()
+      if (dropped > 0)
+        log.warn(s"$what: dropped $dropped hot bucket(s) over $maxBucket rows")
+      sized.filter(col("bsz") <= maxBucket).drop("bsz")
+    }
+  }
 
   /** LSH banding: candidate pairs = docs sharing any band bucket.
-    * @param bandsOf rows per band (k % bandsOf must be 0) */
-  def minhashCandidates(signatures: DataFrame, k: Int, bandsOf: Int): DataFrame = {
+    * @param bandsOf rows per band (k % bandsOf must be 0)
+    * @param maxBucket buckets larger than this are dropped (and counted to
+    *   the log) before the self-join — a degenerate bucket would otherwise
+    *   generate m² pairs in a single task */
+  def minhashCandidates(signatures: DataFrame, k: Int, bandsOf: Int,
+      maxBucket: Int = 1000): DataFrame = {
     require(k % bandsOf == 0, "k must divide into bands")
     val sigs = signatures.persist()
     val bands = (0 until k / bandsOf).map { b =>
@@ -54,7 +103,9 @@ object Dedup {
       sigs.select(col("doc_id"), lit(b).as("band"),
         md5(concat_ws("_", cols: _*)).as("bkey"))
     }.reduce(_ unionByName _).persist()
-    bands.as("x").join(bands.as("y"),
+    val capped = capBuckets(bands, Seq(col("band"), col("bkey")), maxBucket,
+      "minhashCandidates")
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -79,9 +130,10 @@ object Dedup {
   /** SimHash near-duplicate pairs: band the signature into byte blocks
     * (pigeonhole: any pair within `maxHamming < nBands` bits must agree on
     * at least one band), bucket-join candidates, verify with the exact
-    * Hamming distance. Same candidate-then-verify shape as MinHash LSH. */
+    * Hamming distance. Same candidate-then-verify shape as MinHash LSH;
+    * buckets over `maxBucket` rows are dropped + logged. */
   def simhashNearPairs(simhashes: DataFrame, bits: Int, bandBits: Int,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
     val sigs = simhashes.persist()
     val nBands = bits / bandBits
     val bands = (0 until nBands).map { b =>
@@ -89,8 +141,10 @@ object Dedup {
         shiftright(col("simhash"), b * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"),
         col("simhash"))
-    }.reduce(_ unionByName _)
-    bands.as("x").join(bands.as("y"),
+    }.reduce(_ unionByName _).persist()
+    val capped = capBuckets(bands, Seq(col("band"), col("bkey")), maxBucket,
+      "simhashNearPairs")
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -101,16 +155,23 @@ object Dedup {
 
   /** Exact n-gram Jaccard inside a blocking key: pairs with
     * similarity ≥ threshold. `blockCol` bounds the pair space (a source
-    * bucket, an LSH band, an IVF cell...). */
+    * bucket, an LSH band, an IVF cell...). The shingle join key is the
+    * raw n-gram string — Spark murmur-hashes join keys for the shuffle
+    * anyway, so a per-shingle md5 would be pure CPU overhead. Shingles
+    * appearing in more than `maxShingleDocs` docs of a block are dropped
+    * from the intersection counting (and logged): a boilerplate shingle
+    * would otherwise put m² join rows in one task. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int, threshold: Double): DataFrame = {
+      blockCol: String, n: Int, threshold: Double,
+      maxShingleDocs: Int = Int.MaxValue): DataFrame = {
     val sh = spread(docs).select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh0"))
-      .select(col("doc_id"), col("blk"), hash60(col("sh0")).as("sh"))
+        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
       .distinct()
       .persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    sh.as("x").join(sh.as("y"),
+    val capped = capBuckets(sh, Seq(col("blk"), col("sh")), maxShingleDocs,
+      "jaccardPairs")
+    capped.as("x").join(capped.as("y"),
         col("x.blk") === col("y.blk") && col("x.sh") === col("y.sh") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

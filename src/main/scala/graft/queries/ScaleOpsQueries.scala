@@ -159,6 +159,7 @@ object ScaleOpsQueries {
 
   private val numHashes = 6
   private val bandsOf = 2 // 3 bands of 2 hashes
+  private val maxBucket = 1000 // LSH bucket cap (anti skew-bomb), mirrored in oracle
 
   /** Distinct (doc_id, 3-shingle) pairs. */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
@@ -173,26 +174,35 @@ object ScaleOpsQueries {
   /** DD2 — MinHash + LSH banding: K=6 min-hashes over 3-shingles, bands of
     * 2 rows; docs sharing any band bucket become candidate pairs. The
     * band self-join is the scale path: candidates come from a
-    * `groupBy(band, key)` bucket, never an all-pairs product. */
+    * `groupBy(band, key)` bucket, never an all-pairs product. Each shingle
+    * is md5-hashed once; the K families are affine mod-p derivations
+    * (mirrored literally in the oracle SQL), and buckets over `maxBucket`
+    * rows are dropped on both sides. */
   private val dd2 = Q(
     "dd2_minhash_lsh",
     (s, d) => Dedup.minhashCandidates(
       Dedup.minhashSignatures(
         Dedup.shingleRows(Tables.documents(s, d), "doc_id", "text", 3), numHashes),
-      numHashes, bandsOf),
+      numHashes, bandsOf, maxBucket),
     Some {
-      val mins = (0 until numHashes)
-        .map(k => s"min(${h60sql(s"'${k}_' || sh")}) AS h$k").mkString(",\n  ")
+      val p = Dedup.MinhashP
+      val mins = Dedup.minhashCoeffs(numHashes).zipWithIndex
+        .map { case ((a, b), k) => s"min((hs * $a + $b) % $p) AS h$k" }
+        .mkString(",\n  ")
       val bandSelects = (0 until numHashes / bandsOf).map { b =>
         s"""SELECT doc_id, $b AS band,
               md5(CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR)) AS bkey
             FROM mh"""
       }.mkString("\nUNION ALL\n")
       s"""WITH sh AS ($shingleRowsSql),
-          mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-          bands AS ($bandSelects)
+          hs AS (SELECT doc_id, ${h60sql("sh")} % $p AS hs FROM sh),
+          mh AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+          bands AS ($bandSelects),
+          cb AS (SELECT doc_id, band, bkey
+                 FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands)
+                 WHERE bsz <= $maxBucket)
           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-          FROM bands x JOIN bands y
+          FROM cb x JOIN cb y
             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"""
     })
 
@@ -220,15 +230,18 @@ object ScaleOpsQueries {
   /** DD4 — n-gram (2-gram) Jaccard near-dup within a blocking key
     * (`source`): |A∩B| via a shingle self-join inside the block,
     * |A∪B| = |A|+|B|−|A∩B|. Blocking bounds the pair space — the same
-    * shape LSH buckets give at 100 TB. */
+    * shape LSH buckets give at 100 TB. The join key is the raw shingle
+    * string (Spark murmur-hashes join keys for the shuffle anyway — a
+    * per-shingle md5 was pure CPU), and shingles in more than `maxBucket`
+    * docs of a block are dropped on both sides. */
   private val dd4 = Q(
     "dd4_ngram_jaccard",
-    // pair self-join on the hashed shingle key inside the block (an
-    // in-array pair-expansion variant benched slower: hot shingles
-    // concentrate the m² expansion in single tasks, while the join
-    // spreads the probe side)
+    // pair self-join on the shingle key inside the block (an in-array
+    // pair-expansion variant benched slower: hot shingles concentrate
+    // the m² expansion in single tasks, while the join spreads the
+    // probe side)
     (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      "source", 2, 0.01),
+      "source", 2, 0.01, maxBucket),
 
     Some {
       val shingle2 =
@@ -236,11 +249,14 @@ object ScaleOpsQueries {
       s"""WITH t AS (SELECT doc_id, source,
                        string_split_regex(trim(lower(text)), '\\s+') AS toks
                      FROM documents),
-          sh AS (SELECT DISTINCT doc_id, source, ${h60sql("sh")} AS sh
+          sh AS (SELECT DISTINCT doc_id, source, sh
                  FROM (SELECT doc_id, source, unnest($shingle2) AS sh FROM t)),
           sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+          capped AS (SELECT doc_id, source, sh
+                     FROM (SELECT *, count(*) OVER (PARTITION BY source, sh) AS bsz FROM sh)
+                     WHERE bsz <= $maxBucket),
           inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
-                    FROM sh x JOIN sh y
+                    FROM capped x JOIN capped y
                       ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
                     GROUP BY 1, 2)
           SELECT doc_a, doc_b, sa.nsh AS na, sb.nsh AS nb, n_inter,

@@ -28,8 +28,9 @@ object SurvivalQueries {
               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS event
        FROM orders"""
 
-  /** D10 — KM product-limit curve with Greenwood SE + linear CI
-    * (survfit, surv_analysis_median_exp.R:146-163). */
+  /** D10 — KM product-limit curve with Greenwood SE + the `survfit`-default
+    * log-transform CI: S·exp(±1.96·se(log S)), upper clipped at 1, NULL
+    * once the curve hits 0 (surv_analysis_median_exp.R:146-163). */
   private val d10 = Q(
     "d10_km_curve",
     (s, d) =>
@@ -59,15 +60,17 @@ object SurvivalQueries {
                    FROM terms
                    WINDOW w AS (PARTITION BY strat ORDER BY time
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-             km AS (SELECT strat, time, d, c, n_risk,
+             km AS (SELECT strat, time, d, c, n_risk, extinct, gw_raw,
                      CASE WHEN extinct = 1 THEN 0.0 ELSE surv_raw END AS survival,
                      CASE WHEN extinct = 1 THEN 0.0 ELSE surv_raw * gw_raw END AS se
                    FROM cum)
              SELECT strat, time, CAST(n_risk AS BIGINT) AS n_risk,
                CAST(d AS BIGINT) AS n_event, CAST(c AS BIGINT) AS n_censor,
                round(survival, 6) AS survival, round(se, 6) AS se,
-               round(greatest(0.0, survival - 1.96 * se), 6) AS ci_lo,
-               round(least(1.0, survival + 1.96 * se), 6) AS ci_hi
+               round(CASE WHEN extinct = 1 THEN NULL
+                          ELSE survival * exp(-1.96 * gw_raw) END, 6) AS ci_lo,
+               round(CASE WHEN extinct = 1 THEN NULL
+                          ELSE least(1.0, survival * exp(1.96 * gw_raw)) END, 6) AS ci_hi
              FROM km WHERE d > 0"""))
 
   /** D11 — two-group log-rank test χ² + p

@@ -44,6 +44,44 @@ class DedupSpec extends SparkSpec {
     assert(!near.contains((4L, 5L))) // unrelated docs stay apart
   }
 
+  test("minhash families: one md5 per shingle, affine coefficients distinct and nonzero") {
+    val cs = Dedup.minhashCoeffs(16)
+    assert(cs.map(_._1).distinct.size == 16 && cs.map(_._2).distinct.size == 16)
+    assert(cs.forall { case (a, b) => a > 0 && b >= 0 &&
+      a < Dedup.MinhashP && b < Dedup.MinhashP })
+  }
+
+  test("hot LSH bucket is dropped by the cap, normal candidates survive") {
+    // 40 identical boilerplate docs land every band in ONE bucket of 40 —
+    // uncapped that is 40·39/2 = 780 pairs from a single degenerate bucket
+    val boiler = (100L until 140L)
+      .map(i => (i, "boilerplate header repeated on every page of the crawl", "a"))
+    val adversarial = docs.union(boiler.toDF("doc_id", "text", "source"))
+    val sigs = Dedup.minhashSignatures(
+      Dedup.shingleRows(adversarial, "doc_id", "text", 3), 6)
+    val capped = Dedup.minhashCandidates(sigs, 6, 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)), "normal near-dup pair must survive the cap")
+    assert(!capped.exists { case (a, b) => a >= 100L || b >= 100L },
+      "hot-bucket members must be dropped, not exploded into m² pairs")
+    val uncapped = Dedup.minhashCandidates(sigs, 6, 2, maxBucket = Int.MaxValue)
+    assert(uncapped.count() >= 780L)
+  }
+
+  test("hot shingle inside a block is dropped by the jaccard cap") {
+    val boiler = (100L until 120L)
+      .map(i => (i, s"common prefix shared everywhere then unique tail $i", "a"))
+    val adversarial = docs.union(boiler.toDF("doc_id", "text", "source"))
+    // "common prefix", "prefix shared", "shared everywhere" 2-grams occur in
+    // all 20 boiler docs; cap 10 drops them from intersection counting
+    val capped = Dedup.jaccardPairs(adversarial, "doc_id", "text", "source", 2, 0.99,
+        maxShingleDocs = 10)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(capped.contains((1L, 2L)), "exact dup pair must survive the cap")
+    assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L },
+      "boiler docs only shared capped shingles — no surviving pair")
+  }
+
   test("jaccardPairs: exact dup scores 1.0, blocking excludes cross-block pairs") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 2, 0.0)
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),

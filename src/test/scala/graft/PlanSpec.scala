@@ -1,11 +1,19 @@
 package graft
 
 import graft.queries.QueryCatalog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.{GlobalLimitExec, CollectLimitExec, TakeOrderedAndProjectExec}
 
 /** Physical-plan audit (SURVEY.md §4): the properties that make these plans
   * survive a 100× scale-up, asserted so regressions fail CI — filters reach
   * the parquet scan, dimension joins broadcast, aggregations are
-  * partial+final hash aggs, fact paths stay in whole-stage codegen.
+  * partial+final hash aggs, fact paths stay in whole-stage codegen, and no
+  * fact-sized input ever feeds a no-partition WindowExec (the one-task-sort
+  * anti-pattern).
   */
 class PlanSpec extends SparkSpec {
 
@@ -15,6 +23,33 @@ class PlanSpec extends SparkSpec {
     val df = QueryCatalog.byName(name).run(spark, dir)
     df.collect() // finalize AQE so the inspected plan is the executed one
     df.queryExecution.executedPlan.toString
+  }
+
+  /** Flatten the executed plan, descending through AQE wrappers and
+    * materialized query stages (their subtrees are not `children`). */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case q: QueryStageExec        => q +: flatten(q.plan)
+    case other                    => other +: other.children.flatMap(flatten)
+  }
+
+  /** A no-partition window is only scale-safe when its input cardinality is
+    * bounded below it — by an aggregation (rows = groups) or a limit
+    * (rows = k). Asserts every `Window` with an empty partitionSpec in the
+    * executed plan has such a reducer in its subtree. */
+  private def assertNoPartitionWindowsBounded(df: DataFrame, what: String): Unit = {
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val unbounded = nodes.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        !flatten(w.child).exists {
+          case _: BaseAggregateExec | _: GlobalLimitExec |
+               _: CollectLimitExec | _: TakeOrderedAndProjectExec => true
+          case _ => false
+        } => w
+    }
+    assert(unbounded.isEmpty,
+      s"$what: no-partition Window over unbounded input:\n${unbounded.mkString("\n")}")
   }
 
   test("B4 IN-list predicate is pushed to the parquet scan") {
@@ -77,5 +112,24 @@ class PlanSpec extends SparkSpec {
   test("ss1 broadcast the query side of the brute-force top-k") {
     val p = plan("ss1_cosine_topk")
     assert(p.contains("Broadcast"), p)
+  }
+
+  test("g1 global rank is two-phase: range partition + bounded offset window") {
+    val df = QueryCatalog.byName("g1_order_by").run(spark, dir)
+    assertNoPartitionWindowsBounded(df, "g1_order_by")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+  }
+
+  test("Ann k-means seeding never feeds the corpus to a no-partition window") {
+    val df = graft.operators.Ann.kmeansCentroids(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 4, iters = 1)
+    assertNoPartitionWindowsBounded(df, "Ann.kmeansCentroids")
+  }
+
+  test("fan-out pipelines keep no-partition windows cardinality-bounded") {
+    Seq("km1_pipeline_km", "e1_ntile_split").foreach { q =>
+      assertNoPartitionWindowsBounded(QueryCatalog.byName(q).run(spark, dir), q)
+    }
   }
 }

@@ -22,6 +22,31 @@ class SurvivalSpec extends SparkSpec {
     assert(s(2) == 0.0)
   }
 
+  test("KM log-transform CI matches survfit conf.type='log' hand computation") {
+    // subjects: t=1 event, t=2 event, t=3 censor, t=4 event (n=4)
+    val df = Seq(("s", 1L, 1L), ("s", 2L, 1L), ("s", 3L, 0L), ("s", 4L, 1L))
+      .toDF("strat", "time", "event")
+    val rows = Survival.kmCurve(df, "strat", "time", "event")
+      .orderBy("time").collect()
+    // t=1: S=3/4, se(logS)=sqrt(1/(4·3)); CI = S·exp(±1.96·se(logS)), hi clipped
+    val se1 = math.sqrt(1.0 / 12)
+    assert(math.abs(rows(0).getAs[Double]("ci_lo") - 0.75 * math.exp(-1.96 * se1)) < 1e-12)
+    assert(rows(0).getAs[Double]("ci_hi") == 1.0) // 0.75·exp(+1.96·se) > 1 → clip
+    // t=2: S=1/2, se(logS)=sqrt(1/12 + 1/(3·2))
+    val se2 = math.sqrt(1.0 / 12 + 1.0 / 6)
+    assert(math.abs(rows(1).getAs[Double]("ci_lo") - 0.5 * math.exp(-1.96 * se2)) < 1e-12)
+    assert(rows(1).getAs[Double]("ci_hi") == 1.0)
+    // t=4: curve extinct (S=0) → CI is NULL, like survfit's NA
+    assert(rows(2).getAs[Double]("survival") == 0.0)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("ci_lo")))
+    assert(rows(2).isNullAt(rows(2).fieldIndex("ci_hi")))
+    // linear mode keeps the old clamped behavior
+    val lin = Survival.kmCurve(df, "strat", "time", "event", confType = "linear")
+      .orderBy("time").collect()
+    val s1 = lin(0).getAs[Double]("survival"); val e1 = lin(0).getAs[Double]("se")
+    assert(math.abs(lin(0).getAs[Double]("ci_lo") - math.max(0.0, s1 - 1.96 * e1)) < 1e-12)
+  }
+
   test("KM survival is non-increasing within [0,1] (property)") {
     val n = 200
     val df = (1 to n).map { i =>
