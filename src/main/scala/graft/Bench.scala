@@ -17,7 +17,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local iteration;
+    // the driver leaves it unset and benches everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory)
       qs.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }

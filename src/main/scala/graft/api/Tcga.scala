@@ -89,8 +89,10 @@ object Tcga {
       .select(col("gid").as("gene"), col("bid").as("smp"),
         col("count").cast("double").as("cnt"), col("cond"),
         col("size_factor").as("sf")).as[CountCell]
+      .persist() // feeds the dispersion-prior pass AND the per-gene fit
     val pairs = if (contrasts.nonEmpty) contrasts else Seq((levels.last, levels.head))
-    val de = DiffExpression.contrasts(cells, levels, pairs).toDF()
+    val prior = DiffExpression.dispersionPrior(cells, levels.size)
+    val de = DiffExpression.contrasts(cells, levels, pairs, Some(prior)).toDF()
     val named = de
       .join(broadcast(geneIds), de("gene") === geneIds("gid"))
       .join(broadcast(t.genes), "gene_id")

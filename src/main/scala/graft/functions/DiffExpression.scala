@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
 
 /** One expression-matrix cell joined with its sample metadata: raw count,
   * condition level, and the sample's median-of-ratios size factor. */
@@ -16,39 +17,111 @@ final case class DEResult(gene: Long, base_mean: Double, log2fc: Double,
 final case class DEContrast(gene: Long, contrast: String, log2fc: Double,
     lfc_se: Double, stat: Double, pvalue: Double)
 
+/** Empirical-Bayes prior for per-gene dispersions, DESeq2-style (Love et
+  * al. 2014 §M3): the mean-dispersion trend `α_tr(μ) = a0 + a1/μ` plus the
+  * cross-gene prior variance of log-dispersion residuals around it.
+  * Gene-wise estimates shrink toward the trend in log space; estimates more
+  * than `outlierSd` residual SDs ABOVE the trend are kept as-is (DESeq2's
+  * dispersion-outlier rule). */
+final case class DispersionPrior(a0: Double, a1: Double, sigmaSq: Double,
+    outlierSd: Double = 2.0)
+
 /** Negative-binomial GLM differential expression — the reference's
   * `DESeq()` + `results()` (vital_status_DESeq.R:51,89; Love et al. 2014),
   * re-expressed as a per-gene grouped fit (`groupByKey(gene).flatMapGroups`)
   * that parallelizes across executors exactly like the reference's
   * BiocParallel per-gene fan-out (SURVEY.md §3.4).
   *
-  * Documented deviation (SURVEY.md §7.5): honest NB GLM with IRLS and a
-  * method-of-moments dispersion per gene — no dispersion-trend shrinkage or
-  * Cox-Reid adjustment. Structure parity is exact: one fit per gene, size
-  * factors as offsets, Wald tests, K contrasts extracted from one fit.
+  * Dispersion estimation follows DESeq2's shape: gene-wise estimate
+  * (method-of-moments) → mean-dispersion trend `α(μ) = a0 + a1/μ` fitted
+  * across genes → empirical-Bayes shrinkage of the gene-wise estimate
+  * toward the trend in log space (`DispersionPrior`), with DESeq2's
+  * keep-the-outliers rule. Documented deviations (SURVEY.md §7.5): MoM
+  * instead of the gene-wise MLE and no Cox-Reid adjustment. Structure
+  * parity is exact: one fit per gene, size factors as offsets, Wald tests,
+  * K contrasts extracted from one fit.
   *
   * Determinism: rows are sorted by sample id before accumulation and the
-  * IRLS runs a fixed iteration count, so results are bit-stable across
+  * IRLS iteration count depends only on the gene's own data (fixed cap,
+  * early exit at ‖Δβ‖∞ < 1e-10), so results are bit-stable across
   * partitionings and reruns.
   *
   * Scale: state per task is O(|samples per gene| + p²) with p ≤ 5 design
   * levels; ~60k genes fan out as independent tasks — no driver collect,
-  * no global state.
+  * no global state. The prior fit aggregates to one gene-level frame and
+  * collects three scalars — the same 1-row-broadcast shape as the VST
+  * trend.
   */
 object DiffExpression {
 
   private val MaxIter = 30
+  private val ConvergeTol = 1e-10
   private val MinMu = 1e-10
   private val MinDisp = 1e-8
   private val MaxDisp = 10.0
 
+  /** Sampling variance of one gene's log-dispersion estimate with m
+    * observations and p design levels. 2/(m−p) is the MLE's asymptotic
+    * variance; the ×2 accounts for the method-of-moments estimator's lower
+    * efficiency (ARE ≈ 0.5 at moderate dispersion), so MoM estimates get
+    * proportionally more shrinkage than DESeq2 gives its gene-wise MLEs. */
+  private def logDispSampVar(m: Double, p: Int): Double =
+    2.0 * 2.0 / math.max(1.0, m - p)
+
+  /** Fit the dispersion prior across genes: MoM dispersions of normalized
+    * counts, OLS trend on x = 1/μ (the same closed form as
+    * `Normalization.vstTrend`), prior variance = spread of log residuals
+    * minus the expected sampling variance of a gene's log-dispersion
+    * estimate (≈ 2/(m−p)), floored at DESeq2's minimal prior width 0.25.
+    *
+    * @param p number of design levels (intercept + p−1 indicators) */
+  def dispersionPrior(cells: Dataset[CountCell], p: Int): DispersionPrior = {
+    val gs = cells.toDF()
+      .withColumn("q", col("cnt") / col("sf"))
+      .groupBy("gene").agg(
+        avg(col("q")).as("mu"), var_samp(col("q")).as("v"),
+        count(lit(1)).cast("double").as("m"))
+      .filter(col("mu") > 0 && col("v").isNotNull)
+      .withColumn("disp",
+        greatest((col("v") - col("mu")) / (col("mu") * col("mu")), lit(MinDisp)))
+      // DESeq2's rule: genes whose gene-wise estimate collapses to the
+      // floor (< 100·minDisp) are excluded from trend + prior-width
+      // fitting — a floored log-dispersion would poison the residual
+      // spread (log 1e-8 ≈ −18) and zero the shrinkage weight
+      .filter(col("disp") > lit(MinDisp * 100))
+      .withColumn("x", lit(1.0) / col("mu"))
+      .persist() // feeds the trend fit AND the residual-spread pass
+    val t = gs.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("disp")).as("sy"),
+      sum(col("x") * col("disp")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+      .collect()(0)
+    val n = t.getAs[Double]("n")
+    val det = n * t.getAs[Double]("sxx") - t.getAs[Double]("sx") * t.getAs[Double]("sx")
+    val a1 = math.max(0.0,
+      if (det == 0) 0.0
+      else (n * t.getAs[Double]("sxy") -
+        t.getAs[Double]("sx") * t.getAs[Double]("sy")) / det)
+    val a0 = math.max(MinDisp,
+      (t.getAs[Double]("sy") - a1 * t.getAs[Double]("sx")) / n)
+    val r = gs.agg(
+      var_samp(log(col("disp")) -
+        log(greatest(lit(a0) + lit(a1) / col("mu"), lit(MinDisp)))).as("s2lr"),
+      avg(col("m")).as("mbar")).collect()(0)
+    val s2lr = Option(r.getAs[Double]("s2lr")).getOrElse(0.0)
+    val mbar = r.getAs[Double]("mbar")
+    DispersionPrior(a0, a1, math.max(s2lr - logDispSampVar(mbar, p), 0.25))
+  }
+
   /** Two-group Wald test, `levels = Seq(reference, treatment)`. */
-  def waldTest(cells: Dataset[CountCell], levels: Seq[String]): Dataset[DEResult] = {
+  def waldTest(cells: Dataset[CountCell], levels: Seq[String],
+      prior: Option[DispersionPrior] = None): Dataset[DEResult] = {
     require(levels.size == 2, s"waldTest needs 2 levels, got $levels")
     val spark = cells.sparkSession
     import spark.implicits._
     cells.groupByKey(_.gene).flatMapGroups { (gene, it) =>
-      fitGene(gene, it, levels) match {
+      fitGene(gene, it, levels, prior) match {
         case Some(f) =>
           val k = f.levelIndex.getOrElse(levels(1), -1)
           if (k < 0) Iterator.empty
@@ -67,11 +140,12 @@ object DiffExpression {
   /** Fit once per gene, then evaluate every `(levelA, levelB)` contrast from
     * the fitted coefficients (log2FC of A over B). */
   def contrasts(cells: Dataset[CountCell], levels: Seq[String],
-      pairs: Seq[(String, String)]): Dataset[DEContrast] = {
+      pairs: Seq[(String, String)],
+      prior: Option[DispersionPrior] = None): Dataset[DEContrast] = {
     val spark = cells.sparkSession
     import spark.implicits._
     cells.groupByKey(_.gene).flatMapGroups { (gene, it) =>
-      fitGene(gene, it, levels) match {
+      fitGene(gene, it, levels, prior) match {
         case Some(f) =>
           pairs.iterator.flatMap { case (la, lb) =>
             (f.levelIndex.get(la), f.levelIndex.get(lb)) match {
@@ -103,7 +177,7 @@ object DiffExpression {
   /** IRLS NB-GLM for one gene: log mu = log sf + X beta, X = intercept +
     * one-hot of non-reference levels actually present in the data. */
   private def fitGene(gene: Long, it: Iterator[CountCell],
-      levels: Seq[String]): Option[Fit] = {
+      levels: Seq[String], prior: Option[DispersionPrior]): Option[Fit] = {
     // deterministic accumulation order, robust to surrogate-id collisions
     val rows = it.toArray.sortBy(r => (r.smp, r.cond, r.cnt))
     if (rows.length < 2) return None
@@ -133,7 +207,25 @@ object DiffExpression {
       num += (q(i) - m) * (q(i) - m) - m
       den += m * m
     }
-    val disp = math.max(MinDisp, math.min(MaxDisp, if (den > 0) num / den else MinDisp))
+    val dispGene =
+      math.max(MinDisp, math.min(MaxDisp, if (den > 0) num / den else MinDisp))
+    // empirical-Bayes shrinkage toward the trend (log space); gene-wise
+    // estimates far ABOVE the trend are dispersion outliers and kept
+    val disp = prior match {
+      case None => dispGene
+      case Some(pr) =>
+        val aTr = math.max(MinDisp,
+          pr.a0 + pr.a1 / math.max(baseMean, MinMu))
+        val lgw = math.log(dispGene)
+        val ltr = math.log(aTr)
+        val sampVar = logDispSampVar(y.length.toDouble, p)
+        if (lgw - ltr > pr.outlierSd * math.sqrt(pr.sigmaSq + sampVar)) dispGene
+        else {
+          val post = (lgw / sampVar + ltr / pr.sigmaSq) /
+            (1.0 / sampVar + 1.0 / pr.sigmaSq)
+          math.max(MinDisp, math.min(MaxDisp, math.exp(post)))
+        }
+    }
 
     // init from group means of normalized counts
     val beta = new Array[Double](p)
@@ -143,7 +235,8 @@ object DiffExpression {
     val xtwx = Array.ofDim[Double](p, p)
     val xtwz = new Array[Double](p)
     var iter = 0
-    while (iter < MaxIter) {
+    var converged = false
+    while (iter < MaxIter && !converged) {
       java.util.Arrays.fill(xtwz, 0.0)
       xtwx.foreach(java.util.Arrays.fill(_, 0.0))
       var i = 0
@@ -163,7 +256,14 @@ object DiffExpression {
         i += 1
       }
       solveInPlace(copy(xtwx), xtwz.clone()) match {
-        case Some(sol) => System.arraycopy(sol, 0, beta, 0, p)
+        case Some(sol) =>
+          // most genes converge in < 8 iterations — exit early, keeping
+          // the xtwx of the (now-converged) last iteration for the cov
+          var dmax = 0.0
+          var j = 0
+          while (j < p) { dmax = math.max(dmax, math.abs(sol(j) - beta(j))); j += 1 }
+          System.arraycopy(sol, 0, beta, 0, p)
+          if (dmax < ConvergeTol) converged = true
         case None => return None
       }
       iter += 1

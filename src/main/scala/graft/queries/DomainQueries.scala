@@ -356,8 +356,10 @@ object DomainQueries {
     "d3_nbglm_wald",
     (s, d) => {
       import s.implicits._
-      val de = DiffExpression.waldTest(
-        nbInput(s, d, 2).as[CountCell], Seq("NT", "TP")).toDF()
+      // persist: the cells feed the dispersion-prior pass AND the fit
+      val cells = nbInput(s, d, 2).as[CountCell].persist()
+      val prior = DiffExpression.dispersionPrior(cells, 2)
+      val de = DiffExpression.waldTest(cells, Seq("NT", "TP"), Some(prior)).toDF()
       Stats.bhAdjust(de, "pvalue", "gene")
         .withColumn("p_signif", Stats.signifBand(col("padj")))
         .select(col("gene"), round(col("base_mean"), 6).as("base_mean"),
@@ -377,8 +379,9 @@ object DomainQueries {
         i <- stageLevels.indices
         j <- stageLevels.indices if i < j
       } yield (stageLevels(i), stageLevels(j))
-      DiffExpression.contrasts(
-        nbInput(s, d, 5).as[CountCell], stageLevels, pairs).toDF()
+      val cells = nbInput(s, d, 5).as[CountCell].persist()
+      val prior = DiffExpression.dispersionPrior(cells, 5)
+      DiffExpression.contrasts(cells, stageLevels, pairs, Some(prior)).toDF()
         .select(col("gene"), col("contrast"), round(col("log2fc"), 6).as("log2fc"),
           round(col("lfc_se"), 6).as("lfc_se"), round(col("stat"), 6).as("stat"),
           round(col("pvalue"), 6).as("pvalue"))

@@ -22,10 +22,11 @@ class TcgaApiSpec extends SparkSpec {
       assert(r.getAs[String]("p_signif") != "ns")
     }
     val flat = res.filter(r => r.getAs[String]("gene_name").startsWith("GENE"))
-    // MoM-dispersion Wald is mildly anti-conservative vs DESeq2's shrunk
-    // dispersions (documented deviation, SURVEY.md §7.5) — bound, not zero.
+    // empirical-Bayes dispersion shrinkage toward the trend (DESeq2-style)
+    // controls the MoM anti-conservatism; residual deviation (no gene-wise
+    // MLE / Cox-Reid) keeps this a bound, not zero (SURVEY.md §7.5).
     val fpr = flat.count(_.getAs[Double]("padj") < 0.05).toDouble / flat.length
-    assert(fpr < 0.2, s"false positive rate $fpr")
+    assert(fpr <= 0.1, s"false positive rate $fpr")
   }
 
   test("§3.1 DE: contrast direction follows level order (reference = first)") {

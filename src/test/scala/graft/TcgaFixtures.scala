@@ -30,13 +30,31 @@ object TcgaFixtures {
   /** Tumor samples are the odd half; DEG genes are 4x up in tumor. */
   private def isTumor(s: Int) = s % 2 == 1
 
+  /** True NB mean-variance counts: Var = μ + αμ² with α = 0.05, via a
+    * lognormal gene×sample effect of variance α (the Gamma mixing stand-in)
+    * plus a Gaussian-approximated Poisson draw. The DE machinery's
+    * statistical properties (FPR, shrinkage behavior) are only testable
+    * against noise the NB GLM actually models. */
+  private val dispAlpha = 0.05
+
+  private def gauss(key: Long, k: Long): Double = {
+    val u1 = math.max(u01(key * 31 + k), 1e-12)
+    val u2 = u01(key * 37 + k + 1000)
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
   private def count(g: Int, s: Int): Long = {
     val base = 20.0 + (g % 7) * 15.0
     val fold = if (g % 10 == 0 && isTumor(s)) 4.0 else 1.0
     val libSize = 0.6 + 0.8 * (s % 5) / 4.0 // per-sample depth variation
-    val noise = 0.7 + 0.6 * u01(g.toLong * 100003L + s)
     if (g % 17 == 0) (if (s % 13 == 0) 1L else 0L) // low-count genes for D1
-    else math.rint(base * fold * libSize * noise).toLong
+    else {
+      val mu = base * fold * libSize
+      val sigma = math.sqrt(math.log1p(dispAlpha))
+      val key = g.toLong * 100003L + s
+      val m = mu * math.exp(sigma * gauss(key, 1) - sigma * sigma / 2)
+      math.max(0L, math.rint(m + math.sqrt(math.max(m, 0.0)) * gauss(key, 2)).toLong)
+    }
   }
 
   def tables(spark: SparkSession): TcgaTables = {
