@@ -53,30 +53,31 @@ object Stats {
     */
   def wilcoxon(df: DataFrame, groupCol: String, condCol: String,
       valueCol: String, condA: String, condB: String): DataFrame = {
-    // t feeds both the rank window and the tie-count agg: persist so an
-    // expensive upstream (e.g. the VST pipeline) runs once
     val t = df.filter(col(condCol).isin(condA, condB))
       .select(col(groupCol), col(condCol), col(valueCol))
-      .persist()
     val wRank = Window.partitionBy(groupCol).orderBy(valueCol)
     val wTie = Window.partitionBy(col(groupCol), col(valueCol))
-    // mid-rank for ties = min-rank + (tieSize - 1)/2
+    // mid-rank for ties = min-rank + (tieSize - 1)/2. Both windows share
+    // one shuffle+sort: partitioning by group satisfies the (group, value)
+    // clustering, and the orderings coincide.
     val ranked = t
       .withColumn("rmin", rank().over(wRank))
       .withColumn("tcnt", count(lit(1)).over(wTie))
       .withColumn("ravg", col("rmin") + (col("tcnt") - 1) / 2.0)
+    // tie correction from the ranked frame itself: every row of a tie group
+    // of size c carries tcnt = c, so Σ_rows (tcnt² − 1) = Σ_values (c³ − c)
+    // exactly (integer arithmetic) — no second aggregation tree, no join,
+    // and the upstream pipeline is referenced exactly once.
     val grouped = ranked.groupBy(groupCol).agg(
       sum(when(col(condCol) === condA, col("ravg"))).as("r1"),
       sum(when(col(condCol) === condA, 1L).otherwise(0L)).as("n1"),
-      sum(when(col(condCol) === condB, 1L).otherwise(0L)).as("n2"))
-    val ties = t.groupBy(col(groupCol), col(valueCol)).count()
-      .groupBy(groupCol)
-      .agg(sum(col("count") * col("count") * col("count") - col("count")).as("tie3"))
+      sum(when(col(condCol) === condB, 1L).otherwise(0L)).as("n2"),
+      sum(col("tcnt") * col("tcnt") - 1L).as("tie3"))
     val n = col("n1") + col("n2")
     val u = col("r1") - col("n1") * (col("n1") + 1) / 2.0
     // Degenerate groups (one-sided or zero-variance under total ties) have no
     // defined z — dropped on both the Spark and the oracle side.
-    grouped.join(ties, groupCol)
+    grouped
       .filter(col("n1") > 0 && col("n2") > 0)
       .withColumn("sigma2", (col("n1") * col("n2") / 12.0) *
         ((n + 1) - col("tie3") / ((n * (n - 1)).cast("double"))))
