@@ -42,17 +42,65 @@ object Stats {
       .drop("bh_rank", "bh_n")
   }
 
-  /** Grouped two-sample Wilcoxon rank-sum (Mann–Whitney U), normal
-    * approximation with tie correction (pinned semantics per SURVEY.md §7.5;
-    * R `wilcox.test` exact-mode is n-dependent and not reproduced).
+  /** Exact CDF of the Mann–Whitney U statistic under H0 for group sizes
+    * (n1, n2): P(U ≤ u) for u in 0..n1·n2, from the distribution of
+    * rank-sums over all size-n1 subsets of ranks {1..n1+n2} (double DP —
+    * the same arithmetic domain R's `cwilcox` works in). Memoized per
+    * (n1, n2): every gene of a grouped scan shares one table. */
+  private val exactCdfMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def exactUCdf(n1: Int, n2: Int): Array[Double] =
+    exactCdfMemo.computeIfAbsent((n1, n2), { _ =>
+      val nTot = n1 + n2
+      val minS = n1 * (n1 + 1) / 2
+      val maxS = minS + n1 * n2
+      val g = Array.ofDim[Double](n1 + 1, maxS + 1)
+      g(0)(0) = 1.0
+      var i = 1
+      while (i <= nTot) {
+        var j = math.min(i, n1)
+        while (j >= 1) {
+          var s = maxS
+          while (s >= i) {
+            if (g(j - 1)(s - i) != 0.0) g(j)(s) += g(j - 1)(s - i)
+            s -= 1
+          }
+          j -= 1
+        }
+        i += 1
+      }
+      val counts = (0 to n1 * n2).map(u => g(n1)(u + minS))
+      val total = counts.sum
+      counts.scanLeft(0.0)(_ + _).tail.map(_ / total).toArray
+    })
+
+  /** R `wilcox.test` exact two-sided p-value: 2·P(U ≤ w) below the center,
+    * 2·P(U ≥ w) above, capped at 1. */
+  private[graft] def exactWilcoxP(u: Double, n1: Int, n2: Int): Double = {
+    val cdf = exactUCdf(n1, n2)
+    val w = math.round(u).toInt
+    val p =
+      if (w > n1 * n2 / 2.0) 2.0 * (1.0 - (if (w >= 1) cdf(w - 1) else 0.0))
+      else 2.0 * cdf(w)
+    math.min(1.0, p)
+  }
+
+  /** Grouped two-sample Wilcoxon rank-sum (Mann–Whitney U). Default
+    * semantics (pinned per SURVEY.md §7.5): normal approximation with tie
+    * correction for every group. With `exactMaxN > 0`, groups with
+    * n1, n2 < exactMaxN and NO ties use the exact U distribution instead —
+    * R `wilcox.test`'s small-sample switch (default threshold 50).
     *
-    * @param df       long-form `(groupCol, condCol, valueCol)`
-    * @param condA    the "treatment" level whose rank-sum forms U
-    * @param condB    the other level (all other rows are dropped)
+    * @param df        long-form `(groupCol, condCol, valueCol)`
+    * @param condA     the "treatment" level whose rank-sum forms U
+    * @param condB     the other level (all other rows are dropped)
+    * @param exactMaxN opt-in exact-mode threshold (0 = always normal)
     * @return per group: `(groupCol, n1, n2, u, z, pvalue)`
     */
   def wilcoxon(df: DataFrame, groupCol: String, condCol: String,
-      valueCol: String, condA: String, condB: String): DataFrame = {
+      valueCol: String, condA: String, condB: String,
+      exactMaxN: Int = 0): DataFrame = {
     val t = df.filter(col(condCol).isin(condA, condB))
       .select(col(groupCol), col(condCol), col(valueCol))
     val wRank = Window.partitionBy(groupCol).orderBy(valueCol)
@@ -84,7 +132,18 @@ object Stats {
       .filter(col("sigma2") > 0)
       .withColumn("u", u)
       .withColumn("z", (col("u") - col("n1") * col("n2") / 2.0) / sqrt(col("sigma2")))
-      .withColumn("pvalue", normalSfTwoSided(col("z")))
+      .withColumn("pvalue",
+        if (exactMaxN <= 0) normalSfTwoSided(col("z"))
+        else {
+          // the UDF runs on the per-GROUP aggregate (one row per gene),
+          // never on the fact scan — the hot path stays codegen'd
+          val exactUdf = udf((uu: Double, a: Long, b: Long) =>
+            exactWilcoxP(uu, a.toInt, b.toInt))
+          when(col("n1") < exactMaxN && col("n2") < exactMaxN &&
+              col("tie3") === 0L,
+            exactUdf(col("u"), col("n1"), col("n2")))
+            .otherwise(normalSfTwoSided(col("z")))
+        })
       .select(col(groupCol), col("n1"), col("n2"), col("u"), col("z"), col("pvalue"))
   }
 

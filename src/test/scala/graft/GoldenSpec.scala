@@ -1,22 +1,34 @@
 package graft
 
 import scala.io.Source
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, round}
+import org.apache.spark.sql.types.DoubleType
+import graft.api.Tcga
 import graft.queries.QueryCatalog
 
-/** §5.4 — end-to-end golden tests: pipeline outputs on sf0.001 compared to
-  * committed CSVs (deterministic: fixed data seed, UTC, rounded doubles,
-  * canonical column/row ordering). Regenerate with Verify at sf0.001 +
-  * the canonicalization below if a pipeline's semantics change on purpose. */
+/** §5.4 — end-to-end golden tests: pipeline outputs on sf0.001 (catalog
+  * queries) and the TCGA fixtures (API surfaces without a catalog twin:
+  * the N2 drug-KM fan-out and the ragged export) compared to committed
+  * CSVs (deterministic: fixed data seed, UTC, rounded doubles, canonical
+  * column/row ordering). Regenerate on purposeful semantic change with
+  * `GOLDEN_REGEN=1 sbt "testOnly graft.GoldenSpec"` (writes the API
+  * goldens) + Verify at sf0.001 for the catalog ones. */
 class GoldenSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   private val golden = Seq("de1_pipeline_wilcoxon", "d10_km_curve",
     "km2_logrank_by_gene", "x2_quality_score")
 
-  /** Canonical form: columns sorted by name, rows sorted by all columns,
-    * everything stringified the way pandas' to_csv wrote the goldens. */
-  private def canonical(name: String): Seq[String] = {
-    val df = QueryCatalog.byName(name).run(spark, dir)
+  /** Canonical form: columns sorted by name, doubles rounded to 6 (the
+    * catalog queries already round; API frames are rounded here), rows
+    * sorted, everything stringified the way pandas' to_csv wrote the
+    * goldens. */
+  private def canonicalDf(df0: DataFrame): Seq[String] = {
+    val df = df0.schema.fields.foldLeft(df0) { (acc, f) =>
+      if (f.dataType == DoubleType) acc.withColumn(f.name, round(col(f.name), 6))
+      else acc
+    }
     val cols = df.columns.sorted
     val proj = df.select(cols.map(df(_)): _*)
     proj.collect().map { r =>
@@ -35,17 +47,51 @@ class GoldenSpec extends SparkSpec {
     }.sorted.toSeq
   }
 
+  private def canonical(name: String): Seq[String] =
+    canonicalDf(QueryCatalog.byName(name).run(spark, dir))
+
+  private def assertGolden(name: String, got0: Seq[String]): Unit = {
+    val url = getClass.getResource(s"/golden/$name.csv")
+    assert(url != null, s"missing golden file for $name")
+    val src = Source.fromURL(url)
+    val lines = try src.getLines().drop(1).map(canonLine).toVector finally src.close()
+    val got = got0.map(canonLine)
+    assert(got.size == lines.size, s"row count ${got.size} vs golden ${lines.size}")
+    got.sorted.zip(lines.sorted).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"row $i differs:\n  got    $g\n  golden $e")
+    }
+  }
+
   golden.foreach { name =>
     test(s"golden: $name matches committed sf0.001 output") {
-      val url = getClass.getResource(s"/golden/$name.csv")
-      assert(url != null, s"missing golden file for $name")
-      val src = Source.fromURL(url)
-      val lines = try src.getLines().drop(1).map(canonLine).toVector finally src.close()
-      val got = canonical(name).map(canonLine)
-      assert(got.size == lines.size, s"row count ${got.size} vs golden ${lines.size}")
-      got.sorted.zip(lines.sorted).zipWithIndex.foreach { case ((g, e), i) =>
-        assert(g == e, s"row $i differs:\n  got    $g\n  golden $e")
-      }
+      assertGolden(name, canonical(name))
+    }
+  }
+
+  // ---- API surfaces without a catalog query (reference:
+  // drug_km_median_exp.R:38-130, vital_status_DESeq.R:147-175)
+
+  private lazy val tcga = TcgaFixtures.tables(spark)
+  private lazy val drugKm =
+    Tcga.drugKmFanOut(tcga, Seq("Tamoxifen", "Chemotherapy"), Seq("DEG10", "GENE1"))
+
+  private def apiFrames: Seq[(String, () => DataFrame)] = Seq(
+    ("api_drug_km_curves", () => drugKm._1),
+    ("api_drug_km_tests", () => drugKm._2),
+    ("api_ragged_export", () => Tcga.raggedExport(tcga, "short_letter_code",
+      Seq("DEG10", "GENE1"), Seq("NT", "TP"))))
+
+  apiFrames.foreach { case (name, mk) =>
+    test(s"golden: $name matches committed fixture output") {
+      val df = mk()
+      if (sys.env.contains("GOLDEN_REGEN")) {
+        val path = java.nio.file.Paths.get(
+          s"src/test/resources/golden/$name.csv")
+        val header = df.columns.sorted.mkString(",")
+        java.nio.file.Files.writeString(path,
+          (header +: canonicalDf(df)).mkString("", "\n", "\n"))
+        info(s"regenerated $path")
+      } else assertGolden(name, canonicalDf(df))
     }
   }
 

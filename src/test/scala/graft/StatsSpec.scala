@@ -28,6 +28,37 @@ class StatsSpec extends SparkSpec {
     assert(Stats.wilcoxon(df, "gene", "cond", "v", "A", "B").count() == 0)
   }
 
+  test("exact wilcoxon matches published R wilcox.test values (small n, no ties)") {
+    // R: wilcox.test(1:4, 5:8)      -> W = 0,  p = 0.02857143
+    //    wilcox.test(1:5, 6:10)     -> W = 0,  p = 0.007936508
+    //    wilcox.test(c(1,4,6), c(2,3,5)) -> W = 5, p = 1
+    assert(math.abs(Stats.exactWilcoxP(0, 4, 4) - 2.0 / 70) < 1e-12)
+    assert(math.abs(Stats.exactWilcoxP(0, 5, 5) - 2.0 / 252) < 1e-12)
+    assert(math.abs(Stats.exactWilcoxP(5, 3, 3) - 1.0) < 1e-12)
+    // symmetry of the null distribution: p(u) == p(n1*n2 - u)
+    assert(math.abs(Stats.exactWilcoxP(3, 6, 7) - Stats.exactWilcoxP(39, 6, 7)) < 1e-12)
+  }
+
+  test("wilcoxon exact mode switches per group and falls back on ties") {
+    import spark.implicits._
+    // group "clean": 1:4 vs 5:8, no ties -> exact p = 2/70
+    // group "tied":  values with a tie   -> normal approximation
+    val rows =
+      (1 to 4).map(v => ("clean", "A", v.toDouble)) ++
+      (5 to 8).map(v => ("clean", "B", v.toDouble)) ++
+      Seq(("tied", "A", 1.0), ("tied", "A", 2.0), ("tied", "B", 2.0),
+        ("tied", "B", 3.0))
+    val r = Stats.wilcoxon(rows.toDF("g", "cond", "v"), "g", "cond", "v",
+        "A", "B", exactMaxN = 50)
+      .collect().map(x => x.getAs[String]("g") -> x.getAs[Double]("pvalue")).toMap
+    assert(math.abs(r("clean") - 2.0 / 70) < 1e-12)
+    val normalOnly = Stats.wilcoxon(rows.toDF("g", "cond", "v"), "g", "cond", "v",
+        "A", "B")
+      .collect().map(x => x.getAs[String]("g") -> x.getAs[Double]("pvalue")).toMap
+    assert(r("tied") == normalOnly("tied")) // tie -> same normal-approx path
+    assert(r("clean") != normalOnly("clean"))
+  }
+
   test("BH adjustment matches hand computation and is monotone in rank") {
     // p = (.005, .03, .04): raw p*n/rank = (.015, .045, .12)? no:
     // sorted p .005(.015) .03(.045) .04(.04) -> cummin desc: .04, .04, .015
