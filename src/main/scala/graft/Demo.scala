@@ -12,6 +12,10 @@ import graft.api.Tcga
 object Demo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // each run starts a fresh metastore; stale table dirs from a previous
+    // JVM would fail saveAsTable with LOCATION_ALREADY_EXISTS
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_warehouse"))
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")

@@ -16,6 +16,13 @@ import graft.expressions.GraftFunctions
   * embarrassingly-parallel scan; the search-side candidate set shrinks by
   * ~k/nProbe versus brute force. Exact re-rank inside the probed cells
   * makes `nProbe = k` literally equal to brute force (tested).
+  *
+  * Re-ranking runs `cosine_sim` on the RAW (cast-to-double) vectors, not
+  * the L2-normalized copies: the fused left-to-right accumulation is then
+  * bit-identical to a dot/(|a|·|b|) oracle over the same doubles, so the
+  * nProbe=k path hash-matches a brute-force SQL oracle (ss3_ivf_ann). The
+  * normalized copies drive only the cell geometry (seeding, assignment,
+  * probe distances), where bit-parity is irrelevant.
   */
 object Ann {
 
@@ -81,17 +88,17 @@ object Ann {
     val centroids = kmeansCentroids(emb, idCol, vecCol, k, iters)
     val corpus = assign(normalized(emb, idCol, vecCol), centroids)
     val qn = normalized(queries, idCol, vecCol)
-      .select(col("id").as("q_id"), col("vn").as("qvn"))
+      .select(col("id").as("q_id"), col("v").as("qv"), col("vn").as("qvn"))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
     val probed = qn.crossJoin(broadcast(centroids))
       .withColumn("d2", dist2(col("qvn"), col("cv")))
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nProbe)
-      .select(col("q_id"), col("qvn"), col("cell"))
+      .select(col("q_id"), col("qv"), col("cell"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
     probed.join(corpus, Seq("cell"))
       .filter(col("id") =!= col("q_id"))
-      .withColumn("cos", expr("cosine_sim(qvn, vn)"))
+      .withColumn("cos", expr("cosine_sim(qv, v)"))
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .filter(col("rnk") <= topK)
       .select(col("q_id"), col("rnk"), col("id"), col("cos"))
@@ -104,11 +111,11 @@ object Ann {
     GraftFunctions.register(spark)
     val corpus = normalized(emb, idCol, vecCol)
     val qn = normalized(queries, idCol, vecCol)
-      .select(col("id").as("q_id"), col("vn").as("qvn"))
+      .select(col("id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
     corpus.crossJoin(broadcast(qn))
       .filter(col("id") =!= col("q_id"))
-      .withColumn("cos", expr("cosine_sim(qvn, vn)"))
+      .withColumn("cos", expr("cosine_sim(qv, v)"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topK)
       .select(col("q_id"), col("rnk"), col("id"), col("cos"))

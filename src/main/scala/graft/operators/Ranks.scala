@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase ordered ranking — global or per-group `row_number`/`ntile`
+  * without the one-task-per-group window-sort anti-pattern.
+  *
+  * A plain `row_number().over(Window.partitionBy(g).orderBy(k))` sorts
+  * each group in ONE task; with few (or no) groups that is a scale
+  * killer. Here instead: range-partition on (group, order) keys, rank
+  * locally per physical partition (balanced tasks), then add each
+  * partition's cumulative row-count offset. The only no-partition work
+  * runs over one row per (group, partition) — bounded by the shuffle
+  * partition count, never by the data.
+  */
+object Ranks {
+
+  /** `out` = 1-based rank of each row within its `grp` group under
+    * `order`, plus `outN` = the group's total row count (handy for tile
+    * math). Deterministic when (grp ++ order) is a total order; rows with
+    * fully-equal keys are interchangeable. */
+  def rowNumber(df: DataFrame, grp: Seq[Column], order: Seq[Column],
+      out: String = "rn", outN: String = "__n"): DataFrame = {
+    val keys = grp ++ order
+    // persist: the partition id must be identical across the offsets
+    // branch and the local-rank branch
+    val ranged = df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val grpNames = grp.map(_.toString)
+    val counts = ranged.groupBy((grp :+ col("__pid")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val wOff = Window.partitionBy(grp: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(grp: _*)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .withColumn(outN, sum(col("__cnt")).over(wAll))
+      .select((grp :+ col("__pid") :+ col("__off") :+ col(outN)): _*)
+    val wLocal = Window.partitionBy((grp :+ col("__pid")): _*).orderBy(order: _*)
+    ranged
+      .withColumn("__lrn", row_number().over(wLocal))
+      .join(broadcast(offsets), grpNames :+ "__pid")
+      .withColumn(out, (col("__off") + col("__lrn")).cast("long"))
+      // using-column joins reorder the schema; restore the input's order
+      .select((df.columns.map(col) :+ col(out) :+ col(outN)): _*)
+  }
+
+  /** SQL `NTILE(tiles)` semantics via the two-phase rank: the first
+    * `n % tiles` tiles hold `ceil(n/tiles)` rows, the rest `floor`.
+    * (`/` on Columns is double division — `floor` recovers the integer
+    * quotient; values stay far below 2^53.) */
+  def ntile(df: DataFrame, grp: Seq[Column], order: Seq[Column], tiles: Int,
+      out: String = "tile"): DataFrame = {
+    val ranked = rowNumber(df, grp, order, "__rnk", "__n")
+    val small = floor(col("__n") / tiles) // floor tile size
+    val bigger = col("__n") % tiles // tiles holding one extra row
+    val boundary = bigger * (small + 1) // ranks covered by the big tiles
+    ranked
+      .withColumn(out,
+        when(col("__rnk") <= boundary,
+          floor((col("__rnk") - 1) / (small + 1)) + 1)
+          .otherwise(bigger + floor((col("__rnk") - boundary - 1) / small) + 1)
+          .cast("int"))
+      .drop("__rnk", "__n")
+  }
+}

@@ -294,34 +294,16 @@ object RelationalQueries {
   /** G1 — deterministic global sort exposed as an explicit rank column
     * (vital_status_DESeq.R:92); the tiebreak key makes it reproducible.
     *
-    * Two-phase rank: a no-partition `row_number` Window would pull the
-    * whole table through ONE task. Instead: range-partition on the sort
-    * key, rank locally per partition (N balanced window tasks), and add
-    * each partition's cumulative row-count offset — the offset window
-    * runs over one row per partition (≤ shuffle-partition count), never
-    * over the fact table. */
+    * A no-partition `row_number` Window would pull the whole table through
+    * ONE task — [[graft.operators.Ranks.rowNumber]] two-phase rank keeps
+    * every task bounded by a range partition. */
   private val g1 = Q(
     "g1_order_by",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val keys = Seq(col("p_name"), col("p_partkey"))
-      // persist: pid must be identical across the rank and count branches
-      val ranged = Tables.part(s, d)
-        .repartitionByRange(keys: _*)
-        .withColumn("pid", spark_partition_id())
-        .persist()
-      val offsets = ranged.groupBy("pid").count()
-        .withColumn("off", coalesce(
-          sum(col("count")).over(Window.orderBy(col("pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("pid"), col("off"))
-      val local = Window.partitionBy(col("pid")).orderBy(keys: _*)
-      ranged
-        .withColumn("lrn", row_number().over(local))
-        .join(broadcast(offsets), "pid")
-        .select((col("off") + col("lrn")).cast("long").as("rn"),
-          col("p_partkey"), col("p_name"))
-    },
+    (s, d) =>
+      graft.operators.Ranks
+        .rowNumber(Tables.part(s, d),
+          grp = Nil, order = Seq(col("p_name"), col("p_partkey")), out = "rn")
+        .select(col("rn"), col("p_partkey"), col("p_name")),
     Some("""SELECT row_number() OVER (ORDER BY p_name, p_partkey) AS rn, p_partkey, p_name
             FROM part"""))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, TextFunctions}
+import graft.operators.{Ann, Dedup, TextFunctions}
 
 /** Large-scale training-data-pipeline operators over the `documents` and
   * `embeddings` tables: exact + MinHash/LSH + SimHash + n-gram-Jaccard +
@@ -388,6 +388,30 @@ object ScaleOpsQueries {
                    FROM pairs)
              SELECT q_id, rnk, vec_id, bucket, round(cos, 6) AS cos FROM r WHERE rnk <= 3"""))
 
+  /** SS3 — IVF ANN (operators.Ann): k-means coarse quantizer, probe-then-
+    * exact-re-rank. Run with nProbe = k, where IVF provably equals brute
+    * force (AnnSpec), so the full k-means → assign → probe → re-rank
+    * pipeline is exercised under a plain brute-force SQL oracle — the
+    * re-rank's `cosine_sim` over raw doubles is bit-identical to the
+    * DuckDB dot/(|a|·|b|) fold. */
+  private val ss3 = Q(
+    "ss3_ivf_ann",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 8, iters = 2, nProbe = 8, topK = 3)
+        .select(col("q_id"), col("rnk"), col("id").as("vec_id"),
+          round(col("cos"), 6).as("cos"))
+    },
+    Some(s"""WITH e AS ($embNormSql),
+             q AS (SELECT vec_id AS q_id, embedding, nrm AS qn FROM e WHERE vec_id % 100 = 0),
+             pairs AS (SELECT q.q_id, e.vec_id, ${dotSql("q", "e")} / (q.qn * e.nrm) AS cos
+                       FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+             r AS (SELECT q_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+                   FROM pairs)
+             SELECT q_id, rnk, vec_id, round(cos, 6) AS cos FROM r WHERE rnk <= 3"""))
+
   /** DD5 — embedding-cosine near-duplicate pairs, blocked by `label`
     * (stand-in for an IVF/coarse-quantizer cell at scale): exact cosine
     * inside the block, threshold 0.35. */
@@ -453,5 +477,5 @@ object ScaleOpsQueries {
           WHERE band = 'ok' AND doc_id = keeper"""
     })
 
-  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, ss1, ss2, dd5, p1)
+  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, ss1, ss2, ss3, dd5, p1)
 }

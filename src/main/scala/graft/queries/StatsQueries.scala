@@ -203,14 +203,19 @@ object StatsQueries {
 
   /** E1 — ntile(2) median split → LOW/HIGH stratification
     * (surv_analysis_median_exp.R:134-141). Tiebreak keys pin tile assignment
-    * (dplyr::ntile and SQL NTILE are both order-dependent under ties). */
+    * (dplyr::ntile and SQL NTILE are both order-dependent under ties).
+    *
+    * `l_returnflag` has 3 values, so a plain partitioned window sorts the
+    * whole fact table in 3 tasks at any scale — [[graft.operators.Ranks]]
+    * two-phase ntile keeps every task bounded by a range partition. */
   private val e1 = Q(
     "e1_ntile_split",
     (s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      Tables.lineitem(s, d)
-        .withColumn("tile", ntile(2).over(w))
+      import graft.operators.Ranks
+      Ranks.ntile(Tables.lineitem(s, d),
+          grp = Seq(col("l_returnflag")),
+          order = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          tiles = 2, out = "tile")
         .withColumn("strat", when(col("tile") === 1, "LOW").otherwise("HIGH"))
         .groupBy(col("l_returnflag"), col("strat"))
         // exact decimal sum → double: association-order-proof across engines

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Ranks
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase rank/ntile must be value-identical to the built-in window
+  * functions under a total order — including groups smaller than the tile
+  * count and group counts that don't divide evenly. */
+class RanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 uneven groups (sizes 103, 40, 1) with duplicate order values so the
+  // id tiebreak is load-bearing, scattered over 7 input partitions
+  private lazy val df = spark.range(0, 144).repartition(7)
+    .withColumn("g", when(col("id") < 103, "a").when(col("id") < 143, "b").otherwise("c"))
+    .withColumn("v", (col("id") % 11).cast("int"))
+    .persist()
+
+  test("rowNumber matches row_number over (g, v, id)") {
+    val expect = df.withColumn("rn",
+      row_number().over(Window.partitionBy($"g").orderBy($"v", $"id")).cast("long"))
+    val got = Ranks.rowNumber(df, Seq($"g"), Seq($"v", $"id")).drop("__n")
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+  }
+
+  test("rowNumber with no grouping matches a global row_number") {
+    val expect = df.withColumn("rn",
+      row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+    val got = Ranks.rowNumber(df, Nil, Seq($"v", $"id")).drop("__n")
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+  }
+
+  test("ntile matches NTILE(t) for t = 2, 4, 7 including groups with n < t") {
+    for (t <- Seq(2, 4, 7)) {
+      val expect = df.withColumn("tile",
+        ntile(t).over(Window.partitionBy($"g").orderBy($"v", $"id")))
+      val got = Ranks.ntile(df, Seq($"g"), Seq($"v", $"id"), t)
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        s"ntile($t) mismatch")
+    }
+  }
+
+  test("only the per-partition local rank windows the full data; offsets window on agg") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec        => q +: flatten(q.plan)
+      case other                    => other +: other.children.flatMap(flatten)
+    }
+    val out = Ranks.ntile(df, Seq($"g"), Seq($"v", $"id"), 2)
+    out.collect()
+    val windows = flatten(out.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // every window that is NOT partitioned by __pid (i.e. the offsets /
+    // totals windows) must sit on an aggregate: one row per (g, __pid)
+    windows.filterNot(_.partitionSpec.exists(_.toString.contains("__pid"))).foreach { w =>
+      val aggBelow = flatten(w.child).exists {
+        case _: BaseAggregateExec => true
+        case _ => false
+      }
+      assert(aggBelow,
+        s"window input must be an aggregate, not the fact table:\n$w")
+    }
+  }
+}
