@@ -15,31 +15,60 @@ object Stats {
 
   /** Benjamini–Hochberg adjusted p-values.
     *
-    * `padj_i = min_{j : p_j >= p_i} min(1, p_j * n / rank_j)` — implemented
-    * as a rank window + a running min over descending p.
+    * `padj_i = min_{j : p_j >= p_i} min(1, p_j * n / rank_j)` — a rank plus
+    * a running min over descending p. Both are global ordered statistics,
+    * but neither needs a global one-task sort: rows are range-partitioned
+    * on (partitionCols, p desc, tieBreak desc), ranked/cummin'd locally per
+    * physical partition, and stitched with per-partition offsets — rank
+    * offsets are cumulative counts, cummin offsets are prefix mins of the
+    * per-partition minima. The only no-partition windows run over one row
+    * per (group, partition), bounded by the shuffle-partition count. `min`
+    * is exactly associative, so the result is bit-identical to the plain
+    * single-window formulation at any partitioning.
     *
-    * Scale caveat: BH is a global ordered statistic, so this sorts all
-    * p-values. In the reference's domain n = |genes| (~60k) — tiny. For a
-    * 100 TB case partition by contrast/experiment first (`partitionCols`).
-    *
-    * @param df        input with a p-value column
-    * @param pCol      p-value column name
-    * @param tieBreak  unique column making the rank deterministic under ties
+    * @param df            input with a p-value column
+    * @param pCol          p-value column name
+    * @param tieBreak      unique column making the rank deterministic under ties
+    * @param partitionCols optional grouping (per-contrast / per-experiment BH)
     * @return df plus `padj`
     */
   def bhAdjust(df: DataFrame, pCol: String, tieBreak: String,
       partitionCols: Seq[String] = Nil): DataFrame = {
     val part = partitionCols.map(col)
-    val wRank = Window.partitionBy(part: _*).orderBy(col(pCol), col(tieBreak))
-    val wCummin = Window.partitionBy(part: _*)
-      .orderBy(col(pCol).desc, col(tieBreak).desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = Seq(col(pCol).desc, col(tieBreak).desc) // one descending scan
+    // persist: the partition id must agree across the offsets, per-partition
+    // minima, and local-scan branches
+    val ranged = df.repartitionByRange((part ++ ord): _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val byPid = part :+ col("__pid")
+    val wOff = Window.partitionBy(part: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(part: _*)
-    df.withColumn("bh_rank", row_number().over(wRank))
-      .withColumn("bh_n", count(lit(1)).over(wAll))
-      .withColumn("padj",
-        min(least(lit(1.0), col(pCol) * col("bh_n") / col("bh_rank"))).over(wCummin))
-      .drop("bh_rank", "bh_n")
+    val offsets = ranged.groupBy(byPid: _*).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .select((byPid :+ col("__off") :+ col("__n")): _*)
+    val wLocal = Window.partitionBy(byPid: _*).orderBy(ord: _*)
+    // global descending rank → ascending BH rank → the BH quotient q
+    val local = ranged
+      .withColumn("__lrn", row_number().over(wLocal))
+      .join(broadcast(offsets), partitionCols :+ "__pid")
+      .withColumn("__rank", col("__n") - (col("__off") + col("__lrn")) + 1)
+      .withColumn("__q", least(lit(1.0), col(pCol) * col("__n") / col("__rank")))
+    // running min of q in the same descending order: local cummin + prefix
+    // min of earlier partitions' minima (per-(group, partition) rows only)
+    val prevMin = local.groupBy(byPid: _*).agg(min(col("__q")).as("__pmin"))
+      .withColumn("__prev", min(col("__pmin")).over(wOff))
+      .select((byPid :+ col("__prev")): _*)
+    val wCumLoc = Window.partitionBy(byPid: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local
+      .withColumn("__locMin", min(col("__q")).over(wCumLoc))
+      .join(broadcast(prevMin), partitionCols :+ "__pid")
+      .withColumn("padj", least(col("__locMin"),
+        coalesce(col("__prev"), col("__locMin"))))
+      .select((df.columns.map(col) :+ col("padj")): _*)
   }
 
   /** Exact CDF of the Mann–Whitney U statistic under H0 for group sizes
