@@ -40,23 +40,36 @@ object Ann {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
 
   /** Deterministic seeded k-means over normalized vectors.
-    * @return centroids `(cell, cv ARRAY<DOUBLE>)` */
+    *
+    * Lloyd iterations run over a bounded training sample — the `maxTrain`
+    * md5-lowest ids (`orderBy+limit` plans as TakeOrderedAndProject:
+    * per-partition top-k heaps, no single task sees the corpus). Training
+    * a coarse quantizer on a sample is the standard IVF design (FAISS
+    * recommends ~256·k training points); the full corpus is only ever
+    * touched by the one embarrassingly-parallel `assign` scan downstream.
+    *
+    * @return centroids `(cell, cv ARRAY<DOUBLE>)` — ≤ k rows (a cell that
+    *         loses all its training members drops out; harmless, searches
+    *         probe surviving cells only) */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
-    val n = normalized(emb, idCol, vecCol)
-    // Deterministic spread seeds: k lowest md5-ordered ids. orderBy+limit
-    // plans as TakeOrderedAndProject (per-partition top-k heaps + driver
-    // merge of k rows), so no single task ever sees the whole corpus; the
-    // row_number window then runs over only k rows.
-    var centroids = n
+      k: Int, iters: Int, maxTrain: Int = 1 << 18): DataFrame = {
+    // persist: the sample seeds the centroids AND feeds every Lloyd pass
+    val train = normalized(emb, idCol, vecCol)
       .withColumn("h", md5(col("id").cast("string")))
+      .orderBy(col("h"), col("id"))
+      .limit(maxTrain)
+      .select(col("id"), col("h"), col("vn"))
+      .persist()
+    // Deterministic spread seeds: k lowest md5-ordered ids; the
+    // row_number window runs over only k rows.
+    var centroids = train
       .orderBy(col("h"), col("id"))
       .limit(k)
       .withColumn("rk", row_number().over(Window.orderBy(col("h"), col("id"))))
       .select((col("rk") - 1).cast("int").as("cell"), col("vn").as("cv"))
     var i = 0
     while (i < iters) {
-      val assigned = assign(n, centroids)
+      val assigned = assign(train, centroids)
       centroids = assigned
         .select(col("cell"), posexplode(col("vn")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
@@ -85,7 +98,9 @@ object Ann {
       k: Int, iters: Int, nProbe: Int, topK: Int): DataFrame = {
     val spark = emb.sparkSession
     GraftFunctions.register(spark)
-    val centroids = kmeansCentroids(emb, idCol, vecCol, k, iters)
+    // persist: k rows, referenced by the corpus assign AND the query probe
+    // — without it each reference re-runs the whole Lloyd DAG
+    val centroids = kmeansCentroids(emb, idCol, vecCol, k, iters).persist()
     val corpus = assign(normalized(emb, idCol, vecCol), centroids)
     val qn = normalized(queries, idCol, vecCol)
       .select(col("id").as("q_id"), col("v").as("qv"), col("vn").as("qvn"))
