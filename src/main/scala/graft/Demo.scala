@@ -78,6 +78,15 @@ object Demo {
       Seq("Chemotherapy", "Tamoxifen"), goi)
     println(s"[demo] drug-km fan-out: curves = ${kmCurves.count()}, tests = ${kmTests.count()}")
 
+    // A7 PNG plot sink (java2d edge renderer over the plot-ready frames)
+    val bxPng = graft.sinks.Plots.writeBoxplotPng(bp, "/tmp/graft_plots/box.png")
+    val oneCurve = kmCurves
+      .filter(col("drug_class") === "Chemotherapy" && col("gene_name") === goi.head)
+      .withColumnRenamed("strat", "arm")
+    val kmPng = graft.sinks.Plots.writeKmPng(oneCurve, "arm",
+      "/tmp/graft_plots/km.png", pValue = Some(0.05))
+    println(s"[demo] plot sink: ${bxPng.length()}B ${kmPng.length()}B PNGs written")
+
     // IVF ANN over the real embeddings table
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") % 100 === 0)
