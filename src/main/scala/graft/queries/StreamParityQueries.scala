@@ -33,6 +33,30 @@ object StreamParityQueries {
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2"""))
 
+  /** S2 — streaming exact dedup, batch-replayed: dedupKeepFirst is the
+    * batch twin of EventStreams.dedupStream (dropDuplicatesWithinWatermark)
+    * — keep the earliest (ts, event_id) row per content key. Ordering and
+    * output use the MICROSECOND domain on both sides: DuckDB scans the
+    * nanos parquet timestamp at µs precision, so raw-nanos output would
+    * differ in the last three digits (`ts div 1000` ≡ `epoch_us(ts)`). */
+  private val s2 = Q(
+    "s2_stream_dedup",
+    (s, d) =>
+      EventStreams.dedupKeepFirst(
+          Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+          Seq("user_id", "event_type", "value"), "ts_us", "event_id")
+        .select(col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          col("ts_us").as("first_ts_us"), col("event_id")),
+    Some("""WITH r AS (SELECT user_id, event_type, value,
+                         epoch_us(ts) AS tsu, event_id,
+                         row_number() OVER (PARTITION BY user_id, event_type, value
+                           ORDER BY epoch_us(ts), event_id) AS rn
+                       FROM events)
+            SELECT user_id, event_type, round(value, 6) AS value,
+                   tsu AS first_ts_us, event_id
+            FROM r WHERE rn = 1"""))
+
   /** A5 — delimited parameter-list scan steering a plan
     * (read.delim("genes.txt")[,1] + toupper, BRCA_path_stage_DESeq.R:7-9):
     * the Spark side reads a real tab-delimited file through CsvIO; the
@@ -52,5 +76,5 @@ object StreamParityQueries {
     Some("""SELECT p_partkey, p_type FROM part
             WHERE p_type IN ('ECONOMY','STANDARD')"""))
 
-  def all: Seq[Q] = Seq(s1, a5)
+  def all: Seq[Q] = Seq(s1, s2, a5)
 }

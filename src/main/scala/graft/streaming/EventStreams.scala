@@ -98,4 +98,27 @@ object EventStreams {
         if (isStreaming) GroupStateTimeout.EventTimeTimeout
         else GroupStateTimeout.NoTimeout)(handle)
   }
+
+  /** Exact streaming dedup on a content key — the at-least-once-delivery
+    * dedup stage of a streaming ingest (the streaming face of
+    * operators.Dedup.exact). Keeps the first arriving row per key; a
+    * key's state is evicted once the watermark passes its event time +
+    * `delay`, so state is bounded by delay × arrival rate, never by
+    * stream history (a duplicate arriving after eviction is re-emitted —
+    * the standard bounded-state trade-off). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", delay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+
+  /** Batch twin of [[dedupStream]]: keep the minimum `(tsCol, tieBreak)`
+    * row per key — identical output when the stream arrives in event-time
+    * order within the watermark. One partial+final hash agg (map-side
+    * combine), no windows, no shuffle beyond the key grouping. */
+  def dedupKeepFirst(events: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieBreak: String): DataFrame =
+    events.groupBy(keyCols.map(col): _*)
+      .agg(min(struct(col(tsCol), col(tieBreak))).as("__first"))
+      .select(keyCols.map(col) ++ Seq(
+        col(s"__first.$tsCol").as(tsCol),
+        col(s"__first.$tieBreak").as(tieBreak)): _*)
 }

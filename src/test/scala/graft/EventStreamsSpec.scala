@@ -75,4 +75,44 @@ class EventStreamsSpec extends SparkSpec {
       .select(EventStreams.nanosToTs($"ts_nanos").as("t"))
     assert(df.collect().head.getTimestamp(0) == Timestamp.valueOf("2026-01-01 10:00:00"))
   }
+
+  test("dedupStream keeps first arrival, evicts key state past the watermark") {
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.dedupStream(src.toDF(),
+        keyCols = Seq("eventType", "value"), delay = "2 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(Event(1, ts(1), "click", 1.0), Event(2, ts(1, 30), "click", 1.0))
+      q.processAllAvailable() // duplicate within watermark -> one survivor
+      src.addData(Event(3, ts(2), "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 2)
+      // push the watermark far past (click, 1.0)'s state lifetime...
+      src.addData(Event(4, ts(30), "buy", 3.0))
+      q.processAllAvailable()
+      // ...so a late duplicate is re-emitted: state was bounded, not global
+      src.addData(Event(5, ts(31), "click", 1.0))
+      q.processAllAvailable()
+      val clicks = spark.table("deduped")
+        .filter($"eventType" === "click").collect()
+      assert(clicks.length == 2)
+      assert(clicks.map(_.getAs[Long]("userId")).toSet == Set(1L, 5L))
+    } finally q.stop()
+  }
+
+  test("dedupKeepFirst is the batch twin: min (ts, tieBreak) row per key") {
+    val events = Seq(
+      (10L, 100L, "click", 1.0), (11L, 50L, "click", 1.0), // dup: 11 earlier
+      (12L, 50L, "click", 9.9), (13L, 50L, "view", 1.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = EventStreams.dedupKeepFirst(events,
+        Seq("event_type", "value"), "ts", "event_id")
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Double]("value"), r.getAs[Long]("ts"),
+        r.getAs[Long]("event_id"))).toSet
+    assert(got == Set(("click", 1.0, 50L, 11L),
+      ("click", 9.9, 50L, 12L), ("view", 1.0, 50L, 13L)))
+  }
 }
