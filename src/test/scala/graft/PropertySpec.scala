@@ -91,4 +91,48 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("Ranks: two-phase rank/ntile equals built-in windows on generated frames") {
+    import graft.operators.Ranks
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      groups <- Gen.chooseNum(1, 4)
+      tiles <- Gen.chooseNum(1, 9)
+      vs <- Gen.listOfN(n, Gen.chooseNum(0, 7)) // heavy ties on purpose
+    } yield (groups, tiles, vs)
+    samples(gen, 5).foreach { case (groups, tiles, vs) =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (s"g${i % groups}", v, i.toLong) }
+        .toDF("g", "v", "id").repartition(5)
+      val w = Window.partitionBy($"g").orderBy($"v", $"id")
+      val expect = df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("tile", ntile(tiles).over(w))
+      val got = Ranks.ntile(
+        Ranks.rowNumber(df, Seq($"g"), Seq($"v", $"id")).drop("__n"),
+        Seq($"g"), Seq($"v", $"id"), tiles)
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        s"groups=$groups tiles=$tiles n=${vs.length}")
+    }
+  }
+
+  test("BH two-phase equals the plain single-window formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(0.0, 1.0)).map(_.take(80))
+    samples(gen, 5).foreach { ps =>
+      val df = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("id", "pval").repartition(7)
+      // the textbook one-window reference implementation
+      val wR = Window.orderBy($"pval", $"id")
+      val wC = Window.orderBy($"pval".desc, $"id".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expect = df
+        .withColumn("r", row_number().over(wR))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("padj", min(least(lit(1.0), $"pval" * $"n" / $"r")).over(wC))
+        .select($"id", $"pval", $"padj")
+      val got = Stats.bhAdjust(df, "pval", "id").select($"id", $"pval", $"padj")
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+    }
+  }
 }
