@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import graft.sources.{CsvIO, Stages}
+import graft.sources.{CsvIO, JsonlIO, Stages}
 
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -34,5 +34,39 @@ class SourcesSpec extends SparkSpec {
     val second = Stages.loadOrBuild(spark, path)(build)
     assert(second.count() == 2 && builds == 1) // cache hit, no rebuild
     assert(Stages.exists(spark, path))
+  }
+
+  test("JSONL: enforced schema, malformed lines quarantined not dropped") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl").toFile
+    Files.writeString(new java.io.File(dir, "docs.jsonl").toPath,
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}
+        |{"doc_id": 2, "text": "zweites dokument", "lang": "de"}
+        |{"doc_id": 3, "text": "truncated…
+        |{"doc_id": 4, "text": null, "lang": "fr"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val (clean, bad) = JsonlIO.partitionCorrupt(
+      JsonlIO.readJsonl(spark, dir.getAbsolutePath, schema))
+    assert(clean.columns.toSeq == Seq("doc_id", "text", "lang"))
+    assert(clean.count() == 3) // null field is valid JSON, stays clean
+    assert(bad.count() == 1)
+    assert(bad.collect().head.getString(0).contains("truncated"))
+  }
+
+  test("JSONL: round-trip write/read preserves rows") {
+    import org.apache.spark.sql.types._
+    val out = Files.createTempDirectory("graft_jsonl_out").toFile.getAbsolutePath + "/docs"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    JsonlIO.writeJsonl(df, out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val back = JsonlIO.readJsonl(spark, out, schema)
+    val (clean, bad) = JsonlIO.partitionCorrupt(back)
+    assert(bad.count() == 0)
+    assert(clean.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 }
