@@ -29,6 +29,10 @@ object Bench {
       }
     val results = qs.map { case (name, fn) =>
       spark.catalog.clearCache() // queries persist() internally; keep runs isolated
+      // settle the JVM between queries: without it, GC debt from one
+      // query's shuffles lands in a later query's wall time (observed:
+      // same query 3.5s isolated vs 13s mid-run at local[32])
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

@@ -87,6 +87,11 @@ object Demo {
       "/tmp/graft_plots/km.png", pValue = Some(0.05))
     println(s"[demo] plot sink: ${bxPng.length()}B ${kmPng.length()}B PNGs written")
 
+    // Corpus API: score -> gate -> dedup over the real documents table
+    val corpus = graft.api.Corpus.cleaned(Tables.documents(spark, sfDir))
+    println(s"[demo] corpus cleaned: ${corpus.count()} keepers of " +
+      s"${Tables.documents(spark, sfDir).count()} docs")
+
     // IVF ANN over the real embeddings table
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") % 100 === 0)

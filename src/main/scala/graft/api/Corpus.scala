@@ -1,0 +1,99 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, TextFunctions}
+
+/** The training-corpus user surface: score → filter → dedup → fingerprint
+  * → search over `documents(doc_id, text, …)` and `embeddings(vec_id,
+  * embedding, …)` tables — the LLM-data-pipeline face of the engine,
+  * packaged the way [[Tcga]] packages the reference's TCGA pipelines.
+  *
+  * Thin composition over `operators.{TextFunctions, Dedup, Ann}`; the
+  * underlying steps are the same ones the oracle-checked catalog runs
+  * (x1/x2/p1, dd1/dd2/dd4, ss1/ss3). Everything stays a declarative plan:
+  * no step collects, every candidate-generation join is bucket-capped.
+  */
+object Corpus {
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** Quality scoring (X2): token counts (whitespace + BPE-ish regex),
+    * punctuation/stopword ratios, and the keep/reject band. */
+  def scored(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      stopwords: Seq[String] = DefaultStopwords): DataFrame =
+    docs
+      .withColumn("toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_regex_tokens",
+        TextFunctions.regexTokenCount(col(textCol)).cast("long"))
+      .withColumn("punct_ratio", TextFunctions.punctRatio(col(textCol)))
+      .withColumn("stop_ratio",
+        TextFunctions.stopwordRatio(col("toks"), stopwords))
+      .withColumn("band", TextFunctions.qualityBand(
+        col("n_tokens"), col("punct_ratio"), col("stop_ratio")))
+      .drop("toks")
+
+  /** P1, the canonical pre-training flow: quality gate → exact-dedup →
+    * keep one representative per distinct text. Returns the scored
+    * keeper rows plus each text's `n_copies`. */
+  def cleaned(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val ok = scored(docs, idCol, textCol, stopwords)
+      .filter(col("band") === "ok")
+    val keepers = Dedup.exact(ok, idCol, textCol)
+      .select(col("keeper").as(idCol), col("n_copies"))
+    ok.join(keepers, idCol) // inner join on keeper ids = keep-min semantics
+  }
+
+  /** Near-duplicate pairs: MinHash-LSH candidate generation (banding,
+    * hot buckets capped) followed by an exact shingle-Jaccard verify
+    * restricted to the candidates — never an all-pairs join. */
+  def nearDuplicates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3, numHashes: Int = 6,
+      bandsOf: Int = 2, jaccardMin: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    // persist: shingles feed the signatures AND both sides of the verify
+    val sh = Dedup.shingleRows(docs, idCol, textCol, shingleN).persist()
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashSignatures(sh, numHashes), numHashes, bandsOf, maxBucket)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jaccard") >= jaccardMin)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Content fingerprints (X3): md5 of the first `prefixK` tokens and the
+    * minimum shingle hash — cheap join keys for cross-corpus containment. */
+  def fingerprinted(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", prefixK: Int = 8,
+      shingleN: Int = 3): DataFrame =
+    docs
+      .withColumn("toks", TextFunctions.tokens(col(textCol)))
+      .select(col(idCol),
+        TextFunctions.prefixFingerprint(col("toks"), prefixK).as("prefix_fp"),
+        TextFunctions.minShingleFingerprint(col("toks"), shingleN).as("min_shingle_fp"))
+
+  /** Exact cosine top-k (SS1): the verification baseline. */
+  def searchTopK(emb: DataFrame, queries: DataFrame, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Ann.bruteTopK(emb, queries, idCol, vecCol, topK)
+
+  /** IVF ANN top-k (SS3): k-means coarse quantizer trained on a bounded
+    * sample, probe `nProbe` cells, exact re-rank inside them. */
+  def searchTopKApprox(emb: DataFrame, queries: DataFrame, topK: Int,
+      cells: Int = 64, nProbe: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Ann.ivfTopK(emb, queries, idCol, vecCol, k = cells, iters = 3,
+      nProbe = nProbe, topK = topK)
+}
