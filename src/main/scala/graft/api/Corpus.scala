@@ -20,9 +20,9 @@ object Corpus {
   val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
   /** Quality scoring (X2): token counts (whitespace + BPE-ish regex),
-    * punctuation/stopword ratios, and the keep/reject band. */
-  def scored(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text",
+    * punctuation/stopword ratios, and the keep/reject band. Row-level —
+    * needs no id column. */
+  def scored(docs: DataFrame, textCol: String = "text",
       stopwords: Seq[String] = DefaultStopwords): DataFrame =
     docs
       .withColumn("toks", TextFunctions.tokens(col(textCol)))
@@ -42,7 +42,7 @@ object Corpus {
   def cleaned(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
       stopwords: Seq[String] = DefaultStopwords): DataFrame = {
-    val ok = scored(docs, idCol, textCol, stopwords)
+    val ok = scored(docs, textCol, stopwords)
       .filter(col("band") === "ok")
     val keepers = Dedup.exact(ok, idCol, textCol)
       .select(col("keeper").as(idCol), col("n_copies"))

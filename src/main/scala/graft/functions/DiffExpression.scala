@@ -76,14 +76,24 @@ object DiffExpression {
     *
     * @param p number of design levels (intercept + p−1 indicators) */
   def dispersionPrior(cells: Dataset[CountCell], p: Int): DispersionPrior = {
+    // Design-aware gene-wise MoM, pooled WITHIN condition groups — the
+    // same estimator fitGene shrinks (num = Σ_g[SS_g − n_g·m_g], den =
+    // Σ_g n_g·m_g²). A marginal var_samp across conditions would fold the
+    // between-group fold-change into the dispersion and inflate the trend
+    // exactly on DE-heavy data (DESeq2 fits the trend design-aware too).
     val gs = cells.toDF()
       .withColumn("q", col("cnt") / col("sf"))
+      .groupBy("gene", "cond").agg(
+        count(lit(1)).cast("double").as("ng"),
+        avg(col("q")).as("mg"),
+        coalesce(var_samp(col("q")) * (count(lit(1)) - 1), lit(0.0)).as("ssg"))
       .groupBy("gene").agg(
-        avg(col("q")).as("mu"), var_samp(col("q")).as("v"),
-        count(lit(1)).cast("double").as("m"))
-      .filter(col("mu") > 0 && col("v").isNotNull)
-      .withColumn("disp",
-        greatest((col("v") - col("mu")) / (col("mu") * col("mu")), lit(MinDisp)))
+        (sum(col("ng") * col("mg")) / sum(col("ng"))).as("mu"),
+        sum(col("ssg") - col("ng") * col("mg")).as("num"),
+        sum(col("ng") * col("mg") * col("mg")).as("den"),
+        sum(col("ng")).as("m"))
+      .filter(col("mu") > 0 && col("den") > 0)
+      .withColumn("disp", greatest(col("num") / col("den"), lit(MinDisp)))
       // DESeq2's rule: genes whose gene-wise estimate collapses to the
       // floor (< 100·minDisp) are excluded from trend + prior-width
       // fitting — a floored log-dispersion would poison the residual
@@ -98,6 +108,12 @@ object DiffExpression {
       sum(col("x") * col("x")).as("sxx"))
       .collect()(0)
     val n = t.getAs[Double]("n")
+    // Poisson-like / underdispersed input can floor EVERY gene-wise
+    // estimate, emptying gs — the a0 division would then be 0/0 = NaN and
+    // poison every downstream fit. Fall back to an effectively-disabled
+    // prior: a flat trend at the floor with a huge width, so fitGene's
+    // posterior reduces to the gene-wise estimate.
+    if (n < 2) return DispersionPrior(MinDisp * 100, 0.0, 1e6)
     val det = n * t.getAs[Double]("sxx") - t.getAs[Double]("sx") * t.getAs[Double]("sx")
     val a1 = math.max(0.0,
       if (det == 0) 0.0

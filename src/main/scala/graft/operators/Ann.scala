@@ -59,6 +59,9 @@ object Ann {
       .orderBy(col("h"), col("id"))
       .limit(maxTrain)
       .select(col("id"), col("h"), col("vn"))
+      // a global limit lands in ONE partition — spread it back out or
+      // every Lloyd distance scan runs single-task over maxTrain vectors
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .persist()
     // Deterministic spread seeds: k lowest md5-ordered ids; the
     // row_number window runs over only k rows.

@@ -72,20 +72,44 @@ object Dedup {
   }
 
   /** Drop rows whose bucket (partition of `keys`) holds more than
-    * `maxBucket` rows, logging how many buckets were dropped. Counting is
-    * a per-bucket window (O(m) per bucket, never m²); `df` must already be
-    * persisted by the caller so the audit count reuses the cache. */
+    * `maxBucket` rows. Counting is a per-bucket window (O(m) per bucket,
+    * never m²). The audit is LAZY: an `observe` metric counts the dropped
+    * rows during the caller's own action (no extra Spark job at
+    * plan-construction time) and a once-per-session listener logs it. */
   private def capBuckets(df: DataFrame, keys: Seq[Column], maxBucket: Int,
       what: String): DataFrame = {
     if (maxBucket == Int.MaxValue) df
     else {
-      val sized = df.withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy(keys: _*)))
-      val dropped = sized.filter(col("bsz") > maxBucket)
-        .select(keys: _*).distinct().count()
-      if (dropped > 0)
-        log.warn(s"$what: dropped $dropped hot bucket(s) over $maxBucket rows")
-      sized.filter(col("bsz") <= maxBucket).drop("bsz")
+      DropAudit.ensure(df.sparkSession)
+      df.withColumn("bsz", count(lit(1)).over(Window.partitionBy(keys: _*)))
+        .observe(s"graft_capped_$what",
+          sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"))
+        .filter(col("bsz") <= maxBucket)
+        .drop("bsz")
+    }
+  }
+
+  /** Logs `graft_capped_*` observations when queries finish — the lazy
+    * side of the bucket-cap audit. Registered at most once per session. */
+  private object DropAudit {
+    private val seen = java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+    def ensure(spark: org.apache.spark.sql.SparkSession): Unit = seen.synchronized {
+      if (seen.add(spark)) {
+        spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_capped_")) {
+                val dropped = row.getAs[Long]("dropped_rows")
+                if (dropped > 0)
+                  log.warn(s"$name: dropped $dropped row(s) in hot buckets over the cap")
+              }
+            }
+          override def onFailure(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+        })
+      }
     }
   }
 

@@ -23,28 +23,35 @@ object Ranks {
     * fully-equal keys are interchangeable. */
   def rowNumber(df: DataFrame, grp: Seq[Column], order: Seq[Column],
       out: String = "rn", outN: String = "__n"): DataFrame = {
-    val keys = grp ++ order
+    // alias grouping keys to generated names so arbitrary EXPRESSIONS
+    // (not just named columns) work as grp — the offsets join is by name
+    val grpNames = grp.indices.map(i => s"__g$i")
+    val prepared = grp.zip(grpNames).foldLeft(df) {
+      case (d, (c, n)) => d.withColumn(n, c)
+    }
+    val g = grpNames.map(col)
+    val keys = g ++ order
     // persist: the partition id must be identical across the offsets
     // branch and the local-rank branch
-    val ranged = df.repartitionByRange(keys: _*)
+    val ranged = prepared.repartitionByRange(keys: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
-    val grpNames = grp.map(_.toString)
-    val counts = ranged.groupBy((grp :+ col("__pid")): _*)
+    val counts = ranged.groupBy((g :+ col("__pid")): _*)
       .agg(count(lit(1)).as("__cnt"))
-    val wOff = Window.partitionBy(grp: _*).orderBy(col("__pid"))
+    val wOff = Window.partitionBy(g: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(grp: _*)
+    val wAll = Window.partitionBy(g: _*)
     val offsets = counts
       .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
       .withColumn(outN, sum(col("__cnt")).over(wAll))
-      .select((grp :+ col("__pid") :+ col("__off") :+ col(outN)): _*)
-    val wLocal = Window.partitionBy((grp :+ col("__pid")): _*).orderBy(order: _*)
+      .select((g :+ col("__pid") :+ col("__off") :+ col(outN)): _*)
+    val wLocal = Window.partitionBy((g :+ col("__pid")): _*).orderBy(order: _*)
     ranged
       .withColumn("__lrn", row_number().over(wLocal))
       .join(broadcast(offsets), grpNames :+ "__pid")
       .withColumn(out, (col("__off") + col("__lrn")).cast("long"))
-      // using-column joins reorder the schema; restore the input's order
+      // using-column joins reorder the schema (and __g*/__pid/__lrn/__off
+      // are internal); restore the input's column order exactly
       .select((df.columns.map(col) :+ col(out) :+ col(outN)): _*)
   }
 

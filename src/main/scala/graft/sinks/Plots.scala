@@ -159,6 +159,11 @@ object Plots {
           math.max(c.py(prev._2) - c.py(prev._3), 1))
         prev = (t, lo.get, hi.get)
       }
+      // flush the last event's band to the plot edge (the step line below
+      // draws its tail the same way)
+      c.g.fillRect(c.px(prev._1), c.py(prev._3),
+        math.max(c.x1 - c.px(prev._1), 1),
+        math.max(c.py(prev._2) - c.py(prev._3), 1))
       // survival step line
       c.g.setColor(col)
       c.g.setStroke(new BasicStroke(2f))

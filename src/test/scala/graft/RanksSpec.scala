@@ -31,6 +31,13 @@ class RanksSpec extends SparkSpec {
     assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
   }
 
+  test("rowNumber accepts expression grouping keys, not just named columns") {
+    val expect = df.withColumn("rn", row_number()
+      .over(Window.partitionBy(upper($"g")).orderBy($"v", $"id")).cast("long"))
+    val got = Ranks.rowNumber(df, Seq(upper($"g")), Seq($"v", $"id")).drop("__n")
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+  }
+
   test("ntile matches NTILE(t) for t = 2, 4, 7 including groups with n < t") {
     for (t <- Seq(2, 4, 7)) {
       val expect = df.withColumn("tile",
