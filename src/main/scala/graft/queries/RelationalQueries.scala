@@ -187,6 +187,25 @@ object RelationalQueries {
     Some("""SELECT p_name, sum(l_quantity) AS total_qty FROM lineitem
             JOIN part ON l_partkey = p_partkey GROUP BY p_name"""))
 
+  /** C6 — salted fact×dim join (operators.Skew): each fact row gets one of
+    * n salt buckets, the right side replicates n×, so no single task ever
+    * owns an entire hot key — the explicit-salting half of the 100 TB skew
+    * kit beside AQE's runtime split. Semantics provably equal the plain
+    * join: the oracle IS the unsalted SQL join. */
+  private val c6 = Q(
+    "c6_salted_join",
+    (s, d) =>
+      graft.operators.Skew.saltedJoin(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+          Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+          "l_orderkey", saltBuckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("total_qty")),
+    Some("""SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS total_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority"""))
+
   /** F1–F4, F9 — scalar string/cast functions (toupper vital_status_DESeq.R:4,
     * paste :22, substr drug_km_median_exp.R:48, gsub BRCA_path_stage_DESeq.R:43-44,
     * as.numeric surv_analysis_median_exp.R:109). */
@@ -321,5 +340,5 @@ object RelationalQueries {
   private def $(c: String) = col(c)
 
   def all: Seq[Q] = Seq(a2, b1, b2, b3, b4, b5, b6, b7, b8, b9,
-    c1, c2, c3, c4, c5, fScalars, f5, f6, f7, f10, g1, g3)
+    c1, c2, c3, c4, c5, c6, fScalars, f5, f6, f7, f10, g1, g3)
 }
