@@ -54,15 +54,24 @@ object Ann {
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, maxTrain: Int = 1 << 18): DataFrame = {
     // persist: the sample seeds the centroids AND feeds every Lloyd pass
-    val train = normalized(emb, idCol, vecCol)
+    val sample = normalized(emb, idCol, vecCol)
       .withColumn("h", md5(col("id").cast("string")))
       .orderBy(col("h"), col("id"))
       .limit(maxTrain)
       .select(col("id"), col("h"), col("vn"))
-      // a global limit lands in ONE partition — spread it back out or
-      // every Lloyd distance scan runs single-task over maxTrain vectors
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .persist()
+    // a global limit lands in ONE partition. Spreading it out is a
+    // shuffle that only pays off once the sample is big enough that
+    // single-task Lloyd scans dominate — one bounded count (≤ maxTrain
+    // cached rows) decides; ~4k vectors per task.
+    val parts = math.min(emb.sparkSession.sparkContext.defaultParallelism.toLong,
+      sample.count() / 4096L).toInt
+    val train = if (parts > 1) {
+      val spread = sample.repartition(parts).persist()
+      spread.count() // materialize from the 1-partition cache, then drop it
+      sample.unpersist()
+      spread
+    } else sample
     // Deterministic spread seeds: k lowest md5-ordered ids; the
     // row_number window runs over only k rows.
     var centroids = train
