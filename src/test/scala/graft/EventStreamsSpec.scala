@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{Event, EventStreams}
 
@@ -74,6 +75,36 @@ class EventStreamsSpec extends SparkSpec {
     val df = Seq(1767261600000000000L).toDF("ts_nanos")
       .select(EventStreams.nanosToTs($"ts_nanos").as("t"))
     assert(df.collect().head.getTimestamp(0) == Timestamp.valueOf("2026-01-01 10:00:00"))
+  }
+
+  test("file-source stream: readStream over the events parquet matches batch") {
+    // the real ingestion path: readStream -> transform -> writeStream,
+    // over the driver-generated parquet (nanos ts), not a MemoryStream
+    val sf = "/root/testdata/sf0.001"
+    val batchEv = Tables.events(spark, sf).select(
+      EventStreams.nanosToTs(col("ts")).as("ts"),
+      col("event_type").as("eventType"), col("value"))
+    val expect = EventStreams.windowedTypeCounts(batchEv, windowLen = "1 hour")
+      .select("win_start", "eventType", "n", "total_value")
+    // the file source wants a directory: stage the table file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val streamEv = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .select(EventStreams.nanosToTs(col("ts")).as("ts"),
+        col("event_type").as("eventType"), col("value"))
+    val q = EventStreams.windowedTypeCounts(streamEv, windowLen = "1 hour")
+      .select("win_start", "eventType", "n", "total_value")
+      .writeStream.format("memory").queryName("file_stream_win")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_stream_win")
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+    } finally q.stop()
   }
 
   test("dedupStream keeps first arrival, evicts key state past the watermark") {
