@@ -81,13 +81,18 @@ object Dedup {
     if (maxBucket == Int.MaxValue) df
     else {
       DropAudit.ensure(df.sparkSession)
+      // observation names must be unique within a query — a composed plan
+      // with two capped ops would otherwise fail analysis
+      val name = s"graft_capped_${what}_${auditSeq.getAndIncrement()}"
       df.withColumn("bsz", count(lit(1)).over(Window.partitionBy(keys: _*)))
-        .observe(s"graft_capped_$what",
+        .observe(name,
           sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"))
         .filter(col("bsz") <= maxBucket)
         .drop("bsz")
     }
   }
+
+  private val auditSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Logs `graft_capped_*` observations when queries finish — the lazy
     * side of the bucket-cap audit. Registered at most once per session. */

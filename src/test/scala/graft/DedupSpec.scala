@@ -68,6 +68,15 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() >= 780L)
   }
 
+  test("two capped ops compose in one plan (unique observe names)") {
+    val sigs = Dedup.minhashSignatures(
+      Dedup.shingleRows(docs, "doc_id", "text", 3), 6)
+    val a = Dedup.minhashCandidates(sigs, 6, 2, maxBucket = 10)
+    val b = Dedup.minhashCandidates(sigs, 6, 2, maxBucket = 20)
+    // same-named observations in one query fail analysis; this must not
+    assert(a.union(b).count() >= a.count())
+  }
+
   test("hot shingle inside a block is dropped by the jaccard cap") {
     val boiler = (100L until 120L)
       .map(i => (i, s"common prefix shared everywhere then unique tail $i", "a"))
