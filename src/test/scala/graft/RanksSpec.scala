@@ -31,6 +31,16 @@ class RanksSpec extends SparkSpec {
     assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
   }
 
+  test("rowNumber handles NULL and descending order keys like the built-in") {
+    val withNulls = df.withColumn("vn",
+      when(col("id") % 7 === 0, lit(null)).otherwise($"v"))
+    val order = Seq($"vn".desc_nulls_last, $"id".desc)
+    val expect = withNulls.withColumn("rn", row_number()
+      .over(Window.partitionBy($"g").orderBy(order: _*)).cast("long"))
+    val got = Ranks.rowNumber(withNulls, Seq($"g"), order).drop("__n")
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+  }
+
   test("rowNumber accepts expression grouping keys, not just named columns") {
     val expect = df.withColumn("rn", row_number()
       .over(Window.partitionBy(upper($"g")).orderBy($"v", $"id")).cast("long"))
