@@ -412,6 +412,25 @@ object ScaleOpsQueries {
                    FROM pairs)
              SELECT q_id, rnk, vec_id, round(cos, 6) AS cos FROM r WHERE rnk <= 3"""))
 
+  /** MM1 — the multimodal plumbing under the driver gate (rows-only: the
+    * partition-local batch decode is not SQL-expressible): binary payload
+    * + typed meta → batched feature extraction (operators.Multimodal, the
+    * clearly-marked fake decoder) joined with frame-sample counts. */
+  private val mm1 = Q(
+    "mm1_media_features",
+    (s, d) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      val feats = Multimodal.decodeFeatures(media)
+        .select(col("media_id"), col("n_bytes"),
+          round(col("mean_byte"), 6).as("mean_byte"))
+      val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 32)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+      feats.join(frames, Seq("media_id"), "left")
+        .na.fill(0L, Seq("n_frames"))
+    },
+    None)
+
   /** DD5 — embedding-cosine near-duplicate pairs, blocked by `label`
     * (stand-in for an IVF/coarse-quantizer cell at scale): exact cosine
     * inside the block, threshold 0.35. */
@@ -477,5 +496,5 @@ object ScaleOpsQueries {
           WHERE band = 'ok' AND doc_id = keeper"""
     })
 
-  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, ss1, ss2, ss3, dd5, p1)
+  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, ss1, ss2, ss3, dd5, p1, mm1)
 }
