@@ -32,6 +32,10 @@ object Normalization {
     // |genes| fits a task). exact=false is the 100 TB path: a bounded-
     // memory t-digest sketch whose ~1e-4-relative-error median is
     // statistically identical for normalization purposes.
+    // (A rank-window exact median — row_number + count windows + an extra
+    // agg — was benched and rejected: same shuffle volume, and the added
+    // window pass costs more than the off-codegen ObjectHashAggregate
+    // saves at per-sample group sizes.)
     val median =
       if (exact) expr("percentile(ratio, 0.5)")
       else percentile_approx(col("ratio"), lit(0.5), lit(10000))
