@@ -65,4 +65,30 @@ class ExpressionsSpec extends SparkSpec {
     val hot = Skew.hotKeys(facts, "k", 1).collect().head
     assert(hot.getLong(0) == 1L && hot.getLong(1) == 900L)
   }
+
+  test("saltedJoin salt is deterministic across input partitionings") {
+    // Stage retry at cluster scale == recomputing rows under a different
+    // physical layout. A content-derived salt must give each row the SAME
+    // salt regardless of partitioning; monotonically_increasing_id would not.
+    val rows = (1 to 400).map(i => (1L + i % 3, i, s"p$i"))
+    val dim = (1L to 3L).map(k => (k, s"name$k")).toDF("k", "name")
+    // Per-row salt assignment must be identical under different physical
+    // layouts (the join output alone can't distinguish — it is salt-invariant).
+    def saltOf(parts: Int) = rows.toDF("k", "v", "tag").repartition(parts)
+      .withColumn("__salt", Skew.salt(Seq("k", "v", "tag"), 8))
+      .collect().map(r => (r.getInt(1), r.getLong(3))).sortBy(_._1)
+    assert(saltOf(7).sameElements(saltOf(3)))
+    // Join semantics still equal the plain join under either layout.
+    def salted(parts: Int) = Skew.saltedJoin(
+        rows.toDF("k", "v", "tag").repartition(parts), dim, "k", 8)
+      .select("k", "v", "tag", "name")
+    val a = salted(7).collect().sortBy(r => (r.getLong(0), r.getInt(1)))
+    val b = salted(3).collect().sortBy(r => (r.getLong(0), r.getInt(1)))
+    assert(a.sameElements(b))
+    // And the salt must spread a hot key over >1 bucket.
+    val saltSpread = rows.toDF("k", "v", "tag").where(col("k") === 1L)
+      .withColumn("__salt", Skew.salt(Seq("k", "v", "tag"), 8))
+      .select("__salt").distinct().count()
+    assert(saltSpread > 1)
+  }
 }
