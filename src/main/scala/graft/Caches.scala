@@ -1,0 +1,53 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Cache-lifetime discipline for the library's internal `persist()` calls.
+  *
+  * Library operators persist frames their plans reference more than once
+  * (see the scaladoc on each call site). Those caches must outlive the
+  * function that created them — the consuming action is the caller's — so
+  * they cannot be unpersisted before returning. `releaseAfterAction`
+  * registers a one-shot listener that unpersists them as soon as the next
+  * SQL action on the session completes (success or failure): the usual
+  * one-action consumers (a write, a count, a collect) pay nothing and leak
+  * nothing. A caller that runs several actions over the same returned frame
+  * recomputes after the first — correct (the plans are deterministic,
+  * `repartitionByRange` boundaries included, because repeated actions on
+  * one DataFrame reuse its physical RDD), just uncached; such callers
+  * should persist the *returned* frame themselves.
+  *
+  * `clearCaches` is the blunt escape hatch for long-lived sessions.
+  */
+object Caches {
+
+  /** Unpersist `dfs` after the next completed action on their session. */
+  def releaseAfterAction(dfs: DataFrame*): Unit = {
+    if (dfs.isEmpty) return
+    val spark = dfs.head.sparkSession
+    val listener = new QueryExecutionListener {
+      private val done = new AtomicBoolean(false)
+      private def release(): Unit =
+        if (done.compareAndSet(false, true)) {
+          dfs.foreach { df =>
+            try df.unpersist(blocking = false)
+            catch { case _: Throwable => () }
+          }
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = release()
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = release()
+    }
+    spark.listenerManager.register(listener)
+  }
+
+  /** Drop every cached frame in the session (documented escape hatch for
+    * long-lived sessions mixing many library calls). */
+  def clearCaches(spark: SparkSession): Unit = spark.catalog.clearCache()
+}

@@ -74,6 +74,16 @@ object DiffExpression {
     * minus the expected sampling variance of a gene's log-dispersion
     * estimate (≈ 2/(m−p)), floored at DESeq2's minimal prior width 0.25.
     *
+    * ONE Spark job, one bounded collect: the per-gene frame is folded into
+    * log₁₀-μ bins (8 per decade — a few hundred bins regardless of gene
+    * count) carrying sufficient statistics. The OLS trend sums are sums of
+    * per-bin sums, so a0/a1 are exact; only the residual-spread term
+    * evaluates the trend at each bin's harmonic-mean μ instead of each
+    * gene's own μ — a ≤ 1/16-decade μ quantization inside a log, second-
+    * order on the prior *width* (which only modulates shrinkage strength).
+    * This replaces a persist + two agg jobs + two collects (round-2 cost:
+    * 31% of the whole bench landed on the two GLM queries).
+    *
     * @param p number of design levels (intercept + p−1 indicators) */
   def dispersionPrior(cells: Dataset[CountCell], p: Int): DispersionPrior = {
     // Design-aware gene-wise MoM, pooled WITHIN condition groups — the
@@ -81,7 +91,7 @@ object DiffExpression {
     // Σ_g n_g·m_g²). A marginal var_samp across conditions would fold the
     // between-group fold-change into the dispersion and inflate the trend
     // exactly on DE-heavy data (DESeq2 fits the trend design-aware too).
-    val gs = cells.toDF()
+    val bins = cells.toDF()
       .withColumn("q", col("cnt") / col("sf"))
       .groupBy("gene", "cond").agg(
         count(lit(1)).cast("double").as("ng"),
@@ -100,33 +110,40 @@ object DiffExpression {
       // spread (log 1e-8 ≈ −18) and zero the shrinkage weight
       .filter(col("disp") > lit(MinDisp * 100))
       .withColumn("x", lit(1.0) / col("mu"))
-      .persist() // feeds the trend fit AND the residual-spread pass
-    val t = gs.agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(col("x")).as("sx"), sum(col("disp")).as("sy"),
-      sum(col("x") * col("disp")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"))
-      .collect()(0)
-    val n = t.getAs[Double]("n")
+      .groupBy(round(log10(col("mu")) * 8).cast("long").as("bin")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("disp")).as("sy"),
+        sum(col("x") * col("disp")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(log(col("disp"))).as("sld"),
+        sum(log(col("disp")) * log(col("disp"))).as("sld2"),
+        sum(col("m")).as("sm"))
+      .collect()
+    def tot(c: String) = bins.map(_.getAs[Double](c)).sum
+    val n = tot("n")
     // Poisson-like / underdispersed input can floor EVERY gene-wise
-    // estimate, emptying gs — the a0 division would then be 0/0 = NaN and
-    // poison every downstream fit. Fall back to an effectively-disabled
-    // prior: a flat trend at the floor with a huge width, so fitGene's
-    // posterior reduces to the gene-wise estimate.
+    // estimate, emptying the frame — the a0 division would then be
+    // 0/0 = NaN and poison every downstream fit. Fall back to an
+    // effectively-disabled prior: a flat trend at the floor with a huge
+    // width, so fitGene's posterior reduces to the gene-wise estimate.
     if (n < 2) return DispersionPrior(MinDisp * 100, 0.0, 1e6)
-    val det = n * t.getAs[Double]("sxx") - t.getAs[Double]("sx") * t.getAs[Double]("sx")
-    val a1 = math.max(0.0,
-      if (det == 0) 0.0
-      else (n * t.getAs[Double]("sxy") -
-        t.getAs[Double]("sx") * t.getAs[Double]("sy")) / det)
-    val a0 = math.max(MinDisp,
-      (t.getAs[Double]("sy") - a1 * t.getAs[Double]("sx")) / n)
-    val r = gs.agg(
-      var_samp(log(col("disp")) -
-        log(greatest(lit(a0) + lit(a1) / col("mu"), lit(MinDisp)))).as("s2lr"),
-      avg(col("m")).as("mbar")).collect()(0)
-    val s2lr = Option(r.getAs[Double]("s2lr")).getOrElse(0.0)
-    val mbar = r.getAs[Double]("mbar")
+    val (sx, sy, sxy, sxx) = (tot("sx"), tot("sy"), tot("sxy"), tot("sxx"))
+    val det = n * sxx - sx * sx
+    val a1 = math.max(0.0, if (det == 0) 0.0 else (n * sxy - sx * sy) / det)
+    val a0 = math.max(MinDisp, (sy - a1 * sx) / n)
+    // residual spread around the fitted trend, evaluated per bin at the
+    // bin's harmonic-mean μ (1/μ̂_b = sx_b/n_b — the same x-domain the
+    // trend is linear in)
+    var sr = 0.0; var sr2 = 0.0
+    bins.foreach { b =>
+      val nb = b.getAs[Double]("n")
+      val lb = math.log(math.max(a0 + a1 * b.getAs[Double]("sx") / nb, MinDisp))
+      val sld = b.getAs[Double]("sld")
+      sr += sld - nb * lb
+      sr2 += b.getAs[Double]("sld2") - 2.0 * lb * sld + nb * lb * lb
+    }
+    val s2lr = math.max(0.0, (sr2 - sr * sr / n) / (n - 1))
+    val mbar = tot("sm") / n
     DispersionPrior(a0, a1, math.max(s2lr - logDispSampVar(mbar, p), 0.25))
   }
 

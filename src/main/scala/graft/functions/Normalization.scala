@@ -65,7 +65,14 @@ object Normalization {
     */
   def vstTrend(counts: DataFrame, geneCol: String, sampleCol: String,
       countCol: String): DataFrame = {
-    val c = counts.persist()
+    // No persist: the repeated references to `counts` end in identical
+    // Exchange subtrees, so one action computes the scan + partial agg once
+    // and the other branches read the reused shuffle output (Catalyst
+    // ReuseExchange). A cache would add a fact-sized materialization for
+    // sharing the plan already gets for free (benched: persist cost d6b
+    // +56% at sf0.1). Callers composing this into multi-action pipelines
+    // persist the *input* themselves.
+    val c = counts
     val sf = sizeFactors(c, geneCol, sampleCol, countCol)
     val q = c.join(broadcast(sf), sampleCol)
       .withColumn("q", col(countCol) / col("size_factor"))
@@ -106,10 +113,9 @@ object Normalization {
     */
   def vst(counts: DataFrame, geneCol: String, sampleCol: String,
       countCol: String): DataFrame = {
-    // the fact plan feeds the geomean agg, the ratio join, and the final
-    // normalize join — persist so Spark computes it once instead of 3x
-    // (the in-memory form of the reference's saveRDS checkpoint, A3)
-    val c = counts.persist()
+    // No persist — same ReuseExchange argument as vstTrend above: the three
+    // references to the fact plan share one shuffle write per action.
+    val c = counts
     val sf = sizeFactors(c, geneCol, sampleCol, countCol)
     c.join(broadcast(sf), sampleCol)
       .withColumn("vst", log2(col(countCol) / col("size_factor") + 1))

@@ -36,11 +36,16 @@ object Stats {
       partitionCols: Seq[String] = Nil): DataFrame = {
     val part = partitionCols.map(col)
     val ord = Seq(col(pCol).desc, col(tieBreak).desc) // one descending scan
+    // persist the input: repartitionByRange's boundary-sampling pass is a
+    // separate job that would otherwise re-execute the whole upstream plan
+    // (for d3 that is the NB-GLM fit) once before the range write runs
+    val in = df.persist()
     // persist: the partition id must agree across the offsets, per-partition
     // minima, and local-scan branches
-    val ranged = df.repartitionByRange((part ++ ord): _*)
+    val ranged = in.repartitionByRange((part ++ ord): _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
+    graft.Caches.releaseAfterAction(in, ranged)
     val byPid = part :+ col("__pid")
     val wOff = Window.partitionBy(part: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)

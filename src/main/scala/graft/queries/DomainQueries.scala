@@ -333,20 +333,30 @@ object DomainQueries {
 
   private val stageLevels = Seq("Stage_0", "Stage_I", "Stage_II", "Stage_III", "Stage_IV")
 
-  private def nbInput(s: SparkSession, d: String, levels: Int): DataFrame = {
+  /** Profiling access to the NB-GLM input builder (used by graft.ProfileD3). */
+  private[graft] def profileNbInput(s: SparkSession, d: String, levels: Int): DataFrame =
+    nbInput(s, d, levels)._1
+
+  /** Returns the cells frame plus the internal persist handles the caller
+    * must pass to `Caches.releaseAfterAction` once its plan is final.
+    * Only the prefiltered fact (kc) and the sample-sized size factors are
+    * cached — NOT the joined cells: the dispersion-prior pass and the
+    * per-gene fit each re-read the kc cache through two broadcast joins,
+    * which is cache-read-priced, instead of paying a second fact-sized
+    * cache materialization (round-2's d3/d4 regression). */
+  private def nbInput(s: SparkSession, d: String,
+      levels: Int): (DataFrame, Seq[DataFrame]) = {
     val cond =
       if (levels == 2) when(col("s_suppkey") % 2 === 0, "NT").otherwise("TP")
       else element_at(lit(stageLevels.toArray), (col("s_suppkey") % levels).cast("int") + 1)
     val dim = Tables.supplier(s, d).select(col("s_suppkey"), cond.as("cond"))
-    // kc feeds both the size-factor aggregation and the cell join: persist
-    // so the scan+prefilter pipeline runs once (A3's materialize pattern,
-    // in-memory scope)
     val kc = keptCells(s, d).persist()
-    val sf = Normalization.sizeFactors(kc, "gene", "smp", "cnt")
-    kc.join(broadcast(sf), "smp")
+    val sf = Normalization.sizeFactors(kc, "gene", "smp", "cnt").persist()
+    val cells = kc.join(broadcast(sf), "smp")
       .join(broadcast(dim), col("smp") === col("s_suppkey"))
       .select(col("gene"), col("smp"), col("cnt"), col("cond"),
         col("size_factor").as("sf"))
+    (cells, Seq(kc, sf))
   }
 
   /** D3 — per-gene NB-GLM Wald test (DESeq(), vital_status_DESeq.R:51) with
@@ -356,16 +366,19 @@ object DomainQueries {
     "d3_nbglm_wald",
     (s, d) => {
       import s.implicits._
-      // persist: the cells feed the dispersion-prior pass AND the fit
-      val cells = nbInput(s, d, 2).as[CountCell].persist()
+      val (cellsDf, handles) = nbInput(s, d, 2)
+      val cells = cellsDf.as[CountCell]
       val prior = DiffExpression.dispersionPrior(cells, 2)
       val de = DiffExpression.waldTest(cells, Seq("NT", "TP"), Some(prior)).toDF()
-      Stats.bhAdjust(de, "pvalue", "gene")
+      val out = Stats.bhAdjust(de, "pvalue", "gene")
         .withColumn("p_signif", Stats.signifBand(col("padj")))
         .select(col("gene"), round(col("base_mean"), 6).as("base_mean"),
           round(col("log2fc"), 6).as("log2fc"), round(col("lfc_se"), 6).as("lfc_se"),
           round(col("stat"), 6).as("stat"), round(col("pvalue"), 6).as("pvalue"),
           round(col("padj"), 6).as("padj"), col("p_signif"))
+      // registered AFTER the prior's collect — fires on the caller's action
+      graft.Caches.releaseAfterAction(handles: _*)
+      out
     },
     None)
 
@@ -379,12 +392,15 @@ object DomainQueries {
         i <- stageLevels.indices
         j <- stageLevels.indices if i < j
       } yield (stageLevels(i), stageLevels(j))
-      val cells = nbInput(s, d, 5).as[CountCell].persist()
+      val (cellsDf, handles) = nbInput(s, d, 5)
+      val cells = cellsDf.as[CountCell]
       val prior = DiffExpression.dispersionPrior(cells, 5)
-      DiffExpression.contrasts(cells, stageLevels, pairs, Some(prior)).toDF()
+      val out = DiffExpression.contrasts(cells, stageLevels, pairs, Some(prior)).toDF()
         .select(col("gene"), col("contrast"), round(col("log2fc"), 6).as("log2fc"),
           round(col("lfc_se"), 6).as("lfc_se"), round(col("stat"), 6).as("stat"),
           round(col("pvalue"), 6).as("pvalue"))
+      graft.Caches.releaseAfterAction(handles: _*)
+      out
     },
     None)
 
