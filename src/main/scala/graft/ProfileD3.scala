@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{CountCell, DiffExpression, Stats}
+
+/** Throwaway stage-by-stage profiler for d3/d4 (deleted before round end). */
+object ProfileD3 {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[prof] $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def run(tag: String): Unit = {
+      val cellsDf = graft.queries.DomainQueries.profileNbInput(spark, d, 2)
+      val cells = cellsDf.as[CountCell]
+      val prior = time(s"$tag prior (1 job, kc+sf mat)") {
+        DiffExpression.dispersionPrior(cells, 2)
+      }
+      val de = DiffExpression.waldTest(cells, Seq("NT", "TP"), Some(prior)).toDF()
+      time(s"$tag fit count (no persist)") { de.count() }
+      val out = Stats.bhAdjust(de, "pvalue", "gene")
+        .withColumn("p_signif", Stats.signifBand(col("padj")))
+      time(s"$tag bh+band count") { out.count() }
+      spark.catalog.clearCache(); System.gc()
+    }
+    run("warm0"); run("warm1"); run("run A"); run("run B")
+    spark.stop()
+  }
+}

@@ -188,8 +188,21 @@ object Dedup {
     * raw n-gram string — Spark murmur-hashes join keys for the shuffle
     * anyway, so a per-shingle md5 would be pure CPU overhead. Shingles
     * appearing in more than `maxShingleDocs` docs of a block are dropped
-    * from the intersection counting (and logged): a boilerplate shingle
-    * would otherwise put m² join rows in one task. */
+    * (and logged) BEFORE both the intersection join and the size counts:
+    * a boilerplate shingle would otherwise put m² join rows in one task,
+    * and counting sizes from the same capped set keeps the reported value
+    * a true Jaccard over the retained shingle sets (an asymmetric cap —
+    * dropped from |A∩B| but not |A∪B| — would systematically underestimate
+    * hot-shingle docs).
+    *
+    * Scale shape: sizes ride the join rows as a window count (one extra
+    * doc_id shuffle of the shingle frame, bounded by per-doc shingle
+    * count), which removes the two post-aggregation size joins; and a
+    * length-ratio prune inside the join condition drops pairs whose
+    * min/max size ratio already caps Jaccard below the threshold — exact
+    * (jaccard ≤ min/max always; the 1e-6 guard band covers the round-to-6
+    * boundary), so it never changes the output, only the pair space the
+    * aggregation sees. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, threshold: Double,
       maxShingleDocs: Int = Int.MaxValue): DataFrame = {
@@ -197,16 +210,17 @@ object Dedup {
         explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
       .distinct()
       .persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val capped = capBuckets(sh, Seq(col("blk"), col("sh")), maxShingleDocs,
-      "jaccardPairs")
-    capped.as("x").join(capped.as("y"),
+    val sized = capBuckets(sh, Seq(col("blk"), col("sh")), maxShingleDocs,
+        "jaccardPairs")
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    sized.as("x").join(sized.as("y"),
         col("x.blk") === col("y.blk") && col("x.sh") === col("y.sh") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.nsh"), col("y.nsh")) >=
+            lit(threshold - 1e-6) * greatest(col("x.nsh"), col("y.nsh")))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+      .agg(count(lit(1)).as("n_inter"),
+        max(col("x.nsh")).as("na"), max(col("y.nsh")).as("nb"))
       .withColumn("jaccard",
         round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)

@@ -251,10 +251,12 @@ object ScaleOpsQueries {
                      FROM documents),
           sh AS (SELECT DISTINCT doc_id, source, sh
                  FROM (SELECT doc_id, source, unnest($shingle2) AS sh FROM t)),
-          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
           capped AS (SELECT doc_id, source, sh
                      FROM (SELECT *, count(*) OVER (PARTITION BY source, sh) AS bsz FROM sh)
                      WHERE bsz <= $maxBucket),
+          -- sizes over the RETAINED (capped) shingle set, mirroring
+          -- Dedup.jaccardPairs: Jaccard is exact over what survives the cap
+          sizes AS (SELECT doc_id, count(*) AS nsh FROM capped GROUP BY doc_id),
           inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
                     FROM capped x JOIN capped y
                       ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
@@ -412,10 +414,13 @@ object ScaleOpsQueries {
                    FROM pairs)
              SELECT q_id, rnk, vec_id, round(cos, 6) AS cos FROM r WHERE rnk <= 3"""))
 
-  /** MM1 — the multimodal plumbing under the driver gate (rows-only: the
-    * partition-local batch decode is not SQL-expressible): binary payload
+  /** MM1 — the multimodal plumbing under the driver gate: binary payload
     * + typed meta → batched feature extraction (operators.Multimodal, the
-    * clearly-marked fake decoder) joined with frame-sample counts. */
+    * clearly-marked fake decoder) joined with frame-sample counts. The
+    * scalar outputs of the stub decoder ARE SQL-expressible byte statistics
+    * (n_bytes = octet_length, mean_byte = byte-value mean recovered in
+    * DuckDB from the hex dump, n_frames = the stride arithmetic), so this
+    * row gets a full hash oracle even though a real codec would not. */
   private val mm1 = Q(
     "mm1_media_features",
     (s, d) => {
@@ -429,7 +434,17 @@ object ScaleOpsQueries {
       feats.join(frames, Seq("media_id"), "left")
         .na.fill(0L, Seq("n_frames"))
     },
-    None)
+    Some("""WITH h AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     octet_length(encode(text)) AS nb
+              FROM documents)
+            SELECT doc_id AS media_id, CAST(nb AS BIGINT) AS n_bytes,
+              round(CAST(list_aggregate(list_transform(regexp_extract_all(hx, '..'),
+                  c -> (strpos('0123456789ABCDEF', c[1])-1)*16
+                     + (strpos('0123456789ABCDEF', c[2])-1)), 'sum') AS DOUBLE)
+                / greatest(nb, 1), 6) AS mean_byte,
+              CAST(CASE WHEN nb >= 64 THEN (nb-64)//32 + 1 ELSE 0 END AS BIGINT) AS n_frames
+            FROM h"""))
 
   /** DD5 — embedding-cosine near-duplicate pairs, blocked by `label`
     * (stand-in for an IVF/coarse-quantizer cell at scale): exact cosine

@@ -91,6 +91,28 @@ class DedupSpec extends SparkSpec {
       "boiler docs only shared capped shingles — no surviving pair")
   }
 
+  test("jaccard cap is symmetric: sizes count only retained shingles") {
+    val boiler = (100L until 120L)
+      .map(i => (i, s"common prefix shared everywhere then unique tail $i", "a"))
+    // two exact dups that ALSO contain the capped "common prefix" shingle:
+    // over the retained set they are identical → jaccard must be exactly 1.0
+    // (the old asymmetric cap counted the capped shingle into |A∪B| and
+    // reported < 1.0 for them)
+    val twins = Seq(
+      (200L, "common prefix alpha beta gamma delta", "a"),
+      (201L, "common prefix alpha beta gamma delta", "a"))
+    val adversarial = docs.union((boiler ++ twins).toDF("doc_id", "text", "source"))
+    val row = Dedup.jaccardPairs(adversarial, "doc_id", "text", "source", 2, 0.5,
+        maxShingleDocs = 10)
+      .filter($"doc_a" === 200L && $"doc_b" === 201L)
+      .collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Double]("jaccard") == 1.0)
+    // "common prefix" occurs in 22 docs of block a (> cap 10): excluded
+    // from the size too, so na counts only the 4 retained 2-grams
+    assert(row(0).getAs[Long]("na") == 4L)
+  }
+
   test("jaccardPairs: exact dup scores 1.0, blocking excludes cross-block pairs") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 2, 0.0)
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
