@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One expression-matrix cell joined with its sample metadata: raw count,
@@ -8,9 +9,11 @@ import org.apache.spark.sql.functions._
 final case class CountCell(gene: Long, smp: Long, cnt: Double, cond: String, sf: Double)
 
 /** Per-gene Wald test result for the last-vs-first contrast
-  * (`results(dds)` columns consumed at vital_status_DESeq.R:89-97). */
+  * (`results(dds)` columns consumed at vital_status_DESeq.R:89-97).
+  * `cooks_outlier` carries DESeq2's Cook's-distance flag: `results()`
+  * NULLs pvalue/padj for flagged genes. */
 final case class DEResult(gene: Long, base_mean: Double, log2fc: Double,
-    lfc_se: Double, stat: Double, pvalue: Double)
+    lfc_se: Double, stat: Double, pvalue: Double, cooks_outlier: Boolean)
 
 /** One row per (gene, contrast) — the K-contrast fan-out of
   * BRCA_path_stage_DESeq.R:113-122 (10 pairs from one fit). */
@@ -147,6 +150,67 @@ object DiffExpression {
     DispersionPrior(a0, a1, math.max(s2lr - logDispSampVar(mbar, p), 0.25))
   }
 
+  /** DESeq2's `results()` post-processing (consumed at
+    * vital_status_DESeq.R:89-97): Cook's-outlier genes get pvalue = padj =
+    * NULL; independent filtering removes low-base_mean genes from the BH
+    * universe (padj = NULL, pvalue kept). Downstream significance banding
+    * (`Stats.signifBand`) propagates the NULLs exactly like R's NA.
+    *
+    * Threshold selection follows DESeq2's shape: candidate thresholds are
+    * the 0–0.95 base_mean quantiles in steps of 0.05; each candidate's BH
+    * rejection count at `alpha` is computed over the genes passing it; the
+    * SMALLEST candidate reaching the maximum count wins. (Deviation:
+    * DESeq2 smooths the rejection curve with lowess and takes thresholds
+    * within one residual SD of the max — the plain argmax is deterministic
+    * and lands within one quantile step of it on well-behaved curves.)
+    *
+    * Scale shape: candidate scoring explodes the GENE-level frame
+    * (cardinality bounded by the genome, not data volume) × ≤ 20
+    * candidates, ranking p-values inside per-candidate window partitions —
+    * the same bounded-partition argument as the event-table windows. The
+    * fact-sized path is untouched. Two bounded collects (quantiles,
+    * 20 rejection counts); the input is persisted across them and released
+    * after the caller's next action. */
+  def results(de: DataFrame, alpha: Double = 0.1, pCol: String = "pvalue",
+      geneCol: String = "gene", baseMeanCol: String = "base_mean",
+      outlierCol: String = "cooks_outlier"): DataFrame = {
+    val in = de.persist()
+    val universe = in.filter(!col(outlierCol) && col(pCol).isNotNull)
+    val probs = (0 until 20).map(_ * 0.05)
+    val qRow = universe
+      .agg(expr(s"percentile($baseMeanCol, array(${probs.mkString(",")}))"))
+      .collect()(0)
+    val theta =
+      if (qRow.isNullAt(0)) 0.0 // empty universe: nothing to filter
+      else {
+        val cands = qRow.getSeq[Double](0).distinct.sorted.zipWithIndex
+          .map { case (th, i) => (i, th) }
+        val candDf = de.sparkSession.createDataFrame(cands).toDF("tid", "theta")
+        val wRank = Window.partitionBy(col("tid"))
+          .orderBy(col(pCol).asc, col(geneCol).asc)
+        val wAll = Window.partitionBy(col("tid"))
+        // BH rejection count = max{k : p_(k) ≤ α·k/m} per candidate
+        val rej = universe.select(col(geneCol), col(pCol), col(baseMeanCol))
+          .join(broadcast(candDf), col(baseMeanCol) >= col("theta"))
+          .withColumn("rnk", row_number().over(wRank))
+          .withColumn("m", count(lit(1)).over(wAll))
+          .groupBy("tid", "theta")
+          .agg(max(when(col(pCol) <= lit(alpha) * col("rnk") / col("m"),
+            col("rnk")).otherwise(0L)).as("rej"))
+          .collect()
+        val best = rej.map(_.getAs[Long]("rej")).max
+        rej.filter(_.getAs[Long]("rej") == best).map(_.getAs[Double]("theta")).min
+      }
+    val adj = Stats.bhAdjust(universe.filter(col(baseMeanCol) >= theta),
+        pCol, geneCol)
+      .select(col(geneCol), col("padj"))
+    val out = in.join(adj, Seq(geneCol), "left")
+      .withColumn(pCol,
+        when(col(outlierCol), lit(null).cast("double")).otherwise(col(pCol)))
+    graft.Caches.releaseAfterAction(in)
+    out
+  }
+
   /** Two-group Wald test, `levels = Seq(reference, treatment)`. */
   def waldTest(cells: Dataset[CountCell], levels: Seq[String],
       prior: Option[DispersionPrior] = None): Dataset[DEResult] = {
@@ -163,7 +227,7 @@ object DiffExpression {
             val stat = f.beta(k) / se
             Iterator.single(DEResult(gene, f.baseMean,
               f.beta(k) / math.log(2.0), se / math.log(2.0), stat,
-              normalSfTwoSided(stat)))
+              normalSfTwoSided(stat), f.cooksOutlier))
           }
         case None => Iterator.empty
       }
@@ -205,7 +269,7 @@ object DiffExpression {
   }
 
   private final case class Fit(beta: Array[Double], cov: Array[Array[Double]],
-      baseMean: Double, levelIndex: Map[String, Int])
+      baseMean: Double, levelIndex: Map[String, Int], cooksOutlier: Boolean)
 
   /** IRLS NB-GLM for one gene: log mu = log sf + X beta, X = intercept +
     * one-hot of non-reference levels actually present in the data. */
@@ -301,7 +365,71 @@ object DiffExpression {
       }
       iter += 1
     }
-    invert(xtwx).map(cov => Fit(beta, cov, baseMean, levelIndex))
+    invert(xtwx).map { cov =>
+      // Cook's-distance outlier flag (DESeq2's results() rule, consumed at
+      // vital_status_DESeq.R:89-97): per observation, squared Pearson
+      // residual / p × leverage/(1−leverage)², leverage h_ii = wᵢ·xᵢ'
+      // (X'WX)⁻¹ xᵢ from the CONVERGED weights. The residual's variance
+      // uses a ROBUST dispersion, NOT the fitted one — a spiked count
+      // inflates the gene's own MoM/MLE dispersion and would mask itself
+      // (DESeq2 guards Cook's the same way via robustMethodOfMomentsDisp).
+      // Only observations whose condition group has ≥ 3 replicates count
+      // (no outlier detection without replication); the gene is flagged
+      // when any such observation exceeds the F(0.99, p, m−p) quantile.
+      val gn = new Array[Int](p)
+      lvl.foreach(g => gn(g) += 1)
+      val alphaRob = robustDispForCooks(q, lvl, p, gn)
+      var maxCooks = 0.0
+      var i = 0
+      while (i < y.length) {
+        val g = lvl(i)
+        if (gn(g) >= 3) {
+          val eta = beta(0) + (if (g > 0) beta(g) else 0.0)
+          val mu = math.min(1e12, math.max(MinMu, math.exp(eta + off(i))))
+          val w = mu / (1.0 + disp * mu)
+          val vRob = mu + alphaRob * mu * mu
+          val r2 = (y(i) - mu) * (y(i) - mu) / vRob
+          val xcx = cov(0)(0) + (if (g > 0) 2.0 * cov(0)(g) + cov(g)(g) else 0.0)
+          val h = math.min(0.9999, math.max(0.0, w * xcx))
+          val d = r2 / p * h / ((1.0 - h) * (1.0 - h))
+          if (d > maxCooks) maxCooks = d
+        }
+        i += 1
+      }
+      val outlier = y.length > p &&
+        maxCooks > fQuantile(0.99, p.toDouble, (y.length - p).toDouble)
+      Fit(beta, cov, baseMean, levelIndex, outlier)
+    }
+  }
+
+  /** Robust dispersion for the Cook's-distance variance (the same role as
+    * DESeq2's `robustMethodOfMomentsDisp`): per condition group, a trimmed
+    * mean (trim fraction stepped by group size like DESeq2's 1/3 – 1/4 –
+    * 1/8) and a median-of-squared-errors variance (50% breakdown, scaled
+    * by the normal-consistency constant 1/qchisq(0.5, 1) ≈ 2.198), pooled
+    * as the max α = (v − m)/m² across groups. A single spiked replicate
+    * cannot move the median, so it cannot hide from its own outlier test. */
+  private def robustDispForCooks(q: Array[Double], lvl: Array[Int], p: Int,
+      gn: Array[Int]): Double = {
+    var alpha = MinDisp
+    var g = 0
+    while (g < p) {
+      if (gn(g) >= 3) {
+        val s = q.indices.collect { case i if lvl(i) == g => q(i) }.toArray.sorted
+        val n = s.length
+        val f = if (n < 4) 1.0 / 3 else if (n < 24) 0.25 else 0.125
+        val k = (n * f).toInt
+        val mid = s.slice(k, n - k)
+        val m = mid.sum / mid.length
+        val se = s.map(v => (v - m) * (v - m)).sorted
+        val med =
+          if (n % 2 == 1) se(n / 2) else 0.5 * (se(n / 2 - 1) + se(n / 2))
+        val v = 2.198 * med
+        if (m > 0) alpha = math.max(alpha, (v - m) / (m * m))
+      }
+      g += 1
+    }
+    math.min(MaxDisp, alpha)
   }
 
   private def copy(a: Array[Array[Double]]): Array[Array[Double]] = a.map(_.clone())
@@ -355,6 +483,84 @@ object DiffExpression {
       j += 1
     }
     Some(Array.tabulate(n, n)((i, k) => cols(k)(i)))
+  }
+
+  // ------------- special functions for the Cook's-distance F cutoff -------
+
+  /** Lanczos log-gamma (g = 7, 9 coefficients; |rel err| < 1e-13). */
+  private def lgamma(x: Double): Double = {
+    val c = Array(0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x < 0.5)
+      math.log(math.Pi / math.sin(math.Pi * x)) - lgamma(1.0 - x)
+    else {
+      val z = x - 1.0
+      var a = c(0)
+      var i = 1
+      while (i < 9) { a += c(i) / (z + i); i += 1 }
+      val t = z + 7.5
+      0.5 * math.log(2.0 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  /** Continued fraction for the regularized incomplete beta (Lentz). */
+  private def betacf(x: Double, a: Double, b: Double): Double = {
+    val FpMin = 1e-300
+    val qab = a + b; val qap = a + 1.0; val qam = a - 1.0
+    var c = 1.0
+    var d = 1.0 - qab * x / qap
+    if (math.abs(d) < FpMin) d = FpMin
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    var del = 2.0
+    while (m <= 200 && math.abs(del - 1.0) >= 3e-14) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < FpMin) d = FpMin
+      c = 1.0 + aa / c; if (math.abs(c) < FpMin) c = FpMin
+      d = 1.0 / d; h *= d * c
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < FpMin) d = FpMin
+      c = 1.0 + aa / c; if (math.abs(c) < FpMin) c = FpMin
+      d = 1.0 / d
+      del = d * c
+      h *= del
+      m += 1
+    }
+    h
+  }
+
+  /** Regularized incomplete beta I_x(a, b). */
+  private def regIncBeta(x: Double, a: Double, b: Double): Double =
+    if (x <= 0.0) 0.0
+    else if (x >= 1.0) 1.0
+    else {
+      val bt = math.exp(lgamma(a + b) - lgamma(a) - lgamma(b) +
+        a * math.log(x) + b * math.log(1.0 - x))
+      if (x < (a + 1.0) / (a + b + 2.0)) bt * betacf(x, a, b) / a
+      else 1.0 - bt * betacf(1.0 - x, b, a) / b
+    }
+
+  /** F-distribution CDF: P(F_{d1,d2} ≤ x). */
+  private def fCdf(x: Double, d1: Double, d2: Double): Double =
+    if (x <= 0.0) 0.0
+    else regIncBeta(d1 * x / (d1 * x + d2), d1 / 2.0, d2 / 2.0)
+
+  /** F quantile by bisection — deterministic, exact to double precision
+    * after 80 halvings (R's `qf`, as DESeq2's Cook's cutoff uses it). */
+  private[graft] def fQuantile(q: Double, d1: Double, d2: Double): Double = {
+    var hi = 1.0
+    while (fCdf(hi, d1, d2) < q && hi < 1e12) hi *= 2.0
+    var lo = 0.0
+    var i = 0
+    while (i < 80) {
+      val mid = 0.5 * (lo + hi)
+      if (fCdf(mid, d1, d2) < q) lo = mid else hi = mid
+      i += 1
+    }
+    0.5 * (lo + hi)
   }
 
   /** Scalar twin of Stats.normalSfTwoSided (A&S 7.1.26, |err| < 1.5e-7). */

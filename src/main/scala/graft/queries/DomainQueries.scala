@@ -370,7 +370,10 @@ object DomainQueries {
       val cells = cellsDf.as[CountCell]
       val prior = DiffExpression.dispersionPrior(cells, 2)
       val de = DiffExpression.waldTest(cells, Seq("NT", "TP"), Some(prior)).toDF()
-      val out = Stats.bhAdjust(de, "pvalue", "gene")
+      // DESeq2 results() semantics: Cook's outliers → pvalue/padj NULL,
+      // independent filtering → padj NULL below the base_mean threshold;
+      // signifBand propagates the NULLs (R's NA path, F5/F12)
+      val out = DiffExpression.results(de)
         .withColumn("p_signif", Stats.signifBand(col("padj")))
         .select(col("gene"), round(col("base_mean"), 6).as("base_mean"),
           round(col("log2fc"), 6).as("log2fc"), round(col("lfc_se"), 6).as("lfc_se"),

@@ -71,4 +71,61 @@ class DiffExpressionSpec extends SparkSpec {
     val b = DiffExpression.waldTest(cells.toDS().repartition(7), Seq("A", "B")).collect().head
     assert(a == b)
   }
+
+  test("fQuantile matches R's qf (standard F tables)") {
+    // reference values cross-checked against an independent implementation
+    // and the printed F tables (qf(p, d1, d2))
+    assert(math.abs(DiffExpression.fQuantile(0.99, 1, 10) - 10.044289) < 1e-4)
+    assert(math.abs(DiffExpression.fQuantile(0.99, 2, 10) - 7.559432) < 1e-4)
+    assert(math.abs(DiffExpression.fQuantile(0.99, 4, 56) - 3.674045) < 1e-4)
+    assert(math.abs(DiffExpression.fQuantile(0.5, 3, 7) - 0.870944) < 1e-4)
+    assert(math.abs(DiffExpression.fQuantile(0.95, 2, 10) - 4.102821) < 1e-4)
+  }
+
+  test("planted Cook's outlier flags its gene; clean twin unflagged") {
+    // gene 11: one A-sample count blown up 30x — a single-observation
+    // artifact, exactly what Cook's distance exists to catch
+    val clean = cellsFor(10L, 20, 22, 15)
+    val spiked = cellsFor(11L, 20, 22, 15)
+      .map(c => if (c.cond == "A" && c.smp == 0L) c.copy(cnt = 600.0) else c)
+    val res = DiffExpression.waldTest((clean ++ spiked).toDS(), Seq("A", "B"))
+      .collect().map(r => r.gene -> r).toMap
+    assert(!res(10L).cooks_outlier, "clean gene must not be flagged")
+    assert(res(11L).cooks_outlier, "spiked gene must be flagged")
+  }
+
+  test("results(): outlier NAs pvalue+padj, low-mean genes padj-only NA") {
+    // Hand-crafted results frame with a RISING rejection curve: the 15
+    // borderline genes (p ≈ 0.02–0.034) miss alpha = 0.1 while the 50
+    // low-mean nulls sit in the BH universe (m = 100: BH needs
+    // p_(25) ≤ 0.025) but clear it once filtering shrinks m to 50
+    // (p_(25) = 0.034 ≤ 0.05) — so the argmax threshold must land above
+    // the low-mean genes' base_mean. A flat curve (all-strong signal)
+    // legitimately selects no filtering, in DESeq2 and here alike.
+    val rows =
+      (1 to 10).map(g => (g.toLong, 100.0, 1e-8, false)) ++
+      (11 to 25).map(g => (g.toLong, 100.0, 0.020 + 0.001 * (g - 11), false)) ++
+      (26 to 50).map(g => (g.toLong, 100.0, 0.30 + 0.01 * (g - 26), false)) ++
+      (51 to 100).map(g => (g.toLong, 0.05, 0.30 + 0.01 * (g - 51), false)) ++
+      Seq((101L, 100.0, 0.001, true)) // planted Cook's outlier
+    val de = rows.toDF("gene", "base_mean", "pvalue", "cooks_outlier")
+    val out = DiffExpression.results(de).collect()
+      .map(r => r.getAs[Long]("gene") -> r).toMap
+    // outlier: both NULL
+    assert(out(101L).isNullAt(out(101L).fieldIndex("pvalue")))
+    assert(out(101L).isNullAt(out(101L).fieldIndex("padj")))
+    // low-mean nulls: pvalue kept, padj NULL (independent filtering)
+    (51L to 100L).foreach { g =>
+      assert(!out(g).isNullAt(out(g).fieldIndex("pvalue")), s"gene $g pvalue")
+      assert(out(g).isNullAt(out(g).fieldIndex("padj")), s"gene $g padj")
+    }
+    // borderline genes are rejected thanks to filtering (padj ≤ 0.1)...
+    (11L to 25L).foreach { g =>
+      val padj = out(g).getAs[Double]("padj")
+      assert(!out(g).isNullAt(out(g).fieldIndex("padj")) && padj <= 0.1,
+        s"gene $g padj=$padj")
+    }
+    // ...and high-mean nulls keep a non-null, non-significant padj
+    assert(out(30L).getAs[Double]("padj") > 0.1)
+  }
 }
