@@ -35,14 +35,15 @@ final case class DispersionPrior(a0: Double, a1: Double, sigmaSq: Double,
   * that parallelizes across executors exactly like the reference's
   * BiocParallel per-gene fan-out (SURVEY.md §3.4).
   *
-  * Dispersion estimation follows DESeq2's shape: gene-wise estimate
-  * (method-of-moments) → mean-dispersion trend `α(μ) = a0 + a1/μ` fitted
-  * across genes → empirical-Bayes shrinkage of the gene-wise estimate
-  * toward the trend in log space (`DispersionPrior`), with DESeq2's
-  * keep-the-outliers rule. Documented deviations (SURVEY.md §7.5): MoM
-  * instead of the gene-wise MLE and no Cox-Reid adjustment. Structure
-  * parity is exact: one fit per gene, size factors as offsets, Wald tests,
-  * K contrasts extracted from one fit.
+  * Dispersion estimation follows DESeq2's shape: gene-wise Cox-Reid
+  * adjusted profile MLE (MoM-initialized, alternating IRLS / profile
+  * maximization) → mean-dispersion trend `α(μ) = a0 + a1/μ` fitted across
+  * genes → empirical-Bayes shrinkage of the gene-wise estimate toward the
+  * trend in log space (`DispersionPrior`), with DESeq2's keep-the-outliers
+  * rule. Remaining documented deviation (SURVEY.md §7.5): the trend is the
+  * binned OLS over MoM estimates, not DESeq2's gamma-GLM over the CR-MLEs.
+  * Structure parity is exact: one fit per gene, size factors as offsets,
+  * Wald tests, K contrasts extracted from one fit.
   *
   * Determinism: rows are sorted by sample id before accumulation and the
   * IRLS iteration count depends only on the gene's own data (fixed cap,
@@ -294,6 +295,8 @@ object DiffExpression {
     val q = y.indices.map(i => y(i) / math.exp(off(i))).toArray
     val baseMean = q.sum / q.length
     // method-of-moments dispersion over normalized counts, pooled by level
+    // — the INITIALIZER for the Cox-Reid MLE below (DESeq2's
+    // momentsDispEstimate → fitDisp flow)
     val groupMean = Array.tabulate(p) { g =>
       val idx = q.indices.filter(lvl(_) == g)
       if (idx.isEmpty) 0.0 else idx.map(q(_)).sum / idx.size
@@ -304,19 +307,145 @@ object DiffExpression {
       num += (q(i) - m) * (q(i) - m) - m
       den += m * m
     }
-    val dispGene =
+    val dispMoM =
       math.max(MinDisp, math.min(MaxDisp, if (den > 0) num / den else MinDisp))
-    // empirical-Bayes shrinkage toward the trend (log space); gene-wise
-    // estimates far ABOVE the trend are dispersion outliers and kept
+
+    // one IRLS solve pass for a fixed dispersion; mutates `beta`, fills
+    // `xtwx` with the converged iteration's weighted cross-products
+    val xtwx = Array.ofDim[Double](p, p)
+    val xtwz = new Array[Double](p)
+    def runIrls(disp: Double, beta: Array[Double]): Boolean = {
+      var iter = 0
+      var converged = false
+      while (iter < MaxIter && !converged) {
+        java.util.Arrays.fill(xtwz, 0.0)
+        xtwx.foreach(java.util.Arrays.fill(_, 0.0))
+        var i = 0
+        while (i < y.length) {
+          val g = lvl(i)
+          val eta = beta(0) + (if (g > 0) beta(g) else 0.0)
+          val mu = math.min(1e12, math.max(MinMu, math.exp(eta + off(i))))
+          val w = mu / (1.0 + disp * mu)
+          val z = eta + (y(i) - mu) / mu
+          // design row: d0 = 1, dg = 1 (g > 0)
+          xtwx(0)(0) += w
+          xtwz(0) += w * z
+          if (g > 0) {
+            xtwx(0)(g) += w; xtwx(g)(0) += w; xtwx(g)(g) += w
+            xtwz(g) += w * z
+          }
+          i += 1
+        }
+        solveInPlace(copy(xtwx), xtwz.clone()) match {
+          case Some(sol) =>
+            // most genes converge in < 8 iterations — exit early, keeping
+            // the xtwx of the (now-converged) last iteration for the cov
+            var dmax = 0.0
+            var j = 0
+            while (j < p) { dmax = math.max(dmax, math.abs(sol(j) - beta(j))); j += 1 }
+            System.arraycopy(sol, 0, beta, 0, p)
+            if (dmax < ConvergeTol) converged = true
+          case None => return false
+        }
+        iter += 1
+      }
+      true
+    }
+
+    def fittedMu(beta: Array[Double]): Array[Double] =
+      Array.tabulate(y.length) { i =>
+        val g = lvl(i)
+        math.min(1e12, math.max(MinMu,
+          math.exp(beta(0) + (if (g > 0) beta(g) else 0.0) + off(i))))
+      }
+
+    // Cox-Reid adjusted profile log-likelihood of α with μ fixed (Love et
+    // al. 2014 §M2; McCarthy/Chen/Smyth 2012): NB log-likelihood minus
+    // ½·log det(X'W(α)X). For the intercept + one-hot design the
+    // determinant factors exactly as Π_g Σ_{i∈g} wᵢ.
+    def crLogLik(alpha: Double, mu: Array[Double]): Double = {
+      val r = 1.0 / alpha
+      val sg = new Array[Double](p)
+      var ll = -y.length * lgamma(r)
+      var i = 0
+      while (i < y.length) {
+        val m = mu(i)
+        ll += lgamma(y(i) + r) + r * math.log(r / (r + m))
+        if (y(i) > 0) ll += y(i) * math.log(m / (r + m))
+        sg(lvl(i)) += m / (1.0 + alpha * m)
+        i += 1
+      }
+      var g = 0
+      while (g < p) { ll -= 0.5 * math.log(math.max(sg(g), 1e-300)); g += 1 }
+      ll
+    }
+
+    // profile maximization over log α: coarse grid locates the mode's
+    // bracket (robust to non-unimodality), golden-section refines it —
+    // deterministic, ~70 likelihood evaluations
+    def maximizeAlpha(mu: Array[Double]): Double = {
+      val lo = math.log(MinDisp); val hi = math.log(MaxDisp)
+      val nGrid = 17
+      val step = (hi - lo) / (nGrid - 1)
+      var bestI = 0; var bestV = Double.NegativeInfinity
+      var i = 0
+      while (i < nGrid) {
+        val v = crLogLik(math.exp(lo + step * i), mu)
+        if (v > bestV) { bestV = v; bestI = i }
+        i += 1
+      }
+      var a = math.max(lo, lo + step * (bestI - 1))
+      var b = math.min(hi, lo + step * (bestI + 1))
+      val phi = (math.sqrt(5.0) - 1.0) / 2.0
+      var c = b - phi * (b - a); var d = a + phi * (b - a)
+      var fc = crLogLik(math.exp(c), mu); var fd = crLogLik(math.exp(d), mu)
+      var it = 0
+      while (it < 28) {
+        if (fc > fd) {
+          b = d; d = c; fd = fc
+          c = b - phi * (b - a); fc = crLogLik(math.exp(c), mu)
+        } else {
+          a = c; c = d; fc = fd
+          d = a + phi * (b - a); fd = crLogLik(math.exp(d), mu)
+        }
+        it += 1
+      }
+      math.exp(0.5 * (a + b))
+    }
+
+    // init β from group means of normalized counts
+    val beta = new Array[Double](p)
+    beta(0) = math.log(math.max(groupMean(0), 1e-8))
+    (1 until p).foreach(g => beta(g) = math.log(math.max(groupMean(g), 1e-8)) - beta(0))
+
+    // gene-wise dispersion: Cox-Reid adjusted profile MLE, alternating
+    // (β | α) IRLS with (α | μ) profile maximization from the MoM start —
+    // DESeq2's estimateDispersionsGeneEst shape, capped at 2 alternations
+    // (the second moves α < 1e-3 relative on well-behaved genes)
+    if (!runIrls(dispMoM, beta)) return None
+    var alphaHat = dispMoM
+    var round = 0
+    var settled = false
+    while (round < 2 && !settled) {
+      val next = maximizeAlpha(fittedMu(beta))
+      settled = math.abs(math.log(next) - math.log(alphaHat)) < 1e-3
+      alphaHat = next
+      if (!settled && !runIrls(alphaHat, beta)) return None
+      round += 1
+    }
+
+    // empirical-Bayes shrinkage toward the trend (log space) with the
+    // MLE's asymptotic sampling variance 2/(m−p); gene-wise estimates far
+    // ABOVE the trend are dispersion outliers and kept
     val disp = prior match {
-      case None => dispGene
+      case None => alphaHat
       case Some(pr) =>
         val aTr = math.max(MinDisp,
           pr.a0 + pr.a1 / math.max(baseMean, MinMu))
-        val lgw = math.log(dispGene)
+        val lgw = math.log(alphaHat)
         val ltr = math.log(aTr)
-        val sampVar = logDispSampVar(y.length.toDouble, p)
-        if (lgw - ltr > pr.outlierSd * math.sqrt(pr.sigmaSq + sampVar)) dispGene
+        val sampVar = 2.0 / math.max(1.0, y.length.toDouble - p)
+        if (lgw - ltr > pr.outlierSd * math.sqrt(pr.sigmaSq + sampVar)) alphaHat
         else {
           val post = (lgw / sampVar + ltr / pr.sigmaSq) /
             (1.0 / sampVar + 1.0 / pr.sigmaSq)
@@ -324,47 +453,8 @@ object DiffExpression {
         }
     }
 
-    // init from group means of normalized counts
-    val beta = new Array[Double](p)
-    beta(0) = math.log(math.max(groupMean(0), 1e-8))
-    (1 until p).foreach(g => beta(g) = math.log(math.max(groupMean(g), 1e-8)) - beta(0))
-
-    val xtwx = Array.ofDim[Double](p, p)
-    val xtwz = new Array[Double](p)
-    var iter = 0
-    var converged = false
-    while (iter < MaxIter && !converged) {
-      java.util.Arrays.fill(xtwz, 0.0)
-      xtwx.foreach(java.util.Arrays.fill(_, 0.0))
-      var i = 0
-      while (i < y.length) {
-        val g = lvl(i)
-        val eta = beta(0) + (if (g > 0) beta(g) else 0.0)
-        val mu = math.min(1e12, math.max(MinMu, math.exp(eta + off(i))))
-        val w = mu / (1.0 + disp * mu)
-        val z = eta + (y(i) - mu) / mu
-        // design row: d0 = 1, dg = 1 (g > 0)
-        xtwx(0)(0) += w
-        xtwz(0) += w * z
-        if (g > 0) {
-          xtwx(0)(g) += w; xtwx(g)(0) += w; xtwx(g)(g) += w
-          xtwz(g) += w * z
-        }
-        i += 1
-      }
-      solveInPlace(copy(xtwx), xtwz.clone()) match {
-        case Some(sol) =>
-          // most genes converge in < 8 iterations — exit early, keeping
-          // the xtwx of the (now-converged) last iteration for the cov
-          var dmax = 0.0
-          var j = 0
-          while (j < p) { dmax = math.max(dmax, math.abs(sol(j) - beta(j))); j += 1 }
-          System.arraycopy(sol, 0, beta, 0, p)
-          if (dmax < ConvergeTol) converged = true
-        case None => return None
-      }
-      iter += 1
-    }
+    // final fit at the posterior dispersion — the Wald covariance
+    if (disp != alphaHat && !runIrls(disp, beta)) return None
     invert(xtwx).map { cov =>
       // Cook's-distance outlier flag (DESeq2's results() rule, consumed at
       // vital_status_DESeq.R:89-97): per observation, squared Pearson

@@ -22,11 +22,12 @@ class TcgaApiSpec extends SparkSpec {
       assert(r.getAs[String]("p_signif") != "ns")
     }
     val flat = res.filter(r => r.getAs[String]("gene_name").startsWith("GENE"))
-    // empirical-Bayes dispersion shrinkage toward the trend (DESeq2-style)
-    // controls the MoM anti-conservatism; residual deviation (no gene-wise
-    // MLE / Cox-Reid) keeps this a bound, not zero (SURVEY.md §7.5).
+    // gene-wise Cox-Reid MLE + empirical-Bayes shrinkage toward the trend
+    // (DESeq2-style) control the Wald anti-conservatism; the remaining
+    // deviation (trend = binned OLS over MoM estimates, not a gamma-GLM
+    // over the CR-MLEs) keeps this a bound, not zero (SURVEY.md §7.5).
     val fpr = flat.count(_.getAs[Double]("padj") < 0.05).toDouble / flat.length
-    assert(fpr <= 0.1, s"false positive rate $fpr")
+    assert(fpr <= 0.07, s"false positive rate $fpr")
   }
 
   test("§3.1 DE: contrast direction follows level order (reference = first)") {
