@@ -56,8 +56,10 @@ object Corpus {
       textCol: String = "text", shingleN: Int = 3, numHashes: Int = 6,
       bandsOf: Int = 2, jaccardMin: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
-    // persist: shingles feed the signatures AND both sides of the verify
+    // persist: shingles feed the signatures AND both sides of the verify;
+    // released after the caller's consuming action
     val sh = Dedup.shingleRows(docs, idCol, textCol, shingleN).persist()
+    graft.Caches.releaseAfterAction(sh)
     val cands = Dedup.minhashCandidates(
       Dedup.minhashSignatures(sh, numHashes), numHashes, bandsOf, maxBucket)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))

@@ -93,6 +93,8 @@ object Tcga {
     val pairs = if (contrasts.nonEmpty) contrasts else Seq((levels.last, levels.head))
     val prior = DiffExpression.dispersionPrior(cells, levels.size)
     val de = DiffExpression.contrasts(cells, levels, pairs, Some(prior)).toDF()
+    // registered AFTER the prior's collect — released on the caller's action
+    graft.Caches.releaseAfterAction(cells.toDF())
     val named = de
       .join(broadcast(geneIds), de("gene") === geneIds("gid"))
       .join(broadcast(t.genes), "gene_id")

@@ -31,8 +31,10 @@ object Survival {
     require(confType == "log" || confType == "linear",
       s"confType must be log|linear, got $confType")
     // the subject frame feeds the per-time agg AND the totals agg: persist
-    // so an expensive upstream (e.g. the VST pipeline) runs once
+    // so an expensive upstream (e.g. the VST pipeline) runs once; released
+    // after the caller's consuming action (Caches contract)
     val df = df0.persist()
+    graft.Caches.releaseAfterAction(df)
     val perTime = df.groupBy(col(stratCol), col(timeCol)).agg(
       sum(col(eventCol)).as("d"),
       sum(lit(1) - col(eventCol)).as("c"))
@@ -105,8 +107,10 @@ object Survival {
   def logRankBy(df0: DataFrame, groupCol: String, stratCol: String,
       timeCol: String, eventCol: String): DataFrame = {
     // four derivations of the subject frame (per-time, grid, strata,
-    // totals) — persist or the upstream pipeline runs 4x
+    // totals) — persist or the upstream pipeline runs 4x; released after
+    // the caller's consuming action (Caches contract)
     val df = df0.persist()
+    graft.Caches.releaseAfterAction(df)
     val perTime = df.groupBy(col(groupCol), col(stratCol), col(timeCol)).agg(
       sum(col(eventCol)).as("d"),
       sum(lit(1) - col(eventCol)).as("c"))

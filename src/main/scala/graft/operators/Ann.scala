@@ -48,6 +48,16 @@ object Ann {
     * recommends ~256·k training points); the full corpus is only ever
     * touched by the one embarrassingly-parallel `assign` scan downstream.
     *
+    * Determinism scope: given the SAME Spark environment (parallelism,
+    * partition layout) results are bit-stable across reruns. Across
+    * DIFFERENT environments the training spread (`repartition(parts)`,
+    * parts derived from defaultParallelism) changes float summation order
+    * in the centroid means, so centroids — and therefore nProbe < k ANN
+    * results — can differ in the last ulps. This is inherent to
+    * distributed float reduction; the exact path (nProbe = k, which the
+    * ss3 oracle checks) is environment-independent because the final
+    * re-rank is a total order over exact per-pair cosines.
+    *
     * @return centroids `(cell, cv ARRAY<DOUBLE>)` — ≤ k rows (a cell that
     *         loses all its training members drops out; harmless, searches
     *         probe surviving cells only) */
@@ -90,6 +100,9 @@ object Ann {
           s => s.getField("m")).as("cv"))
       i += 1
     }
+    // registered AFTER the internal count() actions above — the training
+    // cache survives the Lloyd plan until the caller's consuming action
+    graft.Caches.releaseAfterAction(train)
     centroids
   }
 
@@ -113,6 +126,7 @@ object Ann {
     // persist: k rows, referenced by the corpus assign AND the query probe
     // — without it each reference re-runs the whole Lloyd DAG
     val centroids = kmeansCentroids(emb, idCol, vecCol, k, iters).persist()
+    graft.Caches.releaseAfterAction(centroids)
     val corpus = assign(normalized(emb, idCol, vecCol), centroids)
     val qn = normalized(queries, idCol, vecCol)
       .select(col("id").as("q_id"), col("v").as("qv"), col("vn").as("qvn"))

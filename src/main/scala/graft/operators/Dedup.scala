@@ -132,6 +132,7 @@ object Dedup {
       sigs.select(col("doc_id"), lit(b).as("band"),
         md5(concat_ws("_", cols: _*)).as("bkey"))
     }.reduce(_ unionByName _).persist()
+    graft.Caches.releaseAfterAction(sigs, bands)
     val capped = capBuckets(bands, Seq(col("band"), col("bkey")), maxBucket,
       "minhashCandidates")
     capped.as("x").join(capped.as("y"),
@@ -171,6 +172,7 @@ object Dedup {
           .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"),
         col("simhash"))
     }.reduce(_ unionByName _).persist()
+    graft.Caches.releaseAfterAction(sigs, bands)
     val capped = capBuckets(bands, Seq(col("band"), col("bkey")), maxBucket,
       "simhashNearPairs")
     capped.as("x").join(capped.as("y"),
@@ -210,6 +212,7 @@ object Dedup {
         explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
       .distinct()
       .persist()
+    graft.Caches.releaseAfterAction(sh)
     val sized = capBuckets(sh, Seq(col("blk"), col("sh")), maxShingleDocs,
         "jaccardPairs")
       .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))

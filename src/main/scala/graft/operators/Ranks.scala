@@ -32,10 +32,16 @@ object Ranks {
     val g = grpNames.map(col)
     val keys = g ++ order
     // persist: the partition id must be identical across the offsets
-    // branch and the local-rank branch
+    // branch and the local-rank branch; released after the caller's
+    // consuming action. (The input is deliberately NOT persisted: the
+    // boundary-sampling pass re-reads upstream once, which for the
+    // fact-sized frames this operator targets is cheaper at scale than a
+    // fact-sized cache materialization — unlike Stats.bhAdjust, whose
+    // input is a hypothesis-level frame behind an expensive fit.)
     val ranged = prepared.repartitionByRange(keys: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
+    graft.Caches.releaseAfterAction(ranged)
     val counts = ranged.groupBy((g :+ col("__pid")): _*)
       .agg(count(lit(1)).as("__cnt"))
     val wOff = Window.partitionBy(g: _*).orderBy(col("__pid"))

@@ -368,6 +368,7 @@ object ScaleOpsQueries {
       graft.expressions.GraftFunctions.register(s)
       // persist: the md5-heavy bucket projection feeds corpus AND queries
       val e = embNorm(s, d).withColumn("bucket", bucketCol(col("v"))).persist()
+      graft.Caches.releaseAfterAction(e)
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))

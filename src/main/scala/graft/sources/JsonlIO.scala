@@ -32,7 +32,13 @@ object JsonlIO {
     * quarantined raw lines). Callers count/inspect the second frame.
     * The parsed scan is persisted: both sides filter it, and Spark
     * refuses corrupt-column-only queries against a raw file scan
-    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN). */
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    *
+    * CALLER-MANAGED cache (the one exception to the Caches
+    * release-after-action contract): the quarantine frame is only legal
+    * against the cached intermediate, and the two returned frames are
+    * consumed by separate actions — unpersist the clean frame (or
+    * `Caches.clearCaches`) once both sides are consumed. */
   def partitionCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
     val parsed = df.persist()
     val clean = parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)
