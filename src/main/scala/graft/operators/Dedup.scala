@@ -184,6 +184,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Train→test contamination check — the benchmark-leakage scan every
+    * training corpus needs before evaluation: which held-out (test)
+    * documents share verbatim word n-grams with the training split?
+    *
+    * Shape at 100 TB: distinct (doc, shingle) rows; the train side
+    * collapses to a DISTINCT shingle dictionary (one hash agg); the test
+    * side semi-joins against it (`n_shared` = matching shingles per test
+    * doc). No doc×doc pair space at all — cost is linear in shingle
+    * volume. Shingles present in more than `maxShingleTrainDocs` train
+    * docs (boilerplate) are dropped from the dictionary + logged, the
+    * same hot-bucket cap as the dedup paths.
+    *
+    * @param trainFlag boolean column on `docs` marking the training split
+    * @return one row per CONTAMINATED test doc:
+    *         `(doc_id, n_sh, n_shared, contamination)` where `n_sh` is the
+    *         doc's distinct-shingle count and contamination = n_shared/n_sh
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      trainFlag: Column, n: Int, maxShingleTrainDocs: Int = 1000): DataFrame = {
+    val sh = spread(docs).select(col(idCol).as("doc_id"), trainFlag.as("is_train"),
+        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+      .distinct()
+      .persist()
+    graft.Caches.releaseAfterAction(sh)
+    val trainSh = capBuckets(sh.filter(col("is_train")), Seq(col("sh")),
+        maxShingleTrainDocs, "contamination")
+      .select("sh").distinct()
+    val test = sh.filter(!col("is_train")).select("doc_id", "sh")
+    val totals = test.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    test.join(trainSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(totals, "doc_id")
+      .withColumn("contamination", round(col("n_shared") / col("n_sh"), 6))
+      .select("doc_id", "n_sh", "n_shared", "contamination")
+  }
+
   /** Exact n-gram Jaccard inside a blocking key: pairs with
     * similarity ≥ threshold. `blockCol` bounds the pair space (a source
     * bucket, an LSH band, an IVF cell...). The shingle join key is the

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{AsOfJoin, Dedup, Ranks, Sampling, TextFunctions}
+
+/** Round-3 training-pipeline operators beyond the dedup/ANN/text set:
+  * corpus vocabulary top-k, Gopher-style within-document repetition
+  * scoring, train→test contamination scanning, deterministic stratified
+  * sampling, as-of joins over the event stream, and scale-safe exact
+  * group quantiles. Every entry carries a DuckDB oracle.
+  */
+object PipelineQueries {
+
+  private val toksSql =
+    """SELECT doc_id, lang, source, n_chars, text,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+       FROM documents"""
+
+  /** X4 — corpus vocabulary top-k: token frequencies, highest 100 with a
+    * deterministic tiebreak. The canonical map-side-combine demonstration:
+    * partial hash aggs per partition, one shuffled final agg, then
+    * orderBy+limit plans as TakeOrderedAndProject (per-partition top-k
+    * heaps — no global sort materializes the vocabulary). */
+  private val x4 = Q(
+    "x4_vocab_topk",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100),
+    Some(s"""WITH t AS ($toksSql),
+             tok AS (SELECT unnest(toks) AS token FROM t)
+             SELECT token, count(*) AS cnt FROM tok
+             GROUP BY token ORDER BY cnt DESC, token LIMIT 100"""))
+
+  /** X5 — within-document repetition scoring (the Gopher quality-rule
+    * family): per doc over its word 2-grams, the duplicate fraction
+    * (1 − distinct/total) and the top-gram fraction (most frequent 2-gram's
+    * share). Docs with < 2 tokens have no 2-grams and drop out — mirrored
+    * by the oracle's unnest. Two chained hash aggs, no window, no join. */
+  private val x5 = Q(
+    "x5_repetition",
+    (s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("sh"))
+      grams.groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_total"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_rep"))
+        .withColumn("dup_frac", round(lit(1.0) - col("n_distinct") / col("n_total"), 6))
+        .withColumn("top_frac", round(col("max_rep") / col("n_total"), 6))
+        .select("doc_id", "n_total", "n_distinct", "max_rep", "dup_frac", "top_frac")
+    },
+    Some(s"""WITH t AS ($toksSql),
+             g AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS sh
+                   FROM t),
+             c AS (SELECT doc_id, sh, count(*) AS c FROM g GROUP BY 1, 2),
+             tot AS (SELECT doc_id, count(*) AS n_total FROM g GROUP BY 1),
+             dis AS (SELECT doc_id, count(*) AS n_distinct, max(c) AS max_rep
+                     FROM c GROUP BY 1)
+             SELECT doc_id, n_total, n_distinct, max_rep,
+               round(1 - n_distinct / n_total, 6) AS dup_frac,
+               round(max_rep / n_total, 6) AS top_frac
+             FROM tot JOIN dis USING (doc_id)"""))
+
+  /** CT1 — train→test contamination scan (Dedup.contamination): sources
+    * src0–src9 are the training split, src10–src19 the held-out split;
+    * report every test doc sharing a verbatim 3-gram with training data.
+    * Linear in shingle volume — a distinct-shingle dictionary semi-join,
+    * never a doc×doc pair space. */
+  private val ct1 = Q(
+    "ct1_contamination",
+    (s, d) => Dedup.contamination(Tables.documents(s, d), "doc_id", "text",
+      substring(col("source"), 4, 10).cast("int") < 10, 3, 1000),
+    Some(s"""WITH t AS ($toksSql),
+             shg AS (SELECT DISTINCT doc_id,
+                       CAST(substring(source, 4) AS INT) < 10 AS is_train, sh
+                     FROM (SELECT doc_id, source,
+                             unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                           FROM t)),
+             tr AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM shg
+                                    WHERE is_train GROUP BY sh)
+                    WHERE c <= 1000),
+             te AS (SELECT doc_id, sh FROM shg WHERE NOT is_train),
+             tot AS (SELECT doc_id, count(*) AS n_sh FROM te GROUP BY 1),
+             ov AS (SELECT doc_id, count(*) AS n_shared
+                    FROM te JOIN tr USING (sh) GROUP BY 1)
+             SELECT doc_id, n_sh, n_shared,
+               round(n_shared / n_sh, 6) AS contamination
+             FROM ov JOIN tot USING (doc_id)"""))
+
+  private val sampleRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.125, "zh" -> 0.125)
+
+  /** SM1 — deterministic stratified hash sample (Sampling): per-language
+    * rates, keep iff hash60(doc_id) < rate·2^60. A pure narrow filter —
+    * no shuffle, no RNG, reproducible across engines, layouts and reruns,
+    * and nested across rates (the scaling-ladder property). */
+  private val sm1 = Q(
+    "sm1_stratified_sample",
+    (s, d) => Sampling.stratifiedHashSample(
+        Tables.documents(s, d), col("doc_id"), col("lang"), sampleRates.toMap)
+      .select("doc_id", "lang", "source", "n_chars"),
+    Some {
+      val cases = sampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN ${Sampling.threshold(r)}" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+            < CASE lang $cases ELSE 0 END"""
+    })
+
+  /** QT1 — exact per-group quantiles (p25/p50/p75 of n_chars per lang)
+    * through the two-phase rank (Ranks.rowNumber): range partition + local
+    * rank + bounded offset stitch, so no language's rows ever funnel into
+    * one sort task — the scale-safe alternative to `percentile`'s
+    * collect-to-buffer or a one-task group window. Quantile = the value at
+    * 1-based rank ceil(q·n) (discrete, lower-rounding); q values are
+    * binary-exact doubles so ceil(q·n) is engine-stable. */
+  private val qt1 = Q(
+    "qt1_group_quantiles",
+    (s, d) => {
+      val ranked = Ranks.rowNumber(
+        Tables.documents(s, d).select("lang", "n_chars", "doc_id"),
+        Seq(col("lang")), Seq(col("n_chars"), col("doc_id")), "rn", "n")
+      def at(q: Double) =
+        max(when(col("rn") === ceil(col("n") * q), col("n_chars")))
+      ranked.groupBy("lang").agg(
+        max(col("n")).as("n"),
+        at(0.25).as("p25"), at(0.5).as("p50"), at(0.75).as("p75"))
+    },
+    Some("""WITH r AS (SELECT lang, n_chars,
+                         row_number() OVER (PARTITION BY lang
+                           ORDER BY n_chars, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY lang) AS n
+                       FROM documents)
+            SELECT lang, max(n) AS n,
+              max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN n_chars END) AS p25,
+              max(CASE WHEN rn = CAST(ceil(n * 0.5)  AS BIGINT) THEN n_chars END) AS p50,
+              max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN n_chars END) AS p75
+            FROM r GROUP BY lang"""))
+
+  /** AJ1 — as-of join over the event stream: each click picks up the most
+    * recent at-or-before purchase of the same user (AsOfJoin — union +
+    * one keyed window, never the quadratic join+rank). Timestamps compare
+    * in the µs domain on both engines (s2's convention). */
+  private val aj1 = Q(
+    "aj1_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "value", "event_id")
+      AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts_us",
+          payload = Seq("value", "event_id"), tieCol = "event_id")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("value"), 6).as("value"),
+          col("r_ts_us"), round(col("r_value"), 6).as("r_value"),
+          col("r_event_id"))
+    },
+    Some("""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value
+                       FROM events WHERE event_type = 'click'),
+            r0 AS (SELECT user_id, epoch_us(ts) AS tsu, value, event_id,
+                     row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                       ORDER BY event_id) AS rn
+                   FROM events WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, tsu, value, event_id FROM r0 WHERE rn = 1),
+            j AS (SELECT l.event_id, l.user_id, l.tsu, l.value,
+                    r.tsu AS r_tsu, r.value AS r_value, r.event_id AS r_event_id,
+                    row_number() OVER (PARTITION BY l.event_id
+                      ORDER BY r.tsu DESC) AS rn
+                  FROM l LEFT JOIN r
+                    ON l.user_id = r.user_id AND r.tsu <= l.tsu)
+            SELECT event_id, user_id, tsu AS ts_us, round(value, 6) AS value,
+                   r_tsu AS r_ts_us, round(r_value, 6) AS r_value, r_event_id
+            FROM j WHERE rn = 1"""))
+
+  def all: Seq[Q] = Seq(x4, x5, ct1, sm1, qt1, aj1)
+}

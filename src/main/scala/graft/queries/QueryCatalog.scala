@@ -26,6 +26,7 @@ object QueryCatalog {
       SurvivalQueries.all ++
       ReshapeQueries.all ++
       ScaleOpsQueries.all ++
+      PipelineQueries.all ++
       DomainQueries.all ++
       StreamParityQueries.all
 

@@ -113,6 +113,39 @@ class DedupSpec extends SparkSpec {
     assert(row(0).getAs[Long]("na") == 4L)
   }
 
+  test("contamination: test docs sharing train n-grams are flagged; others not") {
+    val corpus = Seq(
+      // train split
+      (1L, "alpha beta gamma delta epsilon zeta", true),
+      (2L, "one two three four five six seven", true),
+      // test split: 10 leaks the 'alpha beta gamma' 3-gram; 11 is clean
+      (10L, "alpha beta gamma completely novel ending", false),
+      (11L, "nothing here overlaps with training text", false))
+      .toDF("doc_id", "text", "is_train")
+    val got = Dedup.contamination(corpus, "doc_id", "text", $"is_train", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("contamination"))).toMap
+    assert(got.keySet === Set(10L)) // only the leaking doc is reported
+    assert(got(10L)._1 === 1L) // exactly one shared 3-gram
+    assert(got(10L)._2 === 0.25) // of its 4 distinct 3-grams
+  }
+
+  test("contamination cap: boilerplate shingles leave the train dictionary") {
+    // one boilerplate 3-gram in 12 train docs (> cap 10); a test doc whose
+    // ONLY overlap is that boilerplate must come out clean
+    val train = (1L to 12L).map(i => (i, s"standard header text unique tail $i", true))
+    val test = Seq((100L, "standard header text but otherwise novel", false))
+    val corpus = (train ++ test).toDF("doc_id", "text", "is_train")
+    val flagged = Dedup.contamination(corpus, "doc_id", "text", $"is_train", 3,
+        maxShingleTrainDocs = 10)
+      .collect()
+    assert(flagged.isEmpty, flagged.mkString(","))
+    // without the cap the same doc IS flagged (sanity that the fixture leaks)
+    val uncapped = Dedup.contamination(corpus, "doc_id", "text", $"is_train", 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(uncapped === Set(100L))
+  }
+
   test("jaccardPairs: exact dup scores 1.0, blocking excludes cross-block pairs") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 2, 0.0)
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),

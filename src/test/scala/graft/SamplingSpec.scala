@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) = (1 to n).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+    .toDF("id", "grp")
+
+  test("hash sample is deterministic under any partitioning") {
+    val df = ids(2000)
+    val s1 = Sampling.hashSample(df.repartition(7), col("id"), 0.3)
+      .select("id").as[Long].collect().sorted
+    val s2 = Sampling.hashSample(df.repartition(3), col("id"), 0.3)
+      .select("id").as[Long].collect().sorted
+    assert(s1.sameElements(s2))
+    assert(s1.nonEmpty)
+  }
+
+  test("samples nest: rate 0.1 is a subset of rate 0.3") {
+    val df = ids(2000)
+    val small = Sampling.hashSample(df, col("id"), 0.1)
+      .select("id").as[Long].collect().toSet
+    val big = Sampling.hashSample(df, col("id"), 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+    assert(small.nonEmpty && big.size > small.size)
+  }
+
+  test("rates land near their targets and rate 1.0 keeps everything") {
+    val df = ids(5000)
+    val frac = Sampling.hashSample(df, col("id"), 0.25).count().toDouble / 5000
+    assert(math.abs(frac - 0.25) < 0.05, s"got $frac")
+    assert(Sampling.hashSample(df, col("id"), 1.0).count() === 5000)
+    assert(Sampling.hashSample(df, col("id"), 0.0).count() === 0)
+  }
+
+  test("stratified sample applies the per-stratum rate") {
+    val df = ids(4000)
+    val out = Sampling.stratifiedHashSample(df, col("id"), col("grp"),
+      Map("a" -> 0.5, "b" -> 0.0))
+    assert(out.filter(col("grp") === "b").count() === 0)
+    val fracA = out.filter(col("grp") === "a").count().toDouble / 2000
+    assert(math.abs(fracA - 0.5) < 0.06, s"got $fracA")
+    // strata not in the map fall to defaultRate
+    val withDefault = Sampling.stratifiedHashSample(df, col("id"), col("grp"),
+      Map("a" -> 0.5), defaultRate = 1.0)
+    assert(withDefault.filter(col("grp") === "b").count() === 2000)
+  }
+
+  test("sampling is a narrow filter: no shuffle in the plan") {
+    val df = ids(100)
+    val plan = Sampling.hashSample(df, col("id"), 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
