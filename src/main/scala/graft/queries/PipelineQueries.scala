@@ -43,7 +43,12 @@ object PipelineQueries {
   private val x5 = Q(
     "x5_repetition",
     (s, d) => {
+      // spread before the lambda-heavy shingle explode: higher-order
+      // functions run outside whole-stage codegen, and a single-row-group
+      // parquet scan would pin all of it to one core (same rationale as
+      // Dedup.spread)
       val grams = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("sh"))
       grams.groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
