@@ -3,7 +3,9 @@ package graft.api
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, TextFunctions}
+import org.apache.spark.sql.Column
+
+import graft.operators.{Ann, Dedup, Sampling, TextFunctions}
 
 /** The training-corpus user surface: score → filter → dedup → fingerprint
   * → search over `documents(doc_id, text, …)` and `embeddings(vec_id,
@@ -85,6 +87,46 @@ object Corpus {
       .select(col(idCol),
         TextFunctions.prefixFingerprint(col("toks"), prefixK).as("prefix_fp"),
         TextFunctions.minShingleFingerprint(col("toks"), shingleN).as("min_shingle_fp"))
+
+  /** Deterministic corpus subsample (SM1): keep iff
+    * `hash60(id) < rate·2^60` — reproducible across reruns, layouts and
+    * engines, nested across rates (a 10% sample ⊂ the 30% sample), and a
+    * pure narrow filter (no shuffle). `byStratum` rates override `rate`
+    * per stratum value when a stratum column is given. */
+  def sample(docs: DataFrame, rate: Double, idCol: String = "doc_id",
+      stratum: Option[Column] = None,
+      byStratum: Map[String, Double] = Map.empty): DataFrame =
+    stratum match {
+      case Some(s) =>
+        Sampling.stratifiedHashSample(docs, col(idCol), s, byStratum, rate)
+      case None => Sampling.hashSample(docs, col(idCol), rate)
+    }
+
+  /** Train→test leakage scan (CT1, Dedup.contamination): test docs sharing
+    * verbatim word n-grams with the training split, linear in shingle
+    * volume (distinct-shingle dictionary semi-join, hot shingles capped). */
+  def contamination(docs: DataFrame, trainFlag: Column,
+      idCol: String = "doc_id", textCol: String = "text", shingleN: Int = 3,
+      maxShingleTrainDocs: Int = 1000): DataFrame =
+    Dedup.contamination(docs, idCol, textCol, trainFlag, shingleN,
+      maxShingleTrainDocs)
+
+  /** Within-document repetition scores (X5, the Gopher quality-rule
+    * family): over each doc's word n-grams, `dup_frac` = 1 −
+    * distinct/total and `top_frac` = the most frequent n-gram's share.
+    * Docs with fewer than n tokens have no n-grams and drop out. */
+  def repetitionScores(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 2): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_total"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_rep"))
+      .withColumn("dup_frac", lit(1.0) - col("n_distinct") / col("n_total"))
+      .withColumn("top_frac", col("max_rep") / col("n_total"))
 
   /** Exact cosine top-k (SS1): the verification baseline. */
   def searchTopK(emb: DataFrame, queries: DataFrame, topK: Int,

@@ -61,6 +61,29 @@ object Ranks {
       .select((df.columns.map(col) :+ col(out) :+ col(outN)): _*)
   }
 
+  /** Exact per-group quantiles through the two-phase rank — the scale-safe
+    * alternative to `percentile` (which buffers each group's values in one
+    * aggregator) or a one-task group-window sort. Quantile q = the value
+    * at 1-based rank `ceil(q·n)` (discrete, lower-rounding — DuckDB's
+    * `quantile_disc`). Stick to binary-exact q (.25, .5, .75, .125…) when
+    * cross-engine bit-stability of `ceil(q·n)` matters.
+    *
+    * @param qs (output column name, q) pairs, each q in (0, 1]
+    * @return one row per group: grp ++ (`n`, qs names…)
+    */
+  def quantiles(df: DataFrame, grp: Seq[String], value: String,
+      tieBreak: String, qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 },
+      s"quantiles must be in (0,1]: $qs")
+    val ranked = rowNumber(df, grp.map(col), Seq(col(value), col(tieBreak)),
+      "__rnk", "__n")
+    val aggs = qs.map { case (name, q) =>
+      max(when(col("__rnk") === ceil(col("__n") * q), col(value))).as(name)
+    }
+    ranked.groupBy(grp.map(col): _*)
+      .agg(max(col("__n")).as("n"), aggs: _*)
+  }
+
   /** SQL `NTILE(tiles)` semantics via the two-phase rank: the first
     * `n % tiles` tiles hold `ceil(n/tiles)` rows, the rest `floor`.
     * (`/` on Columns is double division — `floor` recovers the integer

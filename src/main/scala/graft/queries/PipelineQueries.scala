@@ -42,23 +42,10 @@ object PipelineQueries {
     * by the oracle's unnest. Two chained hash aggs, no window, no join. */
   private val x5 = Q(
     "x5_repetition",
-    (s, d) => {
-      // spread before the lambda-heavy shingle explode: higher-order
-      // functions run outside whole-stage codegen, and a single-row-group
-      // parquet scan would pin all of it to one core (same rationale as
-      // Dedup.spread)
-      val grams = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("sh"))
-      grams.groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("n_total"), count(lit(1)).as("n_distinct"),
-          max(col("c")).as("max_rep"))
-        .withColumn("dup_frac", round(lit(1.0) - col("n_distinct") / col("n_total"), 6))
-        .withColumn("top_frac", round(col("max_rep") / col("n_total"), 6))
-        .select("doc_id", "n_total", "n_distinct", "max_rep", "dup_frac", "top_frac")
-    },
+    (s, d) => graft.api.Corpus.repetitionScores(Tables.documents(s, d))
+      .withColumn("dup_frac", round(col("dup_frac"), 6))
+      .withColumn("top_frac", round(col("top_frac"), 6))
+      .select("doc_id", "n_total", "n_distinct", "max_rep", "dup_frac", "top_frac"),
     Some(s"""WITH t AS ($toksSql),
              g AS (SELECT doc_id,
                      unnest(list_transform(range(1, len(toks)),
@@ -130,16 +117,10 @@ object PipelineQueries {
     * binary-exact doubles so ceil(q·n) is engine-stable. */
   private val qt1 = Q(
     "qt1_group_quantiles",
-    (s, d) => {
-      val ranked = Ranks.rowNumber(
-        Tables.documents(s, d).select("lang", "n_chars", "doc_id"),
-        Seq(col("lang")), Seq(col("n_chars"), col("doc_id")), "rn", "n")
-      def at(q: Double) =
-        max(when(col("rn") === ceil(col("n") * q), col("n_chars")))
-      ranked.groupBy("lang").agg(
-        max(col("n")).as("n"),
-        at(0.25).as("p25"), at(0.5).as("p50"), at(0.75).as("p75"))
-    },
+    (s, d) => Ranks.quantiles(
+      Tables.documents(s, d).select("lang", "n_chars", "doc_id"),
+      Seq("lang"), "n_chars", "doc_id",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)),
     Some("""WITH r AS (SELECT lang, n_chars,
                          row_number() OVER (PARTITION BY lang
                            ORDER BY n_chars, doc_id) AS rn,

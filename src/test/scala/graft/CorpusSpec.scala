@@ -49,6 +49,41 @@ class CorpusSpec extends SparkSpec {
     assert(fp(1L) != fp(6L))
   }
 
+  test("sample: deterministic, nested, stratified rates respected") {
+    val corpus = (1L to 2000L).map(i => (i, if (i % 2 == 0) "web" else "book"))
+      .toDF("doc_id", "src")
+    val s10 = Corpus.sample(corpus, 0.1).select("doc_id").as[Long].collect().toSet
+    val s30 = Corpus.sample(corpus, 0.3).select("doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(s30) && s10.nonEmpty)
+    val strat = Corpus.sample(corpus, 0.0, stratum = Some(col("src")),
+      byStratum = Map("web" -> 0.5))
+    assert(strat.filter($"src" === "book").count() === 0)
+    assert(strat.filter($"src" === "web").count() > 0)
+  }
+
+  test("contamination: flags only test docs overlapping the train split") {
+    val corpus = Seq(
+      (1L, good, true),
+      (10L, "the quick brown fox with a novel continuation", false), // leaks
+      (11L, "held out text with zero verbatim overlap whatsoever", false))
+      .toDF("doc_id", "text", "is_train")
+    val got = Corpus.contamination(corpus, $"is_train")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got === Set(10L))
+  }
+
+  test("repetitionScores: a looping doc scores high, varied text low") {
+    val corpus = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "each word here appears exactly once only"))
+      .toDF("doc_id", "text")
+    val got = Corpus.repetitionScores(corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_frac"), r.getAs[Double]("top_frac"))).toMap
+    assert(got(1L)._1 > 0.8 && got(1L)._2 == 1.0) // 7 copies of one 2-gram
+    assert(got(2L)._1 == 0.0 && got(2L)._2 < 0.2)
+  }
+
   test("searchTopKApprox with nProbe = cells equals the exact search") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") % 100 === 0)

@@ -48,6 +48,23 @@ class RanksSpec extends SparkSpec {
     assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
   }
 
+  test("quantiles match the sort-and-index definition per group") {
+    val got = Ranks.quantiles(df, Seq("g"), "v", "id",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p100" -> 1.0))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Int]("p25"), r.getAs[Int]("p50"),
+          r.getAs[Int]("p75"), r.getAs[Int]("p100"))).toMap
+    val byGroup = df.select($"g", $"v").as[(String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, vs) <- byGroup) {
+      def at(q: Double) = vs(math.ceil(q * vs.length).toInt - 1)
+      assert(got(g) === ((vs.length.toLong, at(0.25), at(0.5), at(0.75), at(1.0))),
+        s"group $g")
+    }
+    // the n=1 group: every quantile is the single value
+    assert(got("c")._2 === got("c")._5)
+  }
+
   test("ntile matches NTILE(t) for t = 2, 4, 7 including groups with n < t") {
     for (t <- Seq(2, 4, 7)) {
       val expect = df.withColumn("tile",
