@@ -208,14 +208,23 @@ object Dedup {
       .distinct()
       .persist()
     graft.Caches.releaseAfterAction(sh)
-    val trainSh = capBuckets(sh.filter(col("is_train")), Seq(col("sh")),
-        maxShingleTrainDocs, "contamination")
-      .select("sh").distinct()
-    val test = sh.filter(!col("is_train")).select("doc_id", "sh")
-    val totals = test.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    test.join(trainSh, "sh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      .join(totals, "doc_id")
+    // dictionary in ONE hash agg (rows are already distinct per (doc, sh),
+    // so count(*) = train-doc frequency); the cap is a HAVING, not a
+    // window pass, and the audit rides the caller's action via observe
+    DropAudit.ensure(docs.sparkSession)
+    val trainSh = sh.filter(col("is_train"))
+      .groupBy("sh").agg(count(lit(1)).as("__ndocs"))
+      .observe(s"graft_capped_contamination_${auditSeq.getAndIncrement()}",
+        sum(when(col("__ndocs") > maxShingleTrainDocs, 1L).otherwise(0L))
+          .as("dropped_rows"))
+      .filter(col("__ndocs") <= maxShingleTrainDocs)
+      .select("sh")
+    // totals and overlap in ONE pass: left-join the dictionary, count hits
+    sh.filter(!col("is_train")).select("doc_id", "sh")
+      .join(trainSh.withColumn("__hit", lit(1)), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_shared"))
+      .filter(col("n_shared") > 0)
       .withColumn("contamination", round(col("n_shared") / col("n_sh"), 6))
       .select("doc_id", "n_sh", "n_shared", "contamination")
   }
