@@ -15,6 +15,16 @@ final case class UserSession(userId: Long, start: Timestamp, end: Timestamp,
 private final case class SessionState(startMs: Long, endMs: Long,
     nEvents: Long, totalValue: Double)
 
+/** A left event enriched with the most recent at-or-before right event of
+  * the same user ([[EventStreams.asOfEnrich]]). */
+final case class EnrichedEvent(userId: Long, ts: Timestamp, eventType: String,
+    value: Double, rTs: Option[Timestamp], rValue: Option[Double])
+
+private final case class AsOfTagged(userId: Long, ts: Timestamp,
+    isRight: Boolean, eventType: String, value: Double)
+
+private final case class AsOfRef(tsUs: Long, value: Double)
+
 /** Structured Streaming over the `events` schema (scale extension — the
   * reference is pure batch, SURVEY.md §2.S; this is the `readStream` →
   * watermark → windowed-agg / stateful-session path a 100 TB event feed
@@ -27,9 +37,12 @@ private final case class SessionState(startMs: Long, endMs: Long,
 object EventStreams {
 
   /** events.parquet carries epoch-nanos longs (read via nanosAsLong);
-    * convert to an event-time timestamp column. */
+    * convert to an event-time timestamp column. Column `/` is DOUBLE
+    * division and epoch nanos (~1.7e18) exceed double's 2^53 exact range —
+    * the naive `(nanos / 1000).cast("long")` lands ±1 µs off. Decimal
+    * division + floor is exact. */
   def nanosToTs(nanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_micros((nanos / 1000L).cast("long"))
+    timestamp_micros(floor(nanos.cast("decimal(38,0)") / 1000).cast("long"))
 
   /** Tumbling-window per-type counts with a watermark: late rows beyond
     * `watermark` are dropped from the aggregation state (bounded state —
@@ -97,6 +110,64 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         if (isStreaming) GroupStateTimeout.EventTimeTimeout
         else GroupStateTimeout.NoTimeout)(handle)
+  }
+
+  /** Streaming as-of enrichment — the incremental face of
+    * [[graft.operators.AsOfJoin]]: every left event picks up the most
+    * recent at-or-before right event of the same user (e.g. each click
+    * joins its latest preceding purchase).
+    *
+    * State is ONE `(ts, value)` ref per user — bounded by key cardinality,
+    * not by stream history, and never by time (a reference price/purchase
+    * must stay enrichable indefinitely, so no watermark eviction; evict
+    * idle keys upstream if the key space itself is unbounded).
+    *
+    * Ordering: within a micro-batch rows process in event-time order with
+    * right-before-left at equal timestamps (inclusive `<=`, same as the
+    * batch operator). Across micro-batches a right event only advances the
+    * state monotonically (`ts` strictly greater wins), so a late right row
+    * older than the current ref is ignored rather than regressing it; left
+    * rows older than the ref (late arrivals) emit unenriched instead of
+    * seeing the future. In batch mode one group pass sees everything and
+    * the result equals AsOfJoin.asOf exactly.
+    */
+  def asOfEnrich(left: Dataset[Event], right: Dataset[Event]): Dataset[EnrichedEvent] = {
+    import left.sparkSession.implicits._
+
+    // Timestamp.getTime is MILLIS — comparing with it would erase the µs
+    // component Spark timestamps carry; state and ordering run in micros
+    def toUs(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def fromUs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
+    def handle(uid: Long, rows: Iterator[AsOfTagged],
+        state: GroupState[AsOfRef]): Iterator[EnrichedEvent] = {
+      val sorted = rows.toArray.sortBy(r =>
+        (toUs(r.ts), if (r.isRight) 0 else 1, r.eventType, r.value))
+      var cur = state.getOption
+      val out = Seq.newBuilder[EnrichedEvent]
+      sorted.foreach { r =>
+        val t = toUs(r.ts)
+        if (r.isRight) {
+          if (cur.forall(_.tsUs < t)) cur = Some(AsOfRef(t, r.value))
+        } else {
+          val ref = cur.filter(_.tsUs <= t) // a late left row must not see the future
+          out += EnrichedEvent(uid, r.ts, r.eventType, r.value,
+            ref.map(s => fromUs(s.tsUs)), ref.map(_.value))
+        }
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+
+    left.map(e => AsOfTagged(e.userId, e.ts, isRight = false, e.eventType, e.value))
+      .union(right.map(e => AsOfTagged(e.userId, e.ts, isRight = true, e.eventType, e.value)))
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(handle)
   }
 
   /** Exact streaming dedup on a content key — the at-least-once-delivery

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{Event, EventStreams}
 
@@ -131,6 +131,60 @@ class EventStreamsSpec extends SparkSpec {
       assert(clicks.length == 2)
       assert(clicks.map(_.getAs[Long]("userId")).toSet == Set(1L, 5L))
     } finally q.stop()
+  }
+
+  test("streaming asOfEnrich: clicks pick up the latest preceding purchase") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.asOfEnrich(clicks.toDS(), purchases.toDS())
+      .writeStream.format("memory").queryName("asof_enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Event(1, ts(1), "click", 1.0)) // before any purchase
+      purchases.addData(Event(1, ts(2), "purchase", 50.0))
+      q.processAllAvailable()
+      clicks.addData(Event(1, ts(3), "click", 2.0)) // after the purchase
+      q.processAllAvailable()
+      purchases.addData(Event(1, ts(4), "purchase", 70.0))
+      clicks.addData(Event(1, ts(5), "click", 3.0), // sees the new ref
+        Event(2, ts(5), "click", 4.0)) // other user: no purchases at all
+      q.processAllAvailable()
+      // late right row OLDER than the current ref must not regress it
+      purchases.addData(Event(1, ts(3, 30), "purchase", 10.0))
+      clicks.addData(Event(1, ts(6), "click", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_enrich")
+        .as[graft.streaming.EnrichedEvent].collect()
+        .map(e => e.value -> e.rValue).toMap
+      assert(got(1.0).isEmpty)
+      assert(got(2.0).contains(50.0))
+      assert(got(3.0).contains(70.0))
+      assert(got(4.0).isEmpty)
+      assert(got(5.0).contains(70.0)) // not the late 10.0
+    } finally q.stop()
+  }
+
+  test("batch asOfEnrich equals the AsOfJoin operator on the events table") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf).select(
+      col("user_id").as("userId"), EventStreams.nanosToTs(col("ts")).as("ts"),
+      col("event_type").as("eventType"), col("value")).as[Event]
+    val enriched = EventStreams.asOfEnrich(
+        ev.filter($"eventType" === "click"), ev.filter($"eventType" === "purchase"))
+      .select($"userId", $"ts", $"value",
+        $"rTs".as("r_ts"), $"rValue".as("r_value"))
+    val evDf = Tables.events(spark, sf).withColumn("ts_us", expr("ts div 1000"))
+    val expect = graft.operators.AsOfJoin.asOf(
+        evDf.filter($"event_type" === "click")
+          .select($"user_id".as("userId"), $"ts_us", $"value"),
+        evDf.filter($"event_type" === "purchase")
+          .select($"user_id".as("userId"), $"ts_us", $"value"),
+        Seq("userId"), "ts_us", payload = Seq("value"), tieCol = "value")
+      .select($"userId", timestamp_micros($"ts_us").as("ts"), $"value",
+        timestamp_micros($"r_ts_us").as("r_ts"), $"r_value")
+    assert(enriched.except(expect).isEmpty && expect.except(enriched).isEmpty)
+    assert(enriched.count() > 0)
   }
 
   test("dedupKeepFirst is the batch twin: min (ts, tieBreak) row per key") {
