@@ -61,6 +61,47 @@ object Ranks {
       .select((df.columns.map(col) :+ col(out) :+ col(outN)): _*)
   }
 
+  /** Global (or per-group) running total of `value` under `order` — the
+    * distributed prefix-scan, built like [[rowNumber]]: range partition on
+    * (group, order), sum locally per physical partition under a cumulative
+    * window, then add each partition's prefix-total offset (one row per
+    * (group, partition) — bounded by the shuffle-partition count). `sum`
+    * over integers is exactly associative, so the result is bit-identical
+    * to the one-task `sum().over(Window.orderBy(...))` formulation at any
+    * partitioning; over doubles the usual float-association caveat
+    * applies. Deterministic when (grp ++ order) is a total order.
+    *
+    * This is the backbone of sequence-packing style pipelines (cumulative
+    * token budgets over a 100 TB corpus) where the naive no-partition
+    * window would funnel the corpus through one task. */
+  def prefixSum(df: DataFrame, grp: Seq[Column], order: Seq[Column],
+      value: Column, out: String = "cumsum"): DataFrame = {
+    val grpNames = grp.indices.map(i => s"__g$i")
+    val prepared = grp.zip(grpNames).foldLeft(df) {
+      case (d, (c, n)) => d.withColumn(n, c)
+    }.withColumn("__v", value)
+    val g = grpNames.map(col)
+    val keys = g ++ order
+    val ranged = prepared.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    graft.Caches.releaseAfterAction(ranged)
+    val sums = ranged.groupBy((g :+ col("__pid")): _*)
+      .agg(sum(col("__v")).as("__psum"))
+    val wOff = Window.partitionBy(g: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("__off", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
+      .select((g :+ col("__pid") :+ col("__off")): _*)
+    val wLocal = Window.partitionBy((g :+ col("__pid")): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__lcs", sum(col("__v")).over(wLocal))
+      .join(broadcast(offsets), grpNames :+ "__pid")
+      .withColumn(out, col("__off") + col("__lcs"))
+      .select(df.columns.map(col) :+ col(out): _*)
+  }
+
   /** Exact per-group quantiles through the two-phase rank — the scale-safe
     * alternative to `percentile` (which buffers each group's values in one
     * aggregator) or a one-task group-window sort. Quantile q = the value

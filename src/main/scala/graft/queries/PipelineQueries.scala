@@ -168,5 +168,36 @@ object PipelineQueries {
                    r_tsu AS r_ts_us, round(r_value, 6) AS r_value, r_event_id
             FROM j WHERE rn = 1"""))
 
-  def all: Seq[Q] = Seq(x4, x5, ct1, sm1, qt1, aj1)
+  private val packBudget = 8192L
+
+  /** PK1 — token-budget packing (the sharding step of a tokenize-and-pack
+    * pipeline): cumulative token count over a deterministic document order
+    * via the two-phase prefix scan (Ranks.prefixSum — the corpus never
+    * funnels through a one-task window), then pack = integer division of
+    * the running total by the budget. Integer sums are exactly
+    * associative, so pack boundaries are bit-stable at any partitioning. */
+  private val pk1 = Q(
+    "pk1_token_packing",
+    (s, d) => {
+      val withTokens = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      Ranks.prefixSum(withTokens, Nil, Seq(col("doc_id")), col("n_tokens"),
+          out = "cum_tokens")
+        .withColumn("pack_id", expr(s"(cum_tokens - 1) div $packBudget"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+                 CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+                   AS n_tokens
+               FROM documents),
+             c AS (SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS cum_tokens
+                   FROM t)
+             SELECT doc_id, n_tokens, cum_tokens,
+               (cum_tokens - 1) // $packBudget AS pack_id
+             FROM c"""))
+
+  def all: Seq[Q] = Seq(x4, x5, ct1, sm1, qt1, aj1, pk1)
 }

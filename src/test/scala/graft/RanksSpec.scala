@@ -65,6 +65,29 @@ class RanksSpec extends SparkSpec {
     assert(got("c")._2 === got("c")._5)
   }
 
+  test("prefixSum matches the single-window running total, grouped and global") {
+    val expectGrouped = df.withColumn("cs",
+      sum($"v").over(Window.partitionBy($"g").orderBy($"v", $"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val gotGrouped = Ranks.prefixSum(df, Seq($"g"), Seq($"v", $"id"), $"v", "cs")
+    assert(gotGrouped.except(expectGrouped).isEmpty &&
+      expectGrouped.except(gotGrouped).isEmpty)
+    val expectGlobal = df.withColumn("cs",
+      sum($"v").over(Window.orderBy($"v", $"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val gotGlobal = Ranks.prefixSum(df, Nil, Seq($"v", $"id"), $"v", "cs")
+    assert(gotGlobal.except(expectGlobal).isEmpty &&
+      expectGlobal.except(gotGlobal).isEmpty)
+  }
+
+  test("prefixSum accepts value expressions and keeps the input columns") {
+    val got = Ranks.prefixSum(df, Nil, Seq($"id"), $"v" * 2, "cs")
+    assert(got.columns.toSeq === df.columns.toSeq :+ "cs")
+    val last = got.orderBy($"id".desc).select("cs").first().getLong(0)
+    val total = df.select(sum($"v" * 2)).first().getLong(0)
+    assert(last === total)
+  }
+
   test("ntile matches NTILE(t) for t = 2, 4, 7 including groups with n < t") {
     for (t <- Seq(2, 4, 7)) {
       val expect = df.withColumn("tile",
