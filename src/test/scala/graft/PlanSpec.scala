@@ -132,4 +132,27 @@ class PlanSpec extends SparkSpec {
       assertNoPartitionWindowsBounded(QueryCatalog.byName(q).run(spark, dir), q)
     }
   }
+
+  test("x4 vocabulary top-k plans as TakeOrderedAndProject, not a global sort") {
+    val df = QueryCatalog.byName("x4_vocab_topk").run(spark, dir)
+    df.collect()
+    assert(flatten(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("pk1 packing and qt1 quantiles are two-phase: no unbounded global window") {
+    Seq("pk1_token_packing", "qt1_group_quantiles").foreach { q =>
+      val df = QueryCatalog.byName(q).run(spark, dir)
+      assertNoPartitionWindowsBounded(df, q)
+      assert(df.queryExecution.executedPlan.toString
+        .toLowerCase.contains("rangepartitioning"), q)
+    }
+  }
+
+  test("ct1 contamination has no cartesian product and no unbounded window") {
+    val df = QueryCatalog.byName("ct1_contamination").run(spark, dir)
+    assertNoPartitionWindowsBounded(df, "ct1_contamination")
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
 }
