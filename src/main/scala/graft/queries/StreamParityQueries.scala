@@ -57,6 +57,49 @@ object StreamParityQueries {
                    tsu AS first_ts_us, event_id
             FROM r WHERE rn = 1"""))
 
+  /** S3 — the stateful streaming as-of enrichment (flatMapGroupsWithState,
+    * EventStreams.asOfEnrich), batch-replayed: every click picks up the
+    * most recent at-or-before purchase of its user. Batch mode runs the
+    * same handler over each user's full history in one pass, so the
+    * DuckDB oracle states plain as-of semantics (ties among same-instant
+    * purchases: minimum value — the handler's sort order). Timestamps
+    * compare in the µs domain (s2's convention); `unix_micros` of a NULL
+    * ref stays NULL for never-enriched clicks. */
+  private val s3 = Q(
+    "s3_stream_asof",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select(
+          col("user_id").as("userId"),
+          EventStreams.nanosToTs(col("ts")).as("ts"),
+          col("event_type").as("eventType"), col("value"))
+        .as[graft.streaming.Event]
+      EventStreams.asOfEnrich(
+          ev.filter(col("eventType") === "click"),
+          ev.filter(col("eventType") === "purchase"))
+        .select(col("userId").as("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("value"), 6).as("value"),
+          unix_micros(col("rTs")).as("r_ts_us"),
+          round(col("rValue"), 6).as("r_value"))
+    },
+    Some("""WITH l AS (SELECT user_id, epoch_us(ts) AS tsu, value
+                       FROM events WHERE event_type = 'click'),
+            r0 AS (SELECT user_id, epoch_us(ts) AS tsu, value,
+                     row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                       ORDER BY value) AS rn
+                   FROM events WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, tsu, value FROM r0 WHERE rn = 1),
+            j AS (SELECT l.user_id, l.tsu, l.value,
+                    r.tsu AS r_tsu, r.value AS r_value,
+                    row_number() OVER (PARTITION BY l.user_id, l.tsu, l.value
+                      ORDER BY r.tsu DESC) AS rn
+                  FROM l LEFT JOIN r
+                    ON l.user_id = r.user_id AND r.tsu <= l.tsu)
+            SELECT user_id, tsu AS ts_us, round(value, 6) AS value,
+                   r_tsu AS r_ts_us, round(r_value, 6) AS r_value
+            FROM j WHERE rn = 1"""))
+
   /** A5 — delimited parameter-list scan steering a plan
     * (read.delim("genes.txt")[,1] + toupper, BRCA_path_stage_DESeq.R:7-9):
     * the Spark side reads a real tab-delimited file through CsvIO; the
@@ -76,5 +119,5 @@ object StreamParityQueries {
     Some("""SELECT p_partkey, p_type FROM part
             WHERE p_type IN ('ECONOMY','STANDARD')"""))
 
-  def all: Seq[Q] = Seq(s1, s2, a5)
+  def all: Seq[Q] = Seq(s1, s2, s3, a5)
 }
