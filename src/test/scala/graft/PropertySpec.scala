@@ -116,6 +116,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefixSum: two-phase scan equals the single cumulative window exactly") {
+    import graft.operators.Ranks
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      groups <- Gen.chooseNum(1, 4)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-5L, 20L)) // negatives too
+    } yield (groups, vs)
+    samples(gen, 5).foreach { case (groups, vs) =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (s"g${i % groups}", v, i.toLong) }
+        .toDF("g", "v", "id").repartition(5)
+      val w = Window.partitionBy($"g").orderBy($"v", $"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expect = df.withColumn("cs", sum($"v").over(w))
+      val got = Ranks.prefixSum(df, Seq($"g"), Seq($"v", $"id"), $"v", "cs")
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        s"groups=$groups n=${vs.length}")
+    }
+  }
+
+  test("quantiles: every reported quantile is the ceil(q*n)-th sorted value") {
+    import graft.operators.Ranks
+    val gen = for {
+      n <- Gen.chooseNum(1, 90)
+      vs <- Gen.listOfN(n, Gen.chooseNum(0, 9))
+    } yield vs
+    samples(gen, 5).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("g", v, i.toLong) }
+        .toDF("g", "v", "id").repartition(3)
+      val got = Ranks.quantiles(df, Seq("g"), "v", "id",
+        Seq("q25" -> 0.25, "q50" -> 0.5, "q90" -> 0.9)).collect().head
+      val sorted = vs.sorted
+      def at(q: Double) = sorted(math.ceil(q * vs.length).toInt - 1)
+      assert(got.getAs[Long]("n") === vs.length.toLong)
+      assert(got.getAs[Int]("q25") === at(0.25) &&
+        got.getAs[Int]("q50") === at(0.5) && got.getAs[Int]("q90") === at(0.9))
+    }
+  }
+
   test("BH two-phase equals the plain single-window formulation exactly") {
     import org.apache.spark.sql.expressions.Window
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(0.0, 1.0)).map(_.take(80))
