@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expressions.GraftFunctions
@@ -8,14 +8,17 @@ import graft.expressions.GraftFunctions
 /** IVF-style approximate nearest neighbour over an embedding column — the
   * coarse-quantizer scale path beside the hyperplane LSH variant
   * (ScaleOpsQueries.ss2): k-means cells built with distributed Lloyd
-  * iterations (crossJoin-broadcast assign → element-wise mean update, all
-  * DataFrame ops), then search probes only the `nProbe` nearest cells and
-  * re-ranks exactly with the codegen `cosine_sim` expression.
+  * iterations (fold-argmin assign over a centroid literal → element-wise
+  * mean update, all DataFrame ops), then search probes only the `nProbe`
+  * nearest cells and re-ranks exactly with the codegen `cosine_sim`
+  * expression.
   *
-  * At 100 TB: centroids are a k×dim broadcast dim (KBs); assignment is one
-  * embarrassingly-parallel scan; the search-side candidate set shrinks by
-  * ~k/nProbe versus brute force. Exact re-rank inside the probed cells
-  * makes `nProbe = k` literally equal to brute force (tested).
+  * At 100 TB: centroids pass through the driver as a k-entry literal (KBs
+  * — the same boundedness as any broadcast dim), so assignment and
+  * probing are NARROW per-row folds: no crossJoin, no per-id window, no
+  * k× corpus shuffle. The search-side candidate set shrinks by ~k/nProbe
+  * versus brute force. Exact re-rank inside the probed cells makes
+  * `nProbe = k` literally equal to brute force (tested).
   *
   * Re-ranking runs `cosine_sim` on the RAW (cast-to-double) vectors, not
   * the L2-normalized copies: the fused left-to-right accumulation is then
@@ -91,7 +94,17 @@ object Ann {
       .select((col("rk") - 1).cast("int").as("cell"), col("vn").as("cv"))
     var i = 0
     while (i < iters) {
-      val assigned = assign(train, centroids)
+      // Lloyd assign stays the LAZY crossJoin+window formulation: its input
+      // is the bounded training sample (≤ maxTrain), where a k× expansion
+      // is cheap, and keeping the loop lazy means ONE action executes the
+      // whole quantizer (no per-iteration job barriers). The corpus-scale
+      // path ([[assign]]) is the narrow fold — never this.
+      val wa = Window.partitionBy(col("id")).orderBy(col("d2"), col("cell"))
+      val assigned = train.crossJoin(broadcast(centroids))
+        .withColumn("d2", dist2(col("vn"), col("cv")))
+        .withColumn("rk", row_number().over(wa))
+        .filter(col("rk") === 1)
+        .drop("d2", "rk", "cv")
       centroids = assigned
         .select(col("cell"), posexplode(col("vn")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
@@ -106,14 +119,40 @@ object Ann {
     centroids
   }
 
-  /** Nearest-cell assignment: one row per vector with its `cell`. */
-  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("cell"))
-    vectors.crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("vn"), col("cv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .drop("d2", "rk", "cv")
+  /** The centroid table as a literal array-of-structs column. Collecting
+    * here is bounded by k (a quantizer has tens-to-thousands of cells,
+    * KBs) and is what makes assignment/probing a NARROW map: a crossJoin +
+    * per-id window formulation shuffles k× the corpus — a scale killer the
+    * fold-argmin below avoids entirely. */
+  private def centroidLit(centroids: DataFrame): Column = {
+    val rows: Seq[(Int, Seq[Double])] =
+      centroids.select(col("cell").cast("int"), col("cv")).collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    require(rows.nonEmpty, "no centroids")
+    // ONE Literal node (typedlit of the nested value) — an array/struct
+    // built from k·dim individual lit()s costs seconds of driver-side
+    // analysis; fields are _1 = cell, _2 = cv
+    typedlit(rows)
+  }
+
+  /** Nearest-cell assignment: one row per vector with its `cell` — a pure
+    * per-row fold over the centroid literal (strict `<`, so exact-tie
+    * distances keep the lowest cell id, matching an `orderBy(d2, cell)`
+    * rank). Embarrassingly parallel: no join, no window, no shuffle. */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignWith(vectors, centroidLit(centroids))
+
+  private def assignWith(vectors: DataFrame, cents: Column): DataFrame = {
+    val best = aggregate(
+      cents,
+      struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cell")),
+      (acc, c) => {
+        val d = dist2(col("vn"), c.getField("_2"))
+        when(d < acc.getField("d2"),
+          struct(d.as("d2"), c.getField("_1").as("cell"))).otherwise(acc)
+      })
+    vectors.withColumn("cell", best.getField("cell"))
   }
 
   /** IVF top-k: probe the `nProbe` nearest cells per query, exact
@@ -123,19 +162,31 @@ object Ann {
       k: Int, iters: Int, nProbe: Int, topK: Int): DataFrame = {
     val spark = emb.sparkSession
     GraftFunctions.register(spark)
-    // persist: k rows, referenced by the corpus assign AND the query probe
-    // — without it each reference re-runs the whole Lloyd DAG
-    val centroids = kmeansCentroids(emb, idCol, vecCol, k, iters).persist()
-    graft.Caches.releaseAfterAction(centroids)
-    val corpus = assign(normalized(emb, idCol, vecCol), centroids)
+    // the Lloyd result materializes ONCE into the literal both the corpus
+    // assign and the query probe embed (k rows through the driver — the
+    // same boundedness argument as any broadcast dim)
+    val cents = centroidLit(kmeansCentroids(emb, idCol, vecCol, k, iters))
+    // persist the assigned corpus: this IS the IVF index artifact (cell →
+    // vectors). Without it the interpreted fold that computes `cell`
+    // re-evaluates per join-OUTPUT row (~nProbe× per vector — measured 6×
+    // the whole query); a real deployment would even write it to storage
+    // (sources.Stages.materialize) and reuse it across query batches.
+    val corpus = assignWith(normalized(emb, idCol, vecCol), cents).persist()
+    graft.Caches.releaseAfterAction(corpus)
+    // probe = per-query sort of the k-entry literal (array_sort over
+    // (d2, cell) structs ≡ orderBy(d2, cell)), sliced to nProbe and
+    // exploded — narrow, like assign
+    val probedCells = slice(
+      array_sort(transform(cents, c =>
+        struct(dist2(col("qvn"), c.getField("_2")).as("d2"),
+          c.getField("_1").as("cell")))),
+      1, nProbe)
     val qn = normalized(queries, idCol, vecCol)
       .select(col("id").as("q_id"), col("v").as("qv"), col("vn").as("qvn"))
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
-    val probed = qn.crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("qvn"), col("cv")))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= nProbe)
-      .select(col("q_id"), col("qv"), col("cell"))
+    val probed = qn
+      .select(col("q_id"), col("qv"),
+        explode(probedCells).as("pc"))
+      .select(col("q_id"), col("qv"), col("pc.cell").as("cell"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
     probed.join(corpus, Seq("cell"))
       .filter(col("id") =!= col("q_id"))
