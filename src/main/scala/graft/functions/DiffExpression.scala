@@ -40,10 +40,12 @@ final case class DispersionPrior(a0: Double, a1: Double, sigmaSq: Double,
   * maximization) → mean-dispersion trend `α(μ) = a0 + a1/μ` fitted across
   * genes → empirical-Bayes shrinkage of the gene-wise estimate toward the
   * trend in log space (`DispersionPrior`), with DESeq2's keep-the-outliers
-  * rule. Remaining documented deviation (SURVEY.md §7.5): the trend is the
-  * binned OLS over MoM estimates, not DESeq2's gamma-GLM over the CR-MLEs.
-  * Structure parity is exact: one fit per gene, size factors as offsets,
-  * Wald tests, K contrasts extracted from one fit.
+  * rule. The trend itself is DESeq2's parametric gamma-GLM IRLS
+  * (`parametricDispersionFit`) with OLS fallback; remaining documented
+  * deviation (SURVEY.md §7.5): the trend fits binned MoM sufficient
+  * statistics (μ quantized to 1/16-decade bins) rather than each gene's
+  * CR-MLE point. Structure parity is exact: one fit per gene, size
+  * factors as offsets, Wald tests, K contrasts extracted from one fit.
   *
   * Determinism: rows are sorted by sample id before accumulation and the
   * IRLS iteration count depends only on the gene's own data (fixed cap,
@@ -73,8 +75,8 @@ object DiffExpression {
     2.0 * 2.0 / math.max(1.0, m - p)
 
   /** Fit the dispersion prior across genes: MoM dispersions of normalized
-    * counts, OLS trend on x = 1/μ (the same closed form as
-    * `Normalization.vstTrend`), prior variance = spread of log residuals
+    * counts, gamma-GLM trend on x = 1/μ (DESeq2's parametric fit; OLS
+    * seed + fallback), prior variance = spread of log residuals
     * minus the expected sampling variance of a gene's log-dispersion
     * estimate (≈ 2/(m−p)), floored at DESeq2's minimal prior width 0.25.
     *
@@ -133,8 +135,48 @@ object DiffExpression {
     if (n < 2) return DispersionPrior(MinDisp * 100, 0.0, 1e6)
     val (sx, sy, sxy, sxx) = (tot("sx"), tot("sy"), tot("sxy"), tot("sxx"))
     val det = n * sxx - sx * sx
-    val a1 = math.max(0.0, if (det == 0) 0.0 else (n * sxy - sx * sy) / det)
-    val a0 = math.max(MinDisp, (sy - a1 * sx) / n)
+    // OLS seed (and fallback) for the trend
+    val a1o = math.max(0.0, if (det == 0) 0.0 else (n * sxy - sx * sy) / det)
+    val a0o = math.max(MinDisp, (sy - a1o * sx) / n)
+    // DESeq2's parametricDispersionFit: gamma GLM with identity link,
+    // dispersions ~ a0 + a1/μ. Its IRLS is iteratively reweighted least
+    // squares with weights 1/α_tr(μ)² (gamma variance ∝ mean², the scale
+    // cancels from the normal equations) — run here driver-side over the
+    // same binned sufficient statistics, each bin's weight evaluated at
+    // its harmonic-mean μ (the 1/16-decade quantization already accepted
+    // for the residual-spread term). Falls back to the OLS seed if the
+    // fit leaves the valid cone (a0 ≤ 0 or a1 < 0 — DESeq2 errors to its
+    // "local" fit in that case).
+    var a0g = a0o; var a1g = a1o
+    var it = 0; var converged = false; var valid = true
+    while (it < 50 && !converged && valid) {
+      var sw = 0.0; var swx = 0.0; var swxx = 0.0; var swy = 0.0; var swxy = 0.0
+      bins.foreach { b =>
+        val nb = b.getAs[Double]("n")
+        val xb = b.getAs[Double]("sx") / nb
+        val muTr = math.max(a0g + a1g * xb, MinDisp)
+        val w = 1.0 / (muTr * muTr)
+        sw += w * nb; swx += w * b.getAs[Double]("sx")
+        swxx += w * b.getAs[Double]("sxx"); swy += w * b.getAs[Double]("sy")
+        swxy += w * b.getAs[Double]("sxy")
+      }
+      val detg = sw * swxx - swx * swx
+      if (detg <= 0) valid = false
+      else {
+        val a1n = (sw * swxy - swx * swy) / detg
+        val a0n = (swy - a1n * swx) / sw
+        if (a0n.isNaN || a1n.isNaN) valid = false
+        else {
+          converged =
+            math.abs(a0n - a0g) <= 1e-6 * math.max(1e-12, math.abs(a0g)) &&
+              math.abs(a1n - a1g) <= 1e-6 * math.max(1e-12, math.abs(a1g))
+          a0g = a0n; a1g = a1n; it += 1
+        }
+      }
+    }
+    val (a0, a1) =
+      if (valid && a0g > 0 && a1g >= 0) (math.max(MinDisp, a0g), a1g)
+      else (a0o, a1o)
     // residual spread around the fitted trend, evaluated per bin at the
     // bin's harmonic-mean μ (1/μ̂_b = sx_b/n_b — the same x-domain the
     // trend is linear in)
