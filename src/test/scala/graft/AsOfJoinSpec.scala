@@ -48,6 +48,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("empty right side: all left rows survive with NULL payloads") {
+    val out = AsOfJoin.asOf(left, right.filter(col("ts") < 0),
+      Seq("user_id"), "ts", Seq("value", "event_id"), "event_id")
+    assert(out.count() === 4)
+    assert(out.filter(col("r_ts").isNotNull).count() === 0)
+  }
+
+  test("empty left side: empty result, schema intact") {
+    val out = AsOfJoin.asOf(left.filter(col("ts") < 0), right,
+      Seq("user_id"), "ts", Seq("value", "event_id"), "event_id")
+    assert(out.count() === 0)
+    assert(out.columns.toSeq ===
+      Seq("event_id", "user_id", "ts", "value", "r_ts", "r_value", "r_event_id"))
+  }
+
   test("result is stable under input repartitioning") {
     val a = run.collect().map(_.toString).sorted
     val b = AsOfJoin.asOf(left.repartition(5), right.repartition(3),

@@ -48,6 +48,20 @@ class RanksSpec extends SparkSpec {
     assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
   }
 
+  test("prefixSum and quantiles handle empty input and single rows") {
+    val empty = df.filter($"id" < 0)
+    assert(Ranks.prefixSum(empty, Seq($"g"), Seq($"id"), $"v").count() === 0)
+    assert(Ranks.quantiles(empty, Seq("g"), "v", "id", Seq("p50" -> 0.5))
+      .count() === 0)
+    val one = df.filter($"id" === 7)
+    val cs = Ranks.prefixSum(one, Nil, Seq($"id"), $"v", "cs")
+      .select("cs").as[Long].head()
+    assert(cs === 7 % 11)
+    val q = Ranks.quantiles(one, Seq("g"), "v", "id",
+      Seq("p25" -> 0.25, "p100" -> 1.0)).collect().head
+    assert(q.getAs[Int]("p25") === 7 % 11 && q.getAs[Int]("p100") === 7 % 11)
+  }
+
   test("quantiles match the sort-and-index definition per group") {
     val got = Ranks.quantiles(df, Seq("g"), "v", "id",
         Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p100" -> 1.0))
