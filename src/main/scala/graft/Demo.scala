@@ -100,6 +100,27 @@ object Demo {
     println(s"[demo] ivf top-k rows = ${ivf.count()}")
     ivf.orderBy("q_id", "rnk").show(5, truncate = false)
 
+    // round-3 corpus surfaces: deterministic sample, contamination scan,
+    // repetition scores, packed-shard writer, streaming as-of enrich
+    val docs = Tables.documents(spark, sfDir)
+    val sampled = graft.api.Corpus.sample(docs, 0.25)
+    println(s"[demo] hash sample 0.25 -> ${sampled.count()} of ${docs.count()}")
+    val leaks = graft.api.Corpus.contamination(docs,
+      substring(col("source"), 4, 10).cast("int") < 10)
+    println(s"[demo] contaminated test docs = ${leaks.count()}")
+    val reps = graft.api.Corpus.repetitionScores(docs)
+    println(s"[demo] repetition-scored docs = ${reps.count()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/graft_packs"))
+    graft.sinks.Sharding.writePacked(
+      docs.select(col("doc_id"), (col("n_chars") / 5).cast("long").as("n_tok")),
+      "/tmp/graft_packs", "n_tok", budget = 10000, order = Seq(col("doc_id")))
+    println(s"[demo] packed shards = " +
+      spark.read.parquet("/tmp/graft_packs").select("pack_id").distinct().count())
+    val enriched = EventStreams.asOfEnrich(
+      ev.as[Event].filter(col("eventType") === "click"),
+      ev.as[Event].filter(col("eventType") === "purchase"))
+    println(s"[demo] as-of enriched clicks = ${enriched.count()}")
+
     // co-bucketed join: shuffle paid once at write time, none at join time
     graft.sources.Bucketing.writeBucketed(
       Tables.lineitem(spark, sfDir).select("l_partkey", "l_quantity"),
