@@ -82,7 +82,7 @@ object Stats {
       .join(broadcast(prevMin), partitionCols :+ "__pid")
       .withColumn("padj", least(col("__locMin"),
         coalesce(col("__prev"), col("__locMin"))))
-      .select((df.columns.map(col) :+ col("padj")): _*)
+      .select((df.columns.toIndexedSeq.map(col) :+ col("padj")): _*)
   }
 
   /** Exact CDF of the Mann–Whitney U statistic under H0 for group sizes

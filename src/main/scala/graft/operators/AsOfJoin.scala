@@ -54,7 +54,7 @@ object AsOfJoin {
     val rpay = struct(
       col(tsCol).as(prefix + tsCol) +: payload.map(c => col(c).as(prefix + c)): _*)
     val rpayType = rightOne.select(rpay.as("p")).schema("p").dataType
-    val lrow = struct(left.columns.map(col): _*)
+    val lrow = struct(left.columns.toIndexedSeq.map(col): _*)
     val lrowType = left.select(lrow.as("l")).schema("l").dataType
     val r2 = rightOne.select(
       k :+ col(tsCol).as("__ts") :+ lit(0).as("__tag") :+
@@ -71,6 +71,6 @@ object AsOfJoin {
       left.columns.map(c => col("__lrow").getField(c).as(c)) ++
         ((prefix + tsCol) +: payload.map(prefix + _))
           .map(f => col("__asof").getField(f).as(f))
-    attached.select(outCols: _*)
+    attached.select(outCols.toIndexedSeq: _*)
   }
 }

@@ -58,7 +58,7 @@ object Ranks {
       .withColumn(out, (col("__off") + col("__lrn")).cast("long"))
       // using-column joins reorder the schema (and __g*/__pid/__lrn/__off
       // are internal); restore the input's column order exactly
-      .select((df.columns.map(col) :+ col(out) :+ col(outN)): _*)
+      .select((df.columns.toIndexedSeq.map(col) :+ col(out) :+ col(outN)): _*)
   }
 
   /** Global (or per-group) running total of `value` under `order` — the
@@ -99,7 +99,7 @@ object Ranks {
       .withColumn("__lcs", sum(col("__v")).over(wLocal))
       .join(broadcast(offsets), grpNames :+ "__pid")
       .withColumn(out, col("__off") + col("__lcs"))
-      .select(df.columns.map(col) :+ col(out): _*)
+      .select(df.columns.toIndexedSeq.map(col) :+ col(out): _*)
   }
 
   /** Exact per-group quantiles through the two-phase rank — the scale-safe

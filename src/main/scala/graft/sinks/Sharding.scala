@@ -48,7 +48,12 @@ object Sharding {
 
   /** [[packByBudget]] + write one directory per pack
     * (`path/pack_id=N/…`): partition pruning gives a training reader
-    * O(1) access to any pack. */
+    * O(1) access to any pack.
+    *
+    * Pick `budget` at SHARD granularity (e.g. 10⁸–10⁹ tokens): the writer
+    * creates one directory per pack, so a sequence-level budget over a
+    * 100 TB corpus would mean billions of directories — do sequence-level
+    * packing reader-side within each shard. */
   def writePacked(df: DataFrame, path: String, sizeCol: String, budget: Long,
       order: Seq[Column]): Unit =
     packByBudget(df, sizeCol, budget, order)

@@ -27,7 +27,7 @@ object CsvIO {
     * presentation-edge only — the frames exported this way are
     * genes×groups wide tables, never the fact table. */
   def writeWideCsv(df: DataFrame, path: String): Unit = {
-    val stringified = df.select(df.columns.map(c => df(c).cast("string").as(c)): _*)
+    val stringified = df.select(df.columns.toIndexedSeq.map(c => df(c).cast("string").as(c)): _*)
     stringified.na.fill("")
       .coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(path)
