@@ -56,6 +56,32 @@ object TextFunctions {
       .when(stop < 0.01, "low_signal")
       .otherwise("ok")
 
+  /** PII scrubbing — the redaction pass of a training-data cleaning
+    * pipeline. Deliberately simple patterns that mean the same thing in
+    * Java regex (Spark) and RE2 (DuckDB/engines without backtracking):
+    * no backreferences, no lookaround. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "(?:\\+?[0-9]{1,3}[-. ]?)?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Replace emails / phone numbers / IPv4 literals with typed placeholder
+    * tokens. Order matters: emails first (their local part can contain
+    * digits a phone pattern would chew up). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** How many PII matches the scrub would replace (for audit columns). */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(regexp_replace(
+          regexp_replace(text, EmailRe, " "), Ipv4Re, " "),
+        lit(PhoneRe), lit(0)))
+
   /** Content-defined fingerprints: md5 of the first `k` tokens (prefix
     * fingerprint) and the minimum shingle hash (winnowing-style rolling
     * fingerprint — robust to suffix edits). */

@@ -168,6 +168,49 @@ object PipelineQueries {
                    r_tsu AS r_ts_us, round(r_value, 6) AS r_value, r_event_id
             FROM j WHERE rn = 1"""))
 
+  /** X6 — PII scrubbing (TextFunctions.scrubPii): emails / phones / IPv4
+    * replaced with typed placeholders, plus the per-doc redaction count.
+    * The synthetic corpus has no organic PII, so deterministic PII is
+    * INJECTED by doc_id residue on both engines — the oracle then actually
+    * exercises every pattern (a no-match scrub would vacuously pass).
+    * Patterns avoid backtracking features, so Java regex (Spark) and RE2
+    * (DuckDB) agree. */
+  private val x6 = Q(
+    "x6_pii_scrub",
+    (s, d) => {
+      import graft.operators.TextFunctions._
+      val injected = Tables.documents(s, d).withColumn("tx",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" reach me at user"), col("doc_id").cast("string"),
+              lit("@example.com")))
+            .when(col("doc_id") % 7 === 1, lit(" call +1 555-123-4567 now"))
+            .when(col("doc_id") % 7 === 2, lit(" server at 10.0.0.42 port"))
+            .otherwise(lit(""))))
+      injected.select(col("doc_id"),
+        piiCount(col("tx")).cast("long").as("n_pii"),
+        md5(scrubPii(col("tx"))).as("scrub_md5"))
+    },
+    Some {
+      import graft.operators.TextFunctions.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH t AS (SELECT doc_id, text || CASE CAST(doc_id % 7 AS INT)
+               WHEN 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               WHEN 1 THEN ' call +1 555-123-4567 now'
+               WHEN 2 THEN ' server at 10.0.0.42 port'
+               ELSE '' END AS tx
+             FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(tx, '$EmailRe'))
+               + len(regexp_extract_all(tx, '$Ipv4Re'))
+               + len(regexp_extract_all(
+                   regexp_replace(regexp_replace(tx, '$EmailRe', ' ', 'g'),
+                     '$Ipv4Re', ' ', 'g'), '$PhoneRe')) AS BIGINT) AS n_pii,
+            md5(regexp_replace(regexp_replace(regexp_replace(tx,
+              '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+              '$PhoneRe', '<PHONE>', 'g')) AS scrub_md5
+          FROM t"""
+    })
+
   private val packBudget = 8192L
 
   /** PK1 — token-budget packing (the sharding step of a tokenize-and-pack
@@ -199,5 +242,5 @@ object PipelineQueries {
                (cum_tokens - 1) // $packBudget AS pack_id
              FROM c"""))
 
-  def all: Seq[Q] = Seq(x4, x5, ct1, sm1, qt1, aj1, pk1)
+  def all: Seq[Q] = Seq(x4, x5, x6, ct1, sm1, qt1, aj1, pk1)
 }

@@ -46,6 +46,27 @@ class TextFunctionsSpec extends SparkSpec {
       Seq("too_short", "too_noisy", "low_signal", "ok"))
   }
 
+  test("scrubPii replaces emails, phones, IPs; piiCount agrees") {
+    val cases = Seq(
+      ("write to alice.smith+spam@sub.example.co.uk today",
+        "write to <EMAIL> today", 1L),
+      ("call +1 555-123-4567 or (212) 555-0199 now",
+        "call <PHONE> or <PHONE> now", 2L),
+      ("host 192.168.0.1 and 10.0.0.255 are up",
+        "host <IP> and <IP> are up", 2L),
+      ("mixed: bob@x.io at 10.1.2.3 call 555 123 4567",
+        "mixed: <EMAIL> at <IP> call <PHONE>", 3L),
+      ("nothing sensitive here at all", "nothing sensitive here at all", 0L))
+    val got = cases.map(_._1).toDF("t")
+      .select(TextFunctions.scrubPii(col("t")).as("s"),
+        TextFunctions.piiCount(col("t")).cast("long").as("n"))
+      .as[(String, Long)].collect()
+    cases.zip(got).foreach { case ((in, wantS, wantN), (s, n)) =>
+      assert(s === wantS, in)
+      assert(n === wantN, in)
+    }
+  }
+
   test("fingerprints are deterministic and prefix-stable") {
     val df = Seq("alpha beta gamma delta epsilon zeta eta theta iota kappa",
       "alpha beta gamma delta epsilon zeta eta theta iota DIFFERENT")
