@@ -88,6 +88,23 @@ object Corpus {
         TextFunctions.prefixFingerprint(col("toks"), prefixK).as("prefix_fp"),
         TextFunctions.minShingleFingerprint(col("toks"), shingleN).as("min_shingle_fp"))
 
+  /** Near-dup CLUSTERS with keeper election: [[nearDuplicates]] pairs →
+    * connected components (duplicate relations are transitive in effect —
+    * A≈B, B≈C means keep one of the three) → keeper = the component's
+    * minimum doc id. Returns one row per clustered doc:
+    * `(doc_id, comp, keeper Boolean)`; docs with no near-dup stay out
+    * (they are all keepers trivially). */
+  def dedupClusters(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3, numHashes: Int = 6,
+      bandsOf: Int = 2, jaccardMin: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = nearDuplicates(docs, idCol, textCol, shingleN, numHashes,
+      bandsOf, jaccardMin, maxBucket)
+    graft.operators.Components.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as(idCol), col("comp"),
+        (col("id") === col("comp")).as("keeper"))
+  }
+
   /** Deterministic corpus subsample (SM1): keep iff
     * `hash60(id) < rate·2^60` — reproducible across reruns, layouts and
     * engines, nested across rates (a 10% sample ⊂ the 30% sample), and a

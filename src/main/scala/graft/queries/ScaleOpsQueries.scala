@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Ann, Dedup, TextFunctions}
+import graft.operators.{Ann, Components, Dedup, TextFunctions}
 
 /** Large-scale training-data-pipeline operators over the `documents` and
   * `embeddings` tables: exact + MinHash/LSH + SimHash + n-gram-Jaccard +
@@ -178,33 +178,64 @@ object ScaleOpsQueries {
     * is md5-hashed once; the K families are affine mod-p derivations
     * (mirrored literally in the oracle SQL), and buckets over `maxBucket`
     * rows are dropped on both sides. */
-  private val dd2 = Q(
-    "dd2_minhash_lsh",
-    (s, d) => Dedup.minhashCandidates(
+  /** The MinHash-LSH candidate-pair oracle, split into CTE clauses + the
+    * final SELECT so dd6 can embed the same pair definition under its
+    * recursive component walk. */
+  private val minhashPairCtes: String = {
+    val p = Dedup.MinhashP
+    val mins = Dedup.minhashCoeffs(numHashes).zipWithIndex
+      .map { case ((a, b), k) => s"min((hs * $a + $b) % $p) AS h$k" }
+      .mkString(",\n  ")
+    val bandSelects = (0 until numHashes / bandsOf).map { b =>
+      s"""SELECT doc_id, $b AS band,
+            md5(CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR)) AS bkey
+          FROM mh"""
+    }.mkString("\nUNION ALL\n")
+    s"""sh AS ($shingleRowsSql),
+        hs AS (SELECT doc_id, ${h60sql("sh")} % $p AS hs FROM sh),
+        mh AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cb AS (SELECT doc_id, band, bkey
+               FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands)
+               WHERE bsz <= $maxBucket)"""
+  }
+
+  private val minhashPairSelect: String =
+    """SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       FROM cb x JOIN cb y
+         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"""
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidates(
       Dedup.minhashSignatures(
         Dedup.shingleRows(Tables.documents(s, d), "doc_id", "text", 3), numHashes),
-      numHashes, bandsOf, maxBucket),
-    Some {
-      val p = Dedup.MinhashP
-      val mins = Dedup.minhashCoeffs(numHashes).zipWithIndex
-        .map { case ((a, b), k) => s"min((hs * $a + $b) % $p) AS h$k" }
-        .mkString(",\n  ")
-      val bandSelects = (0 until numHashes / bandsOf).map { b =>
-        s"""SELECT doc_id, $b AS band,
-              md5(CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR)) AS bkey
-            FROM mh"""
-      }.mkString("\nUNION ALL\n")
-      s"""WITH sh AS ($shingleRowsSql),
-          hs AS (SELECT doc_id, ${h60sql("sh")} % $p AS hs FROM sh),
-          mh AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
-          bands AS ($bandSelects),
-          cb AS (SELECT doc_id, band, bkey
-                 FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands)
-                 WHERE bsz <= $maxBucket)
-          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-          FROM cb x JOIN cb y
-            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"""
-    })
+      numHashes, bandsOf, maxBucket)
+
+  private val dd2 = Q(
+    "dd2_minhash_lsh",
+    (s, d) => minhashPairs(s, d),
+    Some(s"WITH $minhashPairCtes\n$minhashPairSelect"))
+
+  /** DD6 — near-dup CLUSTERS from the candidate pairs: connected
+    * components by min-label propagation (operators.Components), keeper =
+    * the component minimum. Duplicate relations are transitive in effect —
+    * keeper election needs the component, not the pair. The oracle walks
+    * the same pair set with a recursive CTE (reachability → min reachable
+    * id), so the distributed fixpoint is checked against a declarative
+    * transitive closure. */
+  private val dd6 = Q(
+    "dd6_dedup_components",
+    (s, d) => Components.connectedComponents(minhashPairs(s, d), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp")),
+    Some(s"""WITH RECURSIVE $minhashPairCtes,
+             pairs AS ($minhashPairSelect),
+             e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+             walk(id, r) AS (
+               SELECT a, a FROM (SELECT DISTINCT a FROM e)
+               UNION
+               SELECT e.a, w.r FROM e JOIN walk w ON e.b = w.id)
+             SELECT id AS doc_id, min(r) AS comp FROM walk GROUP BY id"""))
 
   private val simhashBits = 16
 
@@ -512,5 +543,5 @@ object ScaleOpsQueries {
           WHERE band = 'ok' AND doc_id = keeper"""
     })
 
-  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, ss1, ss2, ss3, dd5, p1, mm1)
+  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, dd5, dd6, ss1, ss2, ss3, p1, mm1)
 }

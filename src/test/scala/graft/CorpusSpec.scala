@@ -84,6 +84,21 @@ class CorpusSpec extends SparkSpec {
     assert(got(2L)._1 == 0.0 && got(2L)._2 < 0.2)
   }
 
+  test("dedupClusters: transitive near-dups share a component, min id keeps") {
+    val chain = Seq(
+      (1L, good),
+      (2L, good + " tail one"),
+      (3L, good + " tail one two"),
+      (50L, "completely different content about catalyst planner internals here"))
+      .toDF("doc_id", "text")
+    val got = Corpus.dedupClusters(chain, jaccardMin = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // 1-2 and 2-3 are near-dups; 1-3 may only connect THROUGH 2
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got.values.map(_._1).toSet === Set(1L))
+    assert(got(1L)._2 && !got(2L)._2 && !got(3L)._2)
+  }
+
   test("searchTopKApprox with nProbe = cells equals the exact search") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") % 100 === 0)
