@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{CountCell, DiffExpression, Stats}
 
-/** Throwaway stage-by-stage profiler for d3/d4 (deleted before round end). */
+/** Stage-by-stage profiler for d3/d4 — a dev tool, not library surface:
+  * separates the dispersion-prior job, the per-gene fit, and the BH pass
+  * so regressions in any one stage are visible in isolation. */
 object ProfileD3 {
   def time[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
