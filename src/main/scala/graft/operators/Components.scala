@@ -49,25 +49,31 @@ object Components {
     var rounds = 0
     var converged = false
     while (rounds < maxRounds && !converged) {
-      // hook: fold the neighbour minimum into the node's own label
+      // hook: fold the neighbour minimum into the node's own label (the
+      // pre-round label rides along as `old` for the convergence metric)
       val neigh = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("id")).agg(min(col("comp")).as("ncomp"))
       val hooked = labels.alias("l")
         .join(neigh.alias("n"), col("l.id") === col("n.id"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.comp"), coalesce(col("n.ncomp"), col("l.comp"))).as("comp"))
-      // jump: comp := comp(comp) — path halving
+          least(col("l.comp"), coalesce(col("n.ncomp"), col("l.comp"))).as("comp"),
+          col("l.comp").as("old"))
+      // jump: comp := comp(comp) — path halving. The convergence count
+      // rides the SAME action as the checkpoint via Observation: one job
+      // per round total, no separate count pass.
+      val obs = new org.apache.spark.sql.Observation()
       val next = hooked.alias("x")
         .join(hooked.select(col("id").as("jid"), col("comp").as("jcomp")).alias("j"),
           col("x.comp") === col("j.jid"), "left")
         .select(col("x.id").as("id"),
-          coalesce(col("j.jcomp"), col("x.comp")).as("comp"))
+          coalesce(col("j.jcomp"), col("x.comp")).as("comp"),
+          col("x.old").as("old"))
+        .observe(obs,
+          sum(when(col("comp") =!= col("old"), 1L).otherwise(0L)).as("changed"))
+        .drop("old")
         .localCheckpoint(true) // constant-size plan + one action per round
-      val changed = next.alias("x")
-        .join(labels.select(col("id"), col("comp").as("old")).alias("y"), "id")
-        .filter(col("comp") =!= col("old")).count()
       labels = next
-      converged = changed == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0
       rounds += 1
     }
     sym.unpersist(blocking = false)
