@@ -68,8 +68,9 @@ object Components {
         .select(col("x.id").as("id"),
           coalesce(col("j.jcomp"), col("x.comp")).as("comp"),
           col("x.old").as("old"))
-        .observe(obs,
-          sum(when(col("comp") =!= col("old"), 1L).otherwise(0L)).as("changed"))
+        .observe(obs, // coalesce: sum over an EMPTY label frame is NULL
+          coalesce(sum(when(col("comp") =!= col("old"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"))
         .drop("old")
         .localCheckpoint(true) // constant-size plan + one action per round
       labels = next

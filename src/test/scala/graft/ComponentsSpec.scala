@@ -30,6 +30,10 @@ class ComponentsSpec extends SparkSpec {
     assert(comps(e) === comps(e.reverse.map { case (a, b) => (b, a) }))
   }
 
+  test("empty edge set: empty result, no crash") {
+    assert(comps(Seq.empty[(Long, Long)]) === Map.empty)
+  }
+
   test("long chain converges within the round budget") {
     val chain = (1L until 40L).map(i => (i, i + 1))
     val got = comps(chain)
