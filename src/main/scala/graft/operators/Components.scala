@@ -35,29 +35,103 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Rows a loop-round shuffle partition should carry — sizes the iterative
+    * joins to the LABEL frame (nodes-with-a-near-dup, far below the corpus),
+    * not to `spark.sql.shuffle.partitions`. AQE can't help here: every round
+    * ends in a checkpoint, so each round is its own query with no runtime
+    * stats carried across — without this, a thousand-node pair set pays a
+    * 32-way (or 200-way) shuffle's scheduling overhead per round, ~10× the
+    * actual work. At 100 TB the same formula spreads a billion-edge frame
+    * across thousands of tasks. */
+  private val RowsPerPartition = 2000000L
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 25): DataFrame = {
-    val sym = edges
-      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .unionByName(edges
-        .select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+    val spark = edges.sparkSession
+    // symmetrize in ONE scan of the (often expensive — an LSH candidate
+    // plan) edge subtree: explode each pair into both orientations. The
+    // union-of-two-selects form evaluates the edge plan twice.
+    val sym0 = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .select(explode(array(
+        struct(col("s").as("a"), col("d").as("b")),
+        struct(col("d").as("a"), col("s").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .persist()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    val nEdges = sym0.count() // also materializes the persist
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      nEdges / RowsPerPartition + 1)).toInt
+    // re-lay the edge frame on the loop's partitioning only when it is
+    // smaller than the session default (the whole point: tiny pair sets
+    // should not pay 32-way shuffles per round); a big frame stays put
+    val sym =
+      if (parts < sym0.rdd.getNumPartitions) {
+        val s = sym0.repartition(parts, col("b")).persist()
+        s.count()
+        sym0.unpersist(blocking = false)
+        s
+      } else sym0
+    // Seed labels by PARTITION-LOCAL contraction: a union-find over each
+    // partition's edges, roots canonicalized to the minimum member id
+    // (attach the larger root under the smaller — the root then IS the
+    // local min). This is the "local contraction" step of the MapReduce-CC
+    // literature (Kiveris et al. §5): each partition's subgraph collapses
+    // to depth-0 stars in ONE narrow pass, and the pointer-jumping loop
+    // only has to merge ACROSS partitions. On a single partition the seed
+    // is already the fixpoint (the loop runs once to observe changed=0);
+    // at cluster scale the loop starts from per-partition minima instead
+    // of raw ids — strictly fewer rounds over the same edge frame. State
+    // is O(nodes in partition), bounded by RowsPerPartition.
+    import org.apache.spark.sql.Encoders
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val seed = sym.select(col("a"), col("b")).map { r =>
+        (r.getLong(0), r.getLong(1))
+      }(tupleEnc)
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent.getOrElse(c, c); parent(c) = r; c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        val keys = parent.keys.toArray
+        keys.iterator.map(n => (n, find(n)))
+      }(tupleEnc)
+      .toDF("id", "comp")
+    // a node split across partitions carries one root per partition — fold
+    // to the min (still an id inside the node's own component, so the
+    // min-label invariant holds)
+    var labels = seed.groupBy("id").agg(min(col("comp")).as("comp"))
+      .repartition(parts, col("id"))
       .localCheckpoint(true)
     var rounds = 0
     var converged = false
     while (rounds < maxRounds && !converged) {
-      // hook: fold the neighbour minimum into the node's own label (the
-      // pre-round label rides along as `old` for the convergence metric)
-      val neigh = sym.join(labels, sym("b") === labels("id"))
-        .groupBy(sym("a").as("id")).agg(min(col("comp")).as("ncomp"))
-      val hooked = labels.alias("l")
-        .join(neigh.alias("n"), col("l.id") === col("n.id"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.comp"), coalesce(col("n.ncomp"), col("l.comp"))).as("comp"),
-          col("l.comp").as("old"))
+      val tRound = System.nanoTime()
+      // hook: fold the neighbour minimum into the node's own label. The
+      // union form needs ONE join (neighbour contributions + the node's own
+      // labelled row through a single hash agg); the node's pre-round label
+      // rides along as `old` (min over the self rows — exactly one per id)
+      // for the convergence metric.
+      val hooked = sym.join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("comp"), lit(false).as("self"))
+        .unionByName(labels.select(col("id"), col("comp"), lit(true).as("self")))
+        .groupBy("id").agg(
+          min(col("comp")).as("comp"),
+          min(when(col("self"), col("comp"))).as("old"))
+        .persist() // the jump self-join reads it twice; released below
       // jump: comp := comp(comp) — path halving. The convergence count
       // rides the SAME action as the checkpoint via Observation: one job
       // per round total, no separate count pass.
@@ -73,9 +147,12 @@ object Components {
             lit(0L)).as("changed"))
         .drop("old")
         .localCheckpoint(true) // constant-size plan + one action per round
+      hooked.unpersist(blocking = false)
       labels = next
       converged = obs.get("changed").asInstanceOf[Long] == 0
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $rounds ${(System.nanoTime() - tRound) / 1e9}%6.3f s changed=${!converged}")
     }
     sym.unpersist(blocking = false)
     labels
