@@ -422,27 +422,39 @@ object DiffExpression {
       ll
     }
 
-    // profile maximization over log α: coarse grid locates the mode's
-    // bracket (robust to non-unimodality), golden-section refines it —
-    // deterministic, ~70 likelihood evaluations
-    def maximizeAlpha(mu: Array[Double]): Double = {
+    // profile maximization over log α. First pass: coarse grid locates the
+    // mode's bracket (robust to non-unimodality), golden-section refines
+    // it. Later alternation passes bracket ±1 grid step around the PREVIOUS
+    // α (the profile moves < a step once μ is near-converged) and skip the
+    // grid — per-pass cost drops from ~47 to ~18 likelihood evaluations.
+    // 14 golden iterations leave the bracket ~3e-3 wide in log α (0.3%
+    // relative on α — far inside the EB-shrinkage movement that follows,
+    // and deterministic: the eval count never depends on the data).
+    def maximizeAlpha(mu: Array[Double], center: Double): Double = {
       val lo = math.log(MinDisp); val hi = math.log(MaxDisp)
       val nGrid = 17
       val step = (hi - lo) / (nGrid - 1)
-      var bestI = 0; var bestV = Double.NegativeInfinity
-      var i = 0
-      while (i < nGrid) {
-        val v = crLogLik(math.exp(lo + step * i), mu)
-        if (v > bestV) { bestV = v; bestI = i }
-        i += 1
+      var a = 0.0; var b = 0.0
+      if (center.isNaN) {
+        var bestI = 0; var bestV = Double.NegativeInfinity
+        var i = 0
+        while (i < nGrid) {
+          val v = crLogLik(math.exp(lo + step * i), mu)
+          if (v > bestV) { bestV = v; bestI = i }
+          i += 1
+        }
+        a = math.max(lo, lo + step * (bestI - 1))
+        b = math.min(hi, lo + step * (bestI + 1))
+      } else {
+        val c0 = math.min(hi, math.max(lo, math.log(center)))
+        a = math.max(lo, c0 - step)
+        b = math.min(hi, c0 + step)
       }
-      var a = math.max(lo, lo + step * (bestI - 1))
-      var b = math.min(hi, lo + step * (bestI + 1))
       val phi = (math.sqrt(5.0) - 1.0) / 2.0
       var c = b - phi * (b - a); var d = a + phi * (b - a)
       var fc = crLogLik(math.exp(c), mu); var fd = crLogLik(math.exp(d), mu)
       var it = 0
-      while (it < 28) {
+      while (it < 14) {
         if (fc > fd) {
           b = d; d = c; fd = fc
           c = b - phi * (b - a); fc = crLogLik(math.exp(c), mu)
@@ -469,8 +481,10 @@ object DiffExpression {
     var round = 0
     var settled = false
     while (round < 2 && !settled) {
-      val next = maximizeAlpha(fittedMu(beta))
-      settled = math.abs(math.log(next) - math.log(alphaHat)) < 1e-3
+      // round 0 searches the full grid; round 1 brackets around round 0's α
+      val next = maximizeAlpha(fittedMu(beta),
+        if (round == 0) Double.NaN else alphaHat)
+      settled = math.abs(math.log(next) - math.log(alphaHat)) < 4e-3
       alphaHat = next
       if (!settled && !runIrls(alphaHat, beta)) return None
       round += 1
