@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Ranks, TextFunctions}
+
+/** Round-4 corpus/OLAP analytics: TF-IDF term ranking, unigram-LM document
+  * scoring, batch sessionization, rollup aggregates, and winsorized
+  * normalization. Every query carries a DuckDB oracle.
+  *
+  * Scale notes common to the text queries: token work explodes to
+  * (doc, term) rows and aggregates by hash — never a per-doc collect; all
+  * windows partition by doc or user (bounded rows per partition, the
+  * event-table argument); corpus-level scalars (doc count, token total)
+  * ride a 1-row broadcast cross join, the same shape as the VST trend.
+  */
+object AnalyticsQueries {
+
+  private val toksSql =
+    """SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+       FROM documents"""
+
+  /** TF1 — TF-IDF top-3 terms per document: tf = term count / doc tokens,
+    * idf = ln(N / df) (docs-containing-term), top 3 by score with a term
+    * tiebreak. The ranking key is `round(score, 9)` on BOTH engines: tf,
+    * df, N are integers so score bits match across engines except at ulp
+    * level in `ln`; rounding to 9 absorbs that without disturbing any
+    * real ordering. Per-doc rank windows are bounded by doc length. */
+  private val tf1 = Q(
+    "tf1_tfidf_topk",
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val withN = tc.withColumn("n_tok", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      val df = tc.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = tc.select(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = withN.join(df, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          (col("tf").cast("double") / col("n_tok")) *
+            log(col("n_docs").cast("double") / col("df")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(round(col("score"), 9).desc, col("term").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("score"), 6).as("score"), col("rnk"))
+    },
+    Some(s"""WITH t AS ($toksSql),
+             tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+             tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM tok GROUP BY 1, 2),
+             dn AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok
+                    FROM tc GROUP BY 1),
+             df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tc GROUP BY 1),
+             nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM dn),
+             sc AS (SELECT tc.doc_id, tc.term, tc.tf, df.df,
+                      (CAST(tc.tf AS DOUBLE) / dn.n_tok)
+                        * ln(CAST(nn.n_docs AS DOUBLE) / df.df) AS score
+                    FROM tc JOIN dn USING (doc_id) JOIN df USING (term)
+                    CROSS JOIN nn),
+             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY round(score, 9) DESC, term) AS BIGINT) AS rnk
+                   FROM sc)
+             SELECT doc_id, term, tf, df, round(score, 6) AS score, rnk
+             FROM r WHERE rnk <= 3"""))
+
+  /** LM1 — unigram-LM document scoring (the perplexity-style quality
+    * signal): corpus MLE p(t) = count(t)/total, per doc the token-count-
+    * weighted mean of ln p(t) and its perplexity exp(−mean). No smoothing
+    * needed — every scored token is in the corpus by construction. The
+    * per-doc sum runs over grouped (doc, term) rows; `round(·, 6)` after
+    * the division absorbs float association order on both engines. */
+  private val lm1 = Q(
+    "lm1_unigram_lm",
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
+      val gc = tc.groupBy("term").agg(sum(col("k")).as("c"))
+      val tot = gc.select(sum(col("c")).as("t_total"))
+      tc.join(gc, "term")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(sum(col("k")).as("n_tokens"),
+          sum(col("k").cast("double") *
+            log(col("c").cast("double") / col("t_total"))).as("s"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("s") / col("n_tokens"), 6).as("mean_logprob"),
+          round(exp(-col("s") / col("n_tokens")), 6).as("ppl"))
+    },
+    Some(s"""WITH t AS ($toksSql),
+             tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+             tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS k
+                    FROM tok GROUP BY 1, 2),
+             gc AS (SELECT term, CAST(sum(k) AS BIGINT) AS c FROM tc GROUP BY 1),
+             tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM gc),
+             d AS (SELECT tc.doc_id, CAST(sum(tc.k) AS BIGINT) AS n_tokens,
+                     sum(CAST(tc.k AS DOUBLE)
+                       * ln(CAST(gc.c AS DOUBLE) / tot.t_total)) AS s
+                   FROM tc JOIN gc USING (term) CROSS JOIN tot
+                   GROUP BY tc.doc_id)
+             SELECT doc_id, n_tokens, round(s / n_tokens, 6) AS mean_logprob,
+               round(exp(-(s / n_tokens)), 6) AS ppl
+             FROM d"""))
+
+  private val sessionGapUs = 1800L * 1000000L // 30 min
+
+  /** SE1 — batch sessionization of the event stream (the batch twin of the
+    * streaming session windows): per user, a new session opens when the
+    * gap to the previous event exceeds 30 min; lag + running sum of
+    * boundary flags numbers the sessions, then one hash agg per session.
+    * Timestamps compare in the µs domain on both engines (s2/aj1's
+    * convention); per-user windows are bounded by that user's event count. */
+  private val se1 = Q(
+    "se1_sessionize",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tsu"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+      ev.withColumn("prev", lag(col("tsu"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("tsu") - col("prev") > sessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("brk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tsu")).as("t_start_us"), max(col("tsu")).as("t_end_us"),
+          (max(col("tsu")) - min(col("tsu"))).as("duration_us"),
+          round(sum(col("value")), 6).as("total_value"))
+    },
+    Some(s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value
+                        FROM events),
+             l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id
+                     ORDER BY tsu, event_id) AS prev FROM e),
+             b AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > $sessionGapUs
+                     THEN 1 ELSE 0 END AS brk FROM l),
+             x AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                     ORDER BY tsu, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_seq FROM b)
+             SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+               min(tsu) AS t_start_us, max(tsu) AS t_end_us,
+               max(tsu) - min(tsu) AS duration_us,
+               round(sum(value), 6) AS total_value
+             FROM x GROUP BY 1, 2"""))
+
+  /** RU1 — OLAP rollup: revenue and order counts by region → nation with
+    * subtotal and grand-total rows (`ROLLUP`). Decimal-exact revenue sums
+    * (association-order-proof, the fan1 pattern); the rollup level is
+    * Spark's grouping-bit vector, mirrored in the oracle by the NULL
+    * pattern — r_name/n_name are never organically NULL here, so nullness
+    * identifies the subtotal rows without relying on DuckDB's GROUPING()
+    * spelling. Runs through the engine's SQL surface: Spark 4.1's
+    * ambiguous-self-join detector false-positives on DataFrame
+    * `rollup` over a multi-join input (the Expand duplicates the grouping
+    * attributes), while the identical plan through `spark.sql` analyzes
+    * clean — and the catalog should exercise the SQL face anyway. */
+  private val ru1 = Q(
+    "ru1_rollup_revenue",
+    (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""SELECT r_name AS region, n_name AS nation,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                 CAST(grouping_id() AS BIGINT) AS lvl
+               FROM orders
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               GROUP BY ROLLUP (r_name, n_name)""")
+    },
+    Some("""SELECT r_name AS region, n_name AS nation,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              CASE WHEN r_name IS NULL THEN 3
+                   WHEN n_name IS NULL THEN 1 ELSE 0 END AS lvl
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)"""))
+
+  /** WZ1 — winsorized normalization: clamp `l_extendedprice` to its
+    * per-flag [p01, p99] band. The quantiles come from the two-phase rank
+    * (Ranks.quantiles — no one-task sort at any group size); the clamp is
+    * then a broadcast join of the tiny per-group band frame back onto the
+    * fact, a pure narrow map. Quantile values are tie-order-independent
+    * (equal values are adjacent under any tiebreak), so the non-unique
+    * orderkey tiebreak is safe. */
+  private val wz1 = Q(
+    "wz1_winsorize",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
+      val bands = Ranks.quantiles(li, Seq("flag"), "price", "l_orderkey",
+          Seq("p01" -> 0.01, "p99" -> 0.99))
+        .select(col("flag"), col("p01"), col("p99"))
+      li.join(broadcast(bands), "flag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("flag"),
+          round(col("price"), 6).as("price"),
+          round(least(greatest(col("price"), col("p01")), col("p99")), 6)
+            .as("wins_price"),
+          (col("price") < col("p01") || col("price") > col("p99")).as("clipped"))
+    },
+    Some("""WITH r AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+                         row_number() OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice, l_orderkey) AS rn,
+                         count(*) OVER (PARTITION BY l_returnflag) AS n
+                       FROM lineitem),
+            q AS (SELECT flag,
+                    max(CASE WHEN rn = CAST(ceil(n * 0.01) AS BIGINT) THEN v END) AS p01,
+                    max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN v END) AS p99
+                  FROM r GROUP BY flag)
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag AS flag,
+              round(l.l_extendedprice, 6) AS price,
+              round(least(greatest(l.l_extendedprice, q.p01), q.p99), 6) AS wins_price,
+              l.l_extendedprice < q.p01 OR l.l_extendedprice > q.p99 AS clipped
+            FROM lineitem l JOIN q ON l.l_returnflag = q.flag"""))
+
+  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1)
+}

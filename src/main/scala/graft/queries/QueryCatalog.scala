@@ -27,6 +27,7 @@ object QueryCatalog {
       ReshapeQueries.all ++
       ScaleOpsQueries.all ++
       PipelineQueries.all ++
+      AnalyticsQueries.all ++
       DomainQueries.all ++
       StreamParityQueries.all
 

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.queries.QueryCatalog
+
+/** Behavior tests for the round-4 analytics queries (AnalyticsQueries).
+  * The DuckDB oracle checks value equality per engine-pair; these assert
+  * the SEMANTIC invariants on the sf0.001 data plus handcrafted frames
+  * for the session-gap boundary. */
+class AnalyticsSpec extends SparkSpec with Matchers {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("tf1: at most 3 terms per doc, ranked by descending score") {
+    val rows = QueryCatalog.byName("tf1_tfidf_topk").run(spark, sf)
+      .select("doc_id", "rnk", "score").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      rs.length should be <= 3
+      val ordered = rs.sortBy(_.getLong(1))
+      ordered.map(_.getLong(1)).toSeq shouldBe (1L to ordered.length)
+      // scores non-increasing in rank (equal allowed on term tiebreak)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => a.getDouble(2) should be >= (b.getDouble(2) - 1e-9)
+        case _ => ()
+      }
+    }
+  }
+
+  test("lm1: mean log-prob is negative, perplexity = exp(-mean)") {
+    val rows = QueryCatalog.byName("lm1_unigram_lm").run(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val mean = r.getAs[Double]("mean_logprob")
+      val ppl = r.getAs[Double]("ppl")
+      mean should be < 0.0 // MLE prob of any token < 1 in a multi-token corpus
+      ppl shouldBe math.exp(-mean) +- 1e-4 // both rounded to 6 dp
+    }
+  }
+
+  test("se1: sessions split strictly beyond the 30-min gap") {
+    import spark.implicits._
+    // user 1: events at 0s, 1700s, 3500s (gaps 1700/1800 — SAME session:
+    // the break needs gap > 1800s), then 5301s (gap 1801s — new session)
+    val us = 1000000L
+    val ev = Seq(
+      (1L, 1L, 0L * us, 1.0), (2L, 1L, 1700L * us, 1.0),
+      (3L, 1L, 3500L * us, 1.0), (4L, 1L, 5301L * us, 1.0),
+      (5L, 2L, 0L * us, 1.0))
+      .toDF("event_id", "user_id", "tsu", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    val sess = ev.withColumn("prev", lag(col("tsu"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("tsu") - col("prev") > 1800L * us, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("brk")).over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "session_seq").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    sess shouldBe Set((1L, 1L, 3L), (1L, 2L, 1L), (2L, 1L, 1L))
+  }
+
+  test("se1 on events: session count and event conservation") {
+    val out = QueryCatalog.byName("se1_sessionize").run(spark, sf)
+      .agg(sum("n_events").as("total"), count(lit(1)).as("sessions"))
+      .collect()(0)
+    val nEvents = Tables.events(spark, sf).count()
+    out.getAs[Long]("total") shouldBe nEvents
+    out.getAs[Long]("sessions") should be <= nEvents
+  }
+
+  test("ru1: grand total equals the sum of the leaf rows") {
+    val rows = QueryCatalog.byName("ru1_rollup_revenue").run(spark, sf).collect()
+    val leaf = rows.filter(_.getAs[Long]("lvl") == 0L)
+    val grand = rows.filter(_.getAs[Long]("lvl") == 3L)
+    grand.length shouldBe 1
+    grand(0).getAs[Double]("revenue") shouldBe
+      (leaf.map(_.getAs[Double]("revenue")).sum +- 1e-2)
+    grand(0).getAs[Long]("n_orders") shouldBe leaf.map(_.getAs[Long]("n_orders")).sum
+  }
+
+  test("wz1: winsorized values stay inside the per-flag band") {
+    val out = QueryCatalog.byName("wz1_winsorize").run(spark, sf)
+    val bad = out.filter(
+      (col("clipped") && col("wins_price") === col("price")) ||
+        (!col("clipped") && col("wins_price") =!= col("price"))).count()
+    bad shouldBe 0L
+    // each flag keeps ~2% clipped rows (1% per tail, discrete-rank rounding)
+    val fracs = out.groupBy("flag")
+      .agg((sum(when(col("clipped"), 1).otherwise(0)) / count(lit(1))).as("f"))
+      .collect().map(_.getAs[Double]("f"))
+    fracs.foreach { f => f should be < 0.05; f should be > 0.0 }
+  }
+}
