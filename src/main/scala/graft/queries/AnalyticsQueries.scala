@@ -223,5 +223,93 @@ object AnalyticsQueries {
               l.l_extendedprice < q.p01 OR l.l_extendedprice > q.p99 AS clipped
             FROM lineitem l JOIN q ON l.l_returnflag = q.flag"""))
 
-  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1)
+  private val fzMaxChars = 200L
+  private val fzMaxDist = 20L
+
+  /** FZ1 — fuzzy near-duplicate pairs by edit distance — the
+    * character-level complement to the token-level dedup family (dd2–dd4):
+    * catches small in-word edits n-gram shingles miss. Scale shape:
+    *
+    *  - **Length-banded blocking.** The join key is (source, length band
+    *    of width maxDist+1), each doc emitted into its own band and the
+    *    next (a qualifying pair differs by ≤ maxDist chars, so it shares
+    *    at least the HIGHER of the two bands — requiring the met band to
+    *    equal `greatest(band_a, band_b)` counts each pair exactly once).
+    *    Join-key cardinality is sources × bands, so parallelism scales
+    *    with the corpus instead of capping at the source count.
+    *  - **Length prune in the join condition** (edit distance ≥ length
+    *    difference), so pruned pairs never materialize.
+    *  - **Threshold-bounded Levenshtein**: the 3-arg `levenshtein` runs a
+    *    banded O(n·maxDist) DP with early exit (−1 beyond the bound)
+    *    instead of the full O(n·m) table; the oracle computes the plain
+    *    distance and filters — same pair set.
+    *  - Documents are bounded to 200 chars by the operator contract (edit
+    *    distance on long texts belongs to the shingle family instead). */
+  private val fz1 = Q(
+    "fz1_fuzzy_pairs",
+    (s, d) => {
+      val bandW = fzMaxDist + 1
+      val short = Tables.documents(s, d)
+        .filter(col("n_chars") <= fzMaxChars)
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+        .withColumn("band0", (col("n_chars") / bandW).cast("long"))
+      val banded = short
+        .withColumn("bkey", explode(array(col("band0"), col("band0") + 1)))
+      banded.as("a").join(banded.as("b"),
+          col("a.source") === col("b.source") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.bkey") === greatest(col("a.band0"), col("b.band0")) &&
+            col("a.doc_id") < col("b.doc_id") &&
+            abs(col("a.n_chars") - col("b.n_chars")) <= fzMaxDist)
+        .withColumn("dist",
+          levenshtein(col("a.text"), col("b.text"), fzMaxDist.toInt).cast("long"))
+        .filter(col("dist") >= 0)
+        .select(col("a.source").as("source"), col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"), col("dist"))
+    },
+    Some(s"""WITH s AS (SELECT doc_id, source, text, n_chars FROM documents
+                        WHERE n_chars <= $fzMaxChars)
+             SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+             FROM s a JOIN s b
+               ON a.source = b.source AND a.doc_id < b.doc_id
+               AND abs(a.n_chars - b.n_chars) <= $fzMaxDist
+             WHERE levenshtein(a.text, b.text) <= $fzMaxDist"""))
+
+  /** W1 — the analytic-window family over per-customer order history:
+    * lead/lag, percent_rank, cume_dist, first/last value and the running
+    * decimal-exact spend, all on ONE per-customer window partitioning
+    * (bounded by a customer's order count — one shuffle, every function
+    * shares it). Rounds on both sides where float association could bite. */
+  private val w1 = Q(
+    "w1_window_family",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          first(col("o_orderkey")).over(wr).as("first_order"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(wr)
+            .cast("double").as("run_spend"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              lag(o_orderkey) OVER w AS prev_order,
+              lead(o_orderkey) OVER w AS next_order,
+              round(percent_rank() OVER w, 6) AS pr,
+              round(cume_dist() OVER w, 6) AS cd,
+              first_value(o_orderkey) OVER
+                (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS run_spend
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
+
+  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1)
 }

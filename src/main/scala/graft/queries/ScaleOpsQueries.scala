@@ -543,5 +543,46 @@ object ScaleOpsQueries {
           WHERE band = 'ok' AND doc_id = keeper"""
     })
 
-  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, dd5, dd6, ss1, ss2, ss3, p1, mm1)
+  /** CL1 — one k-means (Lloyd) step over the embedding corpus with
+    * deterministic seeds (vec_id % 400 == 0): assign every vector to its
+    * max-cosine seed (broadcast centroids — the IVF assign scan), then the
+    * per-(cluster, dimension) member mean in LONG form, which is what
+    * makes an iterative-clustering update fully SQL-checkable (the
+    * element-wise mean list reassembles driver-side in one collect of
+    * k×dim rows). Scale shape: one narrow assign pass over the corpus +
+    * one hash agg keyed by (cluster, dim) — exactly the update step
+    * `operators.Ann`'s quantizer runs per iteration. */
+  private val cl1 = Q(
+    "cl1_kmeans_step",
+    (s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val e = embNorm(s, d)
+      val cent = e.filter(col("vec_id") % 400 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("cos", cosine("cv", "v"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+      assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim_i"))
+        .agg(count(lit(1)).as("n_members"), round(avg(col("x")), 6).as("mean_val"))
+    },
+    Some(s"""WITH e AS ($embNormSql),
+             c AS (SELECT vec_id AS cid, embedding, nrm AS cn FROM e
+                   WHERE vec_id % 400 = 0),
+             a AS (SELECT e.vec_id, c.cid,
+                     ${dotSql("c", "e")} / (c.cn * e.nrm) AS cos,
+                     e.embedding AS emb
+                   FROM e CROSS JOIN c),
+             r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY cos DESC, cid) AS rnk FROM a),
+             m AS (SELECT vec_id, cid, emb FROM r WHERE rnk = 1),
+             x AS (SELECT cid, i AS dim_i, CAST(emb[i] AS DOUBLE) AS x
+                   FROM m, range(1, ${dim + 1}) t(i))
+             SELECT cid, dim_i, CAST(count(*) AS BIGINT) AS n_members,
+               round(avg(x), 6) AS mean_val
+             FROM x GROUP BY 1, 2"""))
+
+  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, dd5, dd6, ss1, ss2, ss3, cl1, p1, mm1)
 }

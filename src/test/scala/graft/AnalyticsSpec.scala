@@ -82,6 +82,40 @@ class AnalyticsSpec extends SparkSpec with Matchers {
     grand(0).getAs[Long]("n_orders") shouldBe leaf.map(_.getAs[Long]("n_orders")).sum
   }
 
+  test("fz1: distances respect the length lower bound and the threshold") {
+    val rows = QueryCatalog.byName("fz1_fuzzy_pairs").run(spark, sf).collect()
+    rows.foreach(_.getAs[Long]("dist") should be <= 20L)
+    // symmetric pair convention: a < b always
+    rows.foreach(r => r.getAs[Long]("doc_a") should be < r.getAs[Long]("doc_b"))
+  }
+
+  test("w1: running spend is non-decreasing per customer in order sequence") {
+    val rows = QueryCatalog.byName("w1_window_family").run(spark, sf)
+      .select("o_custkey", "pr", "run_spend").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getDouble(1))
+      byRank.map(_.getDouble(2)).sliding(2).foreach {
+        case Array(a, b) => b should be >= a - 1e-9
+        case _ => ()
+      }
+    }
+  }
+
+  test("cl1: every cluster mean has all 64 dimensions and consistent size") {
+    val rows = QueryCatalog.byName("cl1_kmeans_step").run(spark, sf)
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Long]("dim_i"),
+        r.getAs[Long]("n_members")))
+    val byC = rows.groupBy(_._1)
+    byC.size should be >= 2 // several seeds at sf0.001
+    byC.foreach { case (_, rs) =>
+      rs.map(_._2).sorted.toSeq shouldBe (1L to 64L)
+      rs.map(_._3).toSet.size shouldBe 1 // same member count on every dim
+    }
+    // every corpus vector lands in exactly one cluster
+    rows.filter(_._2 == 1L).map(_._3).sum shouldBe
+      Tables.embeddings(spark, sf).count()
+  }
+
   test("wz1: winsorized values stay inside the per-flag band") {
     val out = QueryCatalog.byName("wz1_winsorize").run(spark, sf)
     val bad = out.filter(

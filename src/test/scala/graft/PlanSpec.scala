@@ -155,4 +155,19 @@ class PlanSpec extends SparkSpec {
     assertNoPartitionWindowsBounded(df, "ct1_contamination")
     assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
+
+  test("round-4 analytics: every window is keyed or cardinality-bounded") {
+    Seq("tf1_tfidf_topk", "lm1_unigram_lm", "se1_sessionize",
+      "w1_window_family", "wz1_winsorize", "cl1_kmeans_step").foreach { q =>
+      assertNoPartitionWindowsBounded(QueryCatalog.byName(q).run(spark, dir), q)
+    }
+  }
+
+  test("wz1 clamps through a broadcast of the tiny band frame") {
+    assert(plan("wz1_winsorize").contains("Broadcast"))
+  }
+
+  test("cl1 assign scan broadcasts the centroids, never shuffles the corpus to them") {
+    assert(plan("cl1_kmeans_step").contains("Broadcast"))
+  }
 }
