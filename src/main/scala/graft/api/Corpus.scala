@@ -145,6 +145,88 @@ object Corpus {
       .withColumn("dup_frac", lit(1.0) - col("n_distinct") / col("n_total"))
       .withColumn("top_frac", col("max_rep") / col("n_total"))
 
+  /** TF-IDF top-k terms per document (TF1): tf = term count / doc tokens,
+    * idf = ln(N/df). Corpus scalars ride a 1-row broadcast; the per-doc
+    * rank window is bounded by doc length. `score` is unrounded — catalog
+    * callers round for cross-engine hashing. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", topK: Int = 3): DataFrame = {
+    val tc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val withN = tc.withColumn("n_tok",
+      sum(col("tf")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))))
+    val df = tc.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = tc.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(round(col("score"), 9).desc, col("term").asc)
+    withN.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf").cast("double") / col("n_tok")) *
+          log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
+
+  /** Unigram-LM document scores (LM1): corpus-MLE token probabilities,
+    * per doc the count-weighted mean ln p(t) and perplexity exp(−mean).
+    * No smoothing — every scored token is in the corpus by construction. */
+  def languageModelScores(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
+    val gc = tc.groupBy("term").agg(sum(col("k")).as("c"))
+    val tot = gc.select(sum(col("c")).as("t_total"))
+    tc.join(gc, "term")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k").cast("double") *
+          log(col("c").cast("double") / col("t_total"))).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s") / col("n_tokens")).as("mean_logprob"),
+        exp(-col("s") / col("n_tokens")).as("ppl"))
+  }
+
+  /** Character-level fuzzy near-dup pairs (FZ1): Levenshtein ≤ `maxDist`
+    * within a block, under length-banded blocking — the join key is
+    * (block, length band of width maxDist+1), each doc emitted into its
+    * own and the next band, each qualifying pair met exactly once in
+    * `greatest(band_a, band_b)`. Parallelism scales with blocks × bands,
+    * not the block count; the threshold-bounded Levenshtein runs the
+    * banded DP. Docs longer than `maxChars` are excluded by contract —
+    * edit distance on long texts belongs to the shingle family. */
+  def fuzzyDuplicates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", blockCol: String = "source",
+      maxChars: Int = 200, maxDist: Int = 20): DataFrame = {
+    val bandW = maxDist + 1
+    val short = docs
+      .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        col(textCol).as("text"), length(col(textCol)).as("len"))
+      .filter(col("len") <= maxChars)
+      .withColumn("band0", (col("len") / bandW).cast("long"))
+    val banded = short
+      .withColumn("bkey", explode(array(col("band0"), col("band0") + 1)))
+    banded.as("a").join(banded.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.bkey") === greatest(col("a.band0"), col("b.band0")) &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("a.text"), col("b.text"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("a.blk").as(blockCol), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"), col("dist"))
+  }
+
   /** Exact cosine top-k (SS1): the verification baseline. */
   def searchTopK(emb: DataFrame, queries: DataFrame, topK: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =

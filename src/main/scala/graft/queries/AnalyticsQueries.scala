@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Ranks, TextFunctions}
+import graft.operators.Ranks
 
 /** Round-4 corpus/OLAP analytics: TF-IDF term ranking, unigram-LM document
   * scoring, batch sessionization, rollup aggregates, and winsorized
@@ -29,25 +29,8 @@ object AnalyticsQueries {
     * real ordering. Per-doc rank windows are bounded by doc length. */
   private val tf1 = Q(
     "tf1_tfidf_topk",
-    (s, d) => {
-      val tc = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val withN = tc.withColumn("n_tok", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-      val df = tc.groupBy("term").agg(count(lit(1)).as("df"))
-      val nDocs = tc.select(countDistinct(col("doc_id")).as("n_docs"))
-      val scored = withN.join(df, "term")
-        .crossJoin(broadcast(nDocs))
-        .withColumn("score",
-          (col("tf").cast("double") / col("n_tok")) *
-            log(col("n_docs").cast("double") / col("df")))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(round(col("score"), 9).desc, col("term").asc)
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select(col("doc_id"), col("term"), col("tf"), col("df"),
-          round(col("score"), 6).as("score"), col("rnk"))
-    },
+    (s, d) => graft.api.Corpus.tfidfTopTerms(Tables.documents(s, d), topK = 3)
+      .withColumn("score", round(col("score"), 6)),
     Some(s"""WITH t AS ($toksSql),
              tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
              tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -76,22 +59,9 @@ object AnalyticsQueries {
     * the division absorbs float association order on both engines. */
   private val lm1 = Q(
     "lm1_unigram_lm",
-    (s, d) => {
-      val tc = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
-      val gc = tc.groupBy("term").agg(sum(col("k")).as("c"))
-      val tot = gc.select(sum(col("c")).as("t_total"))
-      tc.join(gc, "term")
-        .crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(sum(col("k")).as("n_tokens"),
-          sum(col("k").cast("double") *
-            log(col("c").cast("double") / col("t_total"))).as("s"))
-        .select(col("doc_id"), col("n_tokens"),
-          round(col("s") / col("n_tokens"), 6).as("mean_logprob"),
-          round(exp(-col("s") / col("n_tokens")), 6).as("ppl"))
-    },
+    (s, d) => graft.api.Corpus.languageModelScores(Tables.documents(s, d))
+      .withColumn("mean_logprob", round(col("mean_logprob"), 6))
+      .withColumn("ppl", round(col("ppl"), 6)),
     Some(s"""WITH t AS ($toksSql),
              tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
              tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS k
@@ -247,26 +217,8 @@ object AnalyticsQueries {
     *    distance on long texts belongs to the shingle family instead). */
   private val fz1 = Q(
     "fz1_fuzzy_pairs",
-    (s, d) => {
-      val bandW = fzMaxDist + 1
-      val short = Tables.documents(s, d)
-        .filter(col("n_chars") <= fzMaxChars)
-        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
-        .withColumn("band0", (col("n_chars") / bandW).cast("long"))
-      val banded = short
-        .withColumn("bkey", explode(array(col("band0"), col("band0") + 1)))
-      banded.as("a").join(banded.as("b"),
-          col("a.source") === col("b.source") &&
-            col("a.bkey") === col("b.bkey") &&
-            col("a.bkey") === greatest(col("a.band0"), col("b.band0")) &&
-            col("a.doc_id") < col("b.doc_id") &&
-            abs(col("a.n_chars") - col("b.n_chars")) <= fzMaxDist)
-        .withColumn("dist",
-          levenshtein(col("a.text"), col("b.text"), fzMaxDist.toInt).cast("long"))
-        .filter(col("dist") >= 0)
-        .select(col("a.source").as("source"), col("a.doc_id").as("doc_a"),
-          col("b.doc_id").as("doc_b"), col("dist"))
-    },
+    (s, d) => graft.api.Corpus.fuzzyDuplicates(Tables.documents(s, d),
+      maxChars = fzMaxChars.toInt, maxDist = fzMaxDist.toInt),
     Some(s"""WITH s AS (SELECT doc_id, source, text, n_chars FROM documents
                         WHERE n_chars <= $fzMaxChars)
              SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,

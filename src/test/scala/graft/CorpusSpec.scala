@@ -99,6 +99,40 @@ class CorpusSpec extends SparkSpec {
     assert(got(1L)._2 && !got(2L)._2 && !got(3L)._2)
   }
 
+  test("fuzzyDuplicates: finds pairs across a length-band boundary exactly once") {
+    import spark.implicits._
+    // maxDist=20 → band width 21. len("x"*20)=20 (band 0), len("x"*22)=22
+    // (band 1): the pair straddles the boundary and must be found ONCE.
+    val docs = Seq(
+      (1L, "s", "x" * 20), (2L, "s", "x" * 22), // dist 2, bands 0 vs 1
+      (3L, "s", "y" * 20), // dist 20 to doc 1 (all substitutions), kept at bound
+      (4L, "t", "x" * 20), // other block: never pairs with 1/2/3
+      (5L, "s", "z" * 80)) // length gap > 20 from everything: pruned
+      .toDF("doc_id", "source", "text")
+    val got = Corpus.fuzzyDuplicates(docs)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dist")))
+    assert(got.length == got.toSet.size, s"duplicate pairs: ${got.mkString(",")}")
+    // (2,3) is length-eligible (diff 2) but dist 22 > 20 → filtered
+    assert(got.toSet === Set((1L, 2L, 2L), (1L, 3L, 20L)))
+  }
+
+  test("tfidf and LM scores agree on a corpus where one term is unique") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta beta"), (2L, "alpha gamma gamma"), (3L, "alpha alpha alpha"))
+      .toDF("doc_id", "text")
+    val tf = Corpus.tfidfTopTerms(docs, topK = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
+    // the doc-unique term always out-scores the everywhere term "alpha"
+    assert(tf(1L) == "beta" && tf(2L) == "gamma")
+    val lm = Corpus.languageModelScores(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_logprob")).toMap
+    // doc 3 is all high-probability tokens → least surprising
+    assert(lm(3L) > lm(1L) && lm(3L) > lm(2L))
+    lm.values.foreach(v => assert(v < 0.0))
+  }
+
   test("searchTopKApprox with nProbe = cells equals the exact search") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") % 100 === 0)
