@@ -100,6 +100,44 @@ object StreamParityQueries {
                    r_tsu AS r_ts_us, round(r_value, 6) AS r_value
             FROM j WHERE rn = 1"""))
 
+  /** S4 — the stateful streaming sessionizer (flatMapGroupsWithState with
+    * event-time timeout, EventStreams.sessionize), batch-replayed: per
+    * user, a session closes after 30 min of silence. Batch mode runs the
+    * same handler over each user's full history (no watermark future), so
+    * the oracle states plain gap-session semantics — the same SQL family
+    * as the batch se1 twin, aggregated to (user, session) rows. µs domain
+    * throughout (s2's convention); the handler accumulates value in
+    * sorted order, round-6 absorbs the association difference. */
+  private val s4 = Q(
+    "s4_stream_sessions",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select(
+          col("user_id").as("userId"),
+          EventStreams.nanosToTs(col("ts")).as("ts"),
+          col("event_type").as("eventType"), col("value"))
+        .as[graft.streaming.Event]
+      EventStreams.sessionize(ev, gapSeconds = 1800)
+        .select(col("userId").as("user_id"),
+          unix_micros(col("start")).as("t_start_us"),
+          unix_micros(col("end")).as("t_end_us"),
+          col("nEvents").as("n_events"),
+          round(col("totalValue"), 6).as("total_value"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
+            l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id
+                    ORDER BY tsu, value) AS prev FROM e),
+            b AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                    THEN 1 ELSE 0 END AS brk FROM l),
+            x AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                    ORDER BY tsu, value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                  FROM b)
+            SELECT user_id, min(tsu) AS t_start_us, max(tsu) AS t_end_us,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 6) AS total_value
+            FROM x GROUP BY user_id, sid"""))
+
   /** A5 — delimited parameter-list scan steering a plan
     * (read.delim("genes.txt")[,1] + toupper, BRCA_path_stage_DESeq.R:7-9):
     * the Spark side reads a real tab-delimited file through CsvIO; the
@@ -119,5 +157,5 @@ object StreamParityQueries {
     Some("""SELECT p_partkey, p_type FROM part
             WHERE p_type IN ('ECONOMY','STANDARD')"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, a5)
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, a5)
 }

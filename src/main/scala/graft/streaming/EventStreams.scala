@@ -12,7 +12,7 @@ final case class Event(userId: Long, ts: Timestamp, eventType: String, value: Do
 final case class UserSession(userId: Long, start: Timestamp, end: Timestamp,
     nEvents: Long, totalValue: Double)
 
-private final case class SessionState(startMs: Long, endMs: Long,
+private final case class SessionState(startUs: Long, endUs: Long,
     nEvents: Long, totalValue: Double)
 
 /** A left event enriched with the most recent at-or-before right event of
@@ -34,7 +34,7 @@ private final case class AsOfRef(tsUs: Long, value: Double)
   * on `spark.readStream` (incremental, stateful) and on the batch parquet
   * table (one-shot) — the test suite exercises both.
   */
-object EventStreams {
+object EventStreams extends Serializable {
 
   /** events.parquet carries epoch-nanos longs (read via nanosAsLong);
     * convert to an event-time timestamp column. Column `/` is DOUBLE
@@ -43,6 +43,17 @@ object EventStreams {
     * division + floor is exact. */
   def nanosToTs(nanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     timestamp_micros(floor(nanos.cast("decimal(38,0)") / 1000).cast("long"))
+
+  /** `Timestamp.getTime` is MILLIS — state and gap comparisons run in the
+    * MICROSECOND domain Spark timestamps actually carry (the same
+    * convention as the batch catalog and the DuckDB oracle). */
+  private def toUs(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromUs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Tumbling-window per-type counts with a watermark: late rows beyond
     * `watermark` are dropped from the aggregation state (bounded state —
@@ -62,11 +73,11 @@ object EventStreams {
     * last one included, since batch has no "future"). */
   def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[UserSession] = {
     import events.sparkSession.implicits._
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
     val isStreaming = events.isStreaming
 
     def toSession(uid: Long, s: SessionState): UserSession =
-      UserSession(uid, new Timestamp(s.startMs), new Timestamp(s.endMs),
+      UserSession(uid, fromUs(s.startUs), fromUs(s.endUs),
         s.nEvents, s.totalValue)
 
     def handle(uid: Long, evs: Iterator[Event],
@@ -76,14 +87,14 @@ object EventStreams {
         state.remove()
         out
       } else {
-        val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.eventType, e.value))
+        val sorted = evs.toArray.sortBy(e => (toUs(e.ts), e.eventType, e.value))
         var cur = state.getOption
         val closed = Seq.newBuilder[UserSession]
         sorted.foreach { e =>
-          val t = e.ts.getTime
+          val t = toUs(e.ts)
           cur match {
-            case Some(s) if t - s.endMs <= gapMs =>
-              cur = Some(SessionState(s.startMs, math.max(s.endMs, t),
+            case Some(s) if t - s.endUs <= gapUs =>
+              cur = Some(SessionState(s.startUs, math.max(s.endUs, t),
                 s.nEvents + 1, s.totalValue + e.value))
             case Some(s) =>
               closed += toSession(uid, s)
@@ -95,7 +106,9 @@ object EventStreams {
         cur.foreach { s =>
           if (isStreaming) {
             state.update(s)
-            state.setTimeoutTimestamp(s.endMs + gapMs)
+            // timeout timestamps are millis; round UP so the timeout never
+            // fires a microsecond-fraction early
+            state.setTimeoutTimestamp(Math.floorDiv(s.endUs + gapUs + 999L, 1000L))
           } else {
             closed += toSession(uid, s) // batch: no future rows can extend it
           }
@@ -133,16 +146,6 @@ object EventStreams {
     */
   def asOfEnrich(left: Dataset[Event], right: Dataset[Event]): Dataset[EnrichedEvent] = {
     import left.sparkSession.implicits._
-
-    // Timestamp.getTime is MILLIS — comparing with it would erase the µs
-    // component Spark timestamps carry; state and ordering run in micros
-    def toUs(t: Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-    def fromUs(us: Long): Timestamp = {
-      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
 
     def handle(uid: Long, rows: Iterator[AsOfTagged],
         state: GroupState[AsOfRef]): Iterator[EnrichedEvent] = {
