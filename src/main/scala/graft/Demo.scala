@@ -110,6 +110,14 @@ object Demo {
     println(s"[demo] contaminated test docs = ${leaks.count()}")
     val reps = graft.api.Corpus.repetitionScores(docs)
     println(s"[demo] repetition-scored docs = ${reps.count()}")
+
+    // round-4 corpus surfaces: TF-IDF terms, LM scoring, fuzzy dedup
+    val top = graft.api.Corpus.tfidfTopTerms(docs, topK = 2)
+    println(s"[demo] tfidf top-2 term rows = ${top.count()}")
+    val lm = graft.api.Corpus.languageModelScores(docs)
+    println(s"[demo] LM-scored docs = ${lm.count()}")
+    val fz = graft.api.Corpus.fuzzyDuplicates(docs)
+    println(s"[demo] fuzzy (edit-distance) near-dup pairs = ${fz.count()}")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/graft_packs"))
     graft.sinks.Sharding.writePacked(
       docs.select(col("doc_id"), (col("n_chars") / 5).cast("long").as("n_tok")),

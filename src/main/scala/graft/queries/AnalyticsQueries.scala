@@ -217,10 +217,29 @@ object AnalyticsQueries {
     *    distance on long texts belongs to the shingle family instead). */
   private val fz1 = Q(
     "fz1_fuzzy_pairs",
-    (s, d) => graft.api.Corpus.fuzzyDuplicates(Tables.documents(s, d),
-      maxChars = fzMaxChars.toInt, maxDist = fzMaxDist.toInt),
-    Some(s"""WITH s AS (SELECT doc_id, source, text, n_chars FROM documents
-                        WHERE n_chars <= $fzMaxChars)
+    // The synthetic corpus has no organic short-text near-dups (closest
+    // organic pair at sf0.01 sits at distance 44), so deterministic TWIN
+    // docs are INJECTED on both engines (the x6 PII pattern): every 7th
+    // short doc gains a copy with a 4-char suffix at doc_id + 10^7. The
+    // oracle then actually exercises the banded-distance path instead of
+    // vacuously matching an empty result.
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text", "n_chars")
+      val twins = docs
+        .filter(col("doc_id") % 7 === 0 && col("n_chars") <= fzMaxChars - 4)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+          concat(col("text"), lit(" abc")).as("text"),
+          (col("n_chars") + 4).as("n_chars"))
+      graft.api.Corpus.fuzzyDuplicates(docs.unionByName(twins),
+        maxChars = fzMaxChars.toInt, maxDist = fzMaxDist.toInt)
+    },
+    Some(s"""WITH base AS (SELECT doc_id, source, text, n_chars FROM documents),
+             twins AS (SELECT doc_id + 10000000 AS doc_id, source,
+                         text || ' abc' AS text, n_chars + 4 AS n_chars
+                       FROM base
+                       WHERE doc_id % 7 = 0 AND n_chars <= ${fzMaxChars - 4}),
+             u AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+             s AS (SELECT * FROM u WHERE n_chars <= $fzMaxChars)
              SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
              FROM s a JOIN s b

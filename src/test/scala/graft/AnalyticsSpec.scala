@@ -84,9 +84,16 @@ class AnalyticsSpec extends SparkSpec with Matchers {
 
   test("fz1: distances respect the length lower bound and the threshold") {
     val rows = QueryCatalog.byName("fz1_fuzzy_pairs").run(spark, sf).collect()
+    // the injected twins (doc_id + 10^7, 4-char suffix) guarantee hits
+    rows should not be empty
     rows.foreach(_.getAs[Long]("dist") should be <= 20L)
     // symmetric pair convention: a < b always
     rows.foreach(r => r.getAs[Long]("doc_a") should be < r.getAs[Long]("doc_b"))
+    // every twin pair is found at exactly its suffix distance
+    val twinPairs = rows.filter(r =>
+      r.getAs[Long]("doc_b") - r.getAs[Long]("doc_a") == 10000000L)
+    twinPairs should not be empty
+    twinPairs.foreach(_.getAs[Long]("dist") shouldBe 4L)
   }
 
   test("w1: running spend is non-decreasing per customer in order sequence") {
