@@ -239,4 +239,46 @@ object Corpus {
       vecCol: String = "embedding"): DataFrame =
     Ann.ivfTopK(emb, queries, idCol, vecCol, k = cells, iters = 3,
       nProbe = nProbe, topK = topK)
+
+  /** Deterministic global training shuffle + round-robin shard id (SH1):
+    * order by a seeded content hash through the two-phase rank — never a
+    * one-task global sort, never `rand()`. Reshuffle = new seed. */
+  def shuffleShards(docs: DataFrame, nShards: Int, seed: String = "42",
+      idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.withColumn("shuffle_key",
+      Dedup.hash60(concat(lit(seed + ":"), col(idCol).cast("string"))))
+    graft.operators.Ranks
+      .rowNumber(keyed, Nil, Seq(col("shuffle_key"), col(idCol)), out = "rn")
+      .withColumn("shard_id", (col("rn") - 1) % nShards)
+      .drop("__n")
+  }
+
+  /** Context-window chunking (CH1): `size`-token windows advancing by
+    * `stride`. */
+  def chunks(docs: DataFrame, size: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.operators.Chunking.chunkTokens(docs, idCol, textCol, size, stride)
+
+  /** Mixture resampling toward a target domain distribution (SM2). */
+  def mixtureSample(docs: DataFrame, weight: Column => Column,
+      budget: Double, idCol: String = "doc_id",
+      stratumCol: String = "source"): DataFrame =
+    Sampling.mixtureResample(docs, col(idCol), col(stratumCol), weight, budget)
+
+  /** Incremental near-dedup (DD7): flag each NEW doc whose MinHash
+    * signature shares an LSH band bucket with the REFERENCE corpus —
+    * the bipartite join shape of daily-increment dedup. */
+  def incrementalDuplicates(newDocs: DataFrame, refDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3, numHashes: Int = 6, bandsOf: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val newSigs = Dedup.minhashSignatures(
+      Dedup.shingleRows(newDocs, idCol, textCol, shingleN), numHashes)
+    val refSigs = Dedup.minhashSignatures(
+      Dedup.shingleRows(refDocs, idCol, textCol, shingleN), numHashes)
+    Dedup.minhashCandidatesAgainst(newSigs, refSigs, numHashes, bandsOf,
+        maxBucket)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ref_matches"), min("ref_id").as("first_ref"))
+  }
 }

@@ -123,15 +123,20 @@ object Dedup {
     * @param maxBucket buckets larger than this are dropped (and counted to
     *   the log) before the self-join — a degenerate bucket would otherwise
     *   generate m² pairs in a single task */
+  /** (band, bkey) rows from a signature frame — shared by the symmetric
+    * and bipartite candidate joins. */
+  private def bandRows(sigs: DataFrame, k: Int, bandsOf: Int): DataFrame =
+    (0 until k / bandsOf).map { b =>
+      val cols = (0 until bandsOf).map(j => col(s"h${b * bandsOf + j}"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws("_", cols: _*)).as("bkey"))
+    }.reduce(_ unionByName _)
+
   def minhashCandidates(signatures: DataFrame, k: Int, bandsOf: Int,
       maxBucket: Int = 1000): DataFrame = {
     require(k % bandsOf == 0, "k must divide into bands")
     val sigs = signatures.persist()
-    val bands = (0 until k / bandsOf).map { b =>
-      val cols = (0 until bandsOf).map(j => col(s"h${b * bandsOf + j}"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws("_", cols: _*)).as("bkey"))
-    }.reduce(_ unionByName _).persist()
+    val bands = bandRows(sigs, k, bandsOf).persist()
     graft.Caches.releaseAfterAction(sigs, bands)
     val capped = capBuckets(bands, Seq(col("band"), col("bkey")), maxBucket,
       "minhashCandidates")
@@ -139,6 +144,26 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Bipartite (incremental) LSH candidates: NEW docs sharing any band
+    * bucket with a REFERENCE doc. This is the daily-increment shape of
+    * dedup at 100 TB — the new batch never self-pairs, the reference
+    * corpus never self-pairs, so cost is |new bands| × ref-bucket
+    * occupancy instead of |corpus|². The cap applies to the REFERENCE
+    * side only (a hot reference bucket is what blows up the join); the
+    * drop is counted to the audit log like every other cap. Returns
+    * distinct (doc_id, ref_id). */
+  def minhashCandidatesAgainst(newSigs: DataFrame, refSigs: DataFrame,
+      k: Int, bandsOf: Int, maxBucket: Int = 1000): DataFrame = {
+    require(k % bandsOf == 0, "k must divide into bands")
+    val nb = bandRows(newSigs, k, bandsOf)
+    val rb = capBuckets(bandRows(refSigs, k, bandsOf),
+      Seq(col("band"), col("bkey")), maxBucket, "minhashAgainst")
+    nb.as("x").join(rb.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("ref_id"))
       .distinct()
   }
 

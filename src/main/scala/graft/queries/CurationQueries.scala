@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Chunking, Dedup, Ranks, Sampling, TextFunctions}
+
+/** Round-4 corpus-curation operators — the remaining steps of a
+  * large-scale training-data pipeline: deterministic global shuffle +
+  * shard assignment (training order), C4/Gopher-style rule filtering
+  * with per-rule audit flags, context-window chunking with overlap,
+  * mixture resampling toward a target domain distribution, and
+  * incremental (new-batch vs reference-corpus) near-dedup. Every entry
+  * carries a DuckDB oracle.
+  */
+object CurationQueries {
+
+  private def hash60sql(e: String): String =
+    s"CAST(('0x'||substring(md5($e),1,15)) AS BIGINT)"
+
+  private val toksSql =
+    """SELECT doc_id, lang, source, n_chars,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+       FROM documents"""
+
+  // ------------------------------------------------------- sh1: shuffle+shard
+
+  private val shuffleSeed = "42"
+  private val nShards = 16
+
+  /** SH1 — deterministic global training shuffle: order the corpus by a
+    * seeded content hash (reshuffling = changing the seed), assign shards
+    * round-robin. The global order comes from the two-phase rank
+    * (Ranks.rowNumber): range-partition on the hash, rank locally, stitch
+    * with per-partition offsets — the corpus NEVER funnels through a
+    * one-task sort, which is what `orderBy(rand())`-style shuffles do at
+    * 100 TB. And unlike `rand()`, the order is a pure function of
+    * (seed, doc_id): stable under retries, layouts, and engines. */
+  private val sh1 = Q(
+    "sh1_shuffle_shard",
+    (s, d) => {
+      val keyed = Tables.documents(s, d).select(col("doc_id"),
+        Dedup.hash60(concat(lit(shuffleSeed + ":"), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+      Ranks.rowNumber(keyed, Nil, Seq(col("shuffle_key"), col("doc_id")), out = "rn")
+        .select(col("doc_id"), col("shuffle_key"), col("rn"),
+          ((col("rn") - 1) % nShards).as("shard_id"))
+    },
+    Some(s"""WITH k AS (SELECT doc_id,
+                 ${hash60sql(s"'$shuffleSeed:'||CAST(doc_id AS VARCHAR)")} AS shuffle_key
+               FROM documents),
+             r AS (SELECT doc_id, shuffle_key,
+                     CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS rn
+                   FROM k)
+             SELECT doc_id, shuffle_key, rn, (rn - 1) % $nShards AS shard_id
+             FROM r"""))
+
+  // ------------------------------------------------------- x7: rule filters
+
+  private val stopList = Seq("a", "the", "fast", "slow", "key")
+
+  /** X7 — C4/Gopher-style heuristic rule filters with per-rule audit
+    * flags: token-count band, mean-word-length band, distinct-token
+    * ratio, stopword presence; `keep` = every rule passes. All narrow
+    * array/scalar expressions riding the scan — a rule pass over 100 TB
+    * is shuffle-free by construction. Rule flags stay in the output (the
+    * audit shape: downstream you `groupBy` flags to see what each rule
+    * costs, rather than silently dropping rows). */
+  private val x7 = Q(
+    "x7_rule_filters",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("mwl", TextFunctions.meanWordLen(col("toks")))
+        .withColumn("dr",
+          size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+        .withColumn("n_stop",
+          size(array_intersect(array_distinct(col("toks")),
+            array(stopList.map(lit): _*))).cast("long"))
+      base.select(col("doc_id"), col("n_tok"),
+          round(col("mwl"), 6).as("mean_word_len"),
+          round(col("dr"), 6).as("distinct_ratio"),
+          col("n_stop"),
+          (col("n_tok") >= 30 && col("n_tok") <= 5000).as("r_len"),
+          (col("mwl") >= 4.0 && col("mwl") <= 5.0).as("r_mwl"),
+          (col("dr") >= 0.35).as("r_distinct"),
+          (col("n_stop") >= 2).as("r_stop"))
+        .withColumn("keep",
+          col("r_len") && col("r_mwl") && col("r_distinct") && col("r_stop"))
+    },
+    Some(s"""WITH t AS ($toksSql),
+             m AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tok,
+                     CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                       / len(toks) AS mwl,
+                     CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr,
+                     CAST(len(list_intersect(list_distinct(toks),
+                       [${stopList.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS n_stop
+                   FROM t)
+             SELECT doc_id, n_tok,
+               round(mwl, 6) AS mean_word_len,
+               round(dr, 6) AS distinct_ratio,
+               n_stop,
+               n_tok >= 30 AND n_tok <= 5000 AS r_len,
+               mwl >= CAST(4.0 AS DOUBLE) AND mwl <= CAST(5.0 AS DOUBLE) AS r_mwl,
+               dr >= CAST(0.35 AS DOUBLE) AS r_distinct,
+               n_stop >= 2 AS r_stop,
+               (n_tok >= 30 AND n_tok <= 5000)
+                 AND (mwl >= CAST(4.0 AS DOUBLE) AND mwl <= CAST(5.0 AS DOUBLE))
+                 AND dr >= CAST(0.35 AS DOUBLE) AND n_stop >= 2 AS keep
+             FROM m"""))
+
+  // ------------------------------------------------------- ch1: chunking
+
+  private val chunkSize = 32
+  private val chunkStride = 24
+
+  /** CH1 — context-window chunking (Chunking.chunkTokens): 32-token
+    * windows advancing by 24 (8-token overlap), one row per chunk with
+    * the chunk's md5. A pure narrow fan-out — no shuffle anywhere. */
+  private val ch1 = Q(
+    "ch1_doc_chunks",
+    (s, d) => Chunking.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+      chunkSize, chunkStride),
+    Some(s"""WITH t AS ($toksSql),
+             n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t),
+             s AS (SELECT doc_id, toks, n_tok,
+                     unnest(range(0, n_tok, $chunkStride)) AS start
+                   FROM n)
+             SELECT doc_id,
+               start // $chunkStride AS chunk_idx,
+               start,
+               CAST(len(list_slice(toks, start + 1, start + $chunkSize)) AS BIGINT)
+                 AS n_chunk_tokens,
+               md5(array_to_string(list_slice(toks, start + 1, start + $chunkSize), ' '))
+                 AS chunk_md5
+             FROM s"""))
+
+  // ------------------------------------------------------- sm2: mixture
+
+  // 4 domain classes (source number mod 4) with target mixture
+  // 0.4 / 0.3 / 0.2 / 0.1, spread over the 5 sources of each class.
+  private val classWeights = Array(0.4, 0.3, 0.2, 0.1)
+  private val perSourceW: Array[Double] = classWeights.map(_ / 5.0)
+  private val mixBudget = 0.5
+
+  /** SM2 — mixture resampling (Sampling.mixtureResample): thin each
+    * source so the kept corpus approaches the target domain mixture at
+    * half the original volume. Census agg + in-plan rate arithmetic +
+    * broadcast join + hash60 filter — two narrow passes over the corpus,
+    * zero driver collects, deterministic under relayout. */
+  private val sm2 = Q(
+    "sm2_mixture_resample",
+    (s, d) => {
+      val weight: Column => Column = src => {
+        val cls = substring(src, 4, 10).cast("int") % 4
+        when(cls === 0, lit(perSourceW(0)))
+          .when(cls === 1, lit(perSourceW(1)))
+          .when(cls === 2, lit(perSourceW(2)))
+          .otherwise(lit(perSourceW(3)))
+      }
+      Sampling.mixtureResample(Tables.documents(s, d), col("doc_id"),
+          col("source"), weight, mixBudget)
+        .select("doc_id", "source", "lang", "n_chars", "sample_rate")
+    },
+    Some {
+      val caseW = s"""CASE CAST(substring(source, 4) AS INT) % 4
+          WHEN 0 THEN CAST(${perSourceW(0)} AS DOUBLE)
+          WHEN 1 THEN CAST(${perSourceW(1)} AS DOUBLE)
+          WHEN 2 THEN CAST(${perSourceW(2)} AS DOUBLE)
+          ELSE CAST(${perSourceW(3)} AS DOUBLE) END"""
+      s"""WITH cnt AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+          tot AS (SELECT count(*) AS n_total FROM documents),
+          r AS (SELECT source,
+                  least(CAST(1.0 AS DOUBLE),
+                    CAST($mixBudget AS DOUBLE) * n_total * ($caseW) / n_s) AS rate
+                FROM cnt CROSS JOIN tot)
+          SELECT d.doc_id, d.source, d.lang, d.n_chars,
+            round(r.rate, 6) AS sample_rate
+          FROM documents d JOIN r ON d.source = r.source
+          WHERE ${hash60sql("CAST(d.doc_id AS VARCHAR)")}
+            < CAST(floor(r.rate * CAST(1152921504606846976 AS DOUBLE)) AS BIGINT)"""
+    })
+
+  // ------------------------------------------------------- dd7: incremental
+
+  private val ddK = 6
+  private val ddBandsOf = 2
+  private val ddMaxBucket = 1000
+  private val refSplit = 15 // sources 0..14 = reference corpus, 15..19 = new batch
+
+  /** DD7 — incremental near-dedup (Dedup.minhashCandidatesAgainst): the
+    * new batch (sources 15–19) is scanned against the reference corpus
+    * (sources 0–14) through the bipartite LSH band join — new docs never
+    * self-pair, so a daily increment costs |new| × bucket occupancy, not
+    * |corpus|². Output: each new doc with its reference-candidate count
+    * and first matching reference doc. */
+  private val dd7 = Q(
+    "dd7_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(
+        Dedup.shingleRows(docs, "doc_id", "text", 3), ddK)
+      val flagged = sigs.join(
+        docs.select(col("doc_id"),
+          (substring(col("source"), 4, 10).cast("int") < refSplit).as("is_ref")),
+        "doc_id").persist()
+      graft.Caches.releaseAfterAction(flagged)
+      Dedup.minhashCandidatesAgainst(
+          flagged.filter(!col("is_ref")).drop("is_ref"),
+          flagged.filter(col("is_ref")).drop("is_ref"),
+          ddK, ddBandsOf, ddMaxBucket)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ref_matches"), min("ref_id").as("first_ref"))
+    },
+    Some {
+      val p = Dedup.MinhashP
+      val mins = Dedup.minhashCoeffs(ddK).zipWithIndex
+        .map { case ((a, b), k) => s"min((hs * $a + $b) % $p) AS h$k" }
+        .mkString(",\n  ")
+      val bandSelects = (0 until ddK / ddBandsOf).map { b =>
+        s"""SELECT doc_id, $b AS band,
+              md5(CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR)) AS bkey
+            FROM mh"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS ($toksSql),
+          sh AS (SELECT DISTINCT doc_id, sh
+                 FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                       FROM t)),
+          hs AS (SELECT doc_id, ${hash60sql("sh")} % $p AS hs FROM sh),
+          mh AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+          fl AS (SELECT doc_id, CAST(substring(source, 4) AS INT) < $refSplit AS is_ref
+                 FROM documents),
+          bands AS ($bandSelects),
+          nb AS (SELECT b.doc_id, band, bkey FROM bands b JOIN fl USING (doc_id)
+                 WHERE NOT is_ref),
+          rb0 AS (SELECT b.doc_id, band, bkey FROM bands b JOIN fl USING (doc_id)
+                  WHERE is_ref),
+          rb AS (SELECT doc_id, band, bkey
+                 FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM rb0)
+                 WHERE bsz <= $ddMaxBucket),
+          pr AS (SELECT DISTINCT n.doc_id, r.doc_id AS ref_id
+                 FROM nb n JOIN rb r ON n.band = r.band AND n.bkey = r.bkey)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ref_matches,
+            min(ref_id) AS first_ref
+          FROM pr GROUP BY doc_id"""
+    })
+
+  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, dd7)
+}

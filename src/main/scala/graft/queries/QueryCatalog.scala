@@ -27,6 +27,7 @@ object QueryCatalog {
       ReshapeQueries.all ++
       ScaleOpsQueries.all ++
       PipelineQueries.all ++
+      CurationQueries.all ++
       AnalyticsQueries.all ++
       DomainQueries.all ++
       StreamParityQueries.all

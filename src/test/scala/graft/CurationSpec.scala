@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.queries.QueryCatalog
+
+/** Behavior tests for the round-4 curation queries (CurationQueries):
+  * deterministic shuffle/sharding, rule-filter audit, chunking coverage,
+  * mixture resampling, incremental dedup. The DuckDB oracle checks value
+  * equality per engine-pair; these assert the SEMANTIC invariants. */
+class CurationSpec extends SparkSpec with Matchers {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sh1: ranks are a permutation, shards balanced within one row") {
+    val rows = QueryCatalog.byName("sh1_shuffle_shard").run(spark, sf)
+      .select("rn", "shard_id").collect()
+    val n = rows.length
+    rows.map(_.getLong(0)).sorted.toSeq shouldBe (1L to n)
+    val byShard = rows.groupBy(_.getLong(1)).view.mapValues(_.length)
+    byShard.keys.foreach(_ should (be >= 0L and be < 16L))
+    // round-robin assignment: shard sizes differ by at most 1
+    (byShard.values.max - byShard.values.min) should be <= 1
+  }
+
+  test("sh1: the order is a pure function of (seed, id) — layout-stable") {
+    val docs = graft.Tables.documents(spark, sf)
+    val a = graft.api.Corpus.shuffleShards(docs.repartition(7), nShards = 4)
+      .select("doc_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = graft.api.Corpus.shuffleShards(docs.repartition(3), nShards = 4)
+      .select("doc_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    a shouldBe b
+  }
+
+  test("x7: keep is exactly the conjunction of the rule flags") {
+    val rows = QueryCatalog.byName("x7_rule_filters").run(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[Boolean]("keep") shouldBe
+        (r.getAs[Boolean]("r_len") && r.getAs[Boolean]("r_mwl") &&
+          r.getAs[Boolean]("r_distinct") && r.getAs[Boolean]("r_stop"))
+    }
+    // the rules must actually discriminate on this corpus (non-vacuous)
+    rows.count(_.getAs[Boolean]("keep")) should be > 0
+    rows.count(!_.getAs[Boolean]("keep")) should be > 0
+  }
+
+  test("ch1: chunks tile every doc — full coverage, correct overlap") {
+    val docs = graft.Tables.documents(spark, sf)
+    val nTok = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.operators.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = QueryCatalog.byName("ch1_doc_chunks").run(spark, sf)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    chunks.keySet shouldBe nTok.keySet // every doc chunks (even short ones)
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      // starts advance by exactly the stride, from zero, below n_tok
+      sorted.map(_.getAs[Long]("start")).toSeq shouldBe
+        (0L until nTok(id) by 24L).toSeq
+      // every chunk is full-size except possibly the tail ones
+      sorted.foreach { c =>
+        val expect = math.min(32L, nTok(id) - c.getAs[Long]("start"))
+        c.getAs[Long]("n_chunk_tokens") shouldBe expect
+      }
+    }
+  }
+
+  test("sm2: kept corpus is a subset, rates respect the mixture cap") {
+    val out = QueryCatalog.byName("sm2_mixture_resample").run(spark, sf)
+    val rows = out.select("source", "sample_rate").distinct().collect()
+    rows should not be empty
+    rows.foreach(_.getAs[Double]("sample_rate") should (be > 0.0 and be <= 1.0))
+    // class 0 (weight .4) must not be thinned harder than class 3 (.1)
+    val bySrc = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for {
+      (s0, r0) <- bySrc if s0.stripPrefix("src").toInt % 4 == 0
+      (s3, r3) <- bySrc if s3.stripPrefix("src").toInt % 4 == 3
+    } r0 should be >= r3
+  }
+
+  test("dd7: bipartite — every match pairs a new doc with a reference doc") {
+    val docs = graft.Tables.documents(spark, sf)
+    val isRef = substring(col("source"), 4, 10).cast("int") < 15
+    val refIds = docs.filter(isRef).select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = QueryCatalog.byName("dd7_incremental_dedup").run(spark, sf).collect()
+    out.foreach { r =>
+      refIds should not contain r.getAs[Long]("doc_id")
+      refIds should contain(r.getAs[Long]("first_ref"))
+      r.getAs[Long]("n_ref_matches") should be >= 1L
+    }
+  }
+
+  test("dd7 API: planted near-dup in the new batch is flagged, clean doc is not") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 1
+      (11L, "totally different words about completely unrelated matters here now"))
+      .toDF("doc_id", "text")
+    val out = graft.api.Corpus.incrementalDuplicates(fresh, ref)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("first_ref")).toMap
+    out.keySet should contain(10L)
+    out(10L) shouldBe 1L
+    out.keySet should not contain 11L
+  }
+}
