@@ -320,7 +320,9 @@ object RelationalQueries {
     "g1_order_by",
     (s, d) =>
       graft.operators.Ranks
-        .rowNumber(Tables.part(s, d),
+        // project first: Ranks persists, and a persist is a pruning
+        // barrier — unprojected it would cache all 9 part columns
+        .rowNumber(Tables.part(s, d).select("p_partkey", "p_name"),
           grp = Nil, order = Seq(col("p_name"), col("p_partkey")), out = "rn")
         .select(col("rn"), col("p_partkey"), col("p_name")),
     Some("""SELECT row_number() OVER (ORDER BY p_name, p_partkey) AS rn, p_partkey, p_name

@@ -212,7 +212,11 @@ object StatsQueries {
     "e1_ntile_split",
     (s, d) => {
       import graft.operators.Ranks
-      Ranks.ntile(Tables.lineitem(s, d),
+      // project BEFORE the rank: Ranks persists its input, and a persist
+      // is a pruning barrier — unprojected, the range shuffle + cache
+      // carry all 16 lineitem columns for a 2-column aggregate
+      Ranks.ntile(Tables.lineitem(s, d)
+            .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
           grp = Seq(col("l_returnflag")),
           order = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
           tiles = 2, out = "tile")
