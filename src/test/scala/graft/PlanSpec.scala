@@ -170,4 +170,32 @@ class PlanSpec extends SparkSpec {
   test("cl1 assign scan broadcasts the centroids, never shuffles the corpus to them") {
     assert(plan("cl1_kmeans_step").contains("Broadcast"))
   }
+
+  test("sm2 mixture resample: rate frame broadcast, corpus never shuffled") {
+    val p = plan("sm2_mixture_resample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only Exchanges are the census aggs — nothing fact-sized
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ch1 chunking is a single narrow codegen span — no exchange at all") {
+    val df = QueryCatalog.byName("ch1_doc_chunks").run(spark, dir)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("sh1 shuffle-shard is two-phase: range partition, bounded windows") {
+    val df = QueryCatalog.byName("sh1_shuffle_shard").run(spark, dir)
+    assertNoPartitionWindowsBounded(df, "sh1_shuffle_shard")
+    assert(df.queryExecution.executedPlan.toString
+      .toLowerCase.contains("rangepartitioning"))
+  }
+
+  test("dd7 incremental dedup joins band buckets, never a cartesian product") {
+    val p = plan("dd7_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
