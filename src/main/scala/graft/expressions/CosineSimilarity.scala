@@ -79,18 +79,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   /** Idempotent per-session registration (the non-extensions path used by
     * the query catalog: any session the driver hands us gains the
-    * function). */
-  def register(spark: SparkSession): Unit =
+    * functions). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", args => CosineSimilarity(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "priority_topk",
+      args => PriorityTopK(args(0), args(1), args(2)), "built-in")
+  }
 }
 
 /** Plug-in registration for user sessions:
   * `--conf spark.sql.extensions=graft.expressions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("priority_topk"),
+      new ExpressionInfo(classOf[PriorityTopK].getName, "priority_topk"),
+      (args: Seq[Expression]) => PriorityTopK(args(0), args(1), args(2))))
+  }
 }

@@ -249,5 +249,42 @@ object CurationQueries {
           FROM pr GROUP BY doc_id"""
     })
 
-  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, dd7)
+  // ------------------------------------------------------- rs1: reservoir
+
+  private val rsK = 5
+
+  /** RS1 — weighted reservoir sample via the custom `priority_topk`
+    * TypedImperativeAggregate: k docs per language, inclusion probability
+    * ∝ n_chars, in ONE partial+final hash aggregation with O(k) state per
+    * group (no per-group window sort — the shape that survives a 100 TB
+    * group). Priorities are Efraimidis–Spirakis exponential jumps over
+    * the portable hash60, so the "random" sample is deterministic,
+    * retry-safe, and reproducible in the DuckDB oracle (which spells the
+    * same selection as a rank window — small-scale-only shape). */
+  private val rs1 = Q(
+    "rs1_weighted_sample",
+    (s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val u = (Dedup.hash60(col("doc_id").cast("string")) + 1).cast("double") /
+        lit(math.pow(2.0, 60))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          (negate(log(u)) / col("n_chars")).as("pr"))
+        .groupBy("lang")
+        .agg(call_function("priority_topk",
+          col("pr"), col("doc_id"), lit(rsK)).as("sample"))
+        .select(col("lang"), posexplode(col("sample")).as(Seq("pos0", "doc_id")))
+        .select(col("lang"), (col("pos0") + 1).cast("long").as("pos"), col("doc_id"))
+    },
+    Some(s"""WITH p AS (SELECT lang, doc_id,
+                 -ln(CAST(${hash60sql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+                     / CAST(1152921504606846976 AS DOUBLE)) / n_chars AS pr
+               FROM documents),
+             r AS (SELECT lang, doc_id,
+                     CAST(row_number() OVER (PARTITION BY lang ORDER BY pr, doc_id)
+                       AS BIGINT) AS pos
+                   FROM p)
+             SELECT lang, pos, doc_id FROM r WHERE pos <= $rsK"""))
+
+  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, dd7, rs1)
 }

@@ -91,4 +91,63 @@ class ExpressionsSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(saltSpread > 1)
   }
+
+  test("priority_topk equals the window-sort formulation on every group") {
+    GraftFunctions.register(spark)
+    // deterministic pseudo-random priorities, 7 groups × 200 rows, with a
+    // repartition so partial buffers genuinely serialize + merge
+    val df = (1 to 1400).map { i =>
+      (i % 7, i.toLong, math.sin(i * 2654435761.0) + 2.0)
+    }.toDF("g", "id", "pr").repartition(11)
+    val agg = df.groupBy("g")
+      .agg(expr("priority_topk(pr, id, 5)").as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "id")))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted
+    val win = df.withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("pr")) - 1)
+      .filter(col("pos") < 5)
+      .select("g", "pos", "id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted
+    assert(agg.sameElements(win))
+  }
+
+  test("priority_topk: groups smaller than k return all rows, in order") {
+    GraftFunctions.register(spark)
+    val df = Seq((1, 10L, 3.0), (1, 11L, 1.0), (2, 20L, 5.0))
+      .toDF("g", "id", "pr")
+    val out = df.groupBy("g").agg(expr("priority_topk(pr, id, 5)").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1) == Seq(11L, 10L))
+    assert(out(2) == Seq(20L))
+  }
+
+  test("priority_topk: NULL priorities/payloads skipped; string payloads survive") {
+    GraftFunctions.register(spark)
+    val df = Seq((1, Some("a"), Some(2.0)), (1, Some("b"), Some(1.0)),
+        (1, None: Option[String], Some(0.5)), (1, Some("c"), None: Option[Double]))
+      .toDF("g", "s", "pr")
+    val out = df.groupBy("g").agg(expr("priority_topk(pr, s, 2)").as("t"))
+      .collect().head.getSeq[String](1)
+    assert(out == Seq("b", "a"))
+  }
+
+  test("weighted reservoir: heavier strata win proportionally more slots") {
+    GraftFunctions.register(spark)
+    // weight 9 vs 1: under A-ES the heavy half should take the large
+    // majority of a k=40 sample from 400 rows (exact count is a pure
+    // function of the hash — this guards the weighting direction)
+    val df = (1 to 400).map { i => (i.toLong, if (i % 2 == 0) 9.0 else 1.0) }
+      .toDF("id", "w")
+      .withColumn("u",
+        (graft.operators.Dedup.hash60(col("id").cast("string")) + 1).cast("double")
+          / lit(math.pow(2.0, 60)))
+      .withColumn("pr", negate(log(col("u"))) / col("w"))
+    val sample = df.groupBy(lit(1).as("g"))
+      .agg(expr("priority_topk(pr, id, 40)").as("t"))
+      .select(explode(col("t")).as("id")).collect().map(_.getLong(0))
+    val heavy = sample.count(_ % 2 == 0)
+    assert(sample.length == 40)
+    assert(heavy >= 30, s"heavy-weight rows won only $heavy/40 slots")
+  }
 }

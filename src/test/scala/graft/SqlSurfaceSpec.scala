@@ -21,5 +21,9 @@ class SqlSurfaceSpec extends SparkSpec {
            cosine_sim(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS c
          FROM embeddings LIMIT 5""").collect()
     cos.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
+    val topk = spark.sql(
+      """SELECT lang, priority_topk(CAST(n_chars AS DOUBLE), doc_id, 3) AS t
+         FROM documents GROUP BY lang""").collect()
+    topk.foreach(r => assert(r.getSeq[Long](1).size == 3))
   }
 }
