@@ -240,6 +240,35 @@ object Corpus {
     Ann.ivfTopK(emb, queries, idCol, vecCol, k = cells, iters = 3,
       nProbe = nProbe, topK = topK)
 
+  /** C4/Gopher-style heuristic rule filters with per-rule audit flags
+    * (X7): token-count band, mean-word-length band, distinct-token ratio,
+    * stopword presence; `keep` = every rule passes. Entirely narrow
+    * array/scalar expressions — shuffle-free at any scale, and the same
+    * projection works unchanged on a `readStream` source (stateless
+    * streaming filter). */
+  def ruleFiltered(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      stopList: Seq[String] = Seq("a", "the", "fast", "slow", "key")): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("mwl", TextFunctions.meanWordLen(col("toks")))
+      .withColumn("dr",
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(col("toks")),
+          array(stopList.map(lit): _*))).cast("long"))
+      .select(col(idCol), col("n_tok"),
+        round(col("mwl"), 6).as("mean_word_len"),
+        round(col("dr"), 6).as("distinct_ratio"),
+        col("n_stop"),
+        (col("n_tok") >= 30 && col("n_tok") <= 5000).as("r_len"),
+        (col("mwl") >= 4.0 && col("mwl") <= 5.0).as("r_mwl"),
+        (col("dr") >= 0.35).as("r_distinct"),
+        (col("n_stop") >= 2).as("r_stop"))
+      .withColumn("keep",
+        col("r_len") && col("r_mwl") && col("r_distinct") && col("r_stop"))
+
   /** Deterministic global training shuffle + round-robin shard id (SH1):
     * order by a seeded content hash through the two-phase rank — never a
     * one-task global sort, never `rand()`. Reshuffle = new seed. */

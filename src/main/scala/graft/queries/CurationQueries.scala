@@ -68,27 +68,8 @@ object CurationQueries {
     * costs, rather than silently dropping rows). */
   private val x7 = Q(
     "x7_rule_filters",
-    (s, d) => {
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-        .withColumn("n_tok", size(col("toks")).cast("long"))
-        .withColumn("mwl", TextFunctions.meanWordLen(col("toks")))
-        .withColumn("dr",
-          size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
-        .withColumn("n_stop",
-          size(array_intersect(array_distinct(col("toks")),
-            array(stopList.map(lit): _*))).cast("long"))
-      base.select(col("doc_id"), col("n_tok"),
-          round(col("mwl"), 6).as("mean_word_len"),
-          round(col("dr"), 6).as("distinct_ratio"),
-          col("n_stop"),
-          (col("n_tok") >= 30 && col("n_tok") <= 5000).as("r_len"),
-          (col("mwl") >= 4.0 && col("mwl") <= 5.0).as("r_mwl"),
-          (col("dr") >= 0.35).as("r_distinct"),
-          (col("n_stop") >= 2).as("r_stop"))
-        .withColumn("keep",
-          col("r_len") && col("r_mwl") && col("r_distinct") && col("r_stop"))
-    },
+    (s, d) => graft.api.Corpus.ruleFiltered(Tables.documents(s, d),
+      stopList = stopList),
     Some(s"""WITH t AS ($toksSql),
              m AS (SELECT doc_id,
                      CAST(len(toks) AS BIGINT) AS n_tok,

@@ -93,6 +93,24 @@ class CurationSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("x7 rule filter is stream-ready: readStream through the same projection matches batch") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val docs = graft.Tables.documents(spark, sf)
+    val expect = graft.api.Corpus.ruleFiltered(docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("part-0.parquet"))
+    val streamDocs = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val q = graft.api.Corpus.ruleFiltered(streamDocs)
+      .writeStream.format("memory").queryName("doc_rule_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("doc_rule_stream")
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+    } finally q.stop()
+  }
+
   test("dd7 API: planted near-dup in the new batch is flagged, clean doc is not") {
     import spark.implicits._
     val ref = Seq(
