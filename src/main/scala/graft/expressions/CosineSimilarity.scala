@@ -56,18 +56,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: this inlines into surrounding codegen that may
+      // already bind n/i (e.g. a transform() cast lambda on the column)
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.getDouble(i);
-         |  double yi = $b.getDouble(i);
-         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |if (nx == 0.0 || ny == 0.0) {
+         |if ($nx == 0.0 || $ny == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
        """.stripMargin
     })
@@ -86,6 +95,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "priority_topk",
       args => PriorityTopK(args(0), args(1), args(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mat_vec_project",
+      args => MatVecProject(args(0), args(1), args(2)), "built-in")
   }
 }
 
@@ -101,5 +113,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("priority_topk"),
       new ExpressionInfo(classOf[PriorityTopK].getName, "priority_topk"),
       (args: Seq[Expression]) => PriorityTopK(args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("mat_vec_project"),
+      new ExpressionInfo(classOf[MatVecProject].getName, "mat_vec_project"),
+      (args: Seq[Expression]) => MatVecProject(args(0), args(1), args(2))))
   }
 }

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Pca
+
+/** Embedding-compression operators (round 4): PCA and sparse random
+  * projection over the `embeddings` table — the dimensionality-reduction
+  * stage that sits in front of ANN indexing / clustering at corpus scale.
+  * Both transforms run through the codegen `mat_vec_project` expression
+  * (the model is literal-array driver state, the pass is a pure narrow
+  * map).
+  */
+object EmbeddingQueries {
+
+  private val rpM = 16
+  private val rpD = 64
+
+  /** Deterministic ±1 sign for matrix cell (k, i): parity of the portable
+    * hash60 of "k_i" — the same value both engines derive, so the
+    * "random" matrix needs no side channel. */
+  private def sign(k: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${k}_$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  private lazy val rpSigns: Array[Double] =
+    Array.tabulate(rpM * rpD)(idx => sign(idx / rpD, idx % rpD))
+
+  /** RP1 — sparse random projection (Achlioptas-style ±1 matrix): 64-d
+    * float embeddings down to 16 dims in one codegen loop per row. The
+    * projection matrix is a pure function of the portable hash, so the
+    * DuckDB oracle rebuilds the identical matrix and checks every
+    * projected value — a fully-oracled "random" transform. Narrow map,
+    * no shuffle. */
+  private val rp1 = Q(
+    "rp1_random_projection",
+    (s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          call_function("mat_vec_project",
+            transform(col("embedding"), x => x.cast("double")),
+            typedlit(rpSigns.toSeq),
+            typedlit(Seq.fill(rpD)(0.0))).as("proj"))
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("k0", "v")))
+        .select(col("vec_id"), col("k0").cast("long").as("k"),
+          round(col("v"), 6).as("val"))
+    },
+    Some {
+      val selects = (0 until rpM).map { k =>
+        val arr = (0 until rpD).map(i => sign(k, i).toString).mkString(",")
+        s"""SELECT vec_id, CAST($k AS BIGINT) AS k,
+              round(list_sum(list_transform(range(1, ${rpD + 1}),
+                i -> CAST(embedding[i] AS DOUBLE) * ([$arr])[i])), 6) AS val
+            FROM embeddings"""
+      }
+      selects.mkString("\nUNION ALL\n")
+    })
+
+  /** PC1 — PCA compression: one-pass covariance treeAggregate + driver
+    * Jacobi eigen (bounded O(d²) state, like a k-means centroid update),
+    * then the codegen projection. Top-8 components of the 64-d
+    * embeddings; output is each vector's centered component scores. The
+    * eigendecomposition is not SQL-expressible → no oracle (rows-only
+    * check); PcaSpec carries correctness (eigen residuals, orthonormal
+    * components, diagonal projected covariance, layout invariance). */
+  private val pc1 = Q(
+    "pc1_pca_project",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Pca.fit(emb, "embedding", 8)
+      Pca.project(emb, "embedding", model)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("k0", "v")))
+        .select(col("vec_id"), col("k0").cast("long").as("k"),
+          round(col("v"), 6).as("val"))
+    },
+    None)
+
+  def all: Seq[Q] = Seq(rp1, pc1)
+}

@@ -28,6 +28,7 @@ object QueryCatalog {
       ScaleOpsQueries.all ++
       PipelineQueries.all ++
       CurationQueries.all ++
+      EmbeddingQueries.all ++
       AnalyticsQueries.all ++
       DomainQueries.all ++
       StreamParityQueries.all
