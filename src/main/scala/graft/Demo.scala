@@ -118,6 +118,35 @@ object Demo {
     println(s"[demo] LM-scored docs = ${lm.count()}")
     val fz = graft.api.Corpus.fuzzyDuplicates(docs)
     println(s"[demo] fuzzy (edit-distance) near-dup pairs = ${fz.count()}")
+
+    // round-4 curation surfaces: rule filters, shuffle-shard, chunking,
+    // mixture resample, incremental dedup, reservoir sample, PCA
+    val ruled = graft.api.Corpus.ruleFiltered(docs)
+    println(s"[demo] rule filter keeps ${ruled.filter(col("keep")).count()} " +
+      s"of ${ruled.count()}")
+    val shards = graft.api.Corpus.shuffleShards(docs, nShards = 8)
+    println(s"[demo] shuffle shards = " +
+      shards.select("shard_id").distinct().count())
+    val chk = graft.api.Corpus.chunks(docs, size = 32, stride = 24)
+    println(s"[demo] 32/24 chunks = ${chk.count()}")
+    val mixed = graft.api.Corpus.mixtureSample(docs,
+      weight = src => when(substring(src, 4, 10).cast("int") % 2 === 0, 0.07)
+        .otherwise(0.03),
+      budget = 0.5)
+    println(s"[demo] mixture resample keeps ${mixed.count()}")
+    val newBatch = docs.filter(substring(col("source"), 4, 10).cast("int") >= 15)
+    val refCorpus = docs.filter(substring(col("source"), 4, 10).cast("int") < 15)
+    val incr = graft.api.Corpus.incrementalDuplicates(newBatch, refCorpus)
+    println(s"[demo] incremental near-dups vs reference = ${incr.count()}")
+    graft.expressions.GraftFunctions.register(spark)
+    val reservoir = docs.groupBy("lang")
+      .agg(expr("priority_topk(CAST(n_chars AS DOUBLE), doc_id, 3)").as("top3"))
+    println(s"[demo] per-lang priority_topk groups = ${reservoir.count()}")
+    val pcaModel = graft.operators.Pca.fit(emb, "embedding", 8)
+    println(f"[demo] PCA top-8 explains " +
+      f"${pcaModel.explainedRatio.sum * 100}%.1f%% of variance")
+    val projected = graft.operators.Pca.project(emb, "embedding", pcaModel)
+    println(s"[demo] PCA-projected vectors = ${projected.count()}")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/graft_packs"))
     graft.sinks.Sharding.writePacked(
       docs.select(col("doc_id"), (col("n_chars") / 5).cast("long").as("n_tok")),
