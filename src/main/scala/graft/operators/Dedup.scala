@@ -299,4 +299,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "na", "nb", "n_inter", "jaccard")
   }
+
+  /** Cross-document duplicated-SPAN coverage — the distributed stand-in
+    * for the suffix-array exact-substring pass of "Deduplicating Training
+    * Data Makes Language Models Better" (Lee et al. 2022): an n-gram
+    * occurring in ≥ 2 distinct documents marks its n-token window as
+    * duplicated text; per document we report how many tokens fall under
+    * any duplicated window (overlapping windows interval-merged, so a
+    * token is counted once).
+    *
+    * Scale shape: the gram dictionary is one partial+final aggregation
+    * (count-distinct docs per gram — no pair space, unlike the shingle
+    * joins above, so it needs no bucket cap); flagging occurrences is a
+    * semi join on the gram; the interval merge is a window PARTITIONED BY
+    * document — state bounded by one document's length, never the corpus.
+    * Three shuffles total, each O(|gram occurrences|): the same plan at
+    * 100 TB, with no driver state and no collect.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toked = spread(docs).select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        col("toks"))
+    val occ = toked.select(col("doc_id"), col("n_tok"),
+        posexplode(TextFunctions.shingles(col("toks"), n)).as(Seq("pos", "gram")))
+      .persist()
+    graft.Caches.releaseAfterAction(occ)
+    val dict = occ.groupBy("gram")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    // interval-merge: covered-anew = span end minus max(previous ends)+1,
+    // clamped — the gaps-and-islands shape, exact under overlaps
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = occ.join(dict, Seq("gram"), "leftsemi")
+      .withColumn("e", least(col("pos") + (n - 1), col("n_tok") - 1))
+      .withColumn("prev_end", max(col("e")).over(wPrev))
+      .withColumn("cov", greatest(lit(0L),
+        col("e") - greatest(col("pos"),
+          coalesce(col("prev_end") + 1, col("pos"))) + 1))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"), sum("cov").as("n_cov_tokens"))
+    toked.select(col("doc_id"), col("n_tok"),
+        greatest(lit(0L), col("n_tok") - (n - 1)).as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_cov_tokens"), lit(0L)).as("n_cov_tokens"),
+        round(coalesce(col("n_cov_tokens"), lit(0L)) / col("n_tok"), 6)
+          .as("dup_frac"))
+  }
 }

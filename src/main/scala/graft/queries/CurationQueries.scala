@@ -267,5 +267,111 @@ object CurationQueries {
                    FROM p)
              SELECT lang, pos, doc_id FROM r WHERE pos <= $rsK"""))
 
-  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, dd7, rs1)
+  // ------------------------------------------------------- ng1: dup spans
+
+  private val ngN = 5 // gram width for span marking
+
+  /** NG1 — duplicated-span coverage (Dedup.duplicatedSpans): the
+    * distributed n-gram stand-in for Lee et al. 2022's suffix-array
+    * exact-substring dedup. Like fz1, the synthetic corpus has no organic
+    * repeated 5-grams, so deterministic twin EXCERPTS are injected on
+    * both engines: every 9th long doc gains a 20-token middle slice as a
+    * new doc at doc_id + 2·10^7 — the original then shows a partial
+    * duplicated span (tokens 5..24), the excerpt shows full coverage, and
+    * the interval-merge path is exercised non-vacuously. */
+  private val ng1 = Q(
+    "ng1_dup_spans",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val toks = TextFunctions.tokens(col("text"))
+      val excerpts = docs
+        .filter(col("doc_id") % 9 === 0 && size(toks) >= 30)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, 6, 20)).as("text"))
+      Dedup.duplicatedSpans(docs.unionByName(excerpts), "doc_id", "text", ngN)
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, text FROM documents),
+             ex AS (SELECT doc_id + 20000000 AS doc_id,
+                      array_to_string(list_slice(
+                        string_split_regex(trim(lower(text)), '\\s+'), 6, 25),
+                        ' ') AS text
+                    FROM t0
+                    WHERE doc_id % 9 = 0
+                      AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 30),
+             u AS (SELECT * FROM t0 UNION ALL SELECT * FROM ex),
+             b AS (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                     CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS BIGINT) AS n_tok
+                   FROM u),
+             occ AS (SELECT doc_id, n_tok, toks,
+                       unnest(range(0, n_tok - ${ngN - 1})) AS pos
+                     FROM b WHERE n_tok >= $ngN),
+             g AS (SELECT doc_id, n_tok, pos,
+                     array_to_string(list_slice(toks,
+                       CAST(pos + 1 AS INT), CAST(pos + $ngN AS INT)), ' ') AS gram
+                   FROM occ),
+             dict AS (SELECT gram FROM g
+                      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+             dup AS (SELECT doc_id, n_tok, pos FROM g
+                     WHERE gram IN (SELECT gram FROM dict)),
+             sp AS (SELECT doc_id, n_tok, pos,
+                      least(pos + ${ngN - 1}, n_tok - 1) AS e,
+                      max(least(pos + ${ngN - 1}, n_tok - 1)) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+                    FROM dup),
+             cv AS (SELECT doc_id,
+                      CAST(count(*) AS BIGINT) AS n_dup_grams,
+                      CAST(sum(greatest(0, e - greatest(pos,
+                        coalesce(prev_end + 1, pos)) + 1)) AS BIGINT)
+                        AS n_cov_tokens
+                    FROM sp GROUP BY doc_id)
+             SELECT b.doc_id, b.n_tok,
+               greatest(0, b.n_tok - ${ngN - 1}) AS n_grams,
+               coalesce(cv.n_dup_grams, 0) AS n_dup_grams,
+               coalesce(cv.n_cov_tokens, 0) AS n_cov_tokens,
+               round(coalesce(cv.n_cov_tokens, 0) / b.n_tok, 6) AS dup_frac
+             FROM b LEFT JOIN cv USING (doc_id)"""))
+
+  // ------------------------------------------------------- cu1: mixture cube
+
+  /** CU1 — training-mixture report: doc and token counts by
+    * (source, lang) with every CUBE rollup level, plus each cell's share
+    * of the total token budget. ONE hash aggregation produces all four
+    * grouping levels (Spark expands the cube BEFORE the shuffle, so it
+    * stays partial+final); the share denominator is a broadcast of the
+    * one-row grand total — the report a mixture-resampling run (sm2)
+    * reads before choosing weights. */
+  private val cu1 = Q(
+    "cu1_mixture_cube",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("source"), col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      val cube = base.cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          grouping_id().cast("long").as("lvl"))
+      val total = base.agg(sum(col("n_tok")).as("tot"))
+      cube.crossJoin(broadcast(total))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("lvl"), round(col("n_tokens") / col("tot"), 6).as("token_share"))
+    },
+    Some("""WITH b AS (SELECT source, lang,
+                 CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                   AS BIGINT) AS n_tok
+               FROM documents),
+             c AS (SELECT source, lang,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                     CASE WHEN source IS NULL AND lang IS NULL THEN 3
+                          WHEN lang IS NULL THEN 1
+                          WHEN source IS NULL THEN 2 ELSE 0 END AS lvl
+                   FROM b GROUP BY CUBE (source, lang)),
+             t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot FROM b)
+             SELECT source, lang, n_docs, n_tokens, lvl,
+               round(n_tokens / tot, 6) AS token_share
+             FROM c CROSS JOIN t"""))
+
+  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, dd7, rs1, ng1, cu1)
 }

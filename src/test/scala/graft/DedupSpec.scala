@@ -154,4 +154,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((1L, 3L)).exists(j => j > 0.5 && j < 1.0))
     assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L }) // other block
   }
+
+  test("duplicatedSpans: shared prefix covers exactly its span; full dups merge to 1.0") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"), // shares 5-gram "a b c d e" with doc 2
+      (2L, "a b c d e z1 z2 z3 z4 z5"),
+      (3L, "q r s t u v w x y yy"), // no shared grams
+      (4L, "m n o p q2 r2 s2 t2 u2 v2 w2 x2"), // exact dup of 5: merged full cover
+      (5L, "m n o p q2 r2 s2 t2 u2 v2 w2 x2"),
+      (6L, "one two")) // shorter than n: zero grams, zero coverage
+      .toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(corpus, "doc_id", "text", 5)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_grams"), x.getAs[Long]("n_dup_grams"),
+          x.getAs[Long]("n_cov_tokens"), x.getAs[Double]("dup_frac")))).toMap
+    assert(r(1L) === ((6L, 1L, 5L, 0.5)))
+    assert(r(2L) === ((6L, 1L, 5L, 0.5)))
+    assert(r(3L) === ((6L, 0L, 0L, 0.0)))
+    assert(r(4L) === ((8L, 8L, 12L, 1.0)))
+    assert(r(5L) === ((8L, 8L, 12L, 1.0)))
+    assert(r(6L) === ((0L, 0L, 0L, 0.0)))
+  }
 }
