@@ -98,6 +98,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mat_vec_project",
       args => MatVecProject(args(0), args(1), args(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      args => BloomMightContain(args(0), args(1)), "built-in")
   }
 }
 
@@ -117,5 +120,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("mat_vec_project"),
       new ExpressionInfo(classOf[MatVecProject].getName, "mat_vec_project"),
       (args: Seq[Expression]) => MatVecProject(args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))))
   }
 }

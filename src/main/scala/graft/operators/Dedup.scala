@@ -300,6 +300,69 @@ object Dedup {
       .select("doc_a", "doc_b", "na", "nb", "n_inter", "jaccard")
   }
 
+  /** Serialized Bloom sketch of a string column — the build side of the
+    * `bloom_might_contain` broadcast prefilter. One treeAggregate over
+    * the dictionary (the ONLY RDD use in the dedup family — a sketch
+    * merge is genuine per-partition imperative state, the same shape as
+    * Pca's covariance pass). `expectedItems` sizes the filter; an
+    * underestimate only degrades the false-positive rate, never
+    * correctness, because callers keep the exact verify join behind the
+    * probe. ~1.2 MB per million items at fpp=0.03. */
+  def bloomOf(items: DataFrame, colName: String,
+      expectedItems: Long, fpp: Double): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bloom = items.select(col(colName)).na.drop()
+      .selectExpr(s"CAST($colName AS STRING) AS v")
+      .rdd.map(_.getString(0))
+      .treeAggregate(BloomFilter.create(expectedItems, fpp))(
+        (f, s) => { f.putString(s); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** `contamination` re-planned for the 100 TB asymmetry: the train-side
+    * shingle dictionary is typically orders of magnitude smaller than the
+    * test/held-out side's shingle stream, so instead of shuffling EVERY
+    * test shingle into the dictionary join, a Bloom sketch of the (capped)
+    * dictionary rides the scan as a narrow `bloom_might_contain` filter —
+    * only probe-passing shingles (true hits + fpp·|clean|) reach the
+    * exact verify join. Per-doc totals come from a separate partial+final
+    * count over the unfiltered stream (cheap: no join, map-side combine).
+    * Output and semantics are IDENTICAL to `contamination` — the sketch
+    * only prunes the join input, false positives are removed by the exact
+    * semi join. */
+  def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
+      trainFlag: Column, n: Int, maxShingleTrainDocs: Int = 1000,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
+    val spark = docs.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+    val sh = spread(docs).select(col(idCol).as("doc_id"), trainFlag.as("is_train"),
+        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+      .distinct()
+      .persist()
+    graft.Caches.releaseAfterAction(sh)
+    val trainSh = sh.filter(col("is_train"))
+      .groupBy("sh").agg(count(lit(1)).as("__ndocs"))
+      .filter(col("__ndocs") <= maxShingleTrainDocs)
+      .select("sh")
+      .persist()
+    graft.Caches.releaseAfterAction(trainSh)
+    val bytes = bloomOf(trainSh, "sh", expectedItems, fpp)
+    log.info(s"contaminationBloom: sketch of ${bytes.length} bytes " +
+      s"(expectedItems=$expectedItems, fpp=$fpp)")
+    val test = sh.filter(!col("is_train")).select("doc_id", "sh")
+    val totals = test.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = test
+      .filter(call_function("bloom_might_contain", lit(bytes), col("sh")))
+      .join(trainSh, Seq("sh"), "leftsemi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    totals.join(hits, Seq("doc_id"))
+      .withColumn("contamination", round(col("n_shared") / col("n_sh"), 6))
+      .select("doc_id", "n_sh", "n_shared", "contamination")
+  }
+
   /** Cross-document duplicated-SPAN coverage — the distributed stand-in
     * for the suffix-array exact-substring pass of "Deduplicating Training
     * Data Makes Language Models Better" (Lee et al. 2022): an n-gram

@@ -65,11 +65,8 @@ object PipelineQueries {
     * report every test doc sharing a verbatim 3-gram with training data.
     * Linear in shingle volume — a distinct-shingle dictionary semi-join,
     * never a doc×doc pair space. */
-  private val ct1 = Q(
-    "ct1_contamination",
-    (s, d) => Dedup.contamination(Tables.documents(s, d), "doc_id", "text",
-      substring(col("source"), 4, 10).cast("int") < 10, 3, 1000),
-    Some(s"""WITH t AS ($toksSql),
+  private val contaminationSql =
+    s"""WITH t AS ($toksSql),
              shg AS (SELECT DISTINCT doc_id,
                        CAST(substring(source, 4) AS INT) < 10 AS is_train, sh
                      FROM (SELECT doc_id, source,
@@ -85,7 +82,26 @@ object PipelineQueries {
                     FROM te JOIN tr USING (sh) GROUP BY 1)
              SELECT doc_id, n_sh, n_shared,
                round(n_shared / n_sh, 6) AS contamination
-             FROM ov JOIN tot USING (doc_id)"""))
+             FROM ov JOIN tot USING (doc_id)"""
+
+  private val ct1 = Q(
+    "ct1_contamination",
+    (s, d) => Dedup.contamination(Tables.documents(s, d), "doc_id", "text",
+      substring(col("source"), 4, 10).cast("int") < 10, 3, 1000),
+    Some(contaminationSql))
+
+  /** BF1 — the SAME contamination scan re-planned for the 100 TB
+    * asymmetry (Dedup.contaminationBloom): a Bloom sketch of the train
+    * dictionary rides the test-side scan as a narrow codegen
+    * `bloom_might_contain` probe, so only probe-passing shingles reach
+    * the exact verify join. Same oracle as ct1 — the sketch prunes the
+    * join input, it never changes the result. */
+  private val bf1 = Q(
+    "bf1_bloom_contamination",
+    (s, d) => Dedup.contaminationBloom(Tables.documents(s, d), "doc_id", "text",
+      substring(col("source"), 4, 10).cast("int") < 10, 3, 1000,
+      expectedItems = 1L << 17, fpp = 0.01),
+    Some(contaminationSql))
 
   private val sampleRates: Seq[(String, Double)] = Seq(
     "en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.125, "zh" -> 0.125)
@@ -242,5 +258,5 @@ object PipelineQueries {
                (cum_tokens - 1) // $packBudget AS pack_id
              FROM c"""))
 
-  def all: Seq[Q] = Seq(x4, x5, x6, ct1, sm1, qt1, aj1, pk1)
+  def all: Seq[Q] = Seq(x4, x5, x6, ct1, bf1, sm1, qt1, aj1, pk1)
 }

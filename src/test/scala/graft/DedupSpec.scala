@@ -155,6 +155,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L }) // other block
   }
 
+  test("contaminationBloom: identical result to the exact contamination scan") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", true),
+      (2L, "eta theta iota kappa lambda mu", true))
+    val test = Seq(
+      (100L, "alpha beta gamma delta unrelated words", false), // leaks 2 3-grams
+      (101L, "totally clean held out document here", false),
+      (102L, "iota kappa lambda mu nu xi", false)) // leaks 2 3-grams
+    val corpus = (train ++ test).toDF("doc_id", "text", "is_train")
+    val exact = Dedup.contamination(corpus, "doc_id", "text", $"is_train", 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_sh"),
+        r.getAs[Long]("n_shared"), r.getAs[Double]("contamination"))).toSet
+    val bloomed = Dedup.contaminationBloom(corpus, "doc_id", "text", $"is_train", 3,
+        expectedItems = 100, fpp = 0.01)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_sh"),
+        r.getAs[Long]("n_shared"), r.getAs[Double]("contamination"))).toSet
+    assert(bloomed === exact)
+    assert(exact.map(_._1) === Set(100L, 102L))
+  }
+
   test("duplicatedSpans: shared prefix covers exactly its span; full dups merge to 1.0") {
     val corpus = Seq(
       (1L, "a b c d e f g h i j"), // shares 5-gram "a b c d e" with doc 2

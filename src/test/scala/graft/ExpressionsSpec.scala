@@ -150,4 +150,24 @@ class ExpressionsSpec extends SparkSpec {
     assert(sample.length == 40)
     assert(heavy >= 30, s"heavy-weight rows won only $heavy/40 slots")
   }
+
+  test("bloom_might_contain: no false negatives, few false positives, NULL in -> NULL out") {
+    GraftFunctions.register(spark)
+    val members = (1 to 1000).map(i => s"member_$i")
+    val bytes = graft.operators.Dedup.bloomOf(
+      members.toDF("v"), "v", expectedItems = 2000, fpp = 0.01)
+    val probed = (1 to 1000).map(i => s"member_$i")
+      .union((1 to 1000).map(i => s"stranger_$i"))
+      .toDF("v")
+      .select(col("v"), call_function("bloom_might_contain",
+        lit(bytes), col("v")).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(members.forall(probed(_)), "bloom false negative")
+    val fps = (1 to 1000).count(i => probed(s"stranger_$i"))
+    assert(fps <= 50, s"$fps/1000 false positives at fpp=0.01")
+    val nul = Seq((Some("member_1"), 1), (None, 2)).toDF("v", "i")
+      .select(call_function("bloom_might_contain", lit(bytes), col("v")))
+      .collect()
+    assert(nul(0).getBoolean(0) && nul(1).isNullAt(0))
+  }
 }
