@@ -580,8 +580,9 @@ object DiffExpression {
 
   private def copy(a: Array[Array[Double]]): Array[Array[Double]] = a.map(_.clone())
 
-  /** Gaussian elimination with partial pivoting; solves `a x = b` in place. */
-  private def solveInPlace(a: Array[Array[Double]], b: Array[Double]): Option[Array[Double]] = {
+  /** Gaussian elimination with partial pivoting; solves `a x = b` in place.
+    * (`private[graft]`: LogisticRegression's Newton step shares it.) */
+  private[graft] def solveInPlace(a: Array[Array[Double]], b: Array[Double]): Option[Array[Double]] = {
     val n = b.length
     var col = 0
     while (col < n) {

@@ -373,5 +373,47 @@ object CurationQueries {
                round(n_tokens / tot, 6) AS token_share
              FROM c CROSS JOIN t"""))
 
-  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, dd7, rs1, ng1, cu1)
+  // ------------------------------------------------------- lr1: classifier
+
+  /** LR1 — train-and-score a quality classifier
+    * (functions.LogisticRegression): the fastText/C4-style curation step,
+    * here fit to imitate the x7 rule filter from its own features under
+    * 10% deterministic hash-noise label flips. Each Newton iteration is
+    * ONE treeAggregate pass (O(p²) driver state, p=5); scoring is a
+    * narrow codegen'd sigmoid column. Iterative float fit → rows-only
+    * under the driver gate (like d3/pc1); planted-weight recovery is
+    * unit-tested in LogisticRegressionSpec. */
+  private val lr1 = Q(
+    "lr1_quality_classifier",
+    (s, d) => {
+      // each rule's violation DEPTH (signed margin clipped at zero —
+      // zero inside the band, negative outside): the AND of rules is
+      // then linearly separable (keep docs sit exactly at the all-zero
+      // point), so the model's ceiling is the 10% label-flip floor
+      // rather than the ~69% a raw-feature linear boundary manages
+      val feats = graft.api.Corpus.ruleFiltered(Tables.documents(s, d),
+          stopList = stopList)
+        .select(col("doc_id"),
+          least(least(log(col("n_tok").cast("double")) - math.log(30.0),
+            lit(math.log(5000.0)) - log(col("n_tok").cast("double"))),
+            lit(0.0)).as("f_len"),
+          least(least(col("mean_word_len") - 4.0,
+            lit(5.0) - col("mean_word_len")), lit(0.0)).as("f_mwl"),
+          least(col("distinct_ratio") - 0.35, lit(0.0)).as("f_dr"),
+          least(col("n_stop").cast("double") - 2.0, lit(0.0)).as("f_stop"),
+          col("keep"))
+        .withColumn("noise",
+          (Dedup.hash60(concat(lit("lr:"), col("doc_id").cast("string")))
+            % 100L) < 10L)
+        .withColumn("label", (col("keep") =!= col("noise")).cast("int"))
+      val fit = graft.functions.LogisticRegression.fit(feats,
+        Seq("f_len", "f_mwl", "f_dr", "f_stop"), "label")
+      val fcols = Seq(col("f_len"), col("f_mwl"), col("f_dr"), col("f_stop"))
+      feats.select(col("doc_id"), col("label").cast("long").as("label"),
+        round(fit.probCol(fcols), 6).as("p_keep"),
+        (fit.probCol(fcols) > 0.5).as("pred_keep"))
+    },
+    None)
+
+  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, dd7, rs1, ng1, cu1, lr1)
 }
