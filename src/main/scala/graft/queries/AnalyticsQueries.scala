@@ -282,5 +282,75 @@ object AnalyticsQueries {
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
 
-  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1)
+  // ------------------------------------------------------- ii1: inverted idx
+
+  private val iiK = 20 // postings kept per term
+
+  /** II1 — inverted-index build: per term, document frequency plus the
+    * first `iiK` postings (smallest doc_ids). The postings list rides the
+    * custom `priority_topk` TypedImperativeAggregate — O(k) state per
+    * term inside ONE partial+final hash aggregation, so a stopword-grade
+    * term with 10⁹ postings costs k rows per (term, partition), never a
+    * per-term sort. (The unbounded spelling — `sort_array(collect_list)`
+    * — is exactly the hot-key state explosion this engine bans.) Output
+    * exploded to (term, df, pos, doc_id) rows. */
+  private val ii1 = Q(
+    "ii1_inverted_index",
+    (s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.operators.TextFunctions.tokens(col("text"))).as("term"))
+        .distinct()
+      terms.groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          call_function("priority_topk",
+            col("doc_id").cast("double"), col("doc_id"), lit(iiK)).as("postings"))
+        .select(col("term"), col("df"),
+          posexplode(col("postings")).as(Seq("pos0", "doc_id")))
+        .select(col("term"), col("df"), (col("pos0") + 1).cast("long").as("pos"),
+          col("doc_id"))
+    },
+    Some(s"""WITH t AS ($toksSql),
+             tm AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+             df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tm GROUP BY term),
+             r AS (SELECT term, doc_id,
+                     CAST(row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                       AS BIGINT) AS pos
+                   FROM tm)
+             SELECT r.term, df.df, r.pos, r.doc_id
+             FROM r JOIN df USING (term) WHERE r.pos <= $iiK"""))
+
+  // ------------------------------------------------------- bp1: BPE pairs
+
+  private val bpTopK = 50
+
+  /** BP1 — the distributed kernel of BPE tokenizer training: corpus-wide
+    * adjacent-character-pair counts inside words (the statistic each BPE
+    * merge round maximizes). One explode → hash agg → global top-k
+    * (TakeOrderedAndProject, bounded by `bpTopK`); the full trainer loops
+    * this pass with a broadcast merge table, the per-pass shape is what
+    * must scale. Count ties broken by pair text for determinism. */
+  private val bp1 = Q(
+    "bp1_bpe_pairs",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(explode(graft.operators.TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 2)
+      tok.select(explode(transform(
+          sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(bpTopK)
+    },
+    Some(s"""WITH t AS ($toksSql),
+             tok AS (SELECT unnest(toks) AS tok FROM t),
+             p AS (SELECT unnest(list_transform(range(1, len(tok)),
+                     i -> substring(tok, CAST(i AS INT), 2))) AS pair
+                   FROM tok WHERE len(tok) >= 2),
+             c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair)
+             SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT $bpTopK"""))
+
+  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1, ii1, bp1)
 }

@@ -415,5 +415,51 @@ object CurationQueries {
     },
     None)
 
-  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, dd7, rs1, ng1, cu1, lr1)
+  // ------------------------------------------------------- sd1: snapshot diff
+
+  /** SD1 — corpus snapshot diff (the dataset-versioning audit between two
+    * crawls/releases): added / removed / changed docs by content hash.
+    * Two deterministic snapshot views are derived from the one table
+    * (docs with id%17=3 arrive only in the new snapshot, id%19=7 only in
+    * the old, id%13=5 change text between them), then ONE full-outer
+    * hash join on doc_id compares md5s — the scan-shaped diff that
+    * co-locates for free when both snapshots are bucketed by doc_id.
+    * Unchanged docs are dropped (the audit output stays |delta|-sized,
+    * not corpus-sized). */
+  private val sd1 = Q(
+    "sd1_snapshot_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val old = docs.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"), md5(col("text")).as("old_md5"))
+      val nw = docs.filter(col("doc_id") % 19 =!= 7)
+        .select(col("doc_id"), md5(when(col("doc_id") % 13 === 5,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text"))).as("new_md5"))
+      old.join(nw, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("old_md5").isNull, "added")
+            .when(col("new_md5").isNull, "removed")
+            .when(col("old_md5") =!= col("new_md5"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("status") =!= "unchanged")
+        .select("doc_id", "status", "old_md5", "new_md5")
+    },
+    Some("""WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+                       WHERE doc_id % 17 <> 3),
+             n AS (SELECT doc_id,
+                     md5(CASE WHEN doc_id % 13 = 5 THEN text || ' rev2'
+                              ELSE text END) AS new_md5
+                   FROM documents WHERE doc_id % 19 <> 7),
+             j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                     o.old_md5, n.new_md5
+                   FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+             SELECT doc_id,
+               CASE WHEN old_md5 IS NULL THEN 'added'
+                    WHEN new_md5 IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status,
+               old_md5, new_md5
+             FROM j
+             WHERE old_md5 IS NULL OR new_md5 IS NULL OR old_md5 <> new_md5"""))
+
+  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, dd7, rs1, ng1, cu1, lr1, sd1)
 }
