@@ -158,6 +158,25 @@ object Demo {
       ev.as[Event].filter(col("eventType") === "purchase"))
     println(s"[demo] as-of enriched clicks = ${enriched.count()}")
 
+    // round-4b surfaces: span dedup, bloom contamination, quality classifier
+    val spans = graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text", 3)
+    println(s"[demo] docs with duplicated 3-gram spans = " +
+      spans.filter(col("n_dup_grams") > 0).count())
+    val bloomed = graft.operators.Dedup.contaminationBloom(docs, "doc_id", "text",
+      substring(col("source"), 4, 10).cast("int") < 10, 3,
+      expectedItems = 1L << 16, fpp = 0.01)
+    println(s"[demo] bloom-prescan contaminated docs = ${bloomed.count()}")
+    val lrFeats = graft.api.Corpus.ruleFiltered(docs)
+      .select(col("doc_id"), col("distinct_ratio").as("f_dr"),
+        col("n_stop").cast("double").as("f_stop"),
+        col("r_distinct").cast("int").as("label"))
+    // r_distinct is a deterministic threshold on f_dr (separable) — the
+    // ridge keeps the MLE finite, as in LogisticRegressionSpec
+    val lrFit = graft.functions.LogisticRegression.fit(
+      lrFeats, Seq("f_dr", "f_stop"), "label", ridge = 0.5)
+    println(s"[demo] logreg converged=${lrFit.converged} iters=${lrFit.iters} " +
+      s"n=${lrFit.n}")
+
     // co-bucketed join: shuffle paid once at write time, none at join time
     graft.sources.Bucketing.writeBucketed(
       Tables.lineitem(spark, sfDir).select("l_partkey", "l_quantity"),

@@ -19,9 +19,12 @@ object RunQuery {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"========== $n")
+      val t0 = System.nanoTime()
       val df = queries.QueryCatalog.byName(n).run(spark, d)
-      df.show(showN, truncate = false)
-      println(s"rows: ${df.count()}")
+      val cnt = df.count()
+      println(f"rows: $cnt  elapsed: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (showN > 0) df.show(showN, truncate = false)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -85,9 +85,10 @@ object LogisticRegression {
     }
   }
 
-  /** Fit `labelCol` (0/1) on `featCols` + intercept. `ridge` adds an L2
-    * diagonal to the Hessian — keeps the solve nonsingular under
-    * separable or collinear features (where the MLE diverges). */
+  /** Fit `labelCol` (0/1) on `featCols` + intercept. `ridge` is a true
+    * L2 penalty on the non-intercept weights (gradient AND Hessian), so
+    * the penalized MLE exists — and Newton converges — even under
+    * separable or collinear features, where the plain MLE diverges. */
   def fit(df: DataFrame, featCols: Seq[String], labelCol: String,
       maxIter: Int = 25, tol: Double = 1e-9, ridge: Double = 1e-6): Fit = {
     val p = featCols.size + 1
@@ -109,17 +110,19 @@ object LogisticRegression {
           .treeAggregate(new Acc(p))(
             (a, xy) => a.add(xy._1, xy._2, wB), _.merge(_), depth = 2)
         require(acc.n > 0, "logistic fit over an empty frame")
-        // expand the triangle, ridge the diagonal, solve H delta = g
+        // expand the triangle; apply the L2 penalty to gradient and
+        // Hessian (intercept unpenalized — standard), solve H delta = g
         val h = Array.ofDim[Double](p, p)
+        val g = acc.grad.clone()
         var idx = 0
         var i = 0
         while (i < p) {
           var j = i
           while (j < p) { h(i)(j) = acc.hess(idx); h(j)(i) = acc.hess(idx); j += 1; idx += 1 }
-          h(i)(i) += ridge
+          if (i > 0) { h(i)(i) += ridge; g(i) -= ridge * w(i) }
           i += 1
         }
-        val delta = DiffExpression.solveInPlace(h, acc.grad.clone())
+        val delta = DiffExpression.solveInPlace(h, g)
           .getOrElse(throw new IllegalStateException(
             "singular Hessian despite ridge — degenerate features"))
         var maxStep = 0.0

@@ -198,4 +198,46 @@ class PlanSpec extends SparkSpec {
     val p = plan("dd7_incremental_dedup")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("bf1 bloom contamination probes BEFORE the verify join, windows keyed") {
+    val df = QueryCatalog.byName("bf1_bloom_contamination").run(spark, dir)
+    assertNoPartitionWindowsBounded(df, "bf1_bloom_contamination")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("bloom_might_contain"), p)
+    // the probe is a filter on the scan side, not an expression after the join
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ng1 duplicated spans: windows keyed by doc, no pair-space join") {
+    val df = QueryCatalog.byName("ng1_dup_spans").run(spark, dir)
+    assertNoPartitionWindowsBounded(df, "ng1_dup_spans")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("ii1 inverted index is one hash agg via priority_topk, no per-term sort") {
+    val df = QueryCatalog.byName("ii1_inverted_index").run(spark, dir)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "inverted index should not need a window:\n" +
+        df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BaseAggregateExec]))
+  }
+
+  test("bp1 BPE pair counts end in a bounded TakeOrderedAndProject") {
+    val df = QueryCatalog.byName("bp1_bpe_pairs").run(spark, dir)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(n => n.isInstanceOf[TakeOrderedAndProjectExec] ||
+      n.isInstanceOf[CollectLimitExec]),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("cu1 cube is ONE expand+hash-agg pass with a broadcast denominator") {
+    val p = plan("cu1_mixture_cube")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
