@@ -175,4 +175,49 @@ class PropertySpec extends SparkSpec {
       assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
     }
   }
+
+  test("contaminationBloom == contamination on generated split corpora") {
+    import graft.operators.Dedup
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val doc = Gen.listOfN(8, word).map(_.mkString(" "))
+    val gen = for {
+      n <- Gen.chooseNum(6, 14)
+      texts <- Gen.listOfN(n, doc)
+      flags <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield texts.zip(flags).zipWithIndex.map { case ((t, f), i) => (i.toLong, t, f) }
+    samples(gen, 4).foreach { rows =>
+      val corpus = rows.toDF("doc_id", "text", "is_train")
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_sh"),
+          r.getAs[Long]("n_shared"), r.getAs[Double]("contamination"))).toSet
+      val exact = key(Dedup.contamination(corpus, "doc_id", "text", $"is_train", 3))
+      val bloomed = key(Dedup.contaminationBloom(corpus, "doc_id", "text",
+        $"is_train", 3, expectedItems = 64, fpp = 0.05))
+      assert(bloomed === exact, s"bloom/exact diverge on $rows")
+    }
+  }
+
+  test("duplicatedSpans: coverage bounded by n_tok; cloning a doc fully covers it") {
+    import graft.operators.Dedup
+    val word = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8", "w9")
+    val gen = for {
+      n <- Gen.chooseNum(2, 6)
+      docs <- Gen.listOfN(n, Gen.chooseNum(5, 12).flatMap(Gen.listOfN(_, word)))
+    } yield docs.map(_.mkString(" "))
+    samples(gen, 4).foreach { texts =>
+      val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // clone doc 0 under a fresh id: every gram of doc 0 becomes duplicated
+      val corpus = (base :+ ((1000L, texts.head))).toDF("doc_id", "text")
+      val r = Dedup.duplicatedSpans(corpus, "doc_id", "text", 3)
+        .collect().map(x => x.getAs[Long]("doc_id") ->
+          ((x.getAs[Long]("n_tok"), x.getAs[Long]("n_grams"),
+            x.getAs[Long]("n_cov_tokens")))).toMap
+      r.values.foreach { case (nTok, nGrams, cov) =>
+        assert(cov <= nTok && cov >= 0 && nGrams == math.max(0L, nTok - 2))
+      }
+      val (n0, g0, c0) = r(0L)
+      if (g0 > 0) assert(c0 == n0, s"cloned doc not fully covered: $c0/$n0")
+      assert(r(0L) == r(1000L))
+    }
+  }
 }
