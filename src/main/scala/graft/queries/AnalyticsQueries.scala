@@ -352,5 +352,25 @@ object AnalyticsQueries {
              c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair)
              SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT $bpTopK"""))
 
-  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1, ii1, bp1)
+  private val bpMerges = 30
+
+  /** BP2 — end-to-end BPE: train `bpMerges` merges (operators.Bpe — one
+    * corpus pass to word counts, then vocab-frame-sized merge rounds),
+    * tokenize the corpus with the learned ranks (narrow map, broadcast
+    * merge table), report the top-100 BPE token counts. Sequential merge
+    * training is iterative → rows-only under the driver gate; the merge
+    * sequence itself is hand-verified in BpeSpec. */
+  private val bp2 = Q(
+    "bp2_bpe_tokenize",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.Bpe.fit(
+        graft.operators.Bpe.wordCounts(docs, "text"), bpMerges)
+      graft.operators.Bpe.tokenize(docs, "doc_id", "text", merges)
+        .groupBy("bpe_token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bpe_token")).limit(100)
+    },
+    None)
+
+  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1, ii1, bp1, bp2)
 }
