@@ -195,6 +195,78 @@ object Corpus {
         exp(-col("s") / col("n_tokens")).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM document scores (LM2, Kneser & Ney
+    * 1995; Chen & Goodman 1999): P(w2|w1) = max(c12−D,0)/c1 +
+    * (D·N1+(w1·)/c1)·N1+(·w2)/N1+(··), per doc the count-weighted mean
+    * ln P over its bigrams and perplexity exp(−mean). Docs with fewer
+    * than two tokens have no bigram and are excluded.
+    *
+    * One corpus pass (bigram explode → per-doc hash agg); all model
+    * tables are bigram-TYPE-sized and join by key; the single scalar
+    * (total bigram types) rides a 1-row broadcast cross join. */
+  def knBigramScores(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", discount: Double = 0.75): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val big = toks.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val k = big.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    val c12 = k.groupBy("w1", "w2").agg(sum(col("k")).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val bw = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val tt = c12.agg(count(lit(1)).as("tt"))
+    val p = c12.join(c1, "w1").join(bw, "w2")
+      .crossJoin(broadcast(tt))
+      .select(col("w1"), col("w2"),
+        ((greatest(col("c12") - lit(discount), lit(0.0)) / col("c1"))
+          + (((lit(discount) * col("n1f")) / col("c1")) * (col("n1b") / col("tt"))))
+          .as("p"))
+    k.join(p, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("k") * log(col("p"))).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s") / col("n_bigrams")).as("mean_logprob"),
+        exp(-(col("s") / col("n_bigrams"))).as("ppl"))
+  }
+
+  /** DSIR-style importance weights (DS1, Xie et al. 2023): per document,
+    * the mean per-token log-likelihood ratio between a TARGET unigram LM
+    * (docs matching `targetPred`, add-`alpha` smoothing over the raw
+    * vocabulary) and the raw-corpus unigram LM. `carryCols` are doc-level
+    * columns carried through the per-doc aggregation unchanged.
+    *
+    * One corpus pass to (doc, term) counts; vocab-sized model tables join
+    * by term; corpus scalars ride 1-row broadcast cross joins. */
+  def dsirScores(docs: DataFrame, targetPred: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Seq("source"), alpha: Double = 0.5): DataFrame = {
+    val tok = docs
+      .select((col(idCol).as("doc_id") +: targetPred.as("_is_target") +:
+        explode(TextFunctions.tokens(col(textCol))).as("term") +:
+        carryCols.map(col)): _*)
+    val grp = Seq("doc_id", "_is_target", "term") ++ carryCols
+    val tc = tok.groupBy(grp.map(col): _*).agg(count(lit(1)).as("k"))
+    val raw = tc.groupBy("term").agg(sum(col("k")).as("cr"))
+    val tgt = tc.filter(col("_is_target"))
+      .groupBy("term").agg(sum(col("k")).as("ct"))
+    val rt = raw.agg(sum(col("cr")).as("tr"), count(lit(1)).as("v"))
+    val gt = tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
+    val stats = raw.join(tgt, Seq("term"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(rt)).crossJoin(broadcast(gt))
+      .select(col("term"),
+        (log((col("ct") + lit(alpha)) / (col("tt") + lit(alpha) * col("v")))
+          - log(col("cr") / col("tr"))).as("lr"))
+    tc.join(stats, "term")
+      .groupBy(("doc_id" +: carryCols).map(col): _*)
+      .agg(sum(col("k")).as("n_tokens"),
+        (sum(col("k") * col("lr")) / sum(col("k"))).as("w"))
+  }
+
   /** Character-level fuzzy near-dup pairs (FZ1): Levenshtein ≤ `maxDist`
     * within a block, under length-banded blocking — the join key is
     * (block, length band of width maxDist+1), each doc emitted into its

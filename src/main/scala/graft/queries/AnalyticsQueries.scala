@@ -372,5 +372,53 @@ object AnalyticsQueries {
     },
     None)
 
-  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1, ii1, bp1, bp2)
+  // ------------------------------------------------------- lm2: KN bigram LM
+
+  private val knD = 0.75
+
+  /** LM2 — interpolated Kneser–Ney bigram LM document scoring (the
+    * perplexity-filter stage of CCNet-style pipelines, one model order up
+    * from `lm1`): P(w2|w1) = max(c12−D,0)/c1 + (D·N1+(w1·)/c1)·P_cont(w2),
+    * with continuation probability P_cont(w2) = N1+(·w2)/N1+(··)
+    * (Kneser & Ney 1995; Chen & Goodman 1999), discount D = 0.75.
+    *
+    * Scale shape: the corpus is touched once (bigram explode → per-doc
+    * hash agg); every model table after that is TYPE-sized (distinct
+    * bigrams / contexts), joined by key — the same corpus-vs-vocab split
+    * as BPE training. The single scalar (total bigram types) rides a
+    * 1-row broadcast cross join (the VST-trend pattern). Scoring is one
+    * join of per-doc bigram counts against the probability table + one
+    * hash agg. All inputs to P are integers, so both engines compute
+    * identical probabilities under the same parenthesization;
+    * `round(·,6)` after the per-doc division absorbs sum association. */
+  private val lm2 = Q(
+    "lm2_bigram_kn",
+    (s, d) => graft.api.Corpus.knBigramScores(Tables.documents(s, d), discount = knD)
+      .withColumn("mean_logprob", round(col("mean_logprob"), 6))
+      .withColumn("ppl", round(col("ppl"), 6)),
+    Some(s"""WITH t AS ($toksSql),
+             f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+             g AS (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks FROM f),
+             b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM g),
+             k AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+                   FROM b GROUP BY 1, 2, 3),
+             c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12
+                     FROM k GROUP BY 1, 2),
+             c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                      CAST(count(*) AS BIGINT) AS n1f FROM c12 GROUP BY 1),
+             bw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c12 GROUP BY 1),
+             tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM c12),
+             p AS (SELECT c12.w1, c12.w2,
+                     (greatest(c12.c12 - CAST($knD AS DOUBLE), CAST(0.0 AS DOUBLE)) / c1.c1)
+                     + (((CAST($knD AS DOUBLE) * c1.n1f) / c1.c1) * (bw.n1b / tt.tt)) AS p
+                   FROM c12 JOIN c1 USING (w1) JOIN bw USING (w2) CROSS JOIN tt),
+             d AS (SELECT k.doc_id, CAST(sum(k.k) AS BIGINT) AS n_bigrams,
+                     sum(k.k * ln(p.p)) AS s
+                   FROM k JOIN p ON k.w1 = p.w1 AND k.w2 = p.w2
+                   GROUP BY 1)
+             SELECT doc_id, n_bigrams, round(s / n_bigrams, 6) AS mean_logprob,
+               round(exp(-(s / n_bigrams)), 6) AS ppl
+             FROM d"""))
+
+  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1, ii1, bp1, bp2, lm2)
 }

@@ -461,5 +461,55 @@ object CurationQueries {
              FROM j
              WHERE old_md5 IS NULL OR new_md5 IS NULL OR old_md5 <> new_md5"""))
 
-  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, dd7, rs1, ng1, cu1, lr1, sd1)
+  // ------------------------------------------------------- ds1: DSIR select
+
+  private val dsTarget = "src7"
+  private val dsTopN = 50
+  private val dsAlpha = 0.5
+
+  /** DS1 — DSIR-style importance-weighted data selection (Xie et al.
+    * 2023): score every raw document by the mean per-token log-likelihood
+    * ratio between a TARGET unigram LM (here the `src7` slice standing in
+    * for "high-quality domain") and the RAW-corpus unigram LM, keep the
+    * top-`dsTopN`. Add-α smoothing (α=0.5 over the raw vocab) keeps
+    * target-unseen terms finite; raw probabilities need none — every
+    * scored term is in the raw corpus by construction.
+    *
+    * Scale shape: one corpus pass to (doc, term) counts; model tables are
+    * vocab-sized and join by term; the three corpus scalars (raw total,
+    * vocab size, target total) ride 1-row broadcast cross joins; the
+    * selection is a global top-N = TakeOrderedAndProject, never a full
+    * sort. The ranking key is `round(w, 9)` on BOTH engines (the tf1
+    * convention) so ulp-level sum association cannot flip membership. */
+  private val ds1 = Q(
+    "ds1_dsir_select",
+    (s, d) => graft.api.Corpus.dsirScores(Tables.documents(s, d),
+        targetPred = col("source") === dsTarget, alpha = dsAlpha)
+      .orderBy(round(col("w"), 9).desc, col("doc_id"))
+      .limit(dsTopN)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("w"), 6).as("weight")),
+    Some(s"""WITH t AS ($toksSql),
+             tok AS (SELECT doc_id, source, unnest(toks) AS term FROM t),
+             tc AS (SELECT doc_id, source, term, CAST(count(*) AS BIGINT) AS k
+                    FROM tok GROUP BY 1, 2, 3),
+             raw AS (SELECT term, CAST(sum(k) AS BIGINT) AS cr FROM tc GROUP BY 1),
+             tgt AS (SELECT term, CAST(sum(k) AS BIGINT) AS ct
+                     FROM tc WHERE source = '$dsTarget' GROUP BY 1),
+             rt AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                      CAST(count(*) AS BIGINT) AS v FROM raw),
+             gt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt FROM tgt),
+             st AS (SELECT raw.term,
+                      ln((coalesce(tgt.ct, 0) + CAST($dsAlpha AS DOUBLE))
+                         / (gt.tt + CAST($dsAlpha AS DOUBLE) * rt.v))
+                      - ln(raw.cr / rt.tr) AS lr
+                    FROM raw LEFT JOIN tgt USING (term)
+                    CROSS JOIN rt CROSS JOIN gt),
+             sc AS (SELECT tc.doc_id, tc.source, CAST(sum(tc.k) AS BIGINT) AS n_tokens,
+                      sum(tc.k * st.lr) / sum(tc.k) AS w
+                    FROM tc JOIN st USING (term) GROUP BY 1, 2)
+             SELECT doc_id, source, n_tokens, round(w, 6) AS weight
+             FROM sc ORDER BY round(w, 9) DESC, doc_id LIMIT $dsTopN"""))
+
+  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, dd7, rs1, ng1, cu1, lr1, sd1, ds1)
 }

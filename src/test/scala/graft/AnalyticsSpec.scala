@@ -135,4 +135,39 @@ class AnalyticsSpec extends SparkSpec with Matchers {
       .collect().map(_.getAs[Double]("f"))
     fracs.foreach { f => f should be < 0.05; f should be > 0.0 }
   }
+
+  test("lm2: Kneser-Ney probabilities match the hand-computed fixture") {
+    import spark.implicits._
+    // corpus: doc1 "a b a c", doc2 "b a"
+    // bigram counts: (a,b):1 (b,a):2 (a,c):1
+    // c1: a→(c1=2,n1f=2)  b→(c1=2,n1f=1); N1+(.w2): a,b,c each 1; types=3
+    // P(b|a) = .25/2 + (.75*2/2)*(1/3) = 0.375        (= P(c|a))
+    // P(a|b) = 1.25/2 + (.75*1/2)*(1/3) = 0.75
+    val docs = Seq((1L, "a b a c"), (2L, "b a")).toDF("doc_id", "text")
+    val out = graft.api.Corpus.knBigramScores(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_logprob")))
+      .toMap
+    out(1L)._1 shouldBe 3L
+    out(1L)._2 shouldBe ((2 * math.log(0.375) + math.log(0.75)) / 3) +- 1e-12
+    out(2L)._1 shouldBe 1L
+    out(2L)._2 shouldBe math.log(0.75) +- 1e-12
+  }
+
+  test("lm2: single-token docs are excluded, ppl = exp(-mean)") {
+    val out = QueryCatalog.byName("lm2_bigram_kn").run(spark, sf).collect()
+    out.length should be > 0
+    out.foreach { r =>
+      r.getAs[Long]("n_bigrams") should be >= 1L
+      val mean = r.getAs[Double]("mean_logprob")
+      mean should be < 0.0
+      r.getAs[Double]("ppl") shouldBe math.exp(-mean) +- 1e-4
+    }
+    // output cardinality = docs with >= 2 whitespace tokens
+    val expected = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.size(
+        graft.operators.TextFunctions.tokens(col("text"))) >= 2)
+      .count()
+    assert(out.length.toLong == expected)
+  }
 }

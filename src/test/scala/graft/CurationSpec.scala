@@ -127,4 +127,28 @@ class CurationSpec extends SparkSpec with Matchers {
     out(10L) shouldBe 1L
     out.keySet should not contain 11L
   }
+
+  test("ds1: DSIR weights match the hand-computed fixture and rank target-like docs first") {
+    import spark.implicits._
+    // target slice = src "tgt". raw counts: x:4 y:4 (tr=8, v=2);
+    // target counts: x:3 (tt=3).
+    // p_t(x)=(3+.5)/(3+1)=.875  p_t(y)=.5/4=.125  p_r(x)=p_r(y)=.5
+    // lr(x)=ln(1.75)  lr(y)=ln(.25)
+    val docs = Seq(
+      (1L, "tgt", "x x x"), (2L, "raw", "y y y"), (3L, "raw", "x y"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.api.Corpus.dsirScores(docs, col("source") === "tgt")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("w")).toMap
+    out(1L) shouldBe math.log(1.75) +- 1e-12
+    out(2L) shouldBe math.log(0.25) +- 1e-12
+    out(3L) shouldBe ((math.log(1.75) + math.log(0.25)) / 2) +- 1e-12
+    out(1L) should be > out(3L)
+    out(3L) should be > out(2L)
+  }
+
+  test("ds1: top-N selection emits the contracted shape") {
+    val out = QueryCatalog.byName("ds1_dsir_select").run(spark, sf)
+    out.count() should be <= 50L
+    out.columns.sorted shouldBe Array("doc_id", "n_tokens", "source", "weight")
+  }
 }
