@@ -420,5 +420,46 @@ object AnalyticsQueries {
                round(exp(-(s / n_bigrams)), 6) AS ppl
              FROM d"""))
 
-  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1, ii1, bp1, bp2, lm2)
+  private val hourUs = 3600L * 1000000L
+
+  /** GF1 — time-series gap fill / hourly resample: per user, count+sum of
+    * events per hour bucket with missing hours ZERO-FILLED between that
+    * user's first and last active hour (the spine every downstream
+    * rolling-feature join needs). The spine is `sequence(h0, h1)` per
+    * user — generated, not scanned, and bounded per user by its own
+    * active span, so the explode never amplifies beyond calendar size
+    * (a user active 10 years is 87k rows; a 100 TB corpus adds users,
+    * not per-user hours). Left join back to the hourly aggregate is
+    * user-partitioned with no skew beyond the per-user span. Timestamps
+    * bucket in the µs domain (the s2/aj1 convention). */
+  private val gf1 = Q(
+    "gf1_gap_fill",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr(s"(ts div 1000) div $hourUs").as("hour"), col("value"))
+      val hourly = ev.groupBy("user_id", "hour")
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("v"))
+      val spine = hourly.groupBy("user_id")
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"))).as("hour"))
+      spine.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("v"), lit(0.0)).as("total_value"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) // $hourUs AS hour, value
+                        FROM events),
+             c AS (SELECT user_id, hour, CAST(count(*) AS BIGINT) AS n_events,
+                     round(sum(value), 6) AS v
+                   FROM e GROUP BY 1, 2),
+             b AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+                   FROM c GROUP BY 1),
+             sp AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM b)
+             SELECT sp.user_id, sp.hour,
+               coalesce(c.n_events, 0) AS n_events,
+               coalesce(c.v, CAST(0.0 AS DOUBLE)) AS total_value
+             FROM sp LEFT JOIN c ON sp.user_id = c.user_id AND sp.hour = c.hour"""))
+
+  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1, ii1, bp1, bp2, lm2, gf1)
 }

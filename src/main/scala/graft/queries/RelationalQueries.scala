@@ -339,8 +339,91 @@ object RelationalQueries {
     Some("""SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 4"""))
 
+  // ----------------------------------------------------- join extensions
+
+  /** AN1 — anti join: customers with no 1995 order (the complement of
+    * the C4 semi join — SURVEY §2.C notes the reference has no anti join;
+    * the catalog covers it as a first-class join type anyway). Same
+    * shuffle shape as a semi join: the probe side streams, the build
+    * side is the (filtered) orders key set, no row widening; the year
+    * filter pushes to the orders parquet scan. (Unfiltered, the result
+    * is vacuously empty on this testdata — every customer orders.) */
+  private val an1 = Q(
+    "an1_anti_join",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === 1995).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+    Some("""SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND year(o_orderdate) = 1995)"""))
+
+  /** SQ1 — correlated scalar subquery through the SQL surface: orders
+    * costing more than 2x their customer's average. Catalyst DECORRELATES
+    * this into an aggregate + join (RewriteCorrelatedScalarSubquery) —
+    * the plan never executes per-row subqueries, which is the only shape
+    * that survives 100 TB. The 2x margin keeps the predicate far from
+    * float-boundary flips (avg association differs between engines at
+    * ulp level; no order price sits within 1e-9 of exactly 2x an avg). */
+  private val sq1 = Q(
+    "sq1_scalar_subquery",
+    (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS price
+               FROM orders o
+               WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                                         FROM orders o2
+                                         WHERE o2.o_custkey = o.o_custkey)""")
+    },
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS price
+            FROM orders o
+            WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                                      FROM orders o2
+                                      WHERE o2.o_custkey = o.o_custkey)"""))
+
+  private val rjWindowDays = 45
+  private val rjStrideDays = 30
+  private val rjWindows = 81 // covers the 1995-2001 order-date span
+
+  /** RJ1 — interval/range join: orders against OVERLAPPING 45-day
+    * campaign windows opening every 30 days (not expressible as
+    * date_trunc — an order matches 1–2 windows). The window dim is
+    * generated (81 rows) and BROADCAST; the non-equi join is a
+    * BroadcastNestedLoopJoin whose inner loop is bounded by the window
+    * count, the scalable shape while the dim side is small. At a larger
+    * window count the play becomes bucketing both sides by stride and
+    * joining bucket-to-bucket — same as the fz1 length bands. */
+  private val rj1 = Q(
+    "rj1_interval_join",
+    (s, d) => {
+      val base = to_date(lit("1995-01-01"))
+      val win = s.range(rjWindows.toLong).select(col("id").as("window_id"),
+        date_add(base, (col("id") * rjStrideDays).cast("int")).as("w_start"),
+        date_add(base, (col("id") * rjStrideDays).cast("int") + rjWindowDays).as("w_end"))
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .join(broadcast(win),
+          col("o_orderdate") >= col("w_start") && col("o_orderdate") < col("w_end"))
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .select(col("window_id"), col("n_orders"), col("revenue"))
+    },
+    Some(s"""WITH win AS (SELECT i AS window_id,
+                 DATE '1995-01-01' + CAST(i * $rjStrideDays AS INT) AS w_start,
+                 DATE '1995-01-01' + CAST(i * $rjStrideDays + $rjWindowDays AS INT) AS w_end
+               FROM (SELECT unnest(range($rjWindows)) AS i)),
+             j AS (SELECT win.window_id, o.o_totalprice
+                   FROM orders o JOIN win
+                     ON o.o_orderdate >= win.w_start AND o.o_orderdate < win.w_end)
+             SELECT window_id, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             FROM j GROUP BY 1"""))
+
   private def $(c: String) = col(c)
 
   def all: Seq[Q] = Seq(a2, b1, b2, b3, b4, b5, b6, b7, b8, b9,
-    c1, c2, c3, c4, c5, c6, fScalars, f5, f6, f7, f10, g1, g3)
+    c1, c2, c3, c4, c5, c6, an1, sq1, rj1, fScalars, f5, f6, f7, f10, g1, g3)
 }

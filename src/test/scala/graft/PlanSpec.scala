@@ -240,4 +240,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("an1 anti join plans as a broadcast/shuffled ANTI join") {
+    val p = plan("an1_anti_join")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("sq1 correlated scalar subquery is DECORRELATED into an agg+join") {
+    // Catalyst must rewrite the per-row subquery into aggregate + join;
+    // a surviving per-row subquery node would be the unscalable shape
+    val p = plan("sq1_scalar_subquery")
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("scalarsubquery"), p)
+  }
+
+  test("rj1 interval join broadcasts the generated window dim") {
+    val p = plan("rj1_interval_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("gf1 gap-fill spine is generated per user, windows keyed") {
+    val df = QueryCatalog.byName("gf1_gap_fill").run(spark, dir)
+    assertNoPartitionWindowsBounded(df, "gf1")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), p) // sequence+explode, not a scanned calendar
+  }
 }

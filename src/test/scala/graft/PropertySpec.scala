@@ -220,4 +220,41 @@ class PropertySpec extends SparkSpec {
       assert(r(0L) == r(1000L))
     }
   }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("an1: anti join is the exact complement of the 1995 semi join") {
+    import org.apache.spark.sql.functions._
+    val cust = Tables.customer(spark, sfDir)
+    val o95 = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+    val anti = graft.queries.QueryCatalog.byName("an1_anti_join")
+      .run(spark, sfDir).select("c_custkey")
+    val semi = cust.join(o95, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+    assert(anti.intersect(semi).count() == 0)
+    assert(anti.count() + semi.count() == cust.count())
+  }
+
+  test("rj1: every order lands in 1-2 overlapping campaign windows") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.QueryCatalog.byName("rj1_interval_join")
+      .run(spark, sfDir)
+    val matched = out.agg(sum(col("n_orders"))).collect()(0).getLong(0)
+    val orders = Tables.orders(spark, sfDir).count()
+    // 45-day windows every 30 days: 15/30 of days are double-covered
+    assert(matched >= orders && matched <= 2 * orders, s"$matched vs $orders")
+  }
+
+  test("gf1: per-user hours are contiguous; filled rows are all-zero") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.QueryCatalog.byName("gf1_gap_fill").run(spark, sfDir)
+    val spans = out.groupBy("user_id")
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"),
+        count(lit(1)).as("n"))
+      .filter(col("n") =!= col("h1") - col("h0") + 1)
+    assert(spans.count() == 0, "hour spine has holes")
+    val badFill = out.filter(col("n_events") === 0 && col("total_value") =!= 0.0)
+    assert(badFill.count() == 0)
+  }
 }
