@@ -101,6 +101,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain",
       args => BloomMightContain(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_sketch",
+      args => FreqSketch(args(0), args(1)), "built-in")
   }
 }
 
@@ -124,5 +127,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (args: Seq[Expression]) => BloomMightContain(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
+      (args: Seq[Expression]) => FreqSketch(args(0), args(1))))
   }
 }

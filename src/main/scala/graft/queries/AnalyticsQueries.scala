@@ -461,5 +461,47 @@ object AnalyticsQueries {
                coalesce(c.v, CAST(0.0 AS DOUBLE)) AS total_value
              FROM sp LEFT JOIN c ON sp.user_id = c.user_id AND sp.hour = c.hour"""))
 
-  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1, ii1, bp1, bp2, lm2, gf1)
+  private val hhPhi = 0.002 // heavy-hitter share threshold
+  private val hhK = 512 // sketch capacity; guarantee needs k+1 > 1/phi
+
+  /** HH1 — heavy hitters via sketch-then-verify: pass 1 folds the token
+    * stream into ONE Misra–Gries `freq_sketch` (O(k) state per partition
+    * through a regular partial+final agg — the bounded-state answer where
+    * an exact per-term groupBy would shuffle the whole type table); the
+    * sketch's no-false-negative guarantee (any term with share > 1/(k+1)
+    * survives) makes its ≤ k entries a candidate SUPERSET of every term
+    * above `hhPhi > 1/(k+1)`. Pass 2 re-counts ONLY the broadcast
+    * candidates exactly and applies the threshold — so the result is the
+    * EXACT heavy-hitter set, deterministic across partitionings even
+    * though sketch internals are order-dependent, and the oracle is plain
+    * GROUP BY + HAVING. */
+  private val hh1 = Q(
+    "hh1_heavy_hitters",
+    (s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val tok = Tables.documents(s, d)
+        .select(explode(graft.operators.TextFunctions.tokens(col("text"))).as("term"))
+      val cands = tok
+        .agg(call_function("freq_sketch", col("term"), lit(hhK)).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("term"))
+      val n = tok.agg(count(lit(1)).as("n_total"))
+      tok.join(broadcast(cands), "term")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .filter(col("cnt") > lit(hhPhi) * col("n_total"))
+        .select(col("term"), col("cnt"),
+          round(col("cnt") / col("n_total"), 6).as("share"))
+    },
+    Some(s"""WITH t AS ($toksSql),
+             tok AS (SELECT unnest(toks) AS term FROM t),
+             n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+             c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+                   FROM tok GROUP BY term)
+             SELECT c.term, c.cnt, round(c.cnt / n.n_total, 6) AS share
+             FROM c CROSS JOIN n
+             WHERE c.cnt > CAST($hhPhi AS DOUBLE) * n.n_total"""))
+
+  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1, ii1, bp1, bp2, lm2,
+    gf1, hh1)
 }

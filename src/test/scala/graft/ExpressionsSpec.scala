@@ -151,6 +151,60 @@ class ExpressionsSpec extends SparkSpec {
     assert(heavy >= 30, s"heavy-weight rows won only $heavy/40 slots")
   }
 
+  test("freq_sketch: MG guarantees hold under merge, across partitionings") {
+    GraftFunctions.register(spark)
+    // Zipf-ish: item i appears ~N/i times; N=5500ish, k=16 -> err <= n/17
+    val rows = (1 to 40).flatMap(i => Seq.fill(1200 / i)(s"item$i"))
+    val exact = rows.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    Seq(3, 13).foreach { parts =>
+      val df = rows.toDF("term").repartition(parts)
+      val sk = df.agg(expr("freq_sketch(term, 16)").as("s"))
+        .select(explode(col("s")).as("e"))
+        .select(col("e.item"), col("e.cnt"), col("e.n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val n = rows.size.toLong
+      sk.foreach { case (_, _, sn) => assert(sn == n) }
+      assert(sk.length <= 16)
+      val skMap = sk.map { case (t, c, _) => t -> c }.toMap
+      val err = n / 17 + 1
+      skMap.foreach { case (t, c) =>
+        assert(c <= exact(t), s"overcount $t: $c > ${exact(t)}")
+        assert(exact(t) - c <= err, s"undercount $t beyond bound")
+      }
+      // no false negatives above the threshold
+      exact.filter(_._2 > err).keys.foreach { t =>
+        assert(skMap.contains(t), s"heavy item $t missing (parts=$parts)")
+      }
+    }
+  }
+
+  test("freq_sketch: NULL items skipped; small domains are exact") {
+    GraftFunctions.register(spark)
+    val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("term")
+      .repartition(2)
+    val sk = df.agg(expr("freq_sketch(term, 8)").as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item"), col("e.cnt"), col("e.n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // domain (2) < capacity: counts are exact, n excludes the NULL
+    assert(sk.toSet == Set(("a", 2L, 3L), ("b", 1L, 3L)))
+  }
+
+  test("hh1 sketch-then-verify equals the exact heavy-hitter set") {
+    val out = graft.queries.QueryCatalog.byName("hh1_heavy_hitters")
+      .run(spark, "/root/testdata/sf0.001")
+      .select("term", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tok = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(graft.operators.TextFunctions.tokens(col("text"))).as("term"))
+    val n = tok.count()
+    val exact = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 0.002 * n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == exact)
+    assert(out.nonEmpty) // threshold must actually select something here
+  }
+
   test("bloom_might_contain: no false negatives, few false positives, NULL in -> NULL out") {
     GraftFunctions.register(spark)
     val members = (1 to 1000).map(i => s"member_$i")
