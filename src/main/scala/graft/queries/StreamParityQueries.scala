@@ -33,6 +33,33 @@ object StreamParityQueries {
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2"""))
 
+  /** S5 — hopping-window counts (EventStreams.hoppingTypeCounts), batch-
+    * replayed: 1-hour windows sliding every 30 minutes, so every event
+    * lands in exactly two windows. The oracle derives both window starts
+    * per event arithmetically in the µs domain (the 30-min bucket and
+    * the one before it) and aggregates — the same expansion Spark's
+    * `window(ts, len, slide)` performs before its hash agg. */
+  private val s5 = Q(
+    "s5_stream_hopping",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        EventStreams.nanosToTs(col("ts")).as("ts"),
+        col("event_type").as("eventType"), col("value"))
+      EventStreams.hoppingTypeCounts(ev, windowLen = "1 hour", slide = "30 minutes")
+        .select(unix_timestamp(col("win_start")).as("win_start_epoch"),
+          col("eventType").as("event_type"), col("n"),
+          round(col("total_value"), 6).as("total_value"))
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) AS tsu, event_type, value FROM events),
+            x AS (SELECT unnest([ (tsu // 1800000000) * 1800,
+                                  (tsu // 1800000000) * 1800 - 1800 ])
+                    AS win_start_epoch,
+                  event_type, value
+                  FROM e)
+            SELECT win_start_epoch, event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 6) AS total_value
+            FROM x GROUP BY 1, 2"""))
+
   /** S2 — streaming exact dedup, batch-replayed: dedupKeepFirst is the
     * batch twin of EventStreams.dedupStream (dropDuplicatesWithinWatermark)
     * — keep the earliest (ts, event_id) row per content key. Ordering and
@@ -157,5 +184,5 @@ object StreamParityQueries {
     Some("""SELECT p_partkey, p_type FROM part
             WHERE p_type IN ('ECONOMY','STANDARD')"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, a5)
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, a5)
 }

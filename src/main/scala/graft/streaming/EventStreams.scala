@@ -67,6 +67,21 @@ object EventStreams extends Serializable {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("eventType"), col("n"), col("total_value"))
 
+  /** Hopping (sliding) window per-type counts: windows of `windowLen`
+    * opening every `slide` — each event lands in len/slide overlapping
+    * windows (Spark's `window(ts, len, slide)` expands rows by that
+    * factor BEFORE the hash agg, so state stays one row per
+    * (window, type), bounded by the watermark exactly like tumbling). */
+  def hoppingTypeCounts(events: DataFrame, tsCol: String = "ts",
+      watermark: String = "10 minutes", windowLen: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col("eventType"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("eventType"), col("n"), col("total_value"))
+
   /** Per-user session assembly via flatMapGroupsWithState with event-time
     * timeout: a session closes after `gapSeconds` of silence (emitted on
     * watermark passage in streaming; batch mode emits every session, the

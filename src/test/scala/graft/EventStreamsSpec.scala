@@ -107,6 +107,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windows: every event lands in len/slide windows; stream matches batch") {
+    val sf = "/root/testdata/sf0.001"
+    val batchEv = Tables.events(spark, sf).select(
+      EventStreams.nanosToTs(col("ts")).as("ts"),
+      col("event_type").as("eventType"), col("value"))
+    val hop = EventStreams.hoppingTypeCounts(batchEv,
+      windowLen = "1 hour", slide = "30 minutes")
+    // total multiplicity: sum n = 2 x events (1h len / 30min slide)
+    val total = hop.agg(org.apache.spark.sql.functions.sum(col("n"))).collect()(0).getLong(0)
+    assert(total == 2 * batchEv.count())
+    // stream mode produces the same window set
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_hop")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val streamEv = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .parquet(dir.toString)
+      .select(EventStreams.nanosToTs(col("ts")).as("ts"),
+        col("event_type").as("eventType"), col("value"))
+    val q = EventStreams.hoppingTypeCounts(streamEv,
+        windowLen = "1 hour", slide = "30 minutes")
+      .writeStream.format("memory").queryName("file_stream_hop")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_stream_hop")
+      assert(got.except(hop).isEmpty && hop.except(got).isEmpty)
+    } finally q.stop()
+  }
+
   test("dedupStream keeps first arrival, evicts key state past the watermark") {
     implicit val sq = spark.sqlContext
     val src = MemoryStream[Event]
