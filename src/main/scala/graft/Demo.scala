@@ -177,6 +177,32 @@ object Demo {
     println(s"[demo] logreg converged=${lrFit.converged} iters=${lrFit.iters} " +
       s"n=${lrFit.n}")
 
+    // round-4c surfaces: BPE tokenizer, KN bigram LM, DSIR selection,
+    // heavy-hitter sketch, hopping windows, partitioned layout
+    val merges = graft.operators.Bpe.fit(
+      graft.operators.Bpe.wordCounts(docs, "text"), numMerges = 20)
+    val bpeToks = graft.operators.Bpe.tokenize(docs, "doc_id", "text", merges)
+    println(s"[demo] BPE: ${merges.size} merges, ${bpeToks.count()} tokens")
+    val kn = graft.api.Corpus.knBigramScores(docs)
+    println(s"[demo] KN-bigram-scored docs = ${kn.count()}")
+    val dsir = graft.api.Corpus.dsirScores(docs, col("source") === "src7")
+    println(s"[demo] DSIR-weighted docs = ${dsir.count()}")
+    val hh = docs
+      .select(explode(graft.operators.TextFunctions.tokens(col("text"))).as("term"))
+      .agg(expr("freq_sketch(term, 64)").as("sk"))
+      .select(explode(col("sk")).as("e")).count()
+    println(s"[demo] freq_sketch entries = $hh (capacity 64)")
+    val hop = EventStreams.hoppingTypeCounts(ev,
+      windowLen = "1 hour", slide = "30 minutes")
+    println(s"[demo] hopping windows = ${hop.count()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_partitioned"))
+    graft.sources.Partitioning.writePartitioned(docs, "/tmp/graft_partitioned", "lang")
+    val pruned = graft.sources.Partitioning
+      .readPartitioned(spark, "/tmp/graft_partitioned")
+      .filter(col("lang") === "en")
+    println(s"[demo] partition-pruned en docs = ${pruned.count()}")
+
     // co-bucketed join: shuffle paid once at write time, none at join time
     graft.sources.Bucketing.writeBucketed(
       Tables.lineitem(spark, sfDir).select("l_partkey", "l_quantity"),
