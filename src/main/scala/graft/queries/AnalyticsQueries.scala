@@ -502,6 +502,77 @@ object AnalyticsQueries {
              FROM c CROSS JOIN n
              WHERE c.cnt > CAST($hhPhi AS DOUBLE) * n.n_total"""))
 
+  /** FN1 — ordered-funnel analysis (signup → click → purchase, each stage
+    * strictly at-or-after the previous): per user, the first signup, the
+    * first click after it, the first purchase after that, and the stage
+    * reached. Three conditional-min hash aggs chained by user-keyed
+    * joins — every shuffle is on user_id, state is one row per user, no
+    * window over event history. The per-user frame IS the funnel report;
+    * stage counts are one more tiny agg away. */
+  private val fn1 = Q(
+    "fn1_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("ts div 1000").as("tsu"), col("event_type"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("tsu")).as("s_ts"))
+      val cl = ev.filter(col("event_type") === "click")
+        .join(su, "user_id").filter(col("tsu") >= col("s_ts"))
+        .groupBy("user_id", "s_ts").agg(min(col("tsu")).as("c_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(cl.select("user_id", "c_ts"), "user_id")
+        .filter(col("tsu") >= col("c_ts"))
+        .groupBy("user_id").agg(min(col("tsu")).as("p_ts"))
+      su.join(cl.select("user_id", "c_ts"), Seq("user_id"), "left")
+        .join(pu, Seq("user_id"), "left")
+        .select(col("user_id"), col("s_ts"), col("c_ts"), col("p_ts"),
+          (lit(1L) + when(col("c_ts").isNotNull, 1L).otherwise(0L)
+            + when(col("p_ts").isNotNull, 1L).otherwise(0L)).as("stage"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events),
+            su AS (SELECT user_id, min(tsu) AS s_ts FROM e
+                   WHERE event_type = 'signup' GROUP BY 1),
+            cl AS (SELECT e.user_id, su.s_ts, min(e.tsu) AS c_ts
+                   FROM e JOIN su USING (user_id)
+                   WHERE e.event_type = 'click' AND e.tsu >= su.s_ts
+                   GROUP BY 1, 2),
+            pu AS (SELECT e.user_id, min(e.tsu) AS p_ts
+                   FROM e JOIN cl USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.tsu >= cl.c_ts
+                   GROUP BY 1)
+            SELECT su.user_id, su.s_ts, cl.c_ts, pu.p_ts,
+              CAST(1 + CASE WHEN cl.c_ts IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN pu.p_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+            FROM su LEFT JOIN cl USING (user_id) LEFT JOIN pu USING (user_id)"""))
+
+  private val weekUs = 7L * 24 * 3600 * 1000000L
+
+  /** CO1 — cohort retention matrix: users cohorted by first-active week,
+    * reported as (cohort_week, week_offset, n_users) — the standard
+    * retention triangle. Two user-keyed hash aggs (first-seen, then
+    * distinct user-week activity) and one join; the matrix is at most
+    * cohorts × horizon rows. Weeks are epoch-µs integer buckets, exact
+    * on both engines. */
+  private val co1 = Q(
+    "co1_cohort_retention",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr(s"(ts div 1000) div $weekUs").as("week"))
+      val first = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      val active = ev.distinct()
+      active.join(first, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .select("cohort_week", "week_offset", "n_users")
+    },
+    Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) // $weekUs AS week FROM events),
+             f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+             a AS (SELECT DISTINCT user_id, week FROM e)
+             SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+             FROM a JOIN f USING (user_id)
+             GROUP BY 1, 2"""))
+
   def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1, ii1, bp1, bp2, lm2,
-    gf1, hh1)
+    gf1, hh1, fn1, co1)
 }

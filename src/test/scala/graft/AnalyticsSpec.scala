@@ -154,6 +154,42 @@ class AnalyticsSpec extends SparkSpec with Matchers {
     out(2L)._2 shouldBe math.log(0.75) +- 1e-12
   }
 
+  test("fn1: stage timestamps are ordered; stage counts form a funnel") {
+    val rows = QueryCatalog.byName("fn1_funnel").run(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val s = r.getAs[Long]("s_ts")
+      val c = Option(r.get(r.fieldIndex("c_ts"))).map(_.asInstanceOf[Long])
+      val p = Option(r.get(r.fieldIndex("p_ts"))).map(_.asInstanceOf[Long])
+      c.foreach(_ should be >= s)
+      (c, p) match {
+        case (Some(ct), Some(pt)) => pt should be >= ct
+        case (None, Some(_)) => fail("purchase stage without click stage")
+        case _ => ()
+      }
+      r.getAs[Long]("stage") shouldBe (1L + c.size + p.size)
+    }
+    val byStage = rows.groupBy(_.getAs[Long]("stage")).view.mapValues(_.length)
+    // users reaching stage >= k are non-increasing in k
+    val s1 = rows.length
+    val s2 = byStage.getOrElse(2L, 0) + byStage.getOrElse(3L, 0)
+    val s3 = byStage.getOrElse(3L, 0)
+    s1 should be >= s2
+    s2 should be >= s3
+  }
+
+  test("co1: offsets non-negative; cohort totals cover every user once at offset 0 scale") {
+    val rows = QueryCatalog.byName("co1_cohort_retention").run(spark, sf)
+      .collect().map(r => (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("week_offset"), r.getAs[Long]("n_users")))
+    rows.length should be > 0
+    rows.foreach { case (_, off, n) => off should be >= 0L; n should be > 0L }
+    // every user appears in their cohort's offset-0 cell
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val offset0 = rows.filter(_._2 == 0L).map(_._3).sum
+    offset0 shouldBe users
+  }
+
   test("lm2: single-token docs are excluded, ppl = exp(-mean)") {
     val out = QueryCatalog.byName("lm2_bigram_kn").run(spark, sf).collect()
     out.length should be > 0
