@@ -79,5 +79,49 @@ object EmbeddingQueries {
     },
     None)
 
-  def all: Seq[Q] = Seq(rp1, pc1)
+  /** EQ1 — int8 scalar quantization (the memory-side compression every
+    * ANN index at corpus scale runs before PCA/RP even matter: 4 bytes →
+    * 1 byte per dimension). Two-phase: (1) per-dimension global min/max —
+    * one partial+final hash agg over (dim, x) pairs, 64 output rows;
+    * (2) a broadcast join of those 64 rows back onto the exploded
+    * vectors, quantize `q = round((x-mn)/(mx-mn)*255)` and report the
+    * round-trip reconstruction error. No driver collect — the stats stay
+    * a (broadcast) frame, the quantize pass is narrow per row. Constant
+    * dimensions (mx = mn) quantize to 0 with zero error on both engines.
+    * All arithmetic is float→double exact, same literal order on both
+    * engines, so q is hash-stable; err is rounded per element (no
+    * cross-row float summation). */
+  private val eq1 = Q(
+    "eq1_int8_quantize",
+    (s, d) => {
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("k0", "xf")))
+        .select(col("vec_id"), col("k0").cast("long").as("k"),
+          col("xf").cast("double").as("x"))
+      val stats = ex.groupBy("k").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      ex.join(broadcast(stats), Seq("k"))
+        .withColumn("q", when(col("mx") === col("mn"), lit(0L))
+          .otherwise(round((col("x") - col("mn")) / (col("mx") - col("mn")) * 255, 0)
+            .cast("long")))
+        .withColumn("err", when(col("mx") === col("mn"), lit(0.0))
+          .otherwise(round(abs(col("mn") +
+            col("q").cast("double") / 255.0 * (col("mx") - col("mn")) - col("x")), 6)))
+        .select(col("vec_id"), col("k"), col("q"), col("err"))
+    },
+    Some("""WITH ex AS (SELECT vec_id, i - 1 AS k,
+                          CAST(embedding[i] AS DOUBLE) AS x
+                        FROM embeddings, range(1, 65) t(i)),
+            st AS (SELECT k, min(x) AS mn, max(x) AS mx FROM ex GROUP BY k)
+            SELECT ex.vec_id, ex.k,
+                   CASE WHEN mx = mn THEN 0
+                        ELSE CAST(round((x - mn) / (mx - mn) * 255, 0) AS BIGINT)
+                   END AS q,
+                   CASE WHEN mx = mn THEN 0.0
+                        ELSE round(abs(mn + CAST(CASE WHEN mx = mn THEN 0
+                               ELSE CAST(round((x - mn) / (mx - mn) * 255, 0) AS BIGINT)
+                             END AS DOUBLE) / 255.0 * (mx - mn) - x), 6)
+                   END AS err
+            FROM ex JOIN st ON ex.k = st.k"""))
+
+  def all: Seq[Q] = Seq(rp1, pc1, eq1)
 }

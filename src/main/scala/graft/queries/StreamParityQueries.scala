@@ -165,6 +165,41 @@ object StreamParityQueries {
               round(sum(value), 6) AS total_value
             FROM x GROUP BY user_id, sid"""))
 
+  /** S6 — watermarked stream-stream interval join (attribution:
+    * purchases within 1 hour AFTER a click of the same user), batch-
+    * replayed through the identical EventStreams.intervalJoin call —
+    * in batch the watermarks are no-ops and the plan is a plain
+    * range-predicate inner join, so the DuckDB oracle states it
+    * directly. µs domain on both engines (s2's convention); the µs lag
+    * bound is arithmetically identical to Spark's `+ INTERVAL 1 hour`
+    * on µs-precision timestamps. */
+  private val s6 = Q(
+    "s6_stream_join",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id").as("userId"),
+        EventStreams.nanosToTs(col("ts")).as("ts"),
+        col("event_type").as("eventType"), col("value"))
+      EventStreams.intervalJoin(
+          ev.filter(col("eventType") === "click"),
+          ev.filter(col("eventType") === "purchase"),
+          maxLag = "1 hour")
+        .select(col("userId").as("user_id"),
+          unix_micros(col("l_ts")).as("click_ts_us"),
+          round(col("l_value"), 6).as("click_value"),
+          unix_micros(col("r_ts")).as("purchase_ts_us"),
+          round(col("r_value"), 6).as("purchase_value"))
+    },
+    Some("""WITH l AS (SELECT user_id, epoch_us(ts) AS tsu, value
+                       FROM events WHERE event_type = 'click'),
+            r AS (SELECT user_id, epoch_us(ts) AS tsu, value
+                  FROM events WHERE event_type = 'purchase')
+            SELECT l.user_id,
+                   l.tsu AS click_ts_us, round(l.value, 6) AS click_value,
+                   r.tsu AS purchase_ts_us, round(r.value, 6) AS purchase_value
+            FROM l JOIN r ON l.user_id = r.user_id
+              AND r.tsu >= l.tsu AND r.tsu <= l.tsu + 3600000000"""))
+
   /** A5 — delimited parameter-list scan steering a plan
     * (read.delim("genes.txt")[,1] + toupper, BRCA_path_stage_DESeq.R:7-9):
     * the Spark side reads a real tab-delimited file through CsvIO; the
@@ -184,5 +219,5 @@ object StreamParityQueries {
     Some("""SELECT p_partkey, p_type FROM part
             WHERE p_type IN ('ECONOMY','STANDARD')"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, a5)
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, a5)
 }

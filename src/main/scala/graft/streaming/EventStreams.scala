@@ -210,4 +210,31 @@ object EventStreams extends Serializable {
       .select(keyCols.map(col) ++ Seq(
         col(s"__first.$tsCol").as(tsCol),
         col(s"__first.$tieBreak").as(tieBreak)): _*)
+
+  /** Watermarked stream-stream interval join — the attribution shape
+    * (click → purchases of the same user within `maxLag` AFTER the
+    * click). Both sides carry a watermark and the join predicate bounds
+    * `right.ts` to `[left.ts, left.ts + maxLag]`, which is exactly what
+    * lets Spark's symmetric hash join EVICT state: a buffered left row
+    * can never match once the right watermark passes `l_ts + maxLag`, a
+    * buffered right row once the left watermark passes `r_ts`. State is
+    * bounded by (watermark delay + maxLag) × arrival rate, never stream
+    * history. Both inputs must be schema'd `(userId, ts, value)` (use
+    * `select` to adapt); the same call runs in batch, where it is a plain
+    * range-predicate inner join (watermarks are no-ops) — the catalog's
+    * `s6_stream_join` replays it that way under a DuckDB oracle. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      maxLag: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("userId").as("l_user"), col("ts").as("l_ts"),
+        col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("userId").as("r_user"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r, col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxLag"))
+      .select(col("l_user").as("userId"), col("l_ts"), col("l_value"),
+        col("r_ts"), col("r_value"))
+  }
 }

@@ -217,6 +217,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(enriched.count() > 0)
   }
 
+  test("intervalJoin: stream-stream join matches batch; late rows dropped") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = EventStreams.intervalJoin(clicks.toDF(), buys.toDF(),
+        maxLag = "5 minutes", watermark = "2 minutes")
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Event(1, ts(1), "click", 1.0), Event(2, ts(2), "click", 2.0))
+      buys.addData(Event(1, ts(3), "purchase", 10.0), // in range for u1
+        Event(2, ts(30), "purchase", 20.0)) // out of range for u2's click
+      q.processAllAvailable()
+      // advance both watermarks far past the first window
+      clicks.addData(Event(9, ts(50), "click", 0.0))
+      buys.addData(Event(9, ts(59), "purchase", 0.0))
+      q.processAllAvailable()
+      // a purchase this old is behind the watermark -> dropped, no match
+      clicks.addData(Event(1, ts(2), "click", 7.0))
+      buys.addData(Event(1, ts(4), "purchase", 70.0))
+      q.processAllAvailable()
+      val got = spark.table("ivj")
+        .select("userId", "l_value", "r_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, 1.0, 10.0))) // u2 out-of-range, late pair dropped
+    } finally q.stop()
+
+    // batch twin over the same rows: plain range join, all pairs in range
+    val all = Seq(Event(1, ts(1), "click", 1.0), Event(2, ts(2), "click", 2.0),
+      Event(1, ts(2), "click", 7.0)).toDF()
+    val rb = Seq(Event(1, ts(3), "purchase", 10.0),
+      Event(2, ts(30), "purchase", 20.0),
+      Event(1, ts(4), "purchase", 70.0)).toDF()
+    val batch = EventStreams.intervalJoin(all, rb, maxLag = "5 minutes")
+      .select("userId", "l_value", "r_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(batch == Set((1L, 1.0, 10.0), (1L, 1.0, 70.0),
+      (1L, 7.0, 10.0), (1L, 7.0, 70.0)))
+  }
+
   test("dedupKeepFirst is the batch twin: min (ts, tieBreak) row per key") {
     val events = Seq(
       (10L, 100L, "click", 1.0), (11L, 50L, "click", 1.0), // dup: 11 earlier
