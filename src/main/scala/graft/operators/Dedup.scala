@@ -335,7 +335,7 @@ object Dedup {
     * semi join. */
   def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
       trainFlag: Column, n: Int, maxShingleTrainDocs: Int = 1000,
-      expectedItems: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
+      expectedItems: Long = 0L, fpp: Double = 0.03): DataFrame = {
     val spark = docs.sparkSession
     graft.expressions.GraftFunctions.register(spark)
     val sh = spread(docs).select(col(idCol).as("doc_id"), trainFlag.as("is_train"),
@@ -349,9 +349,19 @@ object Dedup {
       .select("sh")
       .persist()
     graft.Caches.releaseAfterAction(trainSh)
-    val bytes = bloomOf(trainSh, "sh", expectedItems, fpp)
+    // Size the sketch from the REAL dictionary cardinality (expectedItems
+    // <= 0 = auto): an oversized filter costs build allocation, task
+    // serialization, and probe cache locality for nothing. The count is
+    // an RDD job on the persisted frame — it materializes the cache the
+    // treeAggregate reads next, and (deliberately) does NOT fire the
+    // QueryExecutionListener that releaseAfterAction registered, so the
+    // caches stay live for the caller's consuming action.
+    val sized =
+      if (expectedItems > 0) expectedItems
+      else math.max(trainSh.rdd.count(), 1L << 10)
+    val bytes = bloomOf(trainSh, "sh", sized, fpp)
     log.info(s"contaminationBloom: sketch of ${bytes.length} bytes " +
-      s"(expectedItems=$expectedItems, fpp=$fpp)")
+      s"(expectedItems=$sized, fpp=$fpp)")
     val test = sh.filter(!col("is_train")).select("doc_id", "sh")
     val totals = test.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val hits = test

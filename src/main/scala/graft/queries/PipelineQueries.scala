@@ -100,7 +100,7 @@ object PipelineQueries {
     "bf1_bloom_contamination",
     (s, d) => Dedup.contaminationBloom(Tables.documents(s, d), "doc_id", "text",
       substring(col("source"), 4, 10).cast("int") < 10, 3, 1000,
-      expectedItems = 1L << 17, fpp = 0.01),
+      fpp = 0.01),
     Some(contaminationSql))
 
   private val sampleRates: Seq[(String, Double)] = Seq(
