@@ -266,4 +266,38 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("Generate"), p) // sequence+explode, not a scanned calendar
   }
+
+  test("fn1 funnel and co1 retention: one agg pass each, windows keyed") {
+    Seq("fn1_funnel", "co1_cohort_retention").foreach { n =>
+      val df = QueryCatalog.byName(n).run(spark, dir)
+      assertNoPartitionWindowsBounded(df, n)
+      assert(!df.queryExecution.executedPlan.toString.contains("Cartesian"), n)
+    }
+  }
+
+  test("eq1 quantize: per-dim stats broadcast back, fact side never re-shuffled") {
+    val df = QueryCatalog.byName("eq1_int8_quantize").run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p) // 64-row stats frame broadcast
+    assert(!p.contains("SortMergeJoin"), p)    // exploded fact side stays in place
+    assertNoPartitionWindowsBounded(df, "eq1")
+  }
+
+  test("s6 stream-stream join replays in batch as a plain range join, no cartesian") {
+    val df = QueryCatalog.byName("s6_stream_join").run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p) // equi-key + range = hash join
+    assertNoPartitionWindowsBounded(df, "s6")
+  }
+
+  test("hh1 heavy hitters: sketch agg is partial+final, verify is one hash agg") {
+    val df = QueryCatalog.byName("hh1_heavy_hitters").run(spark, dir)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists { case _: BaseAggregateExec => true; case _ => false })
+    assertNoPartitionWindowsBounded(df, "hh1")
+  }
 }
