@@ -424,6 +424,87 @@ object RelationalQueries {
 
   private def $(c: String) = col(c)
 
+  /** FO1 — full outer join: daily click counts vs daily purchase counts,
+    * days missing on either side kept with 0. Day is the integer µs-epoch
+    * day number on both engines (no timezone/date-codec hashing hazards).
+    * Both inputs pre-aggregate to day cardinality, so the outer join is
+    * tiny-vs-tiny regardless of corpus size — the scale-correct place
+    * for an outer join is AFTER the reduction, never on the fact table. */
+  private val fo1 = Q(
+    "fo1_full_outer",
+    (s, d) => {
+      def daily(t: String) = Tables.events(s, d)
+        .filter(col("event_type") === t)
+        .select(expr("ts div 1000 div 86400000000").as("day_num"))
+        .groupBy("day_num").agg(count(lit(1)).as(s"n_$t"))
+      daily("click").join(daily("purchase"), Seq("day_num"), "full_outer")
+        .select(col("day_num"),
+          coalesce(col("n_click"), lit(0L)).as("n_click"),
+          coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
+    },
+    Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day_num,
+                         CAST(count(*) AS BIGINT) AS n_click
+                       FROM events WHERE event_type = 'click' GROUP BY 1),
+            p AS (SELECT epoch_us(ts) // 86400000000 AS day_num,
+                    CAST(count(*) AS BIGINT) AS n_purchase
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT coalesce(c.day_num, p.day_num) AS day_num,
+                   coalesce(n_click, 0) AS n_click,
+                   coalesce(n_purchase, 0) AS n_purchase
+            FROM c FULL OUTER JOIN p ON c.day_num = p.day_num"""))
+
+  /** SO1 — set operations: high-value clickers INTERSECT high-value
+    * purchasers, EXCEPT users with a severe error. Spark's
+    * intersect/except are DISTINCT-semantics set ops (planned as
+    * left-semi/anti over aggregated inputs) — exactly ANSI
+    * INTERSECT/EXCEPT. The value thresholds keep all three legs
+    * discriminating on the driver testdata (every type alone covers
+    * every user — an unthresholded version would be vacuous). */
+  private val so1 = Q(
+    "so1_intersect_except",
+    (s, d) => {
+      def users(t: String, minV: Double) = Tables.events(s, d)
+        .filter(col("event_type") === t && col("value") > minV)
+        .select("user_id")
+      users("click", 90).intersect(users("purchase", 90))
+        .except(users("error", 95))
+    },
+    Some("""(SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'click' AND value > 90
+            INTERSECT
+            SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase' AND value > 90)
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'error' AND value > 95"""))
+
+  /** JS1 — semi-structured extraction: parse the `props` JSON column with
+    * a typed `from_json` schema (codegen'd Jackson parse, no UDF) and
+    * aggregate the extracted field per event type. The JSON path is the
+    * training-metadata shape (every doc/event carries a JSON blob whose
+    * fields steer filtering) — parse ONCE into a typed column, then the
+    * rest of the plan is ordinary columnar work. */
+  private val js1 = Q(
+    "js1_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+          sum(col("k").cast("long")).as("k_sum")),
+    Some("""SELECT event_type, CAST(count(k) AS BIGINT) AS n,
+                   min(k) AS k_min, max(k) AS k_max,
+                   CAST(sum(k) AS BIGINT) AS k_sum
+            FROM (SELECT event_type,
+                    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+                  FROM events)
+            GROUP BY event_type"""))
+
   def all: Seq[Q] = Seq(a2, b1, b2, b3, b4, b5, b6, b7, b8, b9,
-    c1, c2, c3, c4, c5, c6, an1, sq1, rj1, fScalars, f5, f6, f7, f10, g1, g3)
+    c1, c2, c3, c4, c5, c6, an1, sq1, rj1, fo1, so1, js1,
+    fScalars, f5, f6, f7, f10, g1, g3)
 }
