@@ -282,6 +282,34 @@ object AnalyticsQueries {
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
 
+  /** W2 — time-RANGE window frame: per user, trailing-1-hour event count
+    * and value sum at every event (the rate/feature-engineering window a
+    * fraud or engagement pipeline computes; ROWS frames — w1 — cannot
+    * express it). Ordering key is the integer µs epoch, so the frame
+    * arithmetic is exact on both engines; rows tied on ts share one
+    * frame, so tie order cannot change any output row. The sum runs in
+    * DECIMAL (w1's convention) — exact, association-free. Window is
+    * partitioned by user: bounded state, shuffles once by user_id. */
+  private val w2 = Q(
+    "w2_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double").as("sum_1h"))
+    },
+    Some("""SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+              CAST(count(*) OVER w AS BIGINT) AS n_1h,
+              CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""))
+
   // ------------------------------------------------------- ii1: inverted idx
 
   private val iiK = 20 // postings kept per term
@@ -573,6 +601,6 @@ object AnalyticsQueries {
              FROM a JOIN f USING (user_id)
              GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1, ii1, bp1, bp2, lm2,
-    gf1, hh1, fn1, co1)
+  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1, w2, ii1, bp1, bp2,
+    lm2, gf1, hh1, fn1, co1)
 }

@@ -511,5 +511,78 @@ object CurationQueries {
              SELECT doc_id, source, n_tokens, round(w, 6) AS weight
              FROM sc ORDER BY round(w, 9) DESC, doc_id LIMIT $dsTopN"""))
 
-  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, dd7, rs1, ng1, cu1, lr1, sd1, ds1)
+  /** QS1 — top-p% selection: keep each language's longest 10% of
+    * documents, threshold = the EXACT per-group p90 via the two-phase
+    * Ranks.quantiles (no one-task sort), joined back as a broadcast
+    * (one row per language). This is the quality-threshold selection
+    * step of a curation pipeline (score here = n_chars so the oracle
+    * stays integer-exact; a model score column composes identically).
+    * Ties at the threshold are kept — ">= exact p90" semantics. */
+  private val qs1 = Q(
+    "qs1_topp_select",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val thr = Ranks.quantiles(docs, Seq("lang"), "n_chars", "doc_id",
+          Seq("p90" -> 0.90))
+        .select(col("lang"), col("p90"))
+      docs.join(broadcast(thr), Seq("lang"))
+        .filter(col("n_chars") >= col("p90"))
+        .select("doc_id", "lang", "n_chars")
+    },
+    Some("""WITH r AS (SELECT lang, n_chars, doc_id,
+                         row_number() OVER (PARTITION BY lang
+                           ORDER BY n_chars, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY lang) AS n
+                       FROM documents),
+            thr AS (SELECT lang,
+                      max(CASE WHEN rn = CAST(ceil(n * 0.90) AS BIGINT)
+                          THEN n_chars END) AS p90
+                    FROM r GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE d.n_chars >= thr.p90"""))
+
+  /** DQ1 — data-profiling report (the pre-flight audit every ingest
+    * runs): per column of `customer`, row count, null count, distinct
+    * count. ONE pass over the table — Spark plans the multi-distinct
+    * agg as a single Expand + partial/final hash agg (rows × columns,
+    * map-side combined), then a 1-row→5-row stack; nothing here is
+    * driver-side. All outputs are integers — exact on both engines. */
+  private val dq1 = Q(
+    "dq1_profile",
+    (s, d) => {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(count(col(c)).as(s"nn_$c"),
+          count_distinct(col(c)).as(s"nd_$c")))
+      val one = Tables.customer(s, d).agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map(c =>
+        s"'$c', n_rows, n_rows - nn_$c, nd_$c").mkString(", ")
+      one.selectExpr(s"stack(${cols.size}, $stacked) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct)")
+    },
+    Some("""SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(c_custkey) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct
+            FROM customer
+            UNION ALL
+            SELECT 'c_name', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(c_name) AS BIGINT),
+                   CAST(count(DISTINCT c_name) AS BIGINT) FROM customer
+            UNION ALL
+            SELECT 'c_nationkey', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(c_nationkey) AS BIGINT),
+                   CAST(count(DISTINCT c_nationkey) AS BIGINT) FROM customer
+            UNION ALL
+            SELECT 'c_acctbal', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(c_acctbal) AS BIGINT),
+                   CAST(count(DISTINCT c_acctbal) AS BIGINT) FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(c_mktsegment) AS BIGINT),
+                   CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer"""))
+
+  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, dd7, rs1, ng1, cu1, lr1, sd1, ds1,
+    qs1, dq1)
 }
