@@ -195,6 +195,10 @@ object Demo {
     val hop = EventStreams.hoppingTypeCounts(ev,
       windowLen = "1 hour", slide = "30 minutes")
     println(s"[demo] hopping windows = ${hop.count()}")
+    val attrib = EventStreams.intervalJoin(
+      ev.filter(col("eventType") === "click"),
+      ev.filter(col("eventType") === "purchase"), maxLag = "1 hour")
+    println(s"[demo] stream-join attributed pairs = ${attrib.count()}")
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File("/tmp/graft_partitioned"))
     graft.sources.Partitioning.writePartitioned(docs, "/tmp/graft_partitioned", "lang")

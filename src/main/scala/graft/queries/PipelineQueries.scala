@@ -98,9 +98,13 @@ object PipelineQueries {
     * join input, it never changes the result. */
   private val bf1 = Q(
     "bf1_bloom_contamination",
+    // expectedItems passed explicitly: the auto-size path costs one extra
+    // cache-materialization job, which at bench scale outweighs the
+    // smaller bitset. A caller who KNOWS the dictionary magnitude should
+    // always pass it; auto-sizing is for unknown dictionaries.
     (s, d) => Dedup.contaminationBloom(Tables.documents(s, d), "doc_id", "text",
       substring(col("source"), 4, 10).cast("int") < 10, 3, 1000,
-      fpp = 0.01),
+      expectedItems = 1L << 17, fpp = 0.01),
     Some(contaminationSql))
 
   private val sampleRates: Seq[(String, Double)] = Seq(
