@@ -246,6 +246,54 @@ class PropertySpec extends SparkSpec {
     assert(matched >= orders && matched <= 2 * orders, s"$matched vs $orders")
   }
 
+  test("eq1: quantized codes round-trip within half a step; layout-invariant") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.QueryCatalog.byName("eq1_int8_quantize")
+      .run(spark, sfDir)
+    // codes in [0,255]; reconstruction error bounded by half a quantization
+    // step of the widest dimension seen in the output
+    assert(out.filter(col("q") < 0 || col("q") > 255).count() == 0)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("k0", "x")))
+      .agg(max(col("x").cast("double")) - min(col("x").cast("double")))
+      .collect()(0).getDouble(0)
+    val maxErr = out.agg(max(col("err"))).collect()(0).getDouble(0)
+    // + 1e-6: err is rounded to 6 decimals in the output
+    assert(maxErr <= emb / 255.0 / 2.0 + 1e-6, s"err $maxErr vs step ${emb / 255}")
+    // repartitioning the input must not change a single code
+    val a = out.orderBy("vec_id", "k").collect().toSeq
+    val b = graft.queries.QueryCatalog.byName("eq1_int8_quantize")
+      .run(spark, sfDir).repartition(7).orderBy("vec_id", "k").collect().toSeq
+    assert(a == b)
+  }
+
+  test("so1: set-op result is exactly the filter-built membership sets") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    def users(t: String, v: Double) = ev
+      .filter(col("event_type") === t && col("value") > v)
+      .select("user_id").distinct().as[Long].collect().toSet
+    val expect = (users("click", 90) & users("purchase", 90)) -- users("error", 95)
+    val got = graft.queries.QueryCatalog.byName("so1_intersect_except")
+      .run(spark, sfDir).as[Long].collect().toSet
+    assert(got == expect)
+  }
+
+  test("w2: trailing-1h frame equals a per-row predicate recount") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.QueryCatalog.byName("w2_range_frame")
+      .run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val byUser = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    out.foreach { case (u, t, n) =>
+      val expect = byUser(u).count(x => x >= t - 3600000000L && x <= t)
+      assert(n == expect, s"user $u ts $t: $n vs $expect")
+    }
+  }
+
   test("gf1: per-user hours are contiguous; filled rows are all-zero") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.QueryCatalog.byName("gf1_gap_fill").run(spark, sfDir)
