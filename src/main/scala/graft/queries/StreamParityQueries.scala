@@ -200,6 +200,26 @@ object StreamParityQueries {
             FROM l JOIN r ON l.user_id = r.user_id
               AND r.tsu >= l.tsu AND r.tsu <= l.tsu + 3600000000"""))
 
+  /** S7 — stream-static broadcast enrichment (EventStreams.enrichStatic):
+    * events pick up the customer's market segment (dimension keyed by
+    * user id), then aggregate per (type, segment). Stateless — the only
+    * streaming join that needs NO watermark — and in batch exactly a
+    * broadcast left join under the aggregation. Unmatched users keep
+    * NULL segment (left-join semantics on both engines). */
+  private val s7 = Q(
+    "s7_stream_enrich",
+    (s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      EventStreams.enrichStatic(
+          Tables.events(s, d).select("user_id", "event_type"), dim, "user_id")
+        .groupBy("event_type", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT event_type, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+            FROM events LEFT JOIN customer ON user_id = c_custkey
+            GROUP BY 1, 2"""))
+
   /** A5 — delimited parameter-list scan steering a plan
     * (read.delim("genes.txt")[,1] + toupper, BRCA_path_stage_DESeq.R:7-9):
     * the Spark side reads a real tab-delimited file through CsvIO; the
@@ -219,5 +239,5 @@ object StreamParityQueries {
     Some("""SELECT p_partkey, p_type FROM part
             WHERE p_type IN ('ECONOMY','STANDARD')"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, a5)
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, a5)
 }

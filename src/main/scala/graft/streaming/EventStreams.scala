@@ -211,6 +211,15 @@ object EventStreams extends Serializable {
         col(s"__first.$tsCol").as(tsCol),
         col(s"__first.$tieBreak").as(tieBreak)): _*)
 
+  /** Stream-static broadcast enrichment — the stateless streaming join:
+    * each micro-batch joins against the (small) static dimension with NO
+    * state at all, so it composes freely before any stateful stage. The
+    * dim is re-resolved per micro-batch (a dim UPDATE is picked up on the
+    * next batch — the standard slowly-changing-dimension behavior). In
+    * batch the same call is a plain broadcast hash join. */
+  def enrichStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Watermarked stream-stream interval join — the attribution shape
     * (click → purchases of the same user within `maxLag` AFTER the
     * click). Both sides carry a watermark and the join predicate bounds

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, count, expr, lit, timestamp_micros, window}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{Event, EventStreams}
 
@@ -255,6 +255,50 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
     assert(batch == Set((1L, 1.0, 10.0), (1L, 1.0, 70.0),
       (1L, 7.0, 10.0), (1L, 7.0, 70.0)))
+  }
+
+  test("enrichStatic joins each micro-batch to the dim; no state required") {
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("userId", "tier")
+    val q = EventStreams.enrichStatic(src.toDF(), dim, "userId")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(Event(1, ts(1), "click", 1.0), Event(3, ts(2), "click", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich").select("userId", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(got == Set((1L, Some("gold")), (3L, None))) // left join keeps 3
+    } finally q.stop()
+  }
+
+  test("multi-stateful pipeline: windowed agg downstream of the stream join") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = EventStreams.intervalJoin(clicks.toDF(), buys.toDF(),
+      maxLag = "5 minutes", watermark = "1 minute")
+    val q = joined
+      .groupBy(window(col("l_ts"), "10 minutes").as("win"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("joinagg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Event(1, ts(1), "click", 1.0))
+      buys.addData(Event(1, ts(3), "purchase", 10.0),
+        Event(1, ts(4), "purchase", 11.0))
+      q.processAllAvailable()
+      // push both watermarks far ahead so the join emits AND the window closes
+      clicks.addData(Event(9, ts(50), "click", 0.0))
+      buys.addData(Event(9, ts(50), "purchase", 0.0))
+      q.processAllAvailable()
+      clicks.addData(Event(9, ts(59), "click", 0.0))
+      buys.addData(Event(9, ts(59), "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("joinagg").select("n").collect().map(_.getLong(0))
+      assert(got.contains(2L), got.mkString(",")) // u1's two attributed pairs
+    } finally q.stop()
   }
 
   test("dedupKeepFirst is the batch twin: min (ts, tieBreak) row per key") {
