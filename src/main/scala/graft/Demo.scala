@@ -26,7 +26,7 @@ object Demo {
 
     val ev = Tables.events(spark, sfDir).select(
       col("user_id").as("userId"),
-      EventStreams.nanosToTs(col("ts")).as("ts"),
+      Tables.eventTs.as("ts"),
       col("event_type").as("eventType"), col("value"))
     val win = EventStreams.windowedTypeCounts(ev, windowLen = "1 hour")
     println(s"[demo] windowed rows = ${win.count()}")

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Loaders for the driver-provided star-schema parquet tables
   * (see /root/repo/TESTDATA.md). Every query receives the sf directory at
@@ -32,9 +33,30 @@ object Tables {
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4 rejects;
-    // read nanos as LongType (epoch-nanos) instead of failing the scan.
+    // Older driver-generated events.parquet carried TIMESTAMP(NANOS), which
+    // vanilla Spark 4 rejects outright; the legacy conf reads those as
+    // epoch-nanos LongType instead of failing the scan. Current testdata
+    // writes timestamp[us] (TIMESTAMP_NTZ to Spark) — the conf is then a
+    // no-op, kept so both generations of data load.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** SQL for `events.ts` (TIMESTAMP_NTZ, µs precision) as epoch
+    * microseconds — timezone-INdependent: the NTZ wall time is diffed
+    * against the epoch instead of cast through the session zone. DuckDB
+    * oracle twin: `epoch_us(ts)`. */
+  val eventTsMicrosSql: String =
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+  /** `events.ts` as epoch-µs BIGINT (see [[eventTsMicrosSql]]). */
+  def eventTsMicros: Column = expr(eventTsMicrosSql)
+
+  /** `events.ts` as TimestampType for the streaming/window paths (watermark,
+    * `window()`, typed Event encoders use java.sql.Timestamp). The NTZ→TZ
+    * cast reads the wall time in the session zone — every session builder
+    * in this repo pins `spark.sql.session.timeZone=UTC`, making it the
+    * identity on instants and keeping `unix_micros`/`unix_timestamp`
+    * parity with the oracle's `epoch_us`/`epoch`. */
+  def eventTs: Column = expr("cast(ts as timestamp)")
 }

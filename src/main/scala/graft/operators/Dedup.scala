@@ -329,21 +329,26 @@ object Dedup {
     * dictionary rides the scan as a narrow `bloom_might_contain` filter —
     * only probe-passing shingles (true hits + fpp·|clean|) reach the
     * exact verify join. Per-doc totals come from a separate partial+final
-    * count over the unfiltered stream (cheap: no join, map-side combine).
-    * Output and semantics are IDENTICAL to `contamination` — the sketch
-    * only prunes the join input, false positives are removed by the exact
-    * semi join. */
+    * distinct-count over the unfiltered stream (cheap: no join, map-side
+    * partial aggregation). Output and semantics are IDENTICAL to
+    * `contamination` — the sketch only prunes the join input, false
+    * positives are removed by the exact semi join.
+    *
+    * Deliberately NOTHING fact-sized is persisted — the test-side shingle
+    * stream is scanned twice (totals, probe) instead. Caching the full
+    * (doc, shingle) pair frame would be impossible at the 100 TB scale
+    * this variant exists for, and benching showed the cache
+    * write+read even LOSES to the second scan at small scale. Only the
+    * dictionary (bounded by the train corpus vocabulary, further capped)
+    * is cached, for the sketch build + verify join. */
   def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
       trainFlag: Column, n: Int, maxShingleTrainDocs: Int = 1000,
       expectedItems: Long = 0L, fpp: Double = 0.03): DataFrame = {
     val spark = docs.sparkSession
     graft.expressions.GraftFunctions.register(spark)
-    val sh = spread(docs).select(col(idCol).as("doc_id"), trainFlag.as("is_train"),
-        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
-      .distinct()
-      .persist()
-    graft.Caches.releaseAfterAction(sh)
-    val trainSh = sh.filter(col("is_train"))
+    val pairs = spread(docs).select(col(idCol).as("doc_id"), trainFlag.as("is_train"),
+      explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+    val trainSh = pairs.filter(col("is_train")).select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("__ndocs"))
       .filter(col("__ndocs") <= maxShingleTrainDocs)
       .select("sh")
@@ -355,17 +360,19 @@ object Dedup {
     // an RDD job on the persisted frame — it materializes the cache the
     // treeAggregate reads next, and (deliberately) does NOT fire the
     // QueryExecutionListener that releaseAfterAction registered, so the
-    // caches stay live for the caller's consuming action.
+    // cache stays live for the caller's consuming action.
     val sized =
       if (expectedItems > 0) expectedItems
       else math.max(trainSh.rdd.count(), 1L << 10)
     val bytes = bloomOf(trainSh, "sh", sized, fpp)
     log.info(s"contaminationBloom: sketch of ${bytes.length} bytes " +
       s"(expectedItems=$sized, fpp=$fpp)")
-    val test = sh.filter(!col("is_train")).select("doc_id", "sh")
-    val totals = test.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val test = pairs.filter(!col("is_train")).select("doc_id", "sh")
+    val totals = test.groupBy("doc_id")
+      .agg(count_distinct(col("sh")).as("n_sh"))
     val hits = test
       .filter(call_function("bloom_might_contain", lit(bytes), col("sh")))
+      .distinct()
       .join(trainSh, Seq("sh"), "leftsemi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     totals.join(hits, Seq("doc_id"))

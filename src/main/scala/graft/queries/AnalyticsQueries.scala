@@ -89,7 +89,7 @@ object AnalyticsQueries {
     "se1_sessionize",
     (s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("tsu"), col("value"))
+        Tables.eventTsMicros.as("tsu"), col("value"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
       ev.withColumn("prev", lag(col("tsu"), 1).over(w))
         .withColumn("brk",
@@ -296,7 +296,7 @@ object AnalyticsQueries {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
         .rangeBetween(-3600000000L, 0)
       Tables.events(s, d)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        .select(col("user_id"), Tables.eventTsMicros.as("ts_us"),
           col("event_id"), col("value"))
         .select(col("user_id"), col("ts_us"), col("event_id"),
           count(lit(1)).over(w).as("n_1h"),
@@ -464,7 +464,7 @@ object AnalyticsQueries {
     "gf1_gap_fill",
     (s, d) => {
       val ev = Tables.events(s, d).select(col("user_id"),
-        expr(s"(ts div 1000) div $hourUs").as("hour"), col("value"))
+        expr(s"(${Tables.eventTsMicrosSql}) div $hourUs").as("hour"), col("value"))
       val hourly = ev.groupBy("user_id", "hour")
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("v"))
       val spine = hourly.groupBy("user_id")
@@ -541,7 +541,7 @@ object AnalyticsQueries {
     "fn1_funnel",
     (s, d) => {
       val ev = Tables.events(s, d).select(col("user_id"),
-        expr("ts div 1000").as("tsu"), col("event_type"))
+        Tables.eventTsMicros.as("tsu"), col("event_type"))
       val su = ev.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min(col("tsu")).as("s_ts"))
       val cl = ev.filter(col("event_type") === "click")
@@ -585,7 +585,7 @@ object AnalyticsQueries {
     "co1_cohort_retention",
     (s, d) => {
       val ev = Tables.events(s, d).select(col("user_id"),
-        expr(s"(ts div 1000) div $weekUs").as("week"))
+        expr(s"(${Tables.eventTsMicrosSql}) div $weekUs").as("week"))
       val first = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
       val active = ev.distinct()
       active.join(first, "user_id")

@@ -159,7 +159,7 @@ object PipelineQueries {
   private val aj1 = Q(
     "aj1_asof_join",
     (s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val ev = Tables.events(s, d).withColumn("ts_us", Tables.eventTsMicros)
       val clicks = ev.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts_us", "value")
       val purchases = ev.filter(col("event_type") === "purchase")

@@ -435,7 +435,7 @@ object RelationalQueries {
     (s, d) => {
       def daily(t: String) = Tables.events(s, d)
         .filter(col("event_type") === t)
-        .select(expr("ts div 1000 div 86400000000").as("day_num"))
+        .select(expr(s"(${Tables.eventTsMicrosSql}) div 86400000000").as("day_num"))
         .groupBy("day_num").agg(count(lit(1)).as(s"n_$t"))
       daily("click").join(daily("purchase"), Seq("day_num"), "full_outer")
         .select(col("day_num"),

@@ -20,7 +20,7 @@ object StreamParityQueries {
     "s1_stream_window",
     (s, d) => {
       val ev = Tables.events(s, d).select(
-        EventStreams.nanosToTs(col("ts")).as("ts"),
+        Tables.eventTs.as("ts"),
         col("event_type").as("eventType"), col("value"))
       EventStreams.windowedTypeCounts(ev, windowLen = "1 hour")
         .select(unix_timestamp(col("win_start")).as("win_start_epoch"),
@@ -43,7 +43,7 @@ object StreamParityQueries {
     "s5_stream_hopping",
     (s, d) => {
       val ev = Tables.events(s, d).select(
-        EventStreams.nanosToTs(col("ts")).as("ts"),
+        Tables.eventTs.as("ts"),
         col("event_type").as("eventType"), col("value"))
       EventStreams.hoppingTypeCounts(ev, windowLen = "1 hour", slide = "30 minutes")
         .select(unix_timestamp(col("win_start")).as("win_start_epoch"),
@@ -63,14 +63,13 @@ object StreamParityQueries {
   /** S2 — streaming exact dedup, batch-replayed: dedupKeepFirst is the
     * batch twin of EventStreams.dedupStream (dropDuplicatesWithinWatermark)
     * — keep the earliest (ts, event_id) row per content key. Ordering and
-    * output use the MICROSECOND domain on both sides: DuckDB scans the
-    * nanos parquet timestamp at µs precision, so raw-nanos output would
-    * differ in the last three digits (`ts div 1000` ≡ `epoch_us(ts)`). */
+    * output use the MICROSECOND epoch domain on both sides
+    * (`Tables.eventTsMicros` ≡ `epoch_us(ts)`). */
   private val s2 = Q(
     "s2_stream_dedup",
     (s, d) =>
       EventStreams.dedupKeepFirst(
-          Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+          Tables.events(s, d).withColumn("ts_us", Tables.eventTsMicros),
           Seq("user_id", "event_type", "value"), "ts_us", "event_id")
         .select(col("user_id"), col("event_type"),
           round(col("value"), 6).as("value"),
@@ -98,7 +97,7 @@ object StreamParityQueries {
       import s.implicits._
       val ev = Tables.events(s, d).select(
           col("user_id").as("userId"),
-          EventStreams.nanosToTs(col("ts")).as("ts"),
+          Tables.eventTs.as("ts"),
           col("event_type").as("eventType"), col("value"))
         .as[graft.streaming.Event]
       EventStreams.asOfEnrich(
@@ -141,7 +140,7 @@ object StreamParityQueries {
       import s.implicits._
       val ev = Tables.events(s, d).select(
           col("user_id").as("userId"),
-          EventStreams.nanosToTs(col("ts")).as("ts"),
+          Tables.eventTs.as("ts"),
           col("event_type").as("eventType"), col("value"))
         .as[graft.streaming.Event]
       EventStreams.sessionize(ev, gapSeconds = 1800)
@@ -178,7 +177,7 @@ object StreamParityQueries {
     (s, d) => {
       val ev = Tables.events(s, d).select(
         col("user_id").as("userId"),
-        EventStreams.nanosToTs(col("ts")).as("ts"),
+        Tables.eventTs.as("ts"),
         col("event_type").as("eventType"), col("value"))
       EventStreams.intervalJoin(
           ev.filter(col("eventType") === "click"),

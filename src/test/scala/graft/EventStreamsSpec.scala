@@ -82,7 +82,7 @@ class EventStreamsSpec extends SparkSpec {
     // over the driver-generated parquet (nanos ts), not a MemoryStream
     val sf = "/root/testdata/sf0.001"
     val batchEv = Tables.events(spark, sf).select(
-      EventStreams.nanosToTs(col("ts")).as("ts"),
+      Tables.eventTs.as("ts"),
       col("event_type").as("eventType"), col("value"))
     val expect = EventStreams.windowedTypeCounts(batchEv, windowLen = "1 hour")
       .select("win_start", "eventType", "n", "total_value")
@@ -94,7 +94,7 @@ class EventStreamsSpec extends SparkSpec {
       .schema(Tables.events(spark, sf).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
-      .select(EventStreams.nanosToTs(col("ts")).as("ts"),
+      .select(Tables.eventTs.as("ts"),
         col("event_type").as("eventType"), col("value"))
     val q = EventStreams.windowedTypeCounts(streamEv, windowLen = "1 hour")
       .select("win_start", "eventType", "n", "total_value")
@@ -110,7 +110,7 @@ class EventStreamsSpec extends SparkSpec {
   test("hopping windows: every event lands in len/slide windows; stream matches batch") {
     val sf = "/root/testdata/sf0.001"
     val batchEv = Tables.events(spark, sf).select(
-      EventStreams.nanosToTs(col("ts")).as("ts"),
+      Tables.eventTs.as("ts"),
       col("event_type").as("eventType"), col("value"))
     val hop = EventStreams.hoppingTypeCounts(batchEv,
       windowLen = "1 hour", slide = "30 minutes")
@@ -124,7 +124,7 @@ class EventStreamsSpec extends SparkSpec {
     val streamEv = spark.readStream
       .schema(Tables.events(spark, sf).schema)
       .parquet(dir.toString)
-      .select(EventStreams.nanosToTs(col("ts")).as("ts"),
+      .select(Tables.eventTs.as("ts"),
         col("event_type").as("eventType"), col("value"))
     val q = EventStreams.hoppingTypeCounts(streamEv,
         windowLen = "1 hour", slide = "30 minutes")
@@ -198,13 +198,13 @@ class EventStreamsSpec extends SparkSpec {
   test("batch asOfEnrich equals the AsOfJoin operator on the events table") {
     val sf = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, sf).select(
-      col("user_id").as("userId"), EventStreams.nanosToTs(col("ts")).as("ts"),
+      col("user_id").as("userId"), Tables.eventTs.as("ts"),
       col("event_type").as("eventType"), col("value")).as[Event]
     val enriched = EventStreams.asOfEnrich(
         ev.filter($"eventType" === "click"), ev.filter($"eventType" === "purchase"))
       .select($"userId", $"ts", $"value",
         $"rTs".as("r_ts"), $"rValue".as("r_value"))
-    val evDf = Tables.events(spark, sf).withColumn("ts_us", expr("ts div 1000"))
+    val evDf = Tables.events(spark, sf).withColumn("ts_us", Tables.eventTsMicros)
     val expect = graft.operators.AsOfJoin.asOf(
         evDf.filter($"event_type" === "click")
           .select($"user_id".as("userId"), $"ts_us", $"value"),

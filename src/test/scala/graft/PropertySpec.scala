@@ -285,7 +285,7 @@ class PropertySpec extends SparkSpec {
       .run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
     val ev = Tables.events(spark, sfDir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us")).collect()
+      .select(col("user_id"), Tables.eventTsMicros.as("ts_us")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val byUser = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     out.foreach { case (u, t, n) =>
