@@ -207,6 +207,17 @@ object Demo {
       .filter(col("lang") === "en")
     println(s"[demo] partition-pruned en docs = ${pruned.count()}")
 
+    // z-order layout: 2-D box predicates skip most file stat-boxes
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_zorder"))
+    graft.sources.Zorder.writeZordered(
+      Tables.events(spark, sfDir).select(col("user_id"), col("value")),
+      "/tmp/graft_zorder", Seq("user_id", "value"), files = 16)
+    val zBoxes = spark.read.parquet("/tmp/graft_zorder")
+      .groupBy(input_file_name()).agg(min("value").as("lo"), max("value").as("hi"))
+    val zHit = zBoxes.filter(col("lo") <= lit(40.0) && col("hi") >= lit(30.0)).count()
+    println(s"[demo] z-order: value-slab box intersects $zHit of ${zBoxes.count()} file boxes")
+
     // co-bucketed join: shuffle paid once at write time, none at join time
     graft.sources.Bucketing.writeBucketed(
       Tables.lineitem(spark, sfDir).select("l_partkey", "l_quantity"),

@@ -71,7 +71,7 @@ class EventStreamsSpec extends SparkSpec {
     assert(got(0).nEvents == 2 && got(1).nEvents == 1 && got(2).userId == 2L)
   }
 
-  test("nanosToTs converts the events.parquet epoch-nanos column") {
+  test("nanosToTs converts an epoch-nanos long column exactly") {
     val df = Seq(1767261600000000000L).toDF("ts_nanos")
       .select(EventStreams.nanosToTs($"ts_nanos").as("t"))
     assert(df.collect().head.getTimestamp(0) == Timestamp.valueOf("2026-01-01 10:00:00"))
@@ -79,7 +79,7 @@ class EventStreamsSpec extends SparkSpec {
 
   test("file-source stream: readStream over the events parquet matches batch") {
     // the real ingestion path: readStream -> transform -> writeStream,
-    // over the driver-generated parquet (nanos ts), not a MemoryStream
+    // over the driver-generated parquet, not a MemoryStream
     val sf = "/root/testdata/sf0.001"
     val batchEv = Tables.events(spark, sf).select(
       Tables.eventTs.as("ts"),
