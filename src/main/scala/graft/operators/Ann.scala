@@ -143,6 +143,13 @@ object Ann {
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
     assignWith(vectors, centroidLit(centroids))
 
+  /** Normalize + nearest-cell assignment in one narrow scan:
+    * `(id, vn, cell)` — the blocking primitive for cell-bounded pairwise
+    * work (SemDeDup-style semantic dedup composes on this). */
+  def assigned(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    assignWith(normalized(emb, idCol, vecCol), centroidLit(centroids))
+
   private def assignWith(vectors: DataFrame, cents: Column): DataFrame = {
     val best = aggregate(
       cents,

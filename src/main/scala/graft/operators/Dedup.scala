@@ -76,7 +76,7 @@ object Dedup {
     * never m²). The audit is LAZY: an `observe` metric counts the dropped
     * rows during the caller's own action (no extra Spark job at
     * plan-construction time) and a once-per-session listener logs it. */
-  private def capBuckets(df: DataFrame, keys: Seq[Column], maxBucket: Int,
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[Column], maxBucket: Int,
       what: String): DataFrame = {
     if (maxBucket == Int.MaxValue) df
     else {

@@ -123,5 +123,49 @@ object EmbeddingQueries {
                    END AS err
             FROM ex JOIN st ON ex.k = st.k"""))
 
-  def all: Seq[Q] = Seq(rp1, pc1, eq1)
+  /** SD2 — SemDeDup-style semantic dedup (Corpus.semanticDuplicates):
+    * k-means cells block the pair space, exact within-cell cosine at
+    * ≥ 0.9, components + min-id keeper election. The corpus carries no
+    * natural pair above cos 0.52, so the qualifying set is exactly the
+    * injected deterministic twins (every vec_id ≡ 0 mod 97 re-added
+    * shifted by 1e6 — fz1's non-vacuous-oracle pattern); identical
+    * vectors always co-assign, so the learned blocking provably cannot
+    * split a qualifying pair and the UNBLOCKED declarative oracle (all
+    * pairs + recursive-CTE closure, dd6's family) states the same set. */
+  private val sd2 = Q(
+    "sd2_semantic_dedup",
+    (s, d) => {
+      val base = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val twins = base.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      graft.api.Corpus.semanticDuplicates(
+        base.unionByName(twins), cosMin = 0.9, cells = 4)
+    },
+    Some {
+      val dot = """list_reduce(list_transform(range(1, 65),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+          (x, y) -> x + y)"""
+      s"""WITH RECURSIVE
+          e0 AS (SELECT vec_id, embedding FROM embeddings
+                 UNION ALL
+                 SELECT vec_id + 1000000, embedding FROM embeddings
+                 WHERE vec_id % 97 = 0),
+          e AS (SELECT vec_id, embedding,
+                  sqrt(list_reduce(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y)) AS nrm
+                FROM e0),
+          p AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM e a JOIN e b
+                ON a.vec_id < b.vec_id AND $dot / (a.nrm * b.nrm) >= 0.9),
+          ed AS (SELECT ia AS a, ib AS b FROM p
+                 UNION SELECT ib, ia FROM p),
+          walk(id, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM ed)
+            UNION
+            SELECT ed.a, w.r FROM ed JOIN walk w ON ed.b = w.id)
+          SELECT id AS vec_id, min(r) AS comp, (id = min(r)) AS keeper
+          FROM walk GROUP BY id"""
+    })
+
+  def all: Seq[Q] = Seq(rp1, pc1, eq1, sd2)
 }

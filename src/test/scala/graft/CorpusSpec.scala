@@ -140,4 +140,23 @@ class CorpusSpec extends SparkSpec {
     val approx = Corpus.searchTopKApprox(emb, q, topK = 3, cells = 8, nProbe = 8)
     assert(approx.exceptAll(exact).count() == 0 && exact.exceptAll(approx).count() == 0)
   }
+
+  test("semanticDuplicates: planted near-identical vectors cluster, keeper = min id") {
+    // two tight semantic groups ({1,2,3} around e1, {10,11} around e2,
+    // transitively linked through the middle member) + two singletons far
+    // from everything; magnitudes differ inside groups — cosine ignores them
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    val emb = Seq(
+      (1L, v(1.0, 0.0, 0.01)), (2L, v(2.0, 0.0, 0.0)), (3L, v(0.98, 0.0, -0.01)),
+      (10L, v(0.0, 5.0, 0.0)), (11L, v(0.0, 0.9, 0.02)),
+      (20L, v(0.0, 0.0, 1.0)), (21L, v(1.0, 1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Corpus.semanticDuplicates(emb, cosMin = 0.99, cells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byComp = out.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._1).toSet }
+    assert(byComp == Map(1L -> Set(1L, 2L, 3L), 10L -> Set(10L, 11L)), byComp)
+    assert(out.filter(_._3).map(_._1).toSet == Set(1L, 10L)) // keepers
+    // singletons never appear
+    assert(!out.exists(r => r._1 == 20L || r._1 == 21L))
+  }
 }

@@ -300,4 +300,16 @@ class PlanSpec extends SparkSpec {
     assert(nodes.exists { case _: BaseAggregateExec => true; case _ => false })
     assertNoPartitionWindowsBounded(df, "hh1")
   }
+
+  test("sd2 semantic dedup: cell-blocked pair join, no cartesian, windows keyed") {
+    // the component walk checkpoints (lineage truncated), so the guard
+    // runs on the exposed pair stage — the part with a pair space to lose
+    val df = graft.api.Corpus.semanticDuplicatePairs(
+      Tables.embeddings(spark, dir), cosMin = 0.9, cells = 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("cosine_sim"), p) // fused codegen cosine on the pair space
+    assertNoPartitionWindowsBounded(df, "sd2")
+  }
 }
