@@ -45,8 +45,12 @@ object Components {
     * across thousands of tasks. */
   private val RowsPerPartition = 2000000L
 
+  /** @param rowsPerPartition loop-shuffle sizing override (tests force a
+    *        small value to exercise the multi-partition propagation loop
+    *        on small fixtures; production callers keep the default) */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25,
+      rowsPerPartition: Long = RowsPerPartition): DataFrame = {
     val spark = edges.sparkSession
     // symmetrize in ONE scan of the (often expensive — an LSH candidate
     // plan) edge subtree: explode each pair into both orientations. The
@@ -62,7 +66,7 @@ object Components {
     val nEdges = sym0.count() // also materializes the persist
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
-      nEdges / RowsPerPartition + 1)).toInt
+      nEdges / rowsPerPartition + 1)).toInt
     // re-lay the edge frame on the loop's partitioning only when it is
     // smaller than the session default (the whole point: tiny pair sets
     // should not pay 32-way shuffles per round); a big frame stays put
@@ -113,6 +117,18 @@ object Components {
     // a node split across partitions carries one root per partition — fold
     // to the min (still an id inside the node's own component, so the
     // min-label invariant holds)
+    // Single-partition edge frame: the union-find seed saw EVERY edge, so
+    // it already IS the global fixpoint — skip the propagation loop (and
+    // its per-round checkpoint jobs) instead of running one round just to
+    // observe changed=0. Small pair sets (the common case for verified
+    // near-dup pairs) pay one narrow pass; the loop below is the
+    // multi-partition scale path.
+    if (sym.rdd.getNumPartitions == 1) {
+      val out = seed.groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      sym.unpersist(blocking = false)
+      return out
+    }
     var labels = seed.groupBy("id").agg(min(col("comp")).as("comp"))
       .repartition(parts, col("id"))
       .localCheckpoint(true)

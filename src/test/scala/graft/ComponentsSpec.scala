@@ -40,4 +40,23 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet === Set(1L))
     assert(got.size === 40)
   }
+
+  test("multi-partition loop path agrees with the single-partition fixpoint") {
+    // small rowsPerPartition forces the edge frame across several loop
+    // partitions, exercising hook+jump propagation (the 100 TB path that
+    // the single-partition union-find short-circuit otherwise hides)
+    import spark.implicits._
+    val chain = (1L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (200L, 201L))
+    val df = chain.toDF("a", "b")
+    val looped = graft.operators.Components
+      .connectedComponents(df, "a", "b", rowsPerPartition = 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = graft.operators.Components
+      .connectedComponents(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(looped === direct)
+    assert(looped.filter(_._1 < 100).values.toSet === Set(1L))
+    assert(looped(102L) === 100L && looped(201L) === 200L)
+  }
 }
