@@ -36,7 +36,9 @@ private final case class AsOfRef(tsUs: Long, value: Double)
   */
 object EventStreams extends Serializable {
 
-  /** events.parquet carries epoch-nanos longs (read via nanosAsLong);
+  /** Generic epoch-nanos long → TimestampType (kept for nanos-typed
+    * sources; the current events table is timestamp[us] — use
+    * `Tables.eventTs`/`eventTsMicros` for it);
     * convert to an event-time timestamp column. Column `/` is DOUBLE
     * division and epoch nanos (~1.7e18) exceed double's 2^53 exact range —
     * the naive `(nanos / 1000).cast("long")` lands ±1 µs off. Decimal
