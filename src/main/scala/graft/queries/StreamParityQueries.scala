@@ -219,6 +219,32 @@ object StreamParityQueries {
             FROM events LEFT JOIN customer ON user_id = c_custkey
             GROUP BY 1, 2"""))
 
+  /** S8 — windowed frequent-items through the custom `freq_sketch`
+    * TypedImperativeAggregate (EventStreams.windowedFrequentTypes),
+    * batch-replayed: a Misra–Gries sketch of the event-type stream per
+    * 1-hour window. Sketch capacity (64) far exceeds the 5-type
+    * alphabet, so the MG counts are EXACT and the oracle states plain
+    * per-(window, type) counts plus the window total. The streaming-mode
+    * twin (sketch state merging across micro-batches in the state
+    * store) is spec-tested in EventStreamsSpec. */
+  private val s8 = Q(
+    "s8_stream_freq_sketch",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(Tables.eventTs.as("ts"),
+        col("event_type").as("eventType"), col("value"))
+      EventStreams.windowedFrequentTypes(ev, windowLen = "1 hour")
+        .select(unix_timestamp(col("win_start")).as("win_start_epoch"),
+          col("event_type"), col("cnt"), col("win_total"))
+    },
+    Some("""WITH e AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+                         event_type
+                       FROM events)
+            SELECT CAST(epoch(w) AS BIGINT) AS win_start_epoch, event_type,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(count(*)) OVER (PARTITION BY w) AS BIGINT)
+                     AS win_total
+            FROM e GROUP BY w, event_type"""))
+
   /** A5 — delimited parameter-list scan steering a plan
     * (read.delim("genes.txt")[,1] + toupper, BRCA_path_stage_DESeq.R:7-9):
     * the Spark side reads a real tab-delimited file through CsvIO; the
@@ -238,5 +264,5 @@ object StreamParityQueries {
     Some("""SELECT p_partkey, p_type FROM part
             WHERE p_type IN ('ECONOMY','STANDARD')"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, a5)
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, a5)
 }

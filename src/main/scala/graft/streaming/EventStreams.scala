@@ -84,6 +84,29 @@ object EventStreams extends Serializable {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("eventType"), col("n"), col("total_value"))
 
+  /** Windowed frequent-items via the Misra–Gries `freq_sketch`
+    * TypedImperativeAggregate — custom mergeable sketch STATE inside
+    * Structured Streaming: partial sketches serialize into the streaming
+    * state store and merge across micro-batches exactly as map-side
+    * partials merge in batch, so per-window state is O(k) regardless of
+    * event volume. With `k` ≥ the live alphabet the MG counts are exact
+    * (no decrements ever fire), which is what the batch-parity oracle
+    * states declaratively; undersized k degrades to the usual
+    * (cnt, cnt + n/k) frequency bounds.
+    * @return `(win_start, event_type, cnt, win_total)` */
+  def windowedFrequentTypes(events: DataFrame, tsCol: String = "ts",
+      watermark: String = "10 minutes", windowLen: String = "1 hour",
+      k: Int = 64): DataFrame = {
+    graft.expressions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(call_function("freq_sketch", col("eventType"), lit(k)).as("sk"))
+      .select(col("window.start").as("win_start"), explode(col("sk")).as("e"))
+      .select(col("win_start"), col("e.item").as("event_type"),
+        col("e.cnt").as("cnt"), col("e.n").as("win_total"))
+  }
+
   /** Per-user session assembly via flatMapGroupsWithState with event-time
     * timeout: a session closes after `gapSeconds` of silence (emitted on
     * watermark passage in streaming; batch mode emits every session, the

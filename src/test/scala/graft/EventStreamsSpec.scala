@@ -107,6 +107,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("freq_sketch state merges across micro-batches; stream matches batch") {
+    val sf = "/root/testdata/sf0.001"
+    val batchEv = Tables.events(spark, sf).select(
+      Tables.eventTs.as("ts"),
+      col("event_type").as("eventType"), col("value"))
+    val expect = EventStreams.windowedFrequentTypes(batchEv, windowLen = "1 hour")
+    // split the table into several files so the sketch buffers must
+    // serialize into the state store and MERGE across micro-batches —
+    // one file per trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mg")
+    Tables.events(spark, sf).repartition(3)
+      .write.mode("overwrite").parquet(dir.toString)
+    val streamEv = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .select(Tables.eventTs.as("ts"),
+        col("event_type").as("eventType"), col("value"))
+    val q = EventStreams.windowedFrequentTypes(streamEv, windowLen = "1 hour")
+      .writeStream.format("memory").queryName("file_stream_mg")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_stream_mg")
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        s"stream=${got.count()} batch=${expect.count()}")
+    } finally q.stop()
+  }
+
   test("hopping windows: every event lands in len/slide windows; stream matches batch") {
     val sf = "/root/testdata/sf0.001"
     val batchEv = Tables.events(spark, sf).select(

@@ -305,4 +305,27 @@ class PropertySpec extends SparkSpec {
     val badFill = out.filter(col("n_events") === 0 && col("total_value") =!= 0.0)
     assert(badFill.count() == 0)
   }
+
+  test("zorder interleave is a bijection: deinterleave recovers every rank") {
+    import org.apache.spark.sql.functions._
+    // scala-side inverse: bit i of rank j sits at interleaved position i*k+j
+    def deinterleave(z: Long, k: Int, bits: Int): Seq[Long] =
+      (0 until k).map { j =>
+        (0 until bits).foldLeft(0L)((acc, i) =>
+          acc | (((z >> (i * k + j)) & 1L) << i))
+      }
+    val bits = 5
+    val cases = samples(for {
+      a <- Gen.chooseNum(0L, 31L); b <- Gen.chooseNum(0L, 31L)
+      c <- Gen.chooseNum(0L, 31L)
+    } yield (a, b, c), 40)
+    val df = cases.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        graft.sources.Zorder.interleave(Seq(col("a"), col("b"), col("c")), bits).as("z"))
+    df.collect().foreach { r =>
+      val got = deinterleave(r.getLong(3), 3, bits)
+      assert(got == Seq(r.getLong(0), r.getLong(1), r.getLong(2)),
+        s"z=${r.getLong(3)} -> $got")
+    }
+  }
 }
