@@ -301,6 +301,19 @@ class PlanSpec extends SparkSpec {
     assertNoPartitionWindowsBounded(df, "hh1")
   }
 
+  test("s8 freq-sketch window: one typed-imperative agg, no WindowExec") {
+    val df = QueryCatalog.byName("s8_stream_freq_sketch").run(spark, dir)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    // win_total rides the sketch's own n — the per-window total needs no
+    // second agg pass and no window function
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      df.queryExecution.executedPlan.toString)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("sd2 semantic dedup: cell-blocked pair join, no cartesian, windows keyed") {
     // the component walk checkpoints (lineage truncated), so the guard
     // runs on the exposed pair stage — the part with a pair space to lose
