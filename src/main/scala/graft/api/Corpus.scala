@@ -91,18 +91,39 @@ object Corpus {
   /** Near-dup CLUSTERS with keeper election: [[nearDuplicates]] pairs →
     * connected components (duplicate relations are transitive in effect —
     * A≈B, B≈C means keep one of the three) → keeper = the component's
-    * minimum doc id. Returns one row per clustered doc:
-    * `(doc_id, comp, keeper Boolean)`; docs with no near-dup stay out
-    * (they are all keepers trivially). */
+    * minimum doc id, or, when `keeperBy` is given, the member maximizing
+    * that SCORE (min id breaks ties) — the realistic election: keep the
+    * highest-quality exemplar, not the accident of id order. Returns one
+    * row per clustered doc: `(doc_id, comp, keeper Boolean)`; docs with
+    * no near-dup stay out (they are all keepers trivially).
+    *
+    * Scale shape of the scored election: one broadcast-able join of the
+    * node-sized component frame back to the scores, then a window
+    * PARTITIONED BY component — state bounded by the largest duplicate
+    * cluster, never the corpus. */
   def dedupClusters(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3, numHashes: Int = 6,
       bandsOf: Int = 2, jaccardMin: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, keeperBy: Option[Column] = None): DataFrame = {
     val pairs = nearDuplicates(docs, idCol, textCol, shingleN, numHashes,
       bandsOf, jaccardMin, maxBucket)
-    graft.operators.Components.connectedComponents(pairs, "doc_a", "doc_b")
-      .select(col("id").as(idCol), col("comp"),
-        (col("id") === col("comp")).as("keeper"))
+    val comps = graft.operators.Components
+      .connectedComponents(pairs, "doc_a", "doc_b")
+    keeperBy match {
+      case None =>
+        comps.select(col("id").as(idCol), col("comp"),
+          (col("id") === col("comp")).as("keeper"))
+      case Some(score) =>
+        val scored = docs.select(col(idCol).cast("long").as("id"),
+          score.as("__score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("comp"))
+          .orderBy(col("__score").desc, col("id").asc)
+        comps.join(scored, "id")
+          .withColumn("__rk", row_number().over(w))
+          .select(col("id").as(idCol), col("comp"),
+            (col("__rk") === 1).as("keeper"))
+    }
   }
 
   /** Deterministic corpus subsample (SM1): keep iff

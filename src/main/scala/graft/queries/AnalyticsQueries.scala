@@ -77,6 +77,61 @@ object AnalyticsQueries {
                round(exp(-(s / n_tokens)), 6) AS ppl
              FROM d"""))
 
+  /** CC1 — CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): per LANGUAGE, documents sort by LM perplexity and split into
+    * head / middle / tail terciles — the canonical crawl-curation gate
+    * (train on head+middle, drop or down-weight tail). Thresholds come
+    * from the two-phase exact quantile (`Ranks.quantiles` — rank
+    * `ceil(n·q)` under a (ppl, doc_id) order, no one-task sort), rounded
+    * ppl on BOTH engines so the tercile boundaries agree bit-for-bit;
+    * the threshold frame is language-cardinality and broadcasts. */
+  private val cc1 = Q(
+    "cc1_ccnet_buckets",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scores = graft.api.Corpus.languageModelScores(docs)
+        .select(col("doc_id"), round(col("ppl"), 6).as("ppl"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val th = Ranks.quantiles(scores, Seq("lang"), "ppl", "doc_id",
+        Seq(("t1", 1.0 / 3), ("t2", 2.0 / 3))).drop("n")
+      scores.join(broadcast(th), "lang")
+        .withColumn("bucket",
+          when(col("ppl") <= col("t1"), "head")
+            .when(col("ppl") <= col("t2"), "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("ppl"), col("bucket"))
+    },
+    Some(s"""WITH t AS ($toksSql),
+             tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+             tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS k
+                    FROM tok GROUP BY 1, 2),
+             gc AS (SELECT term, CAST(sum(k) AS BIGINT) AS c FROM tc GROUP BY 1),
+             tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM gc),
+             sc0 AS (SELECT tc.doc_id,
+                       sum(CAST(tc.k AS DOUBLE)
+                         * ln(CAST(gc.c AS DOUBLE) / tot.t_total))
+                         / CAST(sum(tc.k) AS BIGINT) AS mlp
+                     FROM tc JOIN gc USING (term) CROSS JOIN tot
+                     GROUP BY tc.doc_id),
+             sc AS (SELECT sc0.doc_id, round(exp(-mlp), 6) AS ppl, lang
+                    FROM sc0 JOIN documents USING (doc_id)),
+             r AS (SELECT *,
+                     row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS rnk,
+                     count(*) OVER (PARTITION BY lang) AS n
+                   FROM sc),
+             th AS (SELECT lang,
+                      max(CASE WHEN rnk = CAST(ceil(n * (1.0/3)) AS BIGINT)
+                          THEN ppl END) AS t1,
+                      max(CASE WHEN rnk = CAST(ceil(n * (2.0/3)) AS BIGINT)
+                          THEN ppl END) AS t2
+                    FROM r GROUP BY lang)
+             SELECT doc_id, lang, ppl,
+               CASE WHEN ppl <= t1 THEN 'head'
+                    WHEN ppl <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+             FROM sc JOIN th USING (lang)"""))
+
   private val sessionGapUs = 1800L * 1000000L // 30 min
 
   /** SE1 — batch sessionization of the event stream (the batch twin of the
@@ -601,6 +656,6 @@ object AnalyticsQueries {
              FROM a JOIN f USING (user_id)
              GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(tf1, lm1, se1, ru1, wz1, fz1, w1, w2, ii1, bp1, bp2,
+  def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, wz1, fz1, w1, w2, ii1, bp1, bp2,
     lm2, gf1, hh1, fn1, co1)
 }

@@ -99,6 +99,21 @@ class CorpusSpec extends SparkSpec {
     assert(got(1L)._2 && !got(2L)._2 && !got(3L)._2)
   }
 
+  test("dedupClusters keeperBy: the highest-scoring member keeps, not the min id") {
+    val chain = Seq(
+      (1L, good),
+      (2L, good + " tail one"),
+      (3L, good + " tail one two"), // longest -> highest length score
+      (50L, "completely different content about catalyst planner internals here"))
+      .toDF("doc_id", "text")
+    val got = Corpus.dedupClusters(chain, jaccardMin = 0.3,
+        keeperBy = Some(length(col("text"))))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got.values.map(_._1).toSet === Set(1L)) // comp label still min id
+    assert(got(3L)._2 && !got(1L)._2 && !got(2L)._2) // longest doc elected
+  }
+
   test("fuzzyDuplicates: finds pairs across a length-band boundary exactly once") {
     import spark.implicits._
     // maxDist=20 → band width 21. len("x"*20)=20 (band 0), len("x"*22)=22
