@@ -72,6 +72,36 @@ object Sampling {
     *                mixture weight (should sum to ~1 across strata)
     * @param budget  fraction of the total corpus to keep overall
     */
+  /** Temperature-based mixture resampling (the multilingual sampling
+    * scheme of mBERT / XLM / mT5): target share q_s ∝ n_s^α, computed
+    * IN-PLAN from the stratum census itself — α = 1 reproduces the
+    * natural distribution, α → 0 the uniform one; 0.5–0.8 up-weights
+    * low-resource strata without drowning high-resource ones. Rates are
+    * rounded to 6 dp BEFORE the keep threshold: `pow` may differ in the
+    * last ulp across engines (libm vs java.lang.Math), and the rounding
+    * collapses that far below the threshold granularity, keeping the
+    * kept-set reproducible everywhere the hash60 predicate is.
+    * Same two-narrow-pass scale shape as [[mixtureResample]]. */
+  def temperatureResample(df: DataFrame, key: Column, stratum: Column,
+      alpha: Double, budget: Double): DataFrame = {
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__n_s"))
+      .withColumn("__w", pow(col("__n_s").cast("double"), lit(alpha)))
+    val total = counts.agg(sum(col("__w")).as("__z"),
+      sum(col("__n_s")).as("__n_total"))
+    // one fixed operation order, mirrored by the oracle
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("__rate",
+        round(least(lit(1.0),
+          lit(budget) * col("__n_total") * (col("__w") / col("__z")) /
+            col("__n_s")), 6))
+      .withColumn("__thr", floor(col("__rate") * lit(Space)).cast("long"))
+    df.join(broadcast(rates), stratum === col("__stratum"))
+      .filter(Dedup.hash60(key.cast("string")) < col("__thr"))
+      .withColumn("sample_rate", col("__rate"))
+      .drop("__stratum", "__n_s", "__w", "__z", "__n_total", "__rate", "__thr")
+  }
+
   def mixtureResample(df: DataFrame, key: Column, stratum: Column,
       weight: Column => Column, budget: Double): DataFrame = {
     val counts = df.groupBy(stratum.as("__stratum"))

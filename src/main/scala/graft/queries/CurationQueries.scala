@@ -164,6 +164,39 @@ object CurationQueries {
             < CAST(floor(r.rate * CAST(1152921504606846976 AS DOUBLE)) AS BIGINT)"""
     })
 
+  // ------------------------------------------------- tm1: temperature mix
+
+  private val tmAlpha = 0.7
+  private val tmBudget = 0.5
+
+  /** TM1 — temperature-based language mixture
+    * (Sampling.temperatureResample): per-language target share
+    * q_l ∝ n_l^0.7 derived from the census IN-PLAN (the mBERT/XLM/mT5
+    * multilingual sampling scheme — α up-weights low-resource languages),
+    * overall volume thinned to half. Rates are 6-dp-rounded before the
+    * keep threshold so engine `pow` ulp differences cannot flip a
+    * boundary doc; the oracle states the identical arithmetic. */
+  private val tm1 = Q(
+    "tm1_temperature_mix",
+    (s, d) => Sampling.temperatureResample(Tables.documents(s, d),
+        col("doc_id"), col("lang"), tmAlpha, tmBudget)
+      .select("doc_id", "lang", "source", "n_chars", "sample_rate"),
+    Some(s"""WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_s,
+                   pow(CAST(count(*) AS DOUBLE), $tmAlpha) AS w
+                 FROM documents GROUP BY lang),
+          tot AS (SELECT sum(w) AS z, CAST(sum(n_s) AS BIGINT) AS n_total
+                  FROM cnt),
+          r AS (SELECT lang,
+                  round(least(CAST(1.0 AS DOUBLE),
+                    CAST($tmBudget AS DOUBLE) * n_total * (w / z) / n_s), 6)
+                    AS rate
+                FROM cnt CROSS JOIN tot)
+          SELECT d.doc_id, d.lang, d.source, d.n_chars,
+            r.rate AS sample_rate
+          FROM documents d JOIN r ON d.lang = r.lang
+          WHERE ${hash60sql("CAST(d.doc_id AS VARCHAR)")}
+            < CAST(floor(r.rate * CAST(1152921504606846976 AS DOUBLE)) AS BIGINT)"""))
+
   // ------------------------------------------------------- dd7: incremental
 
   private val ddK = 6
@@ -583,6 +616,6 @@ object CurationQueries {
                    CAST(count(*) - count(c_mktsegment) AS BIGINT),
                    CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer"""))
 
-  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, dd7, rs1, ng1, cu1, lr1, sd1, ds1,
-    qs1, dq1)
+  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, cu1, lr1, sd1,
+    ds1, qs1, dq1)
 }

@@ -56,4 +56,25 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("temperatureResample: alpha=1 thins uniformly, alpha=0 targets equal counts") {
+    // skewed strata: 1800 of "a", 200 of "b"
+    val df = (1 to 2000).map(i => (i.toLong, if (i <= 1800) "a" else "b"))
+      .toDF("id", "grp")
+    // alpha = 1: q_s = n_s/N, so every stratum's rate is exactly the budget
+    val natural = Sampling.temperatureResample(df, col("id"), col("grp"), 1.0, 0.5)
+    val natRates = natural.select("grp", "sample_rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(natRates("a") == 0.5 && natRates("b") == 0.5, natRates)
+    // alpha = 0: q_s uniform, expected kept counts equal across strata
+    // (rate_b caps at 1.0 since budget*N/2 = 500 > n_b = 200)
+    val uniform = Sampling.temperatureResample(df, col("id"), col("grp"), 0.0, 0.5)
+    val uniRates = uniform.select("grp", "sample_rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(uniRates("b") == 1.0, uniRates)
+    assert(math.abs(uniRates("a") - 500.0 / 1800) < 1e-6, uniRates)
+    // the kept set is the hash predicate's: nested under a bigger budget
+    val bigger = Sampling.temperatureResample(df, col("id"), col("grp"), 1.0, 0.8)
+    assert(natural.select("id").exceptAll(bigger.select("id")).isEmpty)
+  }
 }
