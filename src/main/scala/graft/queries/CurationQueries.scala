@@ -448,6 +448,50 @@ object CurationQueries {
     },
     None)
 
+  // ------------------------------------------------------- dr1: mixture drift
+
+  /** DR1 — population-stability-index drift between two corpus snapshots
+    * (the monitoring metric a recurring crawl pipeline alarms on): per
+    * source, share in the old vs new snapshot (sd1's deterministic
+    * snapshot views) and the PSI contribution (p_new − p_old)·ln(p_new /
+    * p_old); Σ < 0.1 is the conventional "stable" band. Two stratum-
+    * cardinality censuses + broadcast totals — the corpus is touched by
+    * exactly two narrow passes, output is source-sized. */
+  private val dr1 = Q(
+    "dr1_mixture_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def census(f: Column) = docs.filter(f).groupBy("source")
+        .agg(count(lit(1)).as("n"))
+      val a = census(col("doc_id") % 17 =!= 3)
+        .select(col("source"), col("n").as("n_a"))
+      val b = census(col("doc_id") % 19 =!= 7)
+        .select(col("source"), col("n").as("n_b"))
+      val ta = a.agg(sum(col("n_a")).as("t_a"))
+      val tb = b.agg(sum(col("n_b")).as("t_b"))
+      a.join(b, "source")
+        .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+        .withColumn("p_old", col("n_a").cast("double") / col("t_a"))
+        .withColumn("p_new", col("n_b").cast("double") / col("t_b"))
+        .withColumn("psi",
+          round((col("p_new") - col("p_old")) * log(col("p_new") / col("p_old")), 6))
+        .select(col("source"), round(col("p_old"), 6).as("p_old"),
+          round(col("p_new"), 6).as("p_new"), col("psi"))
+    },
+    Some("""WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_a
+                       FROM documents WHERE doc_id % 17 <> 3 GROUP BY source),
+             b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_b
+                   FROM documents WHERE doc_id % 19 <> 7 GROUP BY source),
+             ta AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a FROM a),
+             tb AS (SELECT CAST(sum(n_b) AS BIGINT) AS t_b FROM b),
+             j AS (SELECT source,
+                     CAST(n_a AS DOUBLE) / t_a AS p_old,
+                     CAST(n_b AS DOUBLE) / t_b AS p_new
+                   FROM a JOIN b USING (source) CROSS JOIN ta CROSS JOIN tb)
+             SELECT source, round(p_old, 6) AS p_old, round(p_new, 6) AS p_new,
+               round((p_new - p_old) * ln(p_new / p_old), 6) AS psi
+             FROM j"""))
+
   // ------------------------------------------------------- sd1: snapshot diff
 
   /** SD1 — corpus snapshot diff (the dataset-versioning audit between two
@@ -617,5 +661,5 @@ object CurationQueries {
                    CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer"""))
 
   def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, cu1, lr1, sd1,
-    ds1, qs1, dq1)
+    dr1, ds1, qs1, dq1)
 }

@@ -151,4 +151,14 @@ class CurationSpec extends SparkSpec with Matchers {
     out.count() should be <= 50L
     out.columns.sorted shouldBe Array("doc_id", "n_tokens", "source", "weight")
   }
+
+  test("dr1: PSI contributions are non-negative and shares are distributions") {
+    import org.apache.spark.sql.functions._
+    val out = QueryCatalog.byName("dr1_mixture_drift").run(spark, sf)
+    // (p_new - p_old) and ln(p_new/p_old) always share sign
+    assert(out.filter(col("psi") < 0).count() == 0)
+    val sums = out.agg(sum("p_old"), sum("p_new")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-4, sums)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-4, sums)
+  }
 }
