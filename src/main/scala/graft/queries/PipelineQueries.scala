@@ -262,5 +262,42 @@ object PipelineQueries {
                (cum_tokens - 1) // $packBudget AS pack_id
              FROM c"""))
 
-  def all: Seq[Q] = Seq(x4, x5, x6, ct1, bf1, sm1, qt1, aj1, pk1)
+  /** PK2 — LENGTH-BUCKETED token packing (the padding-efficiency upgrade
+    * over pk1's in-order packing: batching docs of similar length keeps
+    * per-batch padding near zero — the standard tokenizer-aware batch
+    * sampler). Band = 4-tile of `n_tokens` through the two-phase ntile
+    * (no one-task window), then pk1's exact prefix-scan packing runs PER
+    * BAND — both stages are the scale-safe Ranks machinery, so pack
+    * boundaries stay bit-stable under any partitioning. Pack key =
+    * (band, pack_id). */
+  private val pk2 = Q(
+    "pk2_length_bucketed_packing",
+    (s, d) => {
+      val withTokens = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      val banded = Ranks.ntile(withTokens, Nil,
+        Seq(col("n_tokens"), col("doc_id")), 4, out = "band")
+      Ranks.prefixSum(banded, Seq(col("band")), Seq(col("doc_id")),
+          col("n_tokens"), out = "cum_tokens")
+        .withColumn("pack_id", expr(s"(cum_tokens - 1) div $packBudget"))
+        .select("doc_id", "n_tokens", "band", "cum_tokens", "pack_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+                 CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+                   AS n_tokens
+               FROM documents),
+             b AS (SELECT doc_id, n_tokens,
+                     ntile(4) OVER (ORDER BY n_tokens, doc_id) AS band
+                   FROM t),
+             c AS (SELECT doc_id, n_tokens, band,
+                     CAST(sum(n_tokens) OVER (PARTITION BY band ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS cum_tokens
+                   FROM b)
+             SELECT doc_id, n_tokens, band, cum_tokens,
+               (cum_tokens - 1) // $packBudget AS pack_id
+             FROM c"""))
+
+  def all: Seq[Q] = Seq(x4, x5, x6, ct1, bf1, sm1, qt1, aj1, pk1, pk2)
 }
