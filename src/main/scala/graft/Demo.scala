@@ -138,6 +138,12 @@ object Demo {
     val refCorpus = docs.filter(substring(col("source"), 4, 10).cast("int") < 15)
     val incr = graft.api.Corpus.incrementalDuplicates(newBatch, refCorpus)
     println(s"[demo] incremental near-dups vs reference = ${incr.count()}")
+    val semPairs = graft.api.Corpus.semanticDuplicatePairs(
+      Tables.embeddings(spark, sfDir), cosMin = 0.4, cells = 8)
+    println(s"[demo] semantic near-dup pairs (IVF-cell blocked) = ${semPairs.count()}")
+    val tempMix = graft.operators.Sampling.temperatureResample(
+      docs, col("doc_id"), col("lang"), alpha = 0.7, budget = 0.5)
+    println(s"[demo] temperature-mix (a=0.7) keeps ${tempMix.count()} of ${docs.count()}")
     graft.expressions.GraftFunctions.register(spark)
     val reservoir = docs.groupBy("lang")
       .agg(expr("priority_topk(CAST(n_chars AS DOUBLE), doc_id, 3)").as("top3"))
