@@ -144,6 +144,23 @@ object Demo {
     val tempMix = graft.operators.Sampling.temperatureResample(
       docs, col("doc_id"), col("lang"), alpha = 0.7, budget = 0.5)
     println(s"[demo] temperature-mix (a=0.7) keeps ${tempMix.count()} of ${docs.count()}")
+
+    // real image decode (java.desktop ImageIO): render PNGs, push them
+    // through the binary pipeline, decode + resize for real
+    val imgs = spark.createDataFrame((1 to 4).map { i =>
+      val img = new java.awt.image.BufferedImage(32, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 32).foreach(x =>
+        img.setRGB(x, y, (x * 8) << 16 | (y * 16) << 8 | i * 60)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (i.toLong, bos.toByteArray)
+    }).toDF("media_id", "payload")
+    val decoded = graft.operators.Multimodal.decodeImageFeatures(
+      graft.operators.Multimodal.resizeImage(imgs, 8, 8))
+    val okDims = decoded.filter(col("decode_ok") && col("width") === 8 &&
+      col("height") === 8).count()
+    println(s"[demo] real PNG decode+resize: $okDims/4 payloads at 8x8")
     graft.expressions.GraftFunctions.register(spark)
     val reservoir = docs.groupBy("lang")
       .agg(expr("priority_topk(CAST(n_chars AS DOUBLE), doc_id, 3)").as("top3"))

@@ -10,12 +10,16 @@ import org.apache.spark.sql.types._
   * transforms (`mapPartitions` — the Scala analogue of a vectorized batch
   * UDF: one task per input split, batched row iteration, no driver hop).
   *
-  * STUB NOTICE: this container ships no image/audio codecs, so
-  * `decodeFeatures`'s "decoder" is a clearly-marked deterministic fake
-  * (byte-level statistics standing in for pixel/sample decoding). The
-  * Spark-side contract — schema, binary payload handling, batch shape,
-  * partition distribution — is real and tested; swapping in a JNI/JavaCV
-  * codec changes only the bytes→features function.
+  * Codec status. STILL IMAGES and WAV AUDIO decode for REAL through the
+  * JDK's own codecs (`javax.imageio` PNG/JPEG/BMP/GIF readers and
+  * `javax.sound.sampled`'s WAV/PCM parser ship in the java.desktop
+  * module — no external dependency): [[decodeImageFeatures]],
+  * [[resizeImage]], [[decodeWavFeatures]]. VIDEO remains a documented
+  * stub — no video codec exists on the JVM classpath — so
+  * [[decodeFeatures]] (deterministic byte statistics) and
+  * [[frameSample]] (byte-window sampling) keep the codec-free
+  * byte-domain contract for it; swapping in a JNI/JavaCV codec changes
+  * only the bytes→features function.
   */
 object Multimodal {
 
@@ -46,9 +50,11 @@ object Multimodal {
     StructField("mean_byte", DoubleType),
     StructField("features", ArrayType(FloatType)))) // 8-bin byte histogram
 
-  /** Decode + feature-extract, batched per partition. The fake decoder is
-    * `???`-equivalent for real codecs: deterministic byte statistics in
-    * place of pixel decoding (see stub notice above). */
+  /** Codec-FREE decode stand-in, batched per partition: deterministic
+    * byte statistics in place of sample decoding. This is the path for
+    * payloads with no JVM codec (video — see the codec-status note) and
+    * the oracle-able mm1 pipeline; real still-image / WAV payloads use
+    * [[decodeImageFeatures]] / [[decodeWavFeatures]]. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd
@@ -78,6 +84,146 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, featureSchema)
+  }
+
+  private val imageFeatureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("decode_ok", BooleanType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_luma", DoubleType),
+    StructField("features", ArrayType(FloatType)))) // 8-bin luma histogram
+
+  /** REAL image decode + feature extraction through `javax.imageio`
+    * (PNG/JPEG/BMP/GIF — the JDK's built-in readers): per payload, the
+    * decoded dimensions, mean luminance (ITU-R BT.601 weights over the
+    * ARGB pixels) and an 8-bin luminance histogram. Undecodable payloads
+    * are KEPT with `decode_ok = false` and NULL features — the quarantine
+    * pattern, never a silent drop. Partition-local batches; decoded
+    * pixels never leave the task. */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Throwable => null }
+          if (img == null) Row(id, false, null, null, null, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val hist = new Array[Float](8)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val luma = 0.299 * ((p >> 16) & 0xff) +
+                  0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+                hist((luma / 32.0).toInt.min(7)) += 1f
+                sum += luma
+                x += 1
+              }
+              y += 1
+            }
+            val n = math.max(1, w * h)
+            var j = 0
+            while (j < 8) { hist(j) /= n.toFloat; j += 1 }
+            Row(id, true, w, h, sum / n, hist.toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, imageFeatureSchema)
+  }
+
+  /** REAL image resize: decode, scale to `(w, h)` via Graphics2D bilinear,
+    * re-encode PNG. Binary-in binary-out, partition-local; undecodable
+    * payloads map to NULL (filter or quarantine downstream). */
+  def resizeImage(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            catch { case _: Throwable => null }
+          if (img == null) Row(id, null)
+          else {
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Row(id, bos.toByteArray)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private val wavFeatureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("decode_ok", BooleanType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType),
+    StructField("rms", DoubleType)))
+
+  /** REAL WAV/PCM decode through `javax.sound.sampled` (the JDK's RIFF
+    * parser): sample rate, channel count, frame count, duration and the
+    * RMS amplitude of the 16-bit samples (normalized to [0, 1]).
+    * Undecodable payloads keep `decode_ok = false`. */
+  def decodeWavFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val fmt = in.getFormat
+            val frames = in.getFrameLength
+            val data = in.readAllBytes()
+            in.close()
+            var sumSq = 0.0
+            var n = 0L
+            if (fmt.getSampleSizeInBits == 16) {
+              val le = !fmt.isBigEndian
+              var i = 0
+              while (i + 1 < data.length) {
+                val s =
+                  if (le) ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+                  else ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                val v = s / 32768.0
+                sumSq += v * v
+                n += 1
+                i += 2
+              }
+            }
+            val rate = fmt.getSampleRate.toInt
+            Row(id, true, rate, fmt.getChannels, frames,
+              if (rate > 0) frames * 1000L / rate else 0L,
+              if (n > 0) math.sqrt(sumSq / n) else 0.0)
+          } catch {
+            case _: Throwable => Row(id, false, null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, wavFeatureSchema)
   }
 
   /** Frame-sample: every `stride`-th fixed-size byte window of the payload

@@ -47,4 +47,72 @@ class MultimodalSpec extends SparkSpec {
     val padded = out(1).getAs[Array[Byte]]("r")
     assert(padded.length == 4 && padded(2) == 0 && padded(3) == 0)
   }
+
+  // ----- real codecs (java.desktop: ImageIO + javax.sound) ---------------
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImageFeatures: real PNG decode — exact dims, luma, quarantine") {
+    // mid-gray 16x9 (luma 128) + pure white 4x4 (luma 255) + garbage bytes
+    val df = Seq(
+      (1L, pngBytes(16, 9, 0x808080)),
+      (2L, pngBytes(4, 4, 0xffffff)),
+      (3L, Array[Byte](1, 2, 3, 4)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeImageFeatures(df).orderBy("media_id").collect()
+    assert(got(0).getBoolean(1) && got(0).getInt(2) == 16 && got(0).getInt(3) == 9)
+    assert(math.abs(got(0).getDouble(4) - 128.0) < 0.5)
+    assert(got(1).getInt(2) == 4 && math.abs(got(1).getDouble(4) - 255.0) < 0.5)
+    val hist = got(1).getSeq[Float](5)
+    assert(hist(7) == 1.0f && hist.sum == 1.0f) // all-white -> top luma bin
+    assert(!got(2).getBoolean(1) && got(2).isNullAt(2)) // quarantined, kept
+  }
+
+  test("resizeImage: re-encoded payload decodes at the target dimensions") {
+    val df = Seq((1L, pngBytes(32, 20, 0x4080c0))).toDF("media_id", "payload")
+    val resized = Multimodal.resizeImage(df, 8, 5)
+    val feats = Multimodal.decodeImageFeatures(resized).collect()(0)
+    assert(feats.getBoolean(1) && feats.getInt(2) == 8 && feats.getInt(3) == 5)
+    // constant-color image: bilinear resize preserves the color, so luma too
+    val orig = Multimodal.decodeImageFeatures(df).collect()(0)
+    assert(math.abs(feats.getDouble(4) - orig.getDouble(4)) < 1.0)
+  }
+
+  private def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeWavFeatures: real WAV parse — rate, duration, RMS of a square wave") {
+    // 8000 Hz, 4000 samples (500 ms) of a full-scale square wave: rms = 1
+    val square = Array.tabulate(4000)(i =>
+      if (i % 2 == 0) Short.MaxValue else (-Short.MaxValue).toShort)
+    val df = Seq(
+      (1L, wavBytes(8000, square)),
+      (2L, Array[Byte](9, 9, 9)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeWavFeatures(df).orderBy("media_id").collect()
+    assert(got(0).getBoolean(1) && got(0).getInt(2) == 8000)
+    assert(got(0).getInt(3) == 1 && got(0).getLong(4) == 4000L)
+    assert(got(0).getLong(5) == 500L)
+    assert(math.abs(got(0).getDouble(6) - 1.0) < 1e-3)
+    assert(!got(1).getBoolean(1)) // not a RIFF stream -> quarantined
+  }
 }
