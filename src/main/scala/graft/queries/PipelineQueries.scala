@@ -35,6 +35,25 @@ object PipelineQueries {
              SELECT token, count(*) AS cnt FROM tok
              GROUP BY token ORDER BY cnt DESC, token LIMIT 100"""))
 
+  /** HL1 — approximate distinct-token cardinality per language through
+    * Spark's HyperLogLog++ (`approx_count_distinct`, rsd 2%): THE
+    * mergeable-sketch answer to "how big is each language's vocabulary"
+    * at 100 TB — map-side partial sketches merge associatively, one pass,
+    * O(1) state per group, where the exact count pays a full
+    * distinct-shuffle of every token occurrence. Rows-only under the
+    * driver gate BY DESIGN: DuckDB's approx_distinct runs a different
+    * sketch, so cross-engine hashes cannot match for an estimator whose
+    * whole point is not being exact; the ≤ 2·rsd error bound against the
+    * exact count is pinned in AnalyticsSpec instead. */
+  private val hl1 = Q(
+    "hl1_approx_distinct",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("lang")
+        .agg(approx_count_distinct(col("token"), 0.02).as("approx_vocab")),
+    None)
+
   /** X5 — within-document repetition scoring (the Gopher quality-rule
     * family): per doc over its word 2-grams, the duplicate fraction
     * (1 − distinct/total) and the top-gram fraction (most frequent 2-gram's
@@ -299,5 +318,5 @@ object PipelineQueries {
                (cum_tokens - 1) // $packBudget AS pack_id
              FROM c"""))
 
-  def all: Seq[Q] = Seq(x4, x5, x6, ct1, bf1, sm1, qt1, aj1, pk1, pk2)
+  def all: Seq[Q] = Seq(x4, hl1, x5, x6, ct1, bf1, sm1, qt1, aj1, pk1, pk2)
 }

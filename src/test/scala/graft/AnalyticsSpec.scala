@@ -206,4 +206,20 @@ class AnalyticsSpec extends SparkSpec with Matchers {
       .count()
     assert(out.length.toLong == expected)
   }
+
+  test("hl1: HLL vocabulary estimate within 2 rsd of the exact distinct count") {
+    import org.apache.spark.sql.functions._
+    val approx = QueryCatalog.byName("hl1_approx_distinct").run(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.documents(spark, sf)
+      .select(col("lang"),
+        explode(graft.operators.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("lang").agg(count_distinct(col("token")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, n) =>
+      val err = math.abs(approx(lang).toDouble - n) / n
+      assert(err <= 0.04, s"$lang: approx ${approx(lang)} vs exact $n (err $err)")
+    }
+  }
 }
