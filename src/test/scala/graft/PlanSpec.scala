@@ -301,6 +301,17 @@ class PlanSpec extends SparkSpec {
     assertNoPartitionWindowsBounded(df, "hh1")
   }
 
+  test("round-4 curation queries: windows keyed or bounded, rate/threshold frames broadcast") {
+    Seq("cc1_ccnet_buckets", "tm1_temperature_mix", "dr1_mixture_drift",
+      "pk2_length_bucketed_packing").foreach { q =>
+      val df = QueryCatalog.byName(q).run(spark, dir)
+      assertNoPartitionWindowsBounded(df, q)
+    }
+    // the corpus side never shuffles INTO the stratum-sized rate frames
+    assert(plan("tm1_temperature_mix").contains("BroadcastHashJoin"))
+    assert(plan("cc1_ccnet_buckets").contains("BroadcastHashJoin"))
+  }
+
   test("s8 freq-sketch window: one typed-imperative agg, no WindowExec") {
     val df = QueryCatalog.byName("s8_stream_freq_sketch").run(spark, dir)
     df.collect()
