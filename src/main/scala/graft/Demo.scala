@@ -18,6 +18,7 @@ object Demo {
       new java.io.File("/tmp/graft_warehouse"))
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
