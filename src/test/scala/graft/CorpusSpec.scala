@@ -174,4 +174,11 @@ class CorpusSpec extends SparkSpec {
     // singletons never appear
     assert(!out.exists(r => r._1 == 20L || r._1 == 21L))
   }
+
+  test("semanticDuplicates: a corpus with no near pairs yields an empty result") {
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f)
+    val emb = Seq((1L, v(1, 0)), (2L, v(0, 1)), (3L, v(-1, 0)), (4L, v(0, -1)))
+      .toDF("vec_id", "embedding")
+    assert(Corpus.semanticDuplicates(emb, cosMin = 0.99, cells = 2).count() == 0)
+  }
 }

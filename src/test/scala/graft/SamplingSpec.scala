@@ -76,5 +76,9 @@ class SamplingSpec extends SparkSpec {
     // the kept set is the hash predicate's: nested under a bigger budget
     val bigger = Sampling.temperatureResample(df, col("id"), col("grp"), 1.0, 0.8)
     assert(natural.select("id").exceptAll(bigger.select("id")).isEmpty)
+    // empty input: empty output, no crash
+    val empty = Sampling.temperatureResample(df.filter(col("id") < 0),
+      col("id"), col("grp"), 0.7, 0.5)
+    assert(empty.count() == 0)
   }
 }
