@@ -50,6 +50,12 @@ class ExpressionsSpec extends SparkSpec {
   }
 
   test("GraftExtensions injects without error (plug-in path)") {
+    // `spark.sql.extensions` is a STATIC conf — it binds when the FIRST
+    // session on a context is built, so an end-to-end test inside the
+    // shared-context suite JVM is impossible by design; applying the
+    // injector to a fresh SparkSessionExtensions is the testable part
+    // (the per-session GraftFunctions.register path is exercised end to
+    // end everywhere else).
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
 
