@@ -86,6 +86,39 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** Synthesize REAL PNG payloads from relational columns: one solid
+    * `(r, g, b)` image of `w × h` per row, encoded through ImageIO.
+    * Deterministic bytes for given inputs; the building block that lets
+    * an encode→decode round trip run under a relational oracle (mm2)
+    * and gives specs/demos real payloads without external fixtures. */
+  def renderSolidPng(df: DataFrame, idCol: Column, wCol: Column, hCol: Column,
+      rgbCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = df.select(idCol.cast("long"), wCol.cast("int"), hCol.cast("int"),
+        rgbCol.cast("int")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val (w, h, rgb) = (math.max(1, r.getInt(1)), math.max(1, r.getInt(2)),
+            r.getInt(3))
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(r.getLong(0), bos.toByteArray)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   private val imageFeatureSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("decode_ok", BooleanType),

@@ -478,6 +478,38 @@ object ScaleOpsQueries {
               CAST(CASE WHEN nb >= 64 THEN (nb-64)//32 + 1 ELSE 0 END AS BIGINT) AS n_frames
             FROM h"""))
 
+  /** MM2 — REAL-codec round trip under the relational oracle: solid
+    * `(w, h, rgb)` PNGs are RENDERED in-plan from table columns
+    * (`Multimodal.renderSolidPng`, ImageIO encoder), then DECODED back
+    * (`decodeImageFeatures`, ImageIO reader → dimensions + BT.601 mean
+    * luminance). DuckDB never touches a codec — it states the closed
+    * form the round trip must reproduce: the width/height arithmetic and
+    * the solid color's luma. Pixel decode is exact, the solid-color mean
+    * carries ≤ 1e-13 float-summation error, and the luma has ≤ 3
+    * decimals, so round-6 equality is airtight cross-engine. */
+  private val mm2 = Q(
+    "mm2_image_roundtrip",
+    (s, d) => {
+      import graft.operators.Multimodal
+      val docs = Tables.documents(s, d)
+      val media = Multimodal.renderSolidPng(docs,
+        col("doc_id"),
+        col("n_chars") % 32 + 1,
+        col("n_chars") % 16 + 1,
+        (col("doc_id") % 256) * 65536 + (col("doc_id") * 7 % 256) * 256 +
+          col("doc_id") * 13 % 256)
+      Multimodal.decodeImageFeatures(media)
+        .filter(col("decode_ok"))
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+    },
+    Some("""SELECT doc_id,
+              CAST(n_chars % 32 + 1 AS INT) AS width,
+              CAST(n_chars % 16 + 1 AS INT) AS height,
+              round(0.299 * (doc_id % 256) + 0.587 * (doc_id * 7 % 256)
+                + 0.114 * (doc_id * 13 % 256), 6) AS mean_luma
+            FROM documents"""))
+
   /** DD5 — embedding-cosine near-duplicate pairs, blocked by `label`
     * (stand-in for an IVF/coarse-quantizer cell at scale): exact cosine
     * inside the block, threshold 0.35. */
@@ -584,5 +616,5 @@ object ScaleOpsQueries {
                round(avg(x), 6) AS mean_val
              FROM x GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, dd5, dd6, ss1, ss2, ss3, cl1, p1, mm1)
+  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, dd5, dd6, ss1, ss2, ss3, cl1, p1, mm1, mm2)
 }
