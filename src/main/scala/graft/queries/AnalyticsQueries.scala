@@ -210,6 +210,34 @@ object AnalyticsQueries {
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)"""))
 
+  /** GS1 — arbitrary GROUPING SETS (the general form ROLLUP/CUBE
+    * specialize): the report mixes heterogeneous aggregation levels —
+    * (segment, priority), (segment), (priority) — in ONE Expand pass +
+    * one hash agg, where three separate GROUP BYs would scan the join
+    * three times. `grouping_id()` disambiguates the all-NULL cells on
+    * both engines. */
+  private val gs1 = Q(
+    "gs1_grouping_sets",
+    (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                 CAST(grouping_id() AS BIGINT) AS lvl
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+                 (c_mktsegment), (o_orderpriority))""")
+    },
+    Some("""SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              CASE WHEN c_mktsegment IS NOT NULL AND o_orderpriority IS NOT NULL
+                     THEN 0
+                   WHEN c_mktsegment IS NOT NULL THEN 1 ELSE 2 END AS lvl
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+              (c_mktsegment), (o_orderpriority))"""))
+
   /** WZ1 — winsorized normalization: clamp `l_extendedprice` to its
     * per-flag [p01, p99] band. The quantiles come from the two-phase rank
     * (Ranks.quantiles — no one-task sort at any group size); the clamp is
@@ -656,6 +684,6 @@ object AnalyticsQueries {
              FROM a JOIN f USING (user_id)
              GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, wz1, fz1, w1, w2, ii1, bp1, bp2,
-    lm2, gf1, hh1, fn1, co1)
+  def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, gs1, wz1, fz1, w1, w2, ii1, bp1,
+    bp2, lm2, gf1, hh1, fn1, co1)
 }

@@ -448,6 +448,64 @@ object CurationQueries {
     },
     None)
 
+  // ---------------------------------------------------- scd1: type-2 history
+
+  /** SCD1 — slowly-changing-dimension TYPE-2 history from the sd1
+    * snapshot pair: one row per (doc, content version) with
+    * `[valid_from, valid_to)` effective epochs and a current flag —
+    * removed docs close at epoch 2, changed docs carry a closed old row
+    * plus an open new one, unchanged docs keep one open row from epoch 1.
+    * ONE full-outer hash join + a per-row array explode (≤ 2 versions
+    * here) — the standard warehouse versioning build, scan-shaped and
+    * co-locating for free when snapshots are bucketed by the key. */
+  private val scd1 = Q(
+    "scd1_dimension_history",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val old = docs.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"), md5(col("text")).as("old_md5"))
+      val nw = docs.filter(col("doc_id") % 19 =!= 7)
+        .select(col("doc_id"), md5(when(col("doc_id") % 13 === 5,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text"))).as("new_md5"))
+      def ver(m: Column, from: Column, to: Column, cur: Column) =
+        struct(m.as("content_md5"), from.cast("long").as("valid_from"),
+          to.cast("long").as("valid_to"), cur.as("is_current"))
+      val nullL = lit(null).cast("long")
+      old.join(nw, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), explode(
+          when(col("old_md5").isNull,
+            array(ver(col("new_md5"), lit(2), nullL, lit(true))))
+          .when(col("new_md5").isNull,
+            array(ver(col("old_md5"), lit(1), lit(2), lit(false))))
+          .when(col("old_md5") =!= col("new_md5"),
+            array(ver(col("old_md5"), lit(1), lit(2), lit(false)),
+              ver(col("new_md5"), lit(2), nullL, lit(true))))
+          .otherwise(array(ver(col("old_md5"), lit(1), nullL, lit(true)))))
+          .as("v"))
+        .select(col("doc_id"), col("v.*"))
+    },
+    Some("""WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+                       WHERE doc_id % 17 <> 3),
+             n AS (SELECT doc_id,
+                     md5(CASE WHEN doc_id % 13 = 5 THEN text || ' rev2'
+                              ELSE text END) AS new_md5
+                   FROM documents WHERE doc_id % 19 <> 7),
+             j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                     o.old_md5, n.new_md5
+                   FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+             SELECT doc_id, old_md5 AS content_md5,
+               CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to,
+               false AS is_current
+             FROM j
+             WHERE old_md5 IS NOT NULL
+               AND (new_md5 IS NULL OR new_md5 <> old_md5)
+             UNION ALL
+             SELECT doc_id, new_md5,
+               CAST(CASE WHEN old_md5 IS NULL OR old_md5 <> new_md5
+                    THEN 2 ELSE 1 END AS BIGINT),
+               CAST(NULL AS BIGINT), true
+             FROM j WHERE new_md5 IS NOT NULL"""))
+
   // ------------------------------------------------------- dr1: mixture drift
 
   /** DR1 — population-stability-index drift between two corpus snapshots
@@ -661,5 +719,5 @@ object CurationQueries {
                    CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer"""))
 
   def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, cu1, lr1, sd1,
-    dr1, ds1, qs1, dq1)
+    scd1, dr1, ds1, qs1, dq1)
 }
