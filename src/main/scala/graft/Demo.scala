@@ -254,30 +254,16 @@ object Demo {
     println(s"[demo] bucketed join rows = ${j.count()}, exchange in plan = " +
       j.queryExecution.executedPlan.toString.contains("Exchange"))
 
-    // ---- the full pretraining-data run, stage by stage -------------------
-    // quality gate + exact dedup -> near-dup clusters (keep the LONGEST
-    // exemplar) -> eval-decontamination -> temperature mixture -> length-
-    // bucketed packing. Every stage is the library's own operator; counts
-    // audit the funnel.
-    val c0 = docs
-    val c1 = graft.api.Corpus.cleaned(c0).select("doc_id", "text", "lang", "source")
-    val drop2 = graft.api.Corpus.dedupClusters(c1, jaccardMin = 0.5,
-        keeperBy = Some(length(col("text"))))
-      .filter(!col("keeper")).select("doc_id")
-    val c2 = c1.join(drop2, Seq("doc_id"), "left_anti")
-    val contaminated = graft.api.Corpus.contamination(c2,
-        substring(col("source"), 4, 10).cast("int") < 10)
-      .filter(col("contamination") >= 0.5).select("doc_id")
-    val c3 = c2.join(contaminated, Seq("doc_id"), "left_anti")
-    val c4 = graft.operators.Sampling.temperatureResample(
-      c3, col("doc_id"), col("lang"), alpha = 0.7, budget = 0.8)
-    val packed = graft.sinks.Sharding.packByBudget(
-      c4.withColumn("n_tokens",
-        size(graft.operators.TextFunctions.tokens(col("text"))).cast("long")),
-      "n_tokens", 4096L, Seq(col("doc_id")))
-    println(s"[demo] pretrain funnel: ${c0.count()} raw -> ${c1.count()} clean " +
-      s"-> ${c2.count()} deduped -> ${c3.count()} decontaminated " +
-      s"-> ${c4.count()} mixed -> ${packed.select("pack_id").distinct().count()} packs")
+    // ---- the full pretraining-data run through the ONE API call ----------
+    // quality gate + exact dedup -> near-dup clusters (longest exemplar
+    // keeps) -> eval-decontamination -> temperature mixture -> packing
+    val st = graft.api.Corpus.pretrainingRun(docs,
+      evalFlag = substring(col("source"), 4, 10).cast("int") < 10,
+      alpha = 0.7, budget = 0.8)
+    println(s"[demo] pretrain funnel: ${docs.count()} raw -> " +
+      s"${st.cleaned.count()} clean -> ${st.deduped.count()} deduped -> " +
+      s"${st.decontaminated.count()} decontaminated -> ${st.mixed.count()} mixed" +
+      s" -> ${st.packed.select("pack_id").distinct().count()} packs")
     spark.stop()
   }
 }

@@ -452,4 +452,49 @@ object Corpus {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_ref_matches"), min("ref_id").as("first_ref"))
   }
+
+  /** The staged frames of [[pretrainingRun]] — each builds lazily on the
+    * previous, so a caller can act on any stage (or just the last) and
+    * audit the funnel with plain counts. */
+  final case class PretrainStages(cleaned: DataFrame, deduped: DataFrame,
+      decontaminated: DataFrame, mixed: DataFrame, packed: DataFrame)
+
+  /** The canonical pretraining-data run as ONE composition: quality gate
+    * + exact dedup ([[cleaned]]) → near-dup cluster election keeping the
+    * highest-quality exemplar ([[dedupClusters]] with a length score) →
+    * eval decontamination ([[contamination]] against `evalFlag` docs at
+    * ≥ `contaminationMax` overlap) → temperature language mixture
+    * ([[Sampling.temperatureResample]]) → token-budget packing
+    * (`Sharding.packByBudget`). Every stage is the library's own
+    * oracle-checked operator; the composition itself is lazy — nothing
+    * runs until the caller acts on a stage.
+    *
+    * @param evalFlag  rows marking the EVAL/held-out reference split;
+    *                  kept docs sharing ≥ `contaminationMax` of their
+    *                  shingles with it are dropped from the training side
+    */
+  def pretrainingRun(docs: DataFrame, evalFlag: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang",
+      jaccardMin: Double = 0.5, contaminationMax: Double = 0.5,
+      alpha: Double = 0.7, budget: Double = 1.0,
+      packBudget: Long = 4096L): PretrainStages = {
+    val c1 = cleaned(docs, idCol, textCol)
+      .select(docs.columns.map(col).toSeq: _*)
+    val losers = dedupClusters(c1, idCol, textCol, jaccardMin = jaccardMin,
+        keeperBy = Some(length(col(textCol))))
+      .filter(!col("keeper")).select(idCol)
+    val c2 = c1.join(losers, Seq(idCol), "left_anti")
+    val leaked = contamination(c2.filter(!evalFlag).unionByName(docs.filter(evalFlag)),
+        evalFlag, idCol, textCol)
+      .filter(col("contamination") >= contaminationMax).select(idCol)
+    val c3 = c2.filter(!evalFlag).join(leaked, Seq(idCol), "left_anti")
+    val c4 = Sampling.temperatureResample(c3, col(idCol), col(langCol),
+      alpha, budget)
+    val packed = graft.sinks.Sharding.packByBudget(
+      c4.withColumn("n_tokens",
+        size(TextFunctions.tokens(col(textCol))).cast("long")),
+      "n_tokens", packBudget, Seq(col(idCol)))
+    PretrainStages(c1, c2, c3, c4, packed)
+  }
 }

@@ -175,6 +175,34 @@ class CorpusSpec extends SparkSpec {
     assert(!out.exists(r => r._1 == 20L || r._1 == 21L))
   }
 
+  test("pretrainingRun: the staged funnel composes end to end") {
+    val corpus = Seq(
+      (1L, good, "en", "train"),
+      (2L, good, "en", "train"), // exact dup of 1
+      (3L, good + " with extra tail words here", "en", "train"), // near dup, LONGEST
+      (6L, "completely different content about spark catalyst engines and the planner", "de", "train"),
+      (7L, "held out evaluation text that must never leak into the training data", "en", "eval"),
+      (8L, "held out evaluation text that must never leak into the training data okay", "en", "train"))
+      .toDF("doc_id", "text", "lang", "split")
+    val st = Corpus.pretrainingRun(corpus, col("split") === "eval",
+      jaccardMin = 0.3, contaminationMax = 0.5,
+      alpha = 1.0, budget = 1.0, packBudget = 8)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    assert(ids(st.cleaned) == Set(1L, 3L, 6L, 7L, 8L)) // exact dup 2 gone
+    // near-dup clusters {1,3} and {7,8}: the LONGEST exemplar keeps in
+    // each — note 8 (train) wins over 7 (eval) here, which is exactly why
+    // decontamination below rebuilds its dictionary from the ORIGINAL
+    // eval split, not the deduped frame
+    assert(ids(st.deduped) == Set(3L, 6L, 8L))
+    // doc 8 leaks eval shingles -> dropped; eval docs never in the output
+    assert(ids(st.decontaminated) == Set(3L, 6L))
+    assert(ids(st.mixed) == Set(3L, 6L)) // alpha=1, budget=1 -> rate 1
+    val packs = st.packed.select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packs.keySet == Set(3L, 6L) && packs.values.forall(_ >= 0L))
+  }
+
   test("semanticDuplicates: a corpus with no near pairs yields an empty result") {
     def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f)
     val emb = Seq((1L, v(1, 0)), (2L, v(0, 1)), (3L, v(-1, 0)), (4L, v(0, -1)))
