@@ -24,10 +24,16 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory)
+    if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory) {
       qs.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+      // drop the warmup pass's caches BEFORE timing starts: without this
+      // the first heavy timed queries inherit the whole warmup's old-gen
+      // debt (observed: bf1 2.8 s isolated vs 10 s first-heavy-in-suite)
+      spark.catalog.clearCache()
+      System.gc()
+    }
     val results = qs.map { case (name, fn) =>
       spark.catalog.clearCache() // queries persist() internally; keep runs isolated
       // settle the JVM between queries: without it, GC debt from one
