@@ -572,6 +572,41 @@ object AnalyticsQueries {
                coalesce(c.v, CAST(0.0 AS DOUBLE)) AS total_value
              FROM sp LEFT JOIN c ON sp.user_id = c.user_id AND sp.hour = c.hour"""))
 
+  /** LF1 — last-observation-carried-forward fill (the time-series twin of
+    * gf1's zero-fill): `value` is masked NULL on click events
+    * (deterministically, so both engines mask the same rows), then every
+    * NULL picks up the user's most recent non-null value at-or-before it
+    * — `last(ignoreNulls)` over a running per-user frame, DuckDB's
+    * `last_value(x IGNORE NULLS)`. Leading NULLs (no prior observation)
+    * stay NULL. Windows keyed by user — state bounded by one user's
+    * history, never the stream. */
+  private val lf1 = Q(
+    "lf1_locf_fill",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), Tables.eventTsMicros.as("ts_us"),
+          col("event_id"),
+          when(col("event_type") === "click", lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+        .withColumn("filled_value",
+          round(last(col("v"), ignoreNulls = true).over(w), 6))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          round(col("v"), 6).as("v"), col("filled_value"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                         CASE WHEN event_type = 'click' THEN NULL
+                              ELSE value END AS v
+                       FROM events)
+            SELECT user_id, ts_us, event_id, round(v, 6) AS v,
+              round(last_value(v IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                AS filled_value
+            FROM e"""))
+
   private val hhPhi = 0.002 // heavy-hitter share threshold
   private val hhK = 512 // sketch capacity; guarantee needs k+1 > 1/phi
 
@@ -685,5 +720,5 @@ object AnalyticsQueries {
              GROUP BY 1, 2"""))
 
   def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, gs1, wz1, fz1, w1, w2, ii1, bp1,
-    bp2, lm2, gf1, hh1, fn1, co1)
+    bp2, lm2, gf1, lf1, hh1, fn1, co1)
 }
