@@ -312,6 +312,38 @@ class PlanSpec extends SparkSpec {
     assert(plan("cc1_ccnet_buckets").contains("BroadcastHashJoin"))
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    // one hot key carrying ~95% of the fact side; thresholds lowered so
+    // local-scale bytes trip the same machinery that fires at 100 TB
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // a downstream exchange would normally make splitting cost-neutral
+      // anyway; the force flag removes the rule's conservatism so the
+      // assertion targets the SPLIT mechanism, not the cost model
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val facts = (1 to 60000).map(i => (if (i % 20 == 0) i.toLong % 7 else 1L, i))
+        .toDF("k", "v")
+      val dim = (0L to 7L).map(k => (k, s"name$k")).toDF("k", "name")
+      val joined = facts.join(dim, "k").select("k", "v", "name")
+      assert(joined.collect().length == 60000) // executes THIS plan (AQE finalizes)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(4000))
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("s8 freq-sketch window: one typed-imperative agg, no WindowExec") {
     val df = QueryCatalog.byName("s8_stream_freq_sketch").run(spark, dir)
     df.collect()
