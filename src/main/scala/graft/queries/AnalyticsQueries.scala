@@ -276,6 +276,59 @@ object AnalyticsQueries {
               l.l_extendedprice < q.p01 OR l.l_extendedprice > q.p99 AS clipped
             FROM lineitem l JOIN q ON l.l_returnflag = q.flag"""))
 
+  /** RZ1 — robust z-score normalization per group: (x − median) /
+    * (1.4826·MAD), the outlier-immune standardization (mean/stddev moves
+    * with the outliers it should flag; median/MAD has a 50% breakdown
+    * point — the same family as the GLM's robustDispForCooks). TWO
+    * chained two-phase exact quantile passes (the second over the
+    * derived |x − median| frame) + broadcast joins of the group-sized
+    * stat frames; rank-quantile values are exact column values, so both
+    * engines agree bit-for-bit before the final round. */
+  private val rz1 = Q(
+    "rz1_robust_zscore",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
+      val med = Ranks.quantiles(li, Seq("flag"), "price", "l_orderkey",
+          Seq("med" -> 0.5))
+        .select(col("flag"), col("med"))
+      val dev = li.join(broadcast(med), "flag")
+        .withColumn("adev", abs(col("price") - col("med")))
+      val mad = Ranks.quantiles(dev, Seq("flag"), "adev", "l_orderkey",
+          Seq("mad" -> 0.5))
+        .select(col("flag"), col("mad"))
+      dev.join(broadcast(mad), "flag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("flag"),
+          round(col("price"), 6).as("price"),
+          round((col("price") - col("med")) / (lit(1.4826) * col("mad")), 6)
+            .as("robust_z"))
+    },
+    Some("""WITH r AS (SELECT l_orderkey, l_linenumber,
+                         l_returnflag AS flag, l_extendedprice AS v,
+                         row_number() OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice, l_orderkey) AS rn,
+                         count(*) OVER (PARTITION BY l_returnflag) AS n
+                       FROM lineitem),
+            m AS (SELECT flag,
+                    max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN v END)
+                      AS med
+                  FROM r GROUP BY flag),
+            d AS (SELECT r.l_orderkey, r.l_linenumber, r.flag, r.v,
+                    abs(r.v - m.med) AS adev, m.med,
+                    row_number() OVER (PARTITION BY r.flag
+                      ORDER BY abs(r.v - m.med), r.l_orderkey) AS rn2,
+                    count(*) OVER (PARTITION BY r.flag) AS n2
+                  FROM r JOIN m USING (flag)),
+            q AS (SELECT flag,
+                    max(CASE WHEN rn2 = CAST(ceil(n2 * 0.5) AS BIGINT) THEN adev END)
+                      AS mad
+                  FROM d GROUP BY flag)
+            SELECT d.l_orderkey, d.l_linenumber, d.flag,
+              round(d.v, 6) AS price,
+              round((d.v - d.med) / (1.4826 * q.mad), 6) AS robust_z
+            FROM d JOIN q USING (flag)"""))
+
   private val fzMaxChars = 200L
   private val fzMaxDist = 20L
 
@@ -719,6 +772,6 @@ object AnalyticsQueries {
              FROM a JOIN f USING (user_id)
              GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, gs1, wz1, fz1, w1, w2, ii1, bp1,
-    bp2, lm2, gf1, lf1, hh1, fn1, co1)
+  def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, gs1, wz1, rz1, fz1, w1, w2, ii1,
+    bp1, bp2, lm2, gf1, lf1, hh1, fn1, co1)
 }
