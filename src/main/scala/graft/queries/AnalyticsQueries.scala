@@ -293,8 +293,13 @@ object AnalyticsQueries {
       val med = Ranks.quantiles(li, Seq("flag"), "price", "l_orderkey",
           Seq("med" -> 0.5))
         .select(col("flag"), col("med"))
+      // the derived-deviation frame feeds BOTH the MAD quantile pass and
+      // the final projection — persist once, release after the caller's
+      // action (the library-wide cache discipline)
       val dev = li.join(broadcast(med), "flag")
         .withColumn("adev", abs(col("price") - col("med")))
+        .persist()
+      graft.Caches.releaseAfterAction(dev)
       val mad = Ranks.quantiles(dev, Seq("flag"), "adev", "l_orderkey",
           Seq("mad" -> 0.5))
         .select(col("flag"), col("mad"))
