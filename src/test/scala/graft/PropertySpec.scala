@@ -328,4 +328,44 @@ class PropertySpec extends SparkSpec {
         s"z=${r.getLong(3)} -> $got")
     }
   }
+
+  test("ks1: D is a proper statistic — in [0,1], and 0 for identical samples") {
+    import org.apache.spark.sql.functions._
+    val r = graft.queries.QueryCatalog.byName("ks1_two_sample")
+      .run(spark, sfDir).head()
+    val d = r.getDouble(0)
+    assert(d >= 0.0 && d <= 1.0, s"D=$d")
+    assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    // identical samples: ECDFs coincide at every point -> D = 0 (compute
+    // with the same packed-prefix-scan shape the query uses)
+    val g = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "A")
+      .groupBy(col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("a"))
+      .withColumn("b", col("a"))
+    val c = graft.operators.Ranks.prefixSum(g, Nil, Seq(col("v")),
+        col("a") * lit(4294967296L) + col("b"), "cab")
+      .withColumn("ca", shiftright(col("cab"), 32))
+      .withColumn("cb", col("cab").bitwiseAND(lit(4294967295L)))
+    val d0 = c.agg(max(abs(col("ca") - col("cb")))).head().getLong(0)
+    assert(d0 == 0L)
+  }
+
+  test("x8: chi-square is non-negative and zero under exact independence") {
+    import org.apache.spark.sql.functions._
+    val r = graft.queries.QueryCatalog.byName("x8_chi_square")
+      .run(spark, sfDir).head()
+    assert(r.getDouble(1) >= 0.0 && r.getLong(0) >= 1L)
+    // a perfectly independent 2x2 design (every cell = product of
+    // margins / N): chi2 must be exactly 0
+    val t = Seq.tabulate(400)(i => (s"r${i % 2}", s"c${i % 4 / 2}"))
+      .toDF("x", "y")
+    val cells = t.groupBy("x", "y").agg(count(lit(1)).cast("double").as("o"))
+    val n = 400.0
+    val chi = cells
+      .withColumn("e", lit(200.0) * lit(200.0) / lit(n))
+      .agg(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")))
+      .head().getDouble(0)
+    assert(chi == 0.0)
+  }
 }
