@@ -323,5 +323,70 @@ object StatsQueries {
               max(na) AS n_a, max(nb) AS n_b
             FROM c CROSS JOIN t"""))
 
-  def all: Seq[Q] = Seq(d1, d2, d5, d6, d6b, d7, d8, d9, e1, x8, ks1)
+  /** SP1 — Spearman rank correlation per group (quantity vs price within
+    * each return flag): Pearson over tie-AVERAGED ranks. Ranks come from
+    * the two-phase grouped row_number; tie averaging is a window bounded
+    * by the tie class. The correlation itself uses EXACT INTEGER
+    * sufficient statistics: doubled average ranks `2·r̄ = 2·min_rn +
+    * (tie−1)` are integers, all five Σ accumulate as longs (exact,
+    * associative — max ≈ 6e5·(1.2e6)² ≈ 8.6e17 < 2^63), and ρ is
+    * invariant under the ×2 scaling, so both engines evaluate the SAME
+    * closed form over bit-identical integers — no float-association
+    * hazard anywhere before the final round. */
+  private val sp1 = Q(
+    "sp1_spearman",
+    (s, d) => {
+      import graft.operators.Ranks
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      def ranked2(v: String, out: String)(df: org.apache.spark.sql.DataFrame) = {
+        val rn = Ranks.rowNumber(df, Seq(col("flag")),
+          Seq(col(v), col("l_orderkey"), col("l_linenumber"), col("y")),
+          "__rn", s"__n_$v")
+        val w = Window.partitionBy(col("flag"), col(v))
+        rn.withColumn(out,
+            lit(2) * min(col("__rn")).over(w) + count(lit(1)).over(w) - 1)
+          .drop("__rn", s"__n_$v")
+      }
+      val r = ranked2("x", "rx")(ranked2("y", "ry")(li))
+      r.groupBy("flag").agg(
+          count(lit(1)).as("n"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"),
+          sum(col("rx") * col("ry")).as("sxy"))
+        .select(col("flag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            .as("rho"))
+    },
+    Some("""WITH b AS (SELECT l_returnflag AS flag, l_orderkey, l_linenumber,
+                         l_quantity AS x, l_extendedprice AS y
+                       FROM lineitem),
+            rx0 AS (SELECT *, row_number() OVER (PARTITION BY flag
+                      ORDER BY x, l_orderkey, l_linenumber, y) AS rnx FROM b),
+            ry0 AS (SELECT *, row_number() OVER (PARTITION BY flag
+                      ORDER BY y, l_orderkey, l_linenumber, y) AS rny FROM rx0),
+            rr AS (SELECT flag,
+                     2 * min(rnx) OVER (PARTITION BY flag, x)
+                       + count(*) OVER (PARTITION BY flag, x) - 1 AS rx,
+                     2 * min(rny) OVER (PARTITION BY flag, y)
+                       + count(*) OVER (PARTITION BY flag, y) - 1 AS ry
+                   FROM ry0),
+            m AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+                    CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                    CAST(sum(ry * ry) AS BIGINT) AS syy,
+                    CAST(sum(rx * ry) AS BIGINT) AS sxy
+                  FROM rr GROUP BY flag)
+            SELECT flag, n,
+              round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+            FROM m"""))
+
+  def all: Seq[Q] = Seq(d1, d2, d5, d6, d6b, d7, d8, d9, e1, x8, ks1, sp1)
 }
