@@ -38,7 +38,14 @@ object Bench {
       spark.catalog.clearCache() // queries persist() internally; keep runs isolated
       // settle the JVM between queries: without it, GC debt from one
       // query's shuffles lands in a later query's wall time (observed:
-      // same query 3.5s isolated vs 13s mid-run at local[32])
+      // same query 3.5s isolated vs 13s mid-run at local[32]).
+      // gc → sleep → gc: the first gc enqueues dead broadcast/shuffle
+      // weak refs, the sleep lets the async ContextCleaner thread drain
+      // its queue (its work otherwise lands INSIDE the next query's timed
+      // window — r4 measured x5 4.0 s mid-suite vs 1.1 s isolated with
+      // identical plans), the second gc collects what the cleaner freed.
+      System.gc()
+      Thread.sleep(250)
       System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

@@ -152,11 +152,12 @@ object Corpus {
   /** Within-document repetition scores (X5, the Gopher quality-rule
     * family): over each doc's word n-grams, `dup_frac` = 1 −
     * distinct/total and `top_frac` = the most frequent n-gram's share.
-    * Docs with fewer than n tokens have no n-grams and drop out. */
+    * Docs with fewer than n tokens have no n-grams and drop out.
+    * `Dedup.spread` (conditional) parallelizes the lambda-heavy shingle
+    * scan only when the input has fewer partitions than the cluster. */
   def repetitionScores(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 2): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    graft.operators.Dedup.spread(docs)
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))

@@ -49,9 +49,14 @@ object Dedup {
   /** Spread rows across cores before per-row lambda-heavy expressions:
     * higher-order functions (transform/filter lambdas) evaluate outside
     * whole-stage codegen, and a single-row-group parquet file gives the
-    * scan ONE partition — without this the shingle work runs on one core. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * scan ONE partition — without this the shingle work runs on one core.
+    * CONDITIONAL: a 100 TB scan already has thousands of partitions; the
+    * round-robin shuffle only fires when the input is narrower than the
+    * cluster (the small-file case it exists for). */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
 
   /** Distinct (id, n-shingle) rows — the unit of MinHash and Jaccard. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

@@ -512,12 +512,17 @@ object ScaleOpsQueries {
 
   /** DD5 — embedding-cosine near-duplicate pairs, blocked by `label`
     * (stand-in for an IVF/coarse-quantizer cell at scale): exact cosine
-    * inside the block, threshold 0.35. */
+    * inside the block, threshold 0.35. The block self-join is capped
+    * (`Dedup.capBuckets`, like every sibling pair generator): a hot label
+    * would otherwise put m² pairs in one task — blocks over the cap are
+    * dropped and counted to the log. The cap (10 000) sits far above any
+    * test-SF block (max 218 at sf0.1), so the DuckDB oracle is unchanged. */
   private val dd5 = Q(
     "dd5_embed_neardup",
     (s, d) => {
       graft.expressions.GraftFunctions.register(s)
-      val e = embNorm(s, d)
+      val e = graft.operators.Dedup.capBuckets(
+        embNorm(s, d), Seq(col("label")), maxBucket = 10000, what = "dd5")
       val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
       val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
       a.join(b, Seq("label"))

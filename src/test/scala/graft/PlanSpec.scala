@@ -368,4 +368,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cosine_sim"), p) // fused codegen cosine on the pair space
     assertNoPartitionWindowsBounded(df, "sd2")
   }
+
+  test("dd5 near-dup pair join is hot-bucket capped before the self-join") {
+    // the cap is a label-keyed count window + filter ABOVE the join: a
+    // degenerate hot label drops out instead of exploding to m² pairs in
+    // one task. Guard: the cap window exists, keyed by label, and no
+    // cartesian/nested-loop join sneaks in.
+    val p = plan("dd5_embed_neardup")
+    assert(p.contains("windowspecdefinition(label"), p)
+    assert(p.contains("bsz"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
