@@ -39,6 +39,11 @@ object Tables {
     // writes timestamp[us] (TIMESTAMP_NTZ to Spark) — the conf is then a
     // no-op, kept so both generations of data load.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // [[eventTs]]'s NTZ→TZ cast is instant-correct ONLY under a UTC
+    // session zone. Every entry point in this repo pins it already; set
+    // it here too so an external caller with a zoned session cannot
+    // silently shift every event instant by its zone offset.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -54,9 +59,10 @@ object Tables {
 
   /** `events.ts` as TimestampType for the streaming/window paths (watermark,
     * `window()`, typed Event encoders use java.sql.Timestamp). The NTZ→TZ
-    * cast reads the wall time in the session zone — every session builder
-    * in this repo pins `spark.sql.session.timeZone=UTC`, making it the
-    * identity on instants and keeping `unix_micros`/`unix_timestamp`
-    * parity with the oracle's `epoch_us`/`epoch`. */
+    * cast reads the wall time in the session zone — [[load]] pins
+    * `spark.sql.session.timeZone=UTC` (and every session builder in this
+    * repo does too), making it the identity on instants and keeping
+    * `unix_micros`/`unix_timestamp` parity with the oracle's
+    * `epoch_us`/`epoch`. */
   def eventTs: Column = expr("cast(ts as timestamp)")
 }

@@ -334,22 +334,6 @@ object Corpus {
     Ann.ivfTopK(emb, queries, idCol, vecCol, k = cells, iters = 3,
       nProbe = nProbe, topK = topK)
 
-  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup:
-    * Data-efficient learning at web-scale through semantic
-    * deduplication"): embeddings are clustered by the bounded-sample
-    * k-means quantizer, exact pairwise cosine runs INSIDE each cell
-    * only, and pairs at ≥ `cosMin` become duplicate clusters (connected
-    * components, keeper = minimum id — the paper keeps one exemplar per
-    * ε-ball). Near-identical vectors that straddle a cell boundary are
-    * missed — the paper's own trade; raise `cells` resolution or lower
-    * `cosMin` to taste.
-    *
-    * Scale shape: training is sample-bounded, assignment is one narrow
-    * fold over the centroid literal (no join, no shuffle), the pair
-    * space is block-bounded by the cell histogram with hot cells capped
-    * + audited (`maxCell`), and the component walk is node-sized.
-    * @return `(id, comp, keeper)` — one row per vector in a ≥2-member
-    *         semantic cluster */
   /** The pair stage of [[semanticDuplicates]], exposed like
     * [[nearDuplicates]]: `(id_a, id_b, cos)` with `cos ≥ cosMin`, pair
     * space blocked by the learned k-means cells (hot cells capped +
@@ -374,6 +358,22 @@ object Corpus {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): embeddings are clustered by the bounded-sample
+    * k-means quantizer, exact pairwise cosine runs INSIDE each cell
+    * only, and pairs at ≥ `cosMin` become duplicate clusters (connected
+    * components, keeper = minimum id — the paper keeps one exemplar per
+    * ε-ball). Near-identical vectors that straddle a cell boundary are
+    * missed — the paper's own trade; raise `cells` resolution or lower
+    * `cosMin` to taste.
+    *
+    * Scale shape: training is sample-bounded, assignment is one narrow
+    * fold over the centroid literal (no join, no shuffle), the pair
+    * space is block-bounded by the cell histogram with hot cells capped
+    * + audited (`maxCell`), and the component walk is node-sized.
+    * @return `(id, comp, keeper)` — one row per vector in a ≥2-member
+    *         semantic cluster */
   def semanticDuplicates(emb: DataFrame, cosMin: Double = 0.95,
       cells: Int = 64, idCol: String = "vec_id",
       vecCol: String = "embedding", maxCell: Int = 10000): DataFrame = {

@@ -472,16 +472,23 @@ object DiffExpression {
       var b = math.min(hi, c0 + step)
       var fa = f(a); var fb = f(b)
       // expand downhill-free: while an endpoint is the running max and the
-      // bound isn't reached, slide the bracket one step further that way
+      // bound isn't reached, slide the bracket one step further that way.
+      // The 3-point invariant a < m < b with f(m) ≥ f(a), f(m) ≥ f(b) is
+      // kept by promoting the PREVIOUS MIDDLE to the far endpoint on each
+      // slide (not the original center — that widened the bracket by one
+      // step per extra expansion and left fb stale).
+      var m = c0
       var fm = f(c0)
       var guard = 0
       while (guard < 16 && fa > fm && a > lo) {
-        b = c0; fb = fm; fm = fa
+        b = m; fb = fm
+        m = a; fm = fa
         a = math.max(lo, a - step); fa = f(a)
         guard += 1
       }
       while (guard < 16 && fb > fm && b < hi) {
-        a = c0; fa = fm; fm = fb
+        a = m; fa = fm
+        m = b; fm = fb
         b = math.min(hi, b + step); fb = f(b)
         guard += 1
       }

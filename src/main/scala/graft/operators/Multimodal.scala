@@ -218,7 +218,10 @@ object Multimodal {
   /** REAL WAV/PCM decode through `javax.sound.sampled` (the JDK's RIFF
     * parser): sample rate, channel count, frame count, duration and the
     * RMS amplitude of the 16-bit samples (normalized to [0, 1]).
-    * Undecodable payloads keep `decode_ok = false`. */
+    * Undecodable payloads keep `decode_ok = false`. Degraded decodes stay
+    * distinguishable from silence: `rms` is null (not 0.0) when the format
+    * is not 16-bit, and `n_samples`/`duration_ms` are null when the header
+    * does not state a frame length (`getFrameLength` = NOT_SPECIFIED). */
   def decodeWavFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd
@@ -248,9 +251,13 @@ object Multimodal {
               }
             }
             val rate = fmt.getSampleRate.toInt
-            Row(id, true, rate, fmt.getChannels, frames,
-              if (rate > 0) frames * 1000L / rate else 0L,
-              if (n > 0) math.sqrt(sumSq / n) else 0.0)
+            val nSamples: java.lang.Long = if (frames >= 0) Long.box(frames) else null
+            val durMs: java.lang.Long =
+              if (frames >= 0 && rate > 0) Long.box(frames * 1000L / rate) else null
+            val rms: java.lang.Double =
+              if (fmt.getSampleSizeInBits == 16 && n > 0) Double.box(math.sqrt(sumSq / n))
+              else null
+            Row(id, true, rate, fmt.getChannels, nSamples, durMs, rms)
           } catch {
             case _: Throwable => Row(id, false, null, null, null, null, null)
           }

@@ -50,28 +50,6 @@ object Sampling {
     df.filter(Dedup.hash60(key.cast("string")) < thr)
   }
 
-  /** Mixture resampling — downsample each stratum so the kept corpus
-    * approaches a TARGET mixture (the domain-reweighting step of a
-    * training-data pipeline: "web 40%, books 30%, …" regardless of how
-    * skewed the raw crawl is).
-    *
-    * Per stratum `s`: desired count = `budget · N_total · w_s`, so
-    * rate_s = min(1, budget · N_total · w_s / n_s) — strata over their
-    * target share are thinned, strata at-or-under keep everything (rates
-    * are capped at 1; under-represented strata cannot be inflated, so the
-    * realized mixture is exact only where the cap doesn't bind).
-    *
-    * Scale shape: the stratum census is ONE partial+final agg over the
-    * corpus (stratum cardinality ~ tens), the rate arithmetic lives in
-    * the plan (no driver collect), and the rates frame broadcast-joins
-    * back — the corpus itself is touched by exactly two narrow passes.
-    * The keep decision reuses the hash60 predicate, so resamples stay
-    * deterministic and nested across budgets.
-    *
-    * @param weight  expression over the stratum column giving the target
-    *                mixture weight (should sum to ~1 across strata)
-    * @param budget  fraction of the total corpus to keep overall
-    */
   /** Temperature-based mixture resampling (the multilingual sampling
     * scheme of mBERT / XLM / mT5): target share q_s ∝ n_s^α, computed
     * IN-PLAN from the stratum census itself — α = 1 reproduces the
@@ -102,6 +80,28 @@ object Sampling {
       .drop("__stratum", "__n_s", "__w", "__z", "__n_total", "__rate", "__thr")
   }
 
+  /** Mixture resampling — downsample each stratum so the kept corpus
+    * approaches a TARGET mixture (the domain-reweighting step of a
+    * training-data pipeline: "web 40%, books 30%, …" regardless of how
+    * skewed the raw crawl is).
+    *
+    * Per stratum `s`: desired count = `budget · N_total · w_s`, so
+    * rate_s = min(1, budget · N_total · w_s / n_s) — strata over their
+    * target share are thinned, strata at-or-under keep everything (rates
+    * are capped at 1; under-represented strata cannot be inflated, so the
+    * realized mixture is exact only where the cap doesn't bind).
+    *
+    * Scale shape: the stratum census is ONE partial+final agg over the
+    * corpus (stratum cardinality ~ tens), the rate arithmetic lives in
+    * the plan (no driver collect), and the rates frame broadcast-joins
+    * back — the corpus itself is touched by exactly two narrow passes.
+    * The keep decision reuses the hash60 predicate, so resamples stay
+    * deterministic and nested across budgets.
+    *
+    * @param weight  expression over the stratum column giving the target
+    *                mixture weight (should sum to ~1 across strata)
+    * @param budget  fraction of the total corpus to keep overall
+    */
   def mixtureResample(df: DataFrame, key: Column, stratum: Column,
       weight: Column => Column, budget: Double): DataFrame = {
     val counts = df.groupBy(stratum.as("__stratum"))

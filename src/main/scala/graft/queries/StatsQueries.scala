@@ -298,7 +298,17 @@ object StatsQueries {
           col("a") * lit(4294967296L) + col("b"), "cab")
         .withColumn("ca", shiftright(col("cab"), 32))
         .withColumn("cb", col("cab").bitwiseAND(lit(4294967295L)))
-      val tot = g.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+      // HARD precondition of the packed scan: each flag's total stays
+      // below 2^32 (≈4.3 B rows per flag), else b's cumulative bits would
+      // carry into a's. Enforced in-plan on the 1-row totals frame —
+      // raise_error fires before any packed result is read; past ~4 B
+      // rows per group, chain two prefix scans instead.
+      def bounded(c: org.apache.spark.sql.Column,
+          what: String): org.apache.spark.sql.Column =
+        when(c < lit(4294967296L), c).otherwise(raise_error(concat(
+          lit(s"ks1: $what total >= 2^32 - packed ECDF prefix scan would overflow"))))
+      val tot = g.agg(bounded(sum(col("a")), "flag-A").as("na"),
+        bounded(sum(col("b")), "flag-B").as("nb"))
       c.crossJoin(broadcast(tot))
         .agg(round(max(abs(col("ca").cast("double") / col("na")
             - col("cb").cast("double") / col("nb"))), 6).as("d_stat"),
