@@ -75,7 +75,7 @@ object Ranks {
     * token budgets over a 100 TB corpus) where the naive no-partition
     * window would funnel the corpus through one task. */
   def prefixSum(df: DataFrame, grp: Seq[Column], order: Seq[Column],
-      value: Column, out: String = "cumsum"): DataFrame = {
+      value: Column, out: String = "cumsum", outTotal: String = ""): DataFrame = {
     val grpNames = grp.indices.map(i => s"__g$i")
     val prepared = grp.zip(grpNames).foldLeft(df) {
       case (d, (c, n)) => d.withColumn(n, c)
@@ -90,16 +90,26 @@ object Ranks {
       .agg(sum(col("__v")).as("__psum"))
     val wOff = Window.partitionBy(g: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sums
+    // `outTotal` (the per-group grand total) rides the SAME tiny offsets
+    // frame — consumers needing it (quantilesOfClasses' rank target)
+    // would otherwise re-execute the whole scan for a separate totals agg
+    val offBase = sums
       .withColumn("__off", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
-      .select((g :+ col("__pid") :+ col("__off")): _*)
+    val offCols = g :+ col("__pid") :+ col("__off")
+    val offsets =
+      if (outTotal.isEmpty) offBase.select(offCols: _*)
+      else offBase
+        .withColumn(outTotal, sum(col("__psum")).over(Window.partitionBy(g: _*)))
+        .select(offCols :+ col(outTotal): _*)
     val wLocal = Window.partitionBy((g :+ col("__pid")): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols = df.columns.toIndexedSeq.map(col) ++
+      (if (outTotal.isEmpty) Seq(col(out)) else Seq(col(out), col(outTotal)))
     ranged
       .withColumn("__lcs", sum(col("__v")).over(wLocal))
       .join(broadcast(offsets), grpNames :+ "__pid")
       .withColumn(out, col("__off") + col("__lcs"))
-      .select(df.columns.toIndexedSeq.map(col) :+ col(out): _*)
+      .select(outCols: _*)
   }
 
   /** Exact per-group quantiles through the two-phase rank — the scale-safe
@@ -122,6 +132,49 @@ object Ranks {
       max(when(col("__rnk") === ceil(col("__n") * q), col(value))).as(name)
     }
     ranked.groupBy(grp.map(col): _*)
+      .agg(max(col("__n")).as("n"), aggs: _*)
+  }
+
+  /** Same exact quantiles as [[quantiles]] (value at 1-based rank
+    * `ceil(q·n)`, `quantile_disc` semantics) but computed over the
+    * DISTINCT-VALUE frame: one hash agg collapses the fact to
+    * (group, value, count), the two-phase prefix scan runs over tie
+    * CLASSES instead of rows, and the quantile is the class whose
+    * cumulative range covers the target rank. No tiebreak column needed —
+    * rank-quantile values are tie-order-independent, so the result is
+    * bit-identical to [[quantiles]] under any tiebreak. Strictly cheaper
+    * whenever values repeat (the fact never takes a range shuffle: only
+    * its distinct frame does) and never worse than ~the same cost when
+    * they don't. */
+  def quantilesByValue(df: DataFrame, grp: Seq[String], value: String,
+      qs: Seq[(String, Double)]): DataFrame = {
+    require(grp.nonEmpty, "quantilesByValue needs grouping keys (use quantiles for global)")
+    val classes = df.groupBy((grp.map(col) :+ col(value)): _*)
+      .agg(count(lit(1)).as("__c"))
+    quantilesOfClasses(classes, grp, value, "__c", qs)
+  }
+
+  /** [[quantilesByValue]] when the caller ALREADY HOLDS the tie-class
+    * histogram (one row per (group, value) with `countCol` members) —
+    * e.g. a persisted class frame serving several chained quantile
+    * passes. Same `ceil(q·n)`-rank semantics. */
+  def quantilesOfClasses(classes: DataFrame, grp: Seq[String], value: String,
+      countCol: String, qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 },
+      s"quantiles must be in (0,1]: $qs")
+    require(grp.nonEmpty, "quantilesOfClasses needs grouping keys")
+    // ONE pass: the prefix scan emits the per-group total alongside the
+    // cumulative count (it lives on the same broadcast offsets frame), so
+    // the rank target needs no second scan and no totals join
+    val cum = prefixSum(
+      classes.withColumn("__c", col(countCol).cast("long")),
+      grp.map(col), Seq(col(value)), col("__c"), "__cum", "__n")
+    val aggs = qs.map { case (name, q) =>
+      val target = ceil(col("__n") * q)
+      max(when(col("__cum") - col("__c") < target && target <= col("__cum"),
+        col(value))).as(name)
+    }
+    cum.groupBy(grp.map(col): _*)
       .agg(max(col("__n")).as("n"), aggs: _*)
   }
 

@@ -239,19 +239,19 @@ object AnalyticsQueries {
               (c_mktsegment), (o_orderpriority))"""))
 
   /** WZ1 — winsorized normalization: clamp `l_extendedprice` to its
-    * per-flag [p01, p99] band. The quantiles come from the two-phase rank
-    * (Ranks.quantiles — no one-task sort at any group size); the clamp is
-    * then a broadcast join of the tiny per-group band frame back onto the
-    * fact, a pure narrow map. Quantile values are tie-order-independent
-    * (equal values are adjacent under any tiebreak), so the non-unique
-    * orderkey tiebreak is safe. */
+    * per-flag [p01, p99] band. The quantiles come from the distinct-value
+    * prefix scan (Ranks.quantilesByValue — the fact itself never takes a
+    * range shuffle, only its tie-class frame does); the clamp is then a
+    * broadcast join of the tiny per-group band frame back onto the fact,
+    * a pure narrow map. Rank-quantile values are tie-order-independent,
+    * so this is bit-identical to the rowwise-rank form the oracle runs. */
   private val wz1 = Q(
     "wz1_winsorize",
     (s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
-      val bands = Ranks.quantiles(li, Seq("flag"), "price", "l_orderkey",
+      val bands = Ranks.quantilesByValue(li, Seq("flag"), "price",
           Seq("p01" -> 0.01, "p99" -> 0.99))
         .select(col("flag"), col("p01"), col("p99"))
       li.join(broadcast(bands), "flag")
@@ -279,31 +279,46 @@ object AnalyticsQueries {
   /** RZ1 — robust z-score normalization per group: (x − median) /
     * (1.4826·MAD), the outlier-immune standardization (mean/stddev moves
     * with the outliers it should flag; median/MAD has a 50% breakdown
-    * point — the same family as the GLM's robustDispForCooks). TWO
-    * chained two-phase exact quantile passes (the second over the
-    * derived |x − median| frame) + broadcast joins of the group-sized
-    * stat frames; rank-quantile values are exact column values, so both
-    * engines agree bit-for-bit before the final round. */
+    * point — the same family as the GLM's robustDispForCooks). Both
+    * exact quantile passes run over ONE persisted tie-class histogram:
+    * the median from the (flag, price) classes, the MAD from the SAME
+    * frame remapped to |price − med| classes (a class-frame groupBy —
+    * the fact itself is never re-aggregated or cached). The fact is
+    * touched twice: the histogram agg and the final narrow projection
+    * against the broadcast (med, mad) row per group. Rank-quantile
+    * values are exact column values, so both engines agree bit-for-bit
+    * before the final round. */
   private val rz1 = Q(
     "rz1_robust_zscore",
     (s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
-      val med = Ranks.quantiles(li, Seq("flag"), "price", "l_orderkey",
-          Seq("med" -> 0.5))
-        .select(col("flag"), col("med"))
-      // the derived-deviation frame feeds BOTH the MAD quantile pass and
-      // the final projection — persist once, release after the caller's
-      // action (the library-wide cache discipline)
-      val dev = li.join(broadcast(med), "flag")
-        .withColumn("adev", abs(col("price") - col("med")))
-        .persist()
-      graft.Caches.releaseAfterAction(dev)
-      val mad = Ranks.quantiles(dev, Seq("flag"), "adev", "l_orderkey",
-          Seq("mad" -> 0.5))
-        .select(col("flag"), col("mad"))
-      dev.join(broadcast(mad), "flag")
+      // persisted: prefixSum's range sampling + shuffle would otherwise
+      // execute the histogram agg twice
+      val cls = li.groupBy(col("flag"), col("price"))
+        .agg(count(lit(1)).as("__c")).persist()
+      graft.Caches.releaseAfterAction(cls)
+      // ONE scanned-and-ranked frame serves both quantile passes: `cum`
+      // (whose range frame prefixSum persists) yields the median by a
+      // direct rank agg, and the SAME frame — not a re-read of the
+      // histogram — remaps to |price − med| classes for the MAD pass.
+      val cum = Ranks.prefixSum(cls, Seq(col("flag")), Seq(col("price")),
+        col("__c"), "__cum", "__n")
+      val med = cum.groupBy(col("flag"))
+        .agg(max(when(col("__cum") - col("__c") < ceil(col("__n") * 0.5)
+            && ceil(col("__n") * 0.5) <= col("__cum"), col("price"))).as("med"))
+      val devCls = cum.join(broadcast(med), "flag")
+        .groupBy(col("flag"), col("med"),
+          abs(col("price") - col("med")).as("adev"))
+        .agg(sum(col("__c")).as("__c"))
+      // `med` rides the MAD pass's grouping keys (constant per flag), so
+      // the final stat frame is ONE subplan — the median chain executes
+      // once, inside it, not a second time in a separate join
+      val stats = Ranks.quantilesOfClasses(devCls, Seq("flag", "med"),
+          "adev", "__c", Seq("mad" -> 0.5))
+        .select(col("flag"), col("med"), col("mad"))
+      li.join(broadcast(stats), "flag")
         .select(col("l_orderkey"), col("l_linenumber"), col("flag"),
           round(col("price"), 6).as("price"),
           round((col("price") - col("med")) / (lit(1.4826) * col("mad")), 6)

@@ -334,15 +334,24 @@ object StatsQueries {
             FROM c CROSS JOIN t"""))
 
   /** SP1 — Spearman rank correlation per group (quantity vs price within
-    * each return flag): Pearson over tie-AVERAGED ranks. Ranks come from
-    * the two-phase grouped row_number; tie averaging is a window bounded
-    * by the tie class. The correlation itself uses EXACT INTEGER
-    * sufficient statistics: doubled average ranks `2·r̄ = 2·min_rn +
-    * (tie−1)` are integers, all five Σ accumulate as longs (exact,
-    * associative — max ≈ 6e5·(1.2e6)² ≈ 8.6e17 < 2^63), and ρ is
-    * invariant under the ×2 scaling, so both engines evaluate the SAME
-    * closed form over bit-identical integers — no float-association
-    * hazard anywhere before the final round. */
+    * each return flag): Pearson over tie-AVERAGED ranks, computed
+    * entirely from TIE-CLASS statistics — the fact is never row-ranked.
+    * For a tie class with count c and inclusive cumulative count cum
+    * (distinct-value prefix scan, as in ks1), every member's doubled
+    * average rank is the integer `2·r̄ = 2·cum − c + 1`; the five Σ are
+    * then class-weighted sums (Σ c·r, Σ c·r², marginal frames) plus ONE
+    * joint (flag, x, y) histogram join for Σ rx·ry. All longs (exact,
+    * associative — max ≈ 6e5·(1.2e6)² ≈ 8.6e17 < 2^63; re-derive the
+    * bound before running at n ≳ 2e6 per group), and ρ is invariant
+    * under the ×2 scaling, so both engines evaluate the SAME closed form
+    * over bit-identical integers.
+    *
+    * Asymmetric plan, exploiting the two columns' cardinalities: x
+    * (quantity, ~50 distinct) gets its class ranks from a WINDOW over the
+    * tiny (flag, x) histogram — bounded by distinct(x), broadcast back —
+    * while y (price, ~unique) takes the ONE heavy two-phase row rank.
+    * Replaces the symmetric two-row-rank formulation: one range shuffle
+    * instead of two. */
   private val sp1 = Q(
     "sp1_spearman",
     (s, d) => {
@@ -351,16 +360,23 @@ object StatsQueries {
         col("l_returnflag").as("flag"),
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-      def ranked2(v: String, out: String)(df: org.apache.spark.sql.DataFrame) = {
-        val rn = Ranks.rowNumber(df, Seq(col("flag")),
-          Seq(col(v), col("l_orderkey"), col("l_linenumber"), col("y")),
-          "__rn", s"__n_$v")
-        val w = Window.partitionBy(col("flag"), col(v))
-        rn.withColumn(out,
-            lit(2) * min(col("__rn")).over(w) + count(lit(1)).over(w) - 1)
-          .drop("__rn", s"__n_$v")
-      }
-      val r = ranked2("x", "rx")(ranked2("y", "ry")(li))
+      // x side: class histogram + in-window prefix; rx = 2·cum − c + 1.
+      // The window is keyed by flag and holds one row per distinct x —
+      // scale-bounded by x's cardinality, not the fact.
+      val wx = Window.partitionBy(col("flag")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rx = li.groupBy(col("flag"), col("x")).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(wx))
+        .select(col("flag"), col("x"),
+          (lit(2) * col("__cum") - col("__c") + 1).as("rx"))
+      // y side: the one heavy pass — two-phase row rank, tie-averaged
+      val rn = Ranks.rowNumber(li, Seq(col("flag")),
+        Seq(col("y"), col("l_orderkey"), col("l_linenumber")), "__rn", "__ny")
+      val wy = Window.partitionBy(col("flag"), col("y"))
+      val r = rn
+        .withColumn("ry",
+          lit(2) * min(col("__rn")).over(wy) + count(lit(1)).over(wy) - 1)
+        .join(broadcast(rx), Seq("flag", "x"))
       r.groupBy("flag").agg(
           count(lit(1)).as("n"),
           sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),

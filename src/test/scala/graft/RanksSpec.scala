@@ -79,6 +79,18 @@ class RanksSpec extends SparkSpec {
     assert(got("c")._2 === got("c")._5)
   }
 
+  test("quantilesByValue equals the rowwise-rank quantiles on every group") {
+    val qs = Seq("p01" -> 0.01, "p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99,
+      "p100" -> 1.0)
+    val rowwise = Ranks.quantiles(df, Seq("g"), "v", "id", qs)
+    val byValue = Ranks.quantilesByValue(df, Seq("g"), "v", qs)
+    assert(byValue.columns.toSeq === rowwise.columns.toSeq)
+    assert(byValue.except(rowwise).isEmpty && rowwise.except(byValue).isEmpty)
+    // empty input: no groups, no rows
+    assert(Ranks.quantilesByValue(df.filter($"id" < 0), Seq("g"), "v",
+      Seq("p50" -> 0.5)).count() === 0)
+  }
+
   test("prefixSum matches the single-window running total, grouped and global") {
     val expectGrouped = df.withColumn("cs",
       sum($"v").over(Window.partitionBy($"g").orderBy($"v", $"id")
