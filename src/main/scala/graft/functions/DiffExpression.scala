@@ -11,9 +11,13 @@ final case class CountCell(gene: Long, smp: Long, cnt: Double, cond: String, sf:
 /** Per-gene Wald test result for the last-vs-first contrast
   * (`results(dds)` columns consumed at vital_status_DESeq.R:89-97).
   * `cooks_outlier` carries DESeq2's Cook's-distance flag: `results()`
-  * NULLs pvalue/padj for flagged genes. */
+  * NULLs pvalue/padj for flagged genes. `dispersion` is the final
+  * (post-shrinkage) α the Wald covariance was computed at — DESeq2
+  * reports it via `mcols(dds)$dispersion`, and it closes the closed-form
+  * SE identity `se² = Σ_g (1+α·m_g)/(n_g·m_g)` the golden spec checks. */
 final case class DEResult(gene: Long, base_mean: Double, log2fc: Double,
-    lfc_se: Double, stat: Double, pvalue: Double, cooks_outlier: Boolean)
+    lfc_se: Double, stat: Double, pvalue: Double, cooks_outlier: Boolean,
+    dispersion: Double)
 
 /** One row per (gene, contrast) — the K-contrast fan-out of
   * BRCA_path_stage_DESeq.R:113-122 (10 pairs from one fit). */
@@ -270,7 +274,7 @@ object DiffExpression {
             val stat = f.beta(k) / se
             Iterator.single(DEResult(gene, f.baseMean,
               f.beta(k) / math.log(2.0), se / math.log(2.0), stat,
-              normalSfTwoSided(stat), f.cooksOutlier))
+              normalSfTwoSided(stat), f.cooksOutlier, f.dispersion))
           }
         case None => Iterator.empty
       }
@@ -312,7 +316,8 @@ object DiffExpression {
   }
 
   private final case class Fit(beta: Array[Double], cov: Array[Array[Double]],
-      baseMean: Double, levelIndex: Map[String, Int], cooksOutlier: Boolean)
+      baseMean: Double, levelIndex: Map[String, Int], cooksOutlier: Boolean,
+      dispersion: Double)
 
   /** IRLS NB-GLM for one gene: log mu = log sf + X beta, X = intercept +
     * one-hot of non-reference levels actually present in the data. */
@@ -520,6 +525,11 @@ object DiffExpression {
     // (the second moves α < 1e-3 relative on well-behaved genes)
     if (!runIrls(dispMoM, beta)) return None
     var alphaHat = dispMoM
+    // the α the CURRENT β/covariance were solved at — can lag alphaHat by
+    // the settle tolerance when the alternation exits early; reported (and
+    // identity-checked) dispersion is this one, DESeq2-style: the value
+    // the Wald covariance was actually computed at
+    var alphaUsed = dispMoM
     var round = 0
     var settled = false
     while (round < 2 && !settled) {
@@ -527,7 +537,10 @@ object DiffExpression {
       val next = maximizeAlpha(fittedMu(beta), alphaHat)
       settled = math.abs(math.log(next) - math.log(alphaHat)) < 4e-3
       alphaHat = next
-      if (!settled && !runIrls(alphaHat, beta)) return None
+      if (!settled) {
+        if (!runIrls(alphaHat, beta)) return None
+        alphaUsed = alphaHat
+      }
       round += 1
     }
 
@@ -551,7 +564,10 @@ object DiffExpression {
     }
 
     // final fit at the posterior dispersion — the Wald covariance
-    if (disp != alphaHat && !runIrls(disp, beta)) return None
+    if (disp != alphaUsed) {
+      if (!runIrls(disp, beta)) return None
+      alphaUsed = disp
+    }
     invert(xtwx).map { cov =>
       // Cook's-distance outlier flag (DESeq2's results() rule, consumed at
       // vital_status_DESeq.R:89-97): per observation, squared Pearson
@@ -585,7 +601,7 @@ object DiffExpression {
       }
       val outlier = y.length > p &&
         maxCooks > fQuantile(0.99, p.toDouble, (y.length - p).toDouble)
-      Fit(beta, cov, baseMean, levelIndex, outlier)
+      Fit(beta, cov, baseMean, levelIndex, outlier, alphaUsed)
     }
   }
 

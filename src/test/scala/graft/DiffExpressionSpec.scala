@@ -34,6 +34,42 @@ class DiffExpressionSpec extends SparkSpec {
     assert(nul.pvalue > 0.05)
   }
 
+  test("golden closed form: two-group Wald matches the exact MLE identities") {
+    // The two-group NB-GLM has CLOSED-FORM maximum-likelihood identities
+    // (independent of this implementation), so the fit is checked against
+    // absolute math, not against itself:
+    //   1. group-only design + log link → fitted group means are the
+    //      sample means exactly, so log2FC = log2(mean_B / mean_A)
+    //   2. expected-information Wald covariance at dispersion α →
+    //      se(β₁)² = (1+α·m_A)/(n_A·m_A) + (1+α·m_B)/(n_B·m_B)
+    //   3. stat = β₁/se (scale-invariant: log2fc/lfc_se), p = 2·Φ(−|stat|)
+    val n = 40
+    val cells = cellsFor(11L, 20, 60, n).toDS()
+    val r = DiffExpression.waldTest(cells, Seq("A", "B")).collect().head
+    val raw = cells.collect()
+    def mean(cond: String) = {
+      val v = raw.filter(_.cond == cond).map(_.cnt); v.sum / v.length
+    }
+    val (ma, mb) = (mean("A"), mean("B"))
+    assert(math.abs(r.log2fc - math.log(mb / ma) / math.log(2.0)) < 1e-6,
+      s"log2fc=${r.log2fc} vs closed form ${math.log(mb / ma) / math.log(2.0)}")
+    val a = r.dispersion
+    val seNat = math.sqrt((1 + a * ma) / (n * ma) + (1 + a * mb) / (n * mb))
+    assert(math.abs(r.lfc_se - seNat / math.log(2.0)) < 1e-6,
+      s"lfc_se=${r.lfc_se} vs closed form ${seNat / math.log(2.0)}")
+    assert(math.abs(r.stat - r.log2fc / r.lfc_se) < 1e-9)
+    // A&S 7.1.26 normal tail (|err| < 1.5e-7) — an independent p recompute
+    def phi(x: Double): Double = {
+      val t = 1.0 / (1.0 + 0.3275911 * math.abs(x) / math.sqrt(2.0))
+      val e = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+        t * (-1.453152027 + t * 1.061405429)))) *
+        math.exp(-x * x / 2.0)
+      if (x >= 0) 1.0 - 0.5 * e else 0.5 * e
+    }
+    assert(math.abs(r.pvalue - 2.0 * phi(-math.abs(r.stat))) < 1e-6,
+      s"pvalue=${r.pvalue}")
+  }
+
   test("Wald log2FC sign follows level order (factor-level contrast direction)") {
     val cells = cellsFor(1L, 40, 10, 30).toDS()
     val r = DiffExpression.waldTest(cells, Seq("A", "B")).collect().head

@@ -18,7 +18,15 @@ class GoldenSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   private val golden = Seq("de1_pipeline_wilcoxon", "d10_km_curve",
-    "km2_logrank_by_gene", "x2_quality_score")
+    "km2_logrank_by_gene", "x2_quality_score",
+    // the driver-gate `no_oracle` rows-only queries (iterative fits and
+    // sketches DuckDB cannot replay) get their tolerance pin HERE: a
+    // committed fixed-seed sf0.001 output, compared value-by-value after
+    // 6-dp rounding. Regressions in the NB-GLM, the Newton logistic, the
+    // Jacobi eigensolver, or the BPE merge order fail this spec even
+    // though the DuckDB hash gate cannot see them.
+    "d3_nbglm_wald", "d4_nbglm_contrasts", "lr1_quality_classifier",
+    "pc1_pca_project", "bp2_bpe_tokenize")
 
   /** Canonical form: columns sorted by name, doubles rounded to 6 (the
     * catalog queries already round; API frames are rounded here), rows
@@ -64,7 +72,14 @@ class GoldenSpec extends SparkSpec {
 
   golden.foreach { name =>
     test(s"golden: $name matches committed sf0.001 output") {
-      assertGolden(name, canonical(name))
+      if (sys.env.contains("GOLDEN_REGEN")) {
+        val df = QueryCatalog.byName(name).run(spark, dir)
+        val path = java.nio.file.Paths.get(s"src/test/resources/golden/$name.csv")
+        val header = df.columns.sorted.mkString(",")
+        java.nio.file.Files.writeString(path,
+          (header +: canonicalDf(df)).mkString("", "\n", "\n"))
+        info(s"regenerated $path")
+      } else assertGolden(name, canonical(name))
     }
   }
 
