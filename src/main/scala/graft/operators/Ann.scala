@@ -119,38 +119,57 @@ object Ann {
     centroids
   }
 
-  /** The centroid table as a literal array-of-structs column. Collecting
-    * here is bounded by k (a quantizer has tens-to-thousands of cells,
-    * KBs) and is what makes assignment/probing a NARROW map: a crossJoin +
-    * per-id window formulation shuffles k× the corpus — a scale killer the
-    * fold-argmin below avoids entirely. */
-  private def centroidLit(centroids: DataFrame): Column = {
-    val rows: Seq[(Int, Seq[Double])] =
-      centroids.select(col("cell").cast("int"), col("cv")).collect().toSeq
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
+  /** The centroid table collected and cell-sorted — bounded by k (a
+    * quantizer has tens-to-thousands of cells). Shared by both assignment
+    * paths and the probe literal. */
+  private def centroidRows(centroids: DataFrame): Seq[(Int, Seq[Double])] = {
+    val rows = centroids.select(col("cell").cast("int"), col("cv")).collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
     require(rows.nonEmpty, "no centroids")
+    rows
+  }
+
+  /** The centroid table as a literal array-of-structs column — what makes
+    * assignment/probing a NARROW map: a crossJoin + per-id window
+    * formulation shuffles k× the corpus, a scale killer both paths avoid. */
+  private def centroidLit(rows: Seq[(Int, Seq[Double])]): Column =
     // ONE Literal node (typedlit of the nested value) — an array/struct
     // built from k·dim individual lit()s costs seconds of driver-side
     // analysis; fields are _1 = cell, _2 = cv
     typedlit(rows)
-  }
 
-  /** Nearest-cell assignment: one row per vector with its `cell` — a pure
-    * per-row fold over the centroid literal (strict `<`, so exact-tie
-    * distances keep the lowest cell id, matching an `orderBy(d2, cell)`
-    * rank). Embarrassingly parallel: no join, no window, no shuffle. */
+  /** Above this cell count the centroid table stops travelling as a plan
+    * literal (k·dim doubles re-serialized with every task at k ≈ 16k–65k —
+    * multi-MB task descriptions, analyzer cost) and rides a sparkContext
+    * broadcast instead: shipped once per executor, the assignment loop
+    * identical. 4096 cells × 64 dims ≈ 2 MB literal — the comfortable
+    * ceiling. */
+  private[graft] val LiteralPathMaxK = 4096
+
+  /** Nearest-cell assignment: one row per vector with its `cell` —
+    * embarrassingly parallel, no join, no window, no shuffle, on BOTH
+    * paths (strict `<`, so exact-tie distances keep the lowest cell id,
+    * matching an `orderBy(d2, cell)` rank). k ≤ [[LiteralPathMaxK]] folds
+    * over a plan literal; larger k runs the same argmin as a function
+    * over a once-per-executor broadcast matrix — identical results
+    * (same index-order float accumulation, tested at k = 8192). */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
-    assignWith(vectors, centroidLit(centroids))
+    assignRows(vectors, centroidRows(centroids))
 
   /** Normalize + nearest-cell assignment in one narrow scan:
     * `(id, vn, cell)` — the blocking primitive for cell-bounded pairwise
     * work (SemDeDup-style semantic dedup composes on this). */
   def assigned(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame =
-    assignWith(normalized(emb, idCol, vecCol), centroidLit(centroids))
+    assignRows(normalized(emb, idCol, vecCol), centroidRows(centroids))
 
-  private def assignWith(vectors: DataFrame, cents: Column): DataFrame = {
+  private def assignRows(vectors: DataFrame,
+      rows: Seq[(Int, Seq[Double])]): DataFrame =
+    if (rows.size <= LiteralPathMaxK) assignWithLiteral(vectors, centroidLit(rows))
+    else assignWithBroadcast(vectors, rows)
+
+  private[graft] def assignWithLiteral(vectors: DataFrame, cents: Column): DataFrame = {
     val best = aggregate(
       cents,
       struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cell")),
@@ -162,6 +181,37 @@ object Ann {
     vectors.withColumn("cell", best.getField("cell"))
   }
 
+  /** Large-k assignment: the SAME argmin loop (left-to-right squared-diff
+    * accumulation, strict `<` lowest-cell tiebreak — bit-identical to the
+    * literal fold) over a `sparkContext.broadcast` of the centroid matrix.
+    * The plan carries only the broadcast HANDLE; the k·dim doubles ship
+    * once per executor. A function (not codegen) — but so is the
+    * interpreted higher-order fold it replaces, and the hot cost is the
+    * k·dim arithmetic either way. */
+  private[graft] def assignWithBroadcast(vectors: DataFrame,
+      rows: Seq[(Int, Seq[Double])]): DataFrame = {
+    val cellIds: Array[Int] = rows.map(_._1).toArray
+    val mat: Array[Array[Double]] = rows.map(_._2.toArray).toArray
+    val bc = vectors.sparkSession.sparkContext.broadcast((cellIds, mat))
+    val nearest = udf { (vn: Seq[Double]) =>
+      val (cs, m) = bc.value
+      var best = -1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < m.length) {
+        val cv = m(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(vn.length, cv.length)
+        while (i < n) { val t = vn(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = cs(c) }
+        c += 1
+      }
+      best
+    }
+    vectors.withColumn("cell", nearest(col("vn")))
+  }
+
   /** IVF top-k: probe the `nProbe` nearest cells per query, exact
     * cosine re-rank inside them.
     * @return `(q_id, rnk, id, cos)` */
@@ -169,16 +219,18 @@ object Ann {
       k: Int, iters: Int, nProbe: Int, topK: Int): DataFrame = {
     val spark = emb.sparkSession
     GraftFunctions.register(spark)
-    // the Lloyd result materializes ONCE into the literal both the corpus
-    // assign and the query probe embed (k rows through the driver — the
-    // same boundedness argument as any broadcast dim)
-    val cents = centroidLit(kmeansCentroids(emb, idCol, vecCol, k, iters))
+    // the Lloyd result materializes ONCE; the corpus assign picks the
+    // literal-fold or broadcast path by k, while the query-side probe
+    // keeps the literal (the query frame is the thin side — its stage
+    // never carries the corpus)
+    val rows = centroidRows(kmeansCentroids(emb, idCol, vecCol, k, iters))
+    val cents = centroidLit(rows)
     // persist the assigned corpus: this IS the IVF index artifact (cell →
     // vectors). Without it the interpreted fold that computes `cell`
     // re-evaluates per join-OUTPUT row (~nProbe× per vector — measured 6×
     // the whole query); a real deployment would even write it to storage
     // (sources.Stages.materialize) and reuse it across query batches.
-    val corpus = assignWith(normalized(emb, idCol, vecCol), cents).persist()
+    val corpus = assignRows(normalized(emb, idCol, vecCol), rows).persist()
     graft.Caches.releaseAfterAction(corpus)
     // probe = per-query sort of the k-entry literal (array_sort over
     // (d2, cell) structs ≡ orderBy(d2, cell)), sliced to nProbe and

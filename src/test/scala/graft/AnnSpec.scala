@@ -41,4 +41,50 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.2, s"recall=$recall") // unstructured vectors: weak but real
     assert(ivf.size <= brute.size)
   }
+
+  test("large-k broadcast assignment equals the literal fold at k = 8192") {
+    // 8192 synthetic cells (> LiteralPathMaxK, so Ann.assign takes the
+    // broadcast path) on a deterministic grid; both paths must agree on
+    // every vector — same index-order float accumulation, same strict-<
+    // lowest-cell tiebreak
+    import spark.implicits._
+    val dim = 64 // must match the fixture embeddings' dimension
+    val k = 8192
+    assert(k > Ann.LiteralPathMaxK)
+    val cents = (0 until k).map { c =>
+      (c, (0 until dim).map(i => ((c * 31 + i * 7) % 97) / 97.0))
+    }
+    val centDf = cents.toDF("cell", "cv")
+    val vecs = graft.operators.Ann
+    val sample = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val viaBroadcast = vecs.assign(normalizedFixture(sample), centDf)
+      .select("id", "cell")
+    val viaLiteral = {
+      // force the literal path on the same rows (private[graft] access)
+      val rows = cents.map { case (c, v) => (c, v: Seq[Double]) }
+      import org.apache.spark.sql.functions.typedlit
+      vecs.assignWithLiteral(normalizedFixture(sample), typedlit(rows))
+        .select("id", "cell")
+    }
+    assert(viaBroadcast.exceptAll(viaLiteral).count() == 0 &&
+      viaLiteral.exceptAll(viaBroadcast).count() == 0)
+    // plan guard: the broadcast path is a narrow map — no exchange, no
+    // join, no k-times row expansion anywhere
+    val p = viaBroadcast.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.toLowerCase.contains("join"), p)
+  }
+
+  /** The (id, vn) shape Ann.assign expects, built the same way
+    * Ann.normalized builds it. */
+  private def normalizedFixture(emb0: org.apache.spark.sql.DataFrame) =
+    emb0.select(col("vec_id").as("id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("v"))
+      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+        org.apache.spark.sql.functions.aggregate(
+          org.apache.spark.sql.functions.transform(col("v"), x => x * x),
+          org.apache.spark.sql.functions.lit(0.0), (a, x) => a + x)))
+      .filter(col("nrm") > 0)
+      .withColumn("vn", org.apache.spark.sql.functions.transform(
+        col("v"), x => x / col("nrm")))
 }
