@@ -436,4 +436,54 @@ object Dedup {
         round(coalesce(col("n_cov_tokens"), lit(0L)) / col("n_tok"), 6)
           .as("dup_frac"))
   }
+
+  /** MAXIMAL duplicated spans per document — the Lee et al. 2022 output
+    * shape ("Deduplicating Training Data Makes Language Models Better"):
+    * instead of [[duplicatedSpans]]' per-doc coverage COUNT, one row per
+    * maximal run of duplicated text, `(doc_id, span_start, span_len,
+    * n_grams_in_span)`. A span is the interval union of overlapping or
+    * token-adjacent n-token windows whose gram occurs in ≥ 2 documents;
+    * maximality is by construction (a new island starts exactly where the
+    * running max end leaves a gap ≥ 2 tokens — gaps-and-islands).
+    *
+    * Scale shape: identical to [[duplicatedSpans]] — gram dictionary is
+    * one partial+final agg (no pair space, no bucket cap needed), the
+    * island windows are PARTITIONED BY document (state bounded by one
+    * doc's length), and the span rows come from one more keyed hash agg.
+    * Fully SQL-expressible, so the catalog query carries a DuckDB hash
+    * oracle (`ng2_dup_span_list`). */
+  def duplicatedSpanList(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toked = spread(docs).select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        col("toks"))
+    val occ = toked.select(col("doc_id"), col("n_tok"),
+        posexplode(TextFunctions.shingles(col("toks"), n)).as(Seq("pos", "gram")))
+      .persist()
+    graft.Caches.releaseAfterAction(occ)
+    val dict = occ.groupBy("gram")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ.join(dict, Seq("gram"), "leftsemi")
+      .withColumn("e", least(col("pos") + (n - 1), col("n_tok") - 1))
+      .withColumn("prev_end", max(col("e")).over(wPrev))
+      // a window starts a NEW maximal span iff it neither overlaps nor
+      // touches everything before it (pos > running-max-end + 1)
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_span")).over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("e")) - min(col("pos")) + 1).cast("long").as("span_len"),
+        count(lit(1)).as("n_grams_in_span"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        col("n_grams_in_span"))
+  }
 }

@@ -368,6 +368,67 @@ object CurationQueries {
                round(coalesce(cv.n_cov_tokens, 0) / b.n_tok, 6) AS dup_frac
              FROM b LEFT JOIN cv USING (doc_id)"""))
 
+  /** NG2 — MAXIMAL duplicated spans (Dedup.duplicatedSpanList): the
+    * Lee et al. span-list output — one row per maximal run of text whose
+    * 5-gram windows appear in ≥ 2 docs, `(doc_id, span_start, span_len,
+    * n_grams_in_span)`. Same injected twin excerpts as ng1, so the
+    * expected spans are non-trivial on both engines: the excerpt-source
+    * docs report the merged partial span, the excerpts full coverage. */
+  private val ng2 = Q(
+    "ng2_dup_span_list",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val toks = TextFunctions.tokens(col("text"))
+      val excerpts = docs
+        .filter(col("doc_id") % 9 === 0 && size(toks) >= 30)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, 6, 20)).as("text"))
+      Dedup.duplicatedSpanList(docs.unionByName(excerpts), "doc_id", "text", ngN)
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, text FROM documents),
+             ex AS (SELECT doc_id + 20000000 AS doc_id,
+                      array_to_string(list_slice(
+                        string_split_regex(trim(lower(text)), '\\s+'), 6, 25),
+                        ' ') AS text
+                    FROM t0
+                    WHERE doc_id % 9 = 0
+                      AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 30),
+             u AS (SELECT * FROM t0 UNION ALL SELECT * FROM ex),
+             b AS (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                     CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS BIGINT) AS n_tok
+                   FROM u),
+             occ AS (SELECT doc_id, n_tok, toks,
+                       unnest(range(0, n_tok - ${ngN - 1})) AS pos
+                     FROM b WHERE n_tok >= $ngN),
+             g AS (SELECT doc_id, n_tok, pos,
+                     array_to_string(list_slice(toks,
+                       CAST(pos + 1 AS INT), CAST(pos + $ngN AS INT)), ' ') AS gram
+                   FROM occ),
+             dict AS (SELECT gram FROM g
+                      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+             dup AS (SELECT doc_id, n_tok, pos FROM g
+                     WHERE gram IN (SELECT gram FROM dict)),
+             sp AS (SELECT doc_id, n_tok, pos,
+                      least(pos + ${ngN - 1}, n_tok - 1) AS e,
+                      max(least(pos + ${ngN - 1}, n_tok - 1)) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+                    FROM dup),
+             isl AS (SELECT doc_id, pos, e,
+                       CAST(sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                                     THEN 1 ELSE 0 END) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS island
+                     FROM sp)
+             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_len,
+               CAST(count(*) AS BIGINT) AS n_grams_in_span
+             FROM isl GROUP BY doc_id, island"""))
+
   // ------------------------------------------------------- cu1: mixture cube
 
   /** CU1 — training-mixture report: doc and token counts by
@@ -718,6 +779,6 @@ object CurationQueries {
                    CAST(count(*) - count(c_mktsegment) AS BIGINT),
                    CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer"""))
 
-  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, cu1, lr1, sd1,
+  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, cu1, lr1, sd1,
     scd1, dr1, ds1, qs1, dq1)
 }

@@ -208,11 +208,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("ng1 duplicated spans: windows keyed by doc, no pair-space join") {
-    val df = QueryCatalog.byName("ng1_dup_spans").run(spark, dir)
-    assertNoPartitionWindowsBounded(df, "ng1_dup_spans")
-    val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  test("ng1/ng2 duplicated spans: windows keyed by doc, no pair-space join") {
+    Seq("ng1_dup_spans", "ng2_dup_span_list").foreach { name =>
+      val df = QueryCatalog.byName(name).run(spark, dir)
+      assertNoPartitionWindowsBounded(df, name)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    }
   }
 
   test("ii1 inverted index is one hash agg via priority_topk, no per-term sort") {

@@ -221,6 +221,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("duplicatedSpanList: spans maximal, non-overlapping, and cover-consistent") {
+    import graft.operators.Dedup
+    val word = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8", "w9")
+    val gen = for {
+      n <- Gen.chooseNum(2, 6)
+      docs <- Gen.listOfN(n, Gen.chooseNum(5, 14).flatMap(Gen.listOfN(_, word)))
+    } yield docs.map(_.mkString(" "))
+    samples(gen, 4).foreach { texts =>
+      val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val corpus = (base :+ ((1000L, texts.head))).toDF("doc_id", "text")
+      val spans = Dedup.duplicatedSpanList(corpus, "doc_id", "text", 3)
+        .collect()
+        .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("span_start"),
+          x.getAs[Long]("span_len")))
+        .groupBy(_._1).view
+        .mapValues(_.map(s => (s._2, s._3)).sortBy(_._1).toSeq).toMap
+      spans.foreach { case (doc, ss) =>
+        ss.foreach { case (start, len) =>
+          assert(start >= 0 && len >= 3, s"doc $doc: span ($start, $len) shorter than n")
+        }
+        // non-overlapping AND maximal: consecutive spans leave a gap of
+        // ≥ 2 tokens (a gap ≤ 1 means touching/overlapping windows that
+        // must have merged into one island)
+        ss.toSeq.sliding(2).foreach { w =>
+          if (w.size == 2) {
+            val (s1, l1) = w(0)
+            val (s2, _) = w(1)
+            assert(s2 > s1 + l1, s"doc $doc: spans overlap")
+            assert(s2 - (s1 + l1 - 1) >= 2, s"doc $doc: adjacent spans unmerged")
+          }
+        }
+      }
+      // cover-consistency with duplicatedSpans: summed span lengths equal
+      // the interval-merged covered-token count, per doc
+      val cov = Dedup.duplicatedSpans(corpus, "doc_id", "text", 3)
+        .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_cov_tokens"))
+        .toMap
+      cov.foreach { case (doc, c) =>
+        val got = spans.get(doc).map(_.map(_._2).sum).getOrElse(0L)
+        assert(got == c, s"doc $doc: span lengths $got != covered $c")
+      }
+      // the cloned pair's span lists are identical
+      assert(spans.get(0L) == spans.get(1000L))
+    }
+  }
+
   private val sfDir = "/root/testdata/sf0.001"
 
   test("an1: anti join is the exact complement of the 1995 semi join") {
