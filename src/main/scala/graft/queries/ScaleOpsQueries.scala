@@ -34,6 +34,12 @@ object ScaleOpsQueries {
   private def h60sql(e: String): String =
     s"CAST(('0x'||substring(md5($e),1,15)) AS BIGINT)"
 
+  /** DELIBERATELY un-cached across queries: the driver's bench contract
+    * times each catalog entry in isolation (caches cleared between
+    * queries), so a shared persisted token frame would never be hit. A
+    * pipeline composing several of these ops over one corpus should
+    * materialize this projection once (`sources.Stages.materialize`) —
+    * `Corpus.pretrainingRun` demonstrates exactly that. */
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("toks"))
