@@ -212,6 +212,53 @@ object Ann {
     vectors.withColumn("cell", nearest(col("vn")))
   }
 
+  /** The `nProbe` nearest cell ids for each query vector (`qvn`), ordered
+    * by (distance², cell) — an ARRAY<INT> column. k ≤ [[LiteralPathMaxK]]
+    * sorts the centroid literal per row (array_sort over (d2, cell)
+    * structs ≡ orderBy(d2, cell)); larger k runs a bounded selection over
+    * the broadcast matrix — same float accumulation, same tiebreak, so
+    * identical probe sets (tested at k = 8192). Both narrow. */
+  private[graft] def probeCells(queries: DataFrame,
+      rows: Seq[(Int, Seq[Double])], nProbe: Int): Column =
+    if (rows.size <= LiteralPathMaxK) probeCellsLiteral(rows, nProbe)
+    else probeCellsBroadcast(queries, rows, nProbe)
+
+  private[graft] def probeCellsLiteral(rows: Seq[(Int, Seq[Double])],
+      nProbe: Int): Column =
+    transform(
+      slice(
+        array_sort(transform(centroidLit(rows), c =>
+          struct(dist2(col("qvn"), c.getField("_2")).as("d2"),
+            c.getField("_1").as("cell")))),
+        1, nProbe),
+      pc => pc.getField("cell"))
+
+  private[graft] def probeCellsBroadcast(queries: DataFrame,
+      rows: Seq[(Int, Seq[Double])], nProbe: Int): Column = {
+    val cellIds: Array[Int] = rows.map(_._1).toArray
+    val mat: Array[Array[Double]] = rows.map(_._2.toArray).toArray
+    val bc = queries.sparkSession.sparkContext.broadcast((cellIds, mat))
+    val nearestN = udf { (qvn: Seq[Double]) =>
+      val (cs, m) = bc.value
+      // exact (d2, cell) ordering over all k, then take nProbe — k log k
+      // per query row; queries are the thin side, and the full sort
+      // reproduces the literal path's total order bit-for-bit
+      val scored = new Array[(Double, Int)](m.length)
+      var c = 0
+      while (c < m.length) {
+        val cv = m(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(qvn.length, cv.length)
+        while (i < n) { val t = qvn(i) - cv(i); d += t * t; i += 1 }
+        scored(c) = (d, cs(c))
+        c += 1
+      }
+      scored.sortBy(identity).take(nProbe).map(_._2).toSeq
+    }
+    nearestN(col("qvn"))
+  }
+
   /** IVF top-k: probe the `nProbe` nearest cells per query, exact
     * cosine re-rank inside them.
     * @return `(q_id, rnk, id, cos)` */
@@ -219,12 +266,9 @@ object Ann {
       k: Int, iters: Int, nProbe: Int, topK: Int): DataFrame = {
     val spark = emb.sparkSession
     GraftFunctions.register(spark)
-    // the Lloyd result materializes ONCE; the corpus assign picks the
-    // literal-fold or broadcast path by k, while the query-side probe
-    // keeps the literal (the query frame is the thin side — its stage
-    // never carries the corpus)
+    // the Lloyd result materializes ONCE; both the corpus assign and the
+    // query-side probe pick the literal or broadcast path by k
     val rows = centroidRows(kmeansCentroids(emb, idCol, vecCol, k, iters))
-    val cents = centroidLit(rows)
     // persist the assigned corpus: this IS the IVF index artifact (cell →
     // vectors). Without it the interpreted fold that computes `cell`
     // re-evaluates per join-OUTPUT row (~nProbe× per vector — measured 6×
@@ -232,20 +276,11 @@ object Ann {
     // (sources.Stages.materialize) and reuse it across query batches.
     val corpus = assignRows(normalized(emb, idCol, vecCol), rows).persist()
     graft.Caches.releaseAfterAction(corpus)
-    // probe = per-query sort of the k-entry literal (array_sort over
-    // (d2, cell) structs ≡ orderBy(d2, cell)), sliced to nProbe and
-    // exploded — narrow, like assign
-    val probedCells = slice(
-      array_sort(transform(cents, c =>
-        struct(dist2(col("qvn"), c.getField("_2")).as("d2"),
-          c.getField("_1").as("cell")))),
-      1, nProbe)
     val qn = normalized(queries, idCol, vecCol)
       .select(col("id").as("q_id"), col("v").as("qv"), col("vn").as("qvn"))
     val probed = qn
       .select(col("q_id"), col("qv"),
-        explode(probedCells).as("pc"))
-      .select(col("q_id"), col("qv"), col("pc.cell").as("cell"))
+        explode(probeCells(qn, rows, nProbe)).as("cell"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
     probed.join(corpus, Seq("cell"))
       .filter(col("id") =!= col("q_id"))

@@ -74,6 +74,26 @@ class AnnSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.toLowerCase.contains("join"), p)
   }
 
+  test("large-k broadcast probe equals the literal probe at k = 8192") {
+    import spark.implicits._
+    val dim = 64
+    val k = 8192
+    val cents = (0 until k).map { c =>
+      (c, (0 until dim).map(i => ((c * 31 + i * 7) % 97) / 97.0): Seq[Double])
+    }
+    val q = normalizedFixture(
+      Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .filter(col("vec_id") % 100 === 0))
+      .select(col("id").as("q_id"), col("vn").as("qvn"))
+    val vecs = graft.operators.Ann
+    val viaLit = q.select(col("q_id"),
+      vecs.probeCellsLiteral(cents, 5).as("cells"))
+    val viaBc = q.select(col("q_id"),
+      vecs.probeCellsBroadcast(q, cents, 5).as("cells"))
+    assert(viaBc.exceptAll(viaLit).count() == 0 &&
+      viaLit.exceptAll(viaBc).count() == 0)
+  }
+
   /** The (id, vn) shape Ann.assign expects, built the same way
     * Ann.normalized builds it. */
   private def normalizedFixture(emb0: org.apache.spark.sql.DataFrame) =
