@@ -486,4 +486,36 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_len"),
         col("n_grams_in_span"))
   }
+
+  /** The APPLY step of span-level dedup: rebuild each document with every
+    * maximal duplicated span ([[duplicatedSpanList]]) excised — the
+    * aggressive C4-style variant that drops ALL occurrences of duplicated
+    * text (Lee et al. keep one exemplar occurrence; electing a keeper per
+    * gram cluster is a different, cluster-keyed pass — see `exact`'s
+    * keeper election for the document-level analogue).
+    *
+    * Scale shape: the span list is doc-keyed aggregation all the way
+    * down; rebuilding is ONE narrow filter-with-index lambda over the
+    * token array against the doc's own (collect_list-bounded) span set —
+    * no shuffle beyond the span join, state bounded by a document.
+    * @return `(doc_id, n_tok, n_kept, trimmed_text)` — one row per doc,
+    *         `trimmed_text` the space-joined surviving tokens */
+  def trimDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spanArr = duplicatedSpanList(docs, idCol, textCol, n)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("spans"))
+    spread(docs).select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .join(spanArr, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<span_start:bigint,span_len:bigint>>")))
+      .withColumn("kept",
+        filter(col("toks"), (t, i) => !exists(col("spans"), s =>
+          i.cast("long") >= s.getField("span_start") &&
+            i.cast("long") < s.getField("span_start") + s.getField("span_len"))))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("trimmed_text"))
+  }
 }

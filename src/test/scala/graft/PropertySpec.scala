@@ -264,6 +264,18 @@ class PropertySpec extends SparkSpec {
       }
       // the cloned pair's span lists are identical
       assert(spans.get(0L) == spans.get(1000L))
+      // trim consistency: kept tokens = n_tok − covered tokens, and the
+      // trimmed text is exactly the surviving tokens (re-splittable)
+      val trimmed = Dedup.trimDuplicatedSpans(corpus, "doc_id", "text", 3)
+        .collect().map(x => x.getAs[Long]("doc_id") ->
+          ((x.getAs[Long]("n_tok"), x.getAs[Long]("n_kept"),
+            x.getAs[String]("trimmed_text")))).toMap
+      trimmed.foreach { case (doc, (nTok, nKept, text)) =>
+        val c = cov.getOrElse(doc, 0L)
+        assert(nKept == nTok - c, s"doc $doc: kept $nKept != $nTok - $c")
+        val words = if (text.isEmpty) 0 else text.split(" ").length
+        assert(words == nKept, s"doc $doc: text words $words != n_kept $nKept")
+      }
     }
   }
 
