@@ -451,9 +451,15 @@ object Dedup {
     * island windows are PARTITIONED BY document (state bounded by one
     * doc's length), and the span rows come from one more keyed hash agg.
     * Fully SQL-expressible, so the catalog query carries a DuckDB hash
-    * oracle (`ng2_dup_span_list`). */
+    * oracle (`ng2_dup_span_list`).
+    *
+    * `keepFirst = true` gives the FAITHFUL Lee-et-al semantics: the
+    * gram's occurrence in its lowest-id document is the kept exemplar —
+    * only occurrences in OTHER documents are flagged as duplicated, so
+    * one copy of every repeated passage survives a downstream trim. The
+    * keeper election is the same one-agg min-id rule as [[exact]]. */
   def duplicatedSpanList(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int, keepFirst: Boolean = false): DataFrame = {
     val toked = spread(docs).select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
@@ -463,14 +469,19 @@ object Dedup {
       .persist()
     graft.Caches.releaseAfterAction(occ)
     val dict = occ.groupBy("gram")
-      .agg(count_distinct(col("doc_id")).as("nd"))
+      .agg(count_distinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("keeper"))
       .filter(col("nd") >= 2)
-      .select("gram")
+      .select("gram", "keeper")
     val wPrev = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    occ.join(dict, Seq("gram"), "leftsemi")
+    val flagged0 = occ.join(dict, Seq("gram"))
+    val flagged =
+      if (keepFirst) flagged0.filter(col("doc_id") =!= col("keeper"))
+      else flagged0
+    flagged.drop("keeper")
       .withColumn("e", least(col("pos") + (n - 1), col("n_tok") - 1))
       .withColumn("prev_end", max(col("e")).over(wPrev))
       // a window starts a NEW maximal span iff it neither overlaps nor
@@ -488,11 +499,10 @@ object Dedup {
   }
 
   /** The APPLY step of span-level dedup: rebuild each document with every
-    * maximal duplicated span ([[duplicatedSpanList]]) excised — the
-    * aggressive C4-style variant that drops ALL occurrences of duplicated
-    * text (Lee et al. keep one exemplar occurrence; electing a keeper per
-    * gram cluster is a different, cluster-keyed pass — see `exact`'s
-    * keeper election for the document-level analogue).
+    * maximal duplicated span ([[duplicatedSpanList]]) excised.
+    * `keepFirst = false` is the aggressive C4-style variant dropping ALL
+    * occurrences of duplicated text; `keepFirst = true` is the faithful
+    * Lee-et-al semantics — the lowest-id document's copy survives.
     *
     * Scale shape: the span list is doc-keyed aggregation all the way
     * down; rebuilding is ONE narrow filter-with-index lambda over the
@@ -501,8 +511,8 @@ object Dedup {
     * @return `(doc_id, n_tok, n_kept, trimmed_text)` — one row per doc,
     *         `trimmed_text` the space-joined surviving tokens */
   def trimDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    val spanArr = duplicatedSpanList(docs, idCol, textCol, n)
+      n: Int, keepFirst: Boolean = false): DataFrame = {
+    val spanArr = duplicatedSpanList(docs, idCol, textCol, n, keepFirst)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_len"))).as("spans"))
     spread(docs).select(col(idCol).as("doc_id"),

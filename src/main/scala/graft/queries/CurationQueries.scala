@@ -503,6 +503,81 @@ object CurationQueries {
                coalesce(agg.trimmed_text, '') AS trimmed_text
              FROM b LEFT JOIN agg USING (doc_id)"""))
 
+  /** NG4 — keep-one-exemplar span trim (Dedup.trimDuplicatedSpans with
+    * `keepFirst`): the FAITHFUL Lee-et-al removal — each duplicated
+    * gram's occurrence in its lowest-id document survives; only the other
+    * documents lose the span. On the injected twins: source docs keep
+    * their text intact, excerpts (+2·10⁷ ids) trim to empty. */
+  private val ng4 = Q(
+    "ng4_span_trim_keep_one",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val toks = TextFunctions.tokens(col("text"))
+      val excerpts = docs
+        .filter(col("doc_id") % 9 === 0 && size(toks) >= 30)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, 6, 20)).as("text"))
+      Dedup.trimDuplicatedSpans(docs.unionByName(excerpts), "doc_id", "text",
+        ngN, keepFirst = true)
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, text FROM documents),
+             ex AS (SELECT doc_id + 20000000 AS doc_id,
+                      array_to_string(list_slice(
+                        string_split_regex(trim(lower(text)), '\\s+'), 6, 25),
+                        ' ') AS text
+                    FROM t0
+                    WHERE doc_id % 9 = 0
+                      AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 30),
+             u AS (SELECT * FROM t0 UNION ALL SELECT * FROM ex),
+             b AS (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                     CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS BIGINT) AS n_tok
+                   FROM u),
+             occ AS (SELECT doc_id, n_tok, toks,
+                       unnest(range(0, n_tok - ${ngN - 1})) AS pos
+                     FROM b WHERE n_tok >= $ngN),
+             g AS (SELECT doc_id, n_tok, pos,
+                     array_to_string(list_slice(toks,
+                       CAST(pos + 1 AS INT), CAST(pos + $ngN AS INT)), ' ') AS gram
+                   FROM occ),
+             dict AS (SELECT gram, min(doc_id) AS keeper FROM g
+                      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+             dup AS (SELECT g.doc_id, g.n_tok, g.pos FROM g
+                     JOIN dict ON g.gram = dict.gram
+                     WHERE g.doc_id <> dict.keeper),
+             sp AS (SELECT doc_id, n_tok, pos,
+                      least(pos + ${ngN - 1}, n_tok - 1) AS e,
+                      max(least(pos + ${ngN - 1}, n_tok - 1)) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+                    FROM dup),
+             isl AS (SELECT doc_id, pos, e,
+                       CAST(sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                                     THEN 1 ELSE 0 END) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS island
+                     FROM sp),
+             spans AS (SELECT doc_id, min(pos) AS s0, max(e) AS e0
+                       FROM isl GROUP BY doc_id, island),
+             tok AS (SELECT doc_id, n_tok, unnest(range(0, n_tok)) AS pos, toks
+                     FROM b),
+             kept AS (SELECT t.doc_id, t.n_tok, t.pos,
+                        toks[CAST(t.pos + 1 AS INT)] AS tok
+                      FROM tok t
+                      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = t.doc_id
+                          AND t.pos >= s.s0 AND t.pos <= s.e0)),
+             agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY pos) AS trimmed_text
+                     FROM kept GROUP BY doc_id)
+             SELECT b.doc_id, b.n_tok,
+               coalesce(agg.n_kept, 0) AS n_kept,
+               coalesce(agg.trimmed_text, '') AS trimmed_text
+             FROM b LEFT JOIN agg USING (doc_id)"""))
+
   // ------------------------------------------------------- cu1: mixture cube
 
   /** CU1 — training-mixture report: doc and token counts by
@@ -853,6 +928,6 @@ object CurationQueries {
                    CAST(count(*) - count(c_mktsegment) AS BIGINT),
                    CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer"""))
 
-  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, ng3, cu1, lr1, sd1,
+  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, ng3, ng4, cu1, lr1, sd1,
     scd1, dr1, ds1, qs1, dq1)
 }

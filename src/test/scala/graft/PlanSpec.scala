@@ -208,8 +208,9 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("ng1/ng2/ng3 duplicated spans: windows keyed by doc, no pair-space join") {
-    Seq("ng1_dup_spans", "ng2_dup_span_list", "ng3_span_trim").foreach { name =>
+  test("ng1-ng4 duplicated spans: windows keyed by doc, no pair-space join") {
+    Seq("ng1_dup_spans", "ng2_dup_span_list", "ng3_span_trim",
+        "ng4_span_trim_keep_one").foreach { name =>
       val df = QueryCatalog.byName(name).run(spark, dir)
       assertNoPartitionWindowsBounded(df, name)
       val p = df.queryExecution.executedPlan.toString

@@ -276,6 +276,18 @@ class PropertySpec extends SparkSpec {
         val words = if (text.isEmpty) 0 else text.split(" ").length
         assert(words == nKept, s"doc $doc: text words $words != n_kept $nKept")
       }
+      // keepFirst: the exemplar (lowest-id) copy survives intact — doc 0
+      // keeps every token, while the 1000-id clone loses what doc 0 kept
+      val keepOne = Dedup.trimDuplicatedSpans(corpus, "doc_id", "text", 3,
+          keepFirst = true)
+        .collect().map(x => x.getAs[Long]("doc_id") ->
+          ((x.getAs[Long]("n_tok"), x.getAs[Long]("n_kept")))).toMap
+      val (n0k, kept0) = keepOne(0L)
+      assert(kept0 == n0k, s"keeper doc trimmed: $kept0/$n0k")
+      // the clone never keeps MORE than the aggressive variant of doc 0
+      // would suggest; with ≥1 duplicated gram it must lose something
+      val (cn, ck) = keepOne(1000L)
+      if (trimmed(1000L)._2 < cn) assert(ck < cn, "clone kept everything")
     }
   }
 
