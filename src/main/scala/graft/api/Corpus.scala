@@ -149,6 +149,27 @@ object Corpus {
     Dedup.contamination(docs, idCol, textCol, trainFlag, shingleN,
       maxShingleTrainDocs)
 
+  /** Maximal duplicated spans across the corpus (Lee et al. 2022 shape):
+    * one row per maximal run of text whose word n-grams appear in ≥ 2
+    * documents — `(doc_id, span_start, span_len, n_grams_in_span)`.
+    * `keepFirst = true` marks only non-exemplar occurrences (the
+    * lowest-id document keeps its copy). See
+    * [[graft.operators.Dedup.duplicatedSpanList]]. */
+  def duplicatedTextSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 5,
+      keepFirst: Boolean = false): DataFrame =
+    Dedup.duplicatedSpanList(docs, idCol, textCol, n, keepFirst)
+
+  /** The APPLY step: every document rebuilt with its duplicated spans
+    * excised — `(doc_id, n_tok, n_kept, trimmed_text)`. `keepFirst =
+    * true` is the faithful Lee-et-al removal (one exemplar copy
+    * survives); false is the aggressive C4-style variant. See
+    * [[graft.operators.Dedup.trimDuplicatedSpans]]. */
+  def trimDuplicatedText(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 5,
+      keepFirst: Boolean = true): DataFrame =
+    Dedup.trimDuplicatedSpans(docs, idCol, textCol, n, keepFirst)
+
   /** Within-document repetition scores (X5, the Gopher quality-rule
     * family): over each doc's word n-grams, `dup_frac` = 1 −
     * distinct/total and `top_frac` = the most frequent n-gram's share.

@@ -72,6 +72,24 @@ class CorpusSpec extends SparkSpec {
     assert(got === Set(10L))
   }
 
+  test("trimDuplicatedText keeps the exemplar copy, trims the clones") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, passage),
+      (2L, passage), // verbatim clone: trims fully under keepFirst
+      (3L, "entirely different words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = Corpus.trimDuplicatedText(corpus, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[String]("trimmed_text")))).toMap
+    assert(out(1L)._1 == 8 && out(1L)._2 == passage) // exemplar intact
+    assert(out(2L)._1 == 0 && out(2L)._2.isEmpty)    // clone excised
+    assert(out(3L)._1 == 8)                          // untouched
+    val spans = Corpus.duplicatedTextSpans(corpus, n = 3, keepFirst = true)
+      .collect()
+    assert(spans.forall(_.getAs[Long]("doc_id") == 2L)) // only the clone flagged
+  }
+
   test("repetitionScores: a looping doc scores high, varied text low") {
     val corpus = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
