@@ -264,6 +264,12 @@ object Demo {
       s"${st.cleaned.count()} clean -> ${st.deduped.count()} deduped -> " +
       s"${st.decontaminated.count()} decontaminated -> ${st.mixed.count()} mixed" +
       s" -> ${st.packed.select("pack_id").distinct().count()} packs")
+
+    // ---- span-level dedup: detect -> keep-one-exemplar trim --------------
+    val trimmed = graft.api.Corpus.trimDuplicatedText(docs, n = 5)
+    val lost = trimmed.agg(sum(col("n_tok") - col("n_kept"))).head().getLong(0)
+    println(s"[demo] span trim (keep-one): $lost duplicated tokens excised " +
+      s"across ${trimmed.filter(col("n_kept") < col("n_tok")).count()} docs")
     spark.stop()
   }
 }
