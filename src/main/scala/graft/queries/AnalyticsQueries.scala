@@ -792,6 +792,81 @@ object AnalyticsQueries {
              FROM a JOIN f USING (user_id)
              GROUP BY 1, 2"""))
 
+  // ------------------------------------------------------- bm1: BM25 top-k
+
+  private val bmTerms = Seq("spark", "vector", "stream")
+  private val bmK1 = 1.2
+  private val bmB = 0.75
+  private val bmTopK = 20
+
+  /** BM1 — BM25 document retrieval for a fixed query-term set (the
+    * ranking function behind every inverted-index search engine, and the
+    * sparse-retrieval half of a RAG corpus pipeline): per matched term,
+    * idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with the Lucene idf
+    * form ln(1 + (N−df+0.5)/(df+0.5)); per-doc sum; global top-`bmTopK`.
+    *
+    * Scale shape — ONE corpus scan, ONE shuffle: the exploded token
+    * stream aggregates straight to a per-doc row of (dl, tf per query
+    * term) in a single partial+final hash agg (the naive per-frame
+    * spelling — separate dl / tf / df / stats frames — re-executes the
+    * scan 4×, since Catalyst does not dedupe common DataFrame subtrees).
+    * Every corpus scalar (N, avgdl, and each term's df) then reduces off
+    * that persisted per-doc frame into ONE 1-row broadcast; scoring +
+    * top-k are a narrow map over matched docs feeding orderBy+limit —
+    * TakeOrderedAndProject's per-partition heaps, no global sort.
+    * Ranking key is `round(score, 9)` with a doc_id tiebreak on both
+    * engines so `ln` ulp differences cannot flip the cut. */
+  private val bm1 = Q(
+    "bm1_bm25_topk",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.operators.TextFunctions.tokens(col("text"))).as("term"))
+      val perDocAggs = count(lit(1)).as("dl") +: bmTerms.map(t =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+      val perDoc = tok.groupBy("doc_id")
+        .agg(perDocAggs.head, perDocAggs.tail: _*)
+        .persist()
+      graft.Caches.releaseAfterAction(perDoc)
+      val statAggs = Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
+        bmTerms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+      val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+      val w = bmTerms.map { t =>
+        val tf = col(s"tf_$t"); val df = col(s"df_$t")
+        val idf = log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+        when(tf > 0, idf * (tf * lit(bmK1 + 1.0)) /
+          (tf + lit(bmK1) * (lit(1.0 - bmB) + lit(bmB) * col("dl") / col("avgdl"))))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      val nTerms = bmTerms.map(t => (col(s"tf_$t") > 0).cast("long")).reduce(_ + _)
+      perDoc.filter(bmTerms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+        .crossJoin(broadcast(stats))
+        .withColumn("score0", w)
+        .withColumn("n_terms", nTerms)
+        .orderBy(round(col("score0"), 9).desc, col("doc_id"))
+        .limit(bmTopK)
+        .select(col("doc_id"), col("n_terms"), round(col("score0"), 6).as("score"))
+    },
+    Some(s"""WITH t AS ($toksSql),
+             tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+             dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+             st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+             tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+                    WHERE term IN (${bmTerms.map(t => s"'$t'").mkString(", ")})
+                    GROUP BY 1, 2),
+             df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             w AS (SELECT tf.doc_id,
+                     ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * (tf.tf * (${bmK1} + 1.0))
+                       / (tf.tf + ${bmK1} * ((1.0 - ${bmB}) + ${bmB} * dl.dl / st.avgdl)) AS w
+                   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+             sc AS (SELECT doc_id, sum(w) AS score0,
+                      CAST(count(*) AS BIGINT) AS n_terms
+                    FROM w GROUP BY 1)
+             SELECT doc_id, n_terms, round(score0, 6) AS score
+             FROM sc ORDER BY round(score0, 9) DESC, doc_id LIMIT $bmTopK"""))
+
   def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, gs1, wz1, rz1, fz1, w1, w2, ii1,
-    bp1, bp2, lm2, gf1, lf1, hh1, fn1, co1)
+    bp1, bp2, lm2, gf1, lf1, hh1, fn1, co1, bm1)
 }

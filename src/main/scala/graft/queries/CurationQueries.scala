@@ -928,6 +928,52 @@ object CurationQueries {
                    CAST(count(*) - count(c_mktsegment) AS BIGINT),
                    CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer"""))
 
+  // ------------------------------------------------------- dc1: source cap
+
+  private val dcCap = 10
+  private val dcSeed = "17"
+
+  /** DC1 — per-domain document cap (the C4/RefinedWeb anti-spam rule: no
+    * single source may contribute more than `dcCap` documents to the
+    * training mix): keep the `dcCap` lowest-seeded-hash documents per
+    * source, with the full per-source count kept as the audit column.
+    * The keep-set selection is the O(k)-state `priority_topk` aggregate —
+    * one partial+final hash aggregation; a hot domain with 10⁹ documents
+    * ships k rows per (domain, partition), never a per-domain window
+    * sort. Which docs survive is a pure function of (seed, doc_id) —
+    * stable under retries, layouts, and engines — and re-capping with a
+    * different seed is a one-constant change. Hash priorities are
+    * reduced mod 2^53 so the DOUBLE priority the aggregate orders by is
+    * exact (bit-identical ordering to the oracle's BIGINT sort key). */
+  private val dc1 = Q(
+    "dc1_source_cap",
+    (s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val keyed = Tables.documents(s, d).select(col("source"), col("doc_id"),
+        (Dedup.hash60(concat(lit(dcSeed + ":"), col("doc_id").cast("string")))
+          % lit(9007199254740992L)).as("pk"))
+      keyed.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          call_function("priority_topk",
+            col("pk").cast("double"), col("doc_id"), lit(dcCap)).as("kept"))
+        .select(col("source"), col("n_docs"),
+          posexplode(col("kept")).as(Seq("pos0", "doc_id")))
+        .select(col("source"), col("n_docs"),
+          (col("pos0") + 1).cast("long").as("pos"), col("doc_id"))
+    },
+    Some(s"""WITH k AS (SELECT source, doc_id,
+                 ${hash60sql(s"'$dcSeed:'||CAST(doc_id AS VARCHAR)")}
+                   % 9007199254740992 AS pk
+               FROM documents),
+             n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                   FROM k GROUP BY source),
+             r AS (SELECT source, doc_id,
+                     CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY pk, doc_id) AS BIGINT) AS pos
+                   FROM k)
+             SELECT r.source, n.n_docs, r.pos, r.doc_id
+             FROM r JOIN n USING (source) WHERE r.pos <= $dcCap"""))
+
   def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, ng3, ng4, cu1, lr1, sd1,
-    scd1, dr1, ds1, qs1, dq1)
+    scd1, dr1, ds1, qs1, dq1, dc1)
 }

@@ -167,5 +167,35 @@ object EmbeddingQueries {
           FROM walk GROUP BY id"""
     })
 
-  def all: Seq[Q] = Seq(rp1, pc1, eq1, sd2)
+  /** PQ1 — product-quantization compress + ADC search
+    * ([[graft.operators.Pq]]): 64-d float vectors → 8 four-bit codes
+    * (64× compression), then asymmetric-distance top-10 for three fixed
+    * query ids against the COMPRESSED corpus (m table lookups per row,
+    * never a decode). The codebook fit is a bounded deterministic
+    * driver Lloyd (md5-lowest training sample, the Bpe/Pca bounded-fit
+    * pattern) — iterative, so no SQL oracle (rows-only, like pc1);
+    * PqSpec carries correctness: ADC ≡ dist²-to-reconstruction
+    * identity, distortion strictly below the 1-centroid quantizer,
+    * code range, determinism, and recall against the exact top-k. */
+  private val pq1 = Q(
+    "pq1_product_quantize",
+    (s, d) => {
+      import graft.operators.Pq
+      val emb = Tables.embeddings(s, d)
+      val model = Pq.fit(emb, "embedding", m = 8, ksub = 16, iters = 8)
+      val codes = Pq.encode(emb, "embedding", model).persist()
+      graft.Caches.releaseAfterAction(codes)
+      val qids = Seq(0L, 100L, 200L)
+      val qvecs = emb.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      qids.filter(qvecs.contains).map { qid =>
+        Pq.adcTopK(codes, model, qvecs(qid), k = 10)
+          .select(lit(qid).as("q_id"), col("vec_id"),
+            round(col("adc_d2"), 6).as("adc_d2"))
+      }.reduce(_.unionByName(_))
+    },
+    None)
+
+  def all: Seq[Q] = Seq(rp1, pc1, eq1, sd2, pq1)
 }
