@@ -133,21 +133,24 @@ object Pq {
   /** Encode: one narrow scan adding `code` (ARRAY<INT>, length m). Per
     * subspace: fold-argmin over the codebook literal, strict `<` with
     * lowest-code tiebreak — the same total order as the driver-side
-    * training argmin. */
+    * training argmin. The subvector slices are projected ONCE per row
+    * before the folds (a lambda-embedded `slice` would re-slice per
+    * centroid step — ksub× the array churn). */
   def encode(emb: DataFrame, vecCol: String, model: PqModel,
       idCol: String = "vec_id"): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
+    val sliced = emb.select(col(idCol) +: (0 until model.m).map(s =>
+      slice(v, s * model.dsub + 1, model.dsub).as(s"sub_$s")): _*)
     val codes = (0 until model.m).map { s =>
-      val sub = slice(v, s * model.dsub + 1, model.dsub)
       aggregate(bookLit(model.books(s)),
         struct(lit(Double.MaxValue).as("d2"), lit(-1).as("code")),
         (acc, c) => {
-          val d = sliceD2(sub, c.getField("_2"))
+          val d = sliceD2(col(s"sub_$s"), c.getField("_2"))
           when(d < acc.getField("d2"),
             struct(d.as("d2"), c.getField("_1").as("code"))).otherwise(acc)
         }).getField("code")
     }
-    emb.select(col(idCol), array(codes: _*).as("code"))
+    sliced.select(col(idCol), array(codes: _*).as("code"))
   }
 
   /** Reconstruction of a `code` column — m codebook lookups per row,

@@ -867,6 +867,56 @@ object AnalyticsQueries {
              SELECT doc_id, n_terms, round(score0, 6) AS score
              FROM sc ORDER BY round(score0, 9) DESC, doc_id LIMIT $bmTopK"""))
 
+  // ------------------------------------------------------- pr1: PageRank
+
+  private val prIters = 4
+  private val prD = 0.85
+
+  /** PR1 — PageRank over the customer→supplier trade graph (edges =
+    * distinct (o_custkey, l_suppkey) pairs through orders⋈lineitem;
+    * supplier ids offset by 10⁶ into a shared node-id space): `prIters`
+    * fixed power-iteration rounds at damping `prD`
+    * ([[graft.operators.Graphs.pageRank]]). The canonical
+    * O(rounds)-of-shuffles iterative workload — and, because the round
+    * count is a CONSTANT, fully oracle-able: the SQL side unrolls the
+    * same rounds as chained CTEs, so this is the rare iterative operator
+    * with a hash oracle rather than a rows-only check. Dangling supplier
+    * nodes leak mass by design (the literal formula is what both engines
+    * replay). Float-literal parity: every SQL constant is the exact
+    * Scala double (e.g. 1−0.85 prints as 0.15000000000000002) CAST to
+    * DOUBLE, so both engines run identical IEEE arithmetic; per-node
+    * in-edge sums are association-order-sensitive at ~1e-17 and
+    * `round(pr, 6)` sits 11 orders of magnitude above that. */
+  private val pr1 = Q(
+    "pr1_pagerank",
+    (s, d) => {
+      val ed = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.Graphs.pageRank(ed, prIters, prD)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+    },
+    Some {
+      val base =
+        s"""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           og AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+           nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+           nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+           p0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+      val steps = (1 to prIters).map { i =>
+        s"""c$i AS (SELECT e.dst AS id, sum(p.pr / og.outdeg) AS m
+               FROM e JOIN p${i - 1} p ON e.src = p.id JOIN og ON e.src = og.src
+               GROUP BY e.dst),
+           p$i AS (SELECT nodes.id,
+                 CAST(${1.0 - prD} AS DOUBLE) / nn.n
+                   + CAST($prD AS DOUBLE) * coalesce(c$i.m, 0.0) AS pr
+               FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.id = c$i.id)"""
+      }.mkString(",\n")
+      s"$base,\n$steps\nSELECT id, round(pr, 6) AS pr FROM p$prIters"
+    })
+
   def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, gs1, wz1, rz1, fz1, w1, w2, ii1,
-    bp1, bp2, lm2, gf1, lf1, hh1, fn1, co1, bm1)
+    bp1, bp2, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1)
 }
