@@ -233,28 +233,31 @@ object Dedup {
     */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
       trainFlag: Column, n: Int, maxShingleTrainDocs: Int = 1000): DataFrame = {
-    val sh = spread(docs).select(col(idCol).as("doc_id"), trainFlag.as("is_train"),
-        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
-      .distinct()
-      .persist()
-    graft.Caches.releaseAfterAction(sh)
-    // dictionary in ONE hash agg (rows are already distinct per (doc, sh),
-    // so count(*) = train-doc frequency); the cap is a HAVING, not a
-    // window pass, and the audit rides the caller's action via observe
+    // Deliberately NOTHING fact-sized is persisted (the bf1 design): only
+    // the capped train-shingle DICTIONARY is cached; the test-side
+    // shingle stream is recomputed per consumer — a narrow re-scan, vs a
+    // corpus-sized cache that a 100 TB run cannot hold
+    val pairs = spread(docs).select(col(idCol).as("doc_id"),
+      trainFlag.as("is_train"),
+      explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
     DropAudit.ensure(docs.sparkSession)
-    val trainSh = sh.filter(col("is_train"))
+    val trainSh = pairs.filter(col("is_train")).select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("__ndocs"))
       .observe(s"graft_capped_contamination_${auditSeq.getAndIncrement()}",
         sum(when(col("__ndocs") > maxShingleTrainDocs, 1L).otherwise(0L))
           .as("dropped_rows"))
       .filter(col("__ndocs") <= maxShingleTrainDocs)
       .select("sh")
-    // totals and overlap in ONE pass: left-join the dictionary, count hits
-    sh.filter(!col("is_train")).select("doc_id", "sh")
-      .join(trainSh.withColumn("__hit", lit(1)), Seq("sh"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_shared"))
-      .filter(col("n_shared") > 0)
+      .persist()
+    graft.Caches.releaseAfterAction(trainSh)
+    val test = pairs.filter(!col("is_train")).select("doc_id", "sh")
+    // totals: distinct count folds duplicate in-doc shingles inside the
+    // two-phase agg — no pre-DISTINCT shuffle of the raw pair stream
+    val totals = test.groupBy("doc_id")
+      .agg(count_distinct(col("sh")).as("n_sh"))
+    val hits = test.join(trainSh, Seq("sh"), "leftsemi")
+      .groupBy("doc_id").agg(count_distinct(col("sh")).as("n_shared"))
+    totals.join(hits, Seq("doc_id"))
       .withColumn("contamination", round(col("n_shared") / col("n_sh"), 6))
       .select("doc_id", "n_sh", "n_shared", "contamination")
   }
