@@ -62,4 +62,63 @@ object Graphs {
     graft.Caches.releaseAfterAction(e, eo, nodesN)
     rank
   }
+
+  /** Per-node triangle counts over an undirected edge list, via DEGREE
+    * ORIENTATION (Chiba–Nishizeki / the standard distributed variant):
+    * every undirected edge {u,v} is directed from the endpoint with the
+    * smaller (degree, id) key to the larger, wedges are enumerated only
+    * from each node's OUT-neighbours, and a wedge (v,w) closes iff the
+    * oriented edge v→w exists. Orientation caps every out-degree at
+    * O(√m), so the wedge join materializes Σ outdeg² = O(m^1.5) rows in
+    * the worst case instead of Σ deg² — the difference between a plan
+    * that survives a power-law web graph and one whose hub node puts
+    * deg² pairs in one task. All three passes are keyed hash
+    * joins/aggregations (edge key, then node key); nothing touches the
+    * driver.
+    *
+    * Each triangle {x,y,z} is discovered exactly once (from its
+    * lowest-key apex) and credited to all three corners.
+    *
+    * @param edges frame with `src`/`dst` columns; self-loops and
+    *              duplicate/reversed copies of an edge are collapsed
+    * @return (id, n_tri) — one row per node on ≥ 1 triangle
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected edges (a < b), self-loops dropped
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().persist()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by the total order (deg, id); carry the head's key so the
+    // wedge join can order a node's two out-neighbours without a third
+    // degree join
+    val ka = struct(col("da").as("d"), col("a").as("i"))
+    val kb = struct(col("db").as("d"), col("b").as("i"))
+    val eo = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(ka < kb, col("a")).otherwise(col("b")).as("u"),
+        when(ka < kb, col("b")).otherwise(col("a")).as("v"),
+        when(ka < kb, kb).otherwise(ka).as("vk"))
+      .persist()
+    // wedges from each apex's out-neighbours (ordered pairs), closed by
+    // the oriented (v, w) edge — which, if the undirected edge exists,
+    // is oriented exactly min-key → max-key
+    val tri = eo.as("e1")
+      .join(eo.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.vk") < col("e2.vk"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      .join(eo.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+    // one pass, three corners: explode instead of a 3-way union — a union
+    // would reference (and thus RE-EXECUTE) the uncached triangle join
+    // subtree once per branch
+    val counts = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    graft.Caches.releaseAfterAction(e, eo)
+    counts
+  }
 }

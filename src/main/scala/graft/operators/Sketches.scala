@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DDSketch-style quantile sketching (Masson, Lee & Rim, "DDSketch: a
+  * fast and fully-mergeable quantile sketch with relative-error
+  * guarantees", VLDB 2019) — the quantile member of the repo's sketch
+  * family beside HLL cardinality (`hl1`) and Misra–Gries heavy hitters
+  * (`expressions/FreqSketch`).
+  *
+  * The sketch is a log-spaced histogram: value x > 0 lands in bucket
+  * `i = ⌈ln(x)/ln(γ)⌉` with `γ = (1+α)/(1−α)`, and every value in bucket
+  * i lies in (γ^(i−1), γ^i], so the midpoint-style estimator
+  * `2γ^i/(γ+1)` is within relative error α of ANY member — hence within
+  * α of the exact rank-q quantile. Unlike GK/t-digest, the bucket
+  * histogram is a pure `groupBy(bucket).count`: deterministic,
+  * merge-ORDER-INDEPENDENT (merging sketches = adding histograms), and
+  * replayable in plain SQL — which is why `qd1` carries a full hash
+  * oracle where other engines' quantile sketches get rows-only checks.
+  *
+  * Scale shape: the histogram agg is a map-side-combined hash agg over
+  * the fact (the only full-data pass — no range shuffle, no sort); the
+  * rank selection then runs on (groups × buckets) rows, and the bucket
+  * count is bounded by the value DYNAMIC RANGE — ln(max/min)/ln(γ) ≈
+  * 690·ln(max/min) buckets at α = 1% — not by the row count. A 100 TB
+  * column with values spanning 12 decades still produces ≤ ~19k buckets
+  * per group: the post-histogram windows are driver-free but effectively
+  * constant-sized.
+  *
+  * Cross-engine float parity: `ln(γ)` is computed ONCE here and
+  * interpolated into the oracle SQL as the same decimal literal, so both
+  * engines divide by the identical double; only `ln(x)` itself is libm-
+  * dependent, and a bucket flip needs x within ~1 ulp of a bucket
+  * boundary (measure-zero on real data; documented, not defended).
+  */
+object Sketches {
+
+  /** γ = (1+α)/(1−α): consecutive bucket boundaries' ratio. */
+  def gamma(alpha: Double): Double = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    (1.0 + alpha) / (1.0 - alpha)
+  }
+
+  /** ln γ — the bucket-index divisor, shared verbatim with oracle SQL. */
+  def lnGamma(alpha: Double): Double = math.log(gamma(alpha))
+
+  /** Bucket index i = ⌈ln(x)/ln(γ)⌉ for x > 0 (null otherwise). */
+  def ddIndex(value: Column, alpha: Double): Column =
+    when(value > 0, ceil(log(value) / lit(lnGamma(alpha))).cast("long"))
+
+  /** Representative value for bucket i: 2γ^i/(γ+1) — within α relative
+    * error of every member of (γ^(i−1), γ^i]. */
+  def ddEstimate(bucket: Column, alpha: Double): Column = {
+    val g = gamma(alpha)
+    lit(2.0 / (g + 1.0)) * pow(lit(g), bucket.cast("double"))
+  }
+
+  /** Per-group sketch histogram: one row per (group, bucket) with the
+    * member count — the mergeable sketch state itself (union of two
+    * corpora = same frame unioned + re-summed). Values ≤ 0 are outside
+    * the sketch's domain and are dropped (DDSketch's positive store). */
+  def ddHistogram(df: DataFrame, grp: Seq[String], value: String,
+      alpha: Double): DataFrame =
+    df.filter(col(value) > 0)
+      .select(grp.map(col) :+ ddIndex(col(value), alpha).as("bucket"): _*)
+      .groupBy((grp.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("c"))
+
+  /** Per-group α-relative-error quantiles from the sketch: the estimate
+    * of the bucket holding 1-based rank ⌈q·n⌉ (the same discrete-rank
+    * convention as [[Ranks.quantiles]], so the α guarantee is against
+    * `quantile_disc`). One fact pass (the histogram), then
+    * constant-sized windows.
+    *
+    * @param qs (output column name, q) pairs, q in (0, 1]
+    * @return one row per group: grp ++ (`n`, estimates…)
+    */
+  def ddQuantiles(df: DataFrame, grp: Seq[String], value: String,
+      alpha: Double, qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 },
+      s"quantiles must be in (0,1]: $qs")
+    require(grp.nonEmpty, "ddQuantiles needs grouping keys")
+    val g = grp.map(col)
+    val byGrp = Window.partitionBy(g: _*)
+    val cum = ddHistogram(df, grp, value, alpha)
+      .withColumn("__cum", sum(col("c")).over(byGrp.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("c")).over(byGrp))
+    val aggs = qs.map { case (name, q) =>
+      val target = ceil(col("__n") * q)
+      max(when(col("__cum") - col("c") < target && target <= col("__cum"),
+        ddEstimate(col("bucket"), alpha))).as(name)
+    }
+    cum.groupBy(g: _*).agg(max(col("__n")).as("n"), aggs: _*)
+  }
+}

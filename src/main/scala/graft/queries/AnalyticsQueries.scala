@@ -917,6 +917,91 @@ object AnalyticsQueries {
       s"$base,\n$steps\nSELECT id, round(pr, 6) AS pr FROM p$prIters"
     })
 
+  // ------------------------------------------------- tc1: triangle count
+
+  /** TC1 — per-node triangle counts on the order co-shipment graph:
+    * orders are adjacent when they take goods from the same supplier in
+    * the same `date_trunc('week')` (a sparse graph by construction —
+    * supplier×week blocks hold ~2 orders each on this data, so edges ≈
+    * rows and the block self-join is bounded). Counting runs through
+    * [[graft.operators.Graphs.triangleCounts]]'s degree orientation —
+    * out-degrees capped at O(√m), wedge join O(m^1.5) worst-case — while
+    * the oracle replays the textbook a<b<c three-way self-join; both
+    * count each triangle once and credit all three corners, so the
+    * per-node counts hash-match exactly (pure integer arithmetic, no
+    * float parity games). */
+  private val tc1 = Q(
+    "tc1_triangle_count",
+    (s, d) => {
+      // no pre-distinct: duplicate (ok, sk, wk) rows are vanishingly rare
+      // (6 in 600k at sf0.1) and the operator's own edge distinct absorbs
+      // them — a distinct here would buy nothing for a full-fact shuffle
+      val blk = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          date_trunc("week", col("l_shipdate")).as("wk"))
+        .persist()
+      graft.Caches.releaseAfterAction(blk)
+      val edges = blk.as("a").join(blk.as("b"),
+          col("a.sk") === col("b.sk") && col("a.wk") === col("b.wk") &&
+            col("a.ok") < col("b.ok"))
+        .select(col("a.ok").as("src"), col("b.ok").as("dst"))
+      graft.operators.Graphs.triangleCounts(edges)
+    },
+    Some("""WITH blk AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk,
+                 date_trunc('week', l_shipdate) AS wk FROM lineitem),
+            e0 AS (SELECT DISTINCT a.ok AS a, b.ok AS b FROM blk a JOIN blk b
+                   ON a.sk = b.sk AND a.wk = b.wk AND a.ok < b.ok),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e0 e1 JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b)
+            SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+            FROM (SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+                  UNION ALL SELECT z AS id FROM tri)
+            GROUP BY id"""))
+
+  // -------------------------------------------- qd1: DDSketch quantiles
+
+  private val qdAlpha = 0.01
+  private val qdQs = Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+
+  /** QD1 — DDSketch 1%-relative-error quantiles of `l_extendedprice` per
+    * return flag ([[graft.operators.Sketches.ddQuantiles]]): ONE
+    * map-side-combined histogram pass over the fact (no range shuffle —
+    * contrast `wz1`'s exact ranks), then rank selection on the
+    * constant-sized (group × bucket) frame. The sketch is a pure
+    * log-bucket groupBy — deterministic and merge-order-independent — so
+    * unlike GK/t-digest it carries a FULL hash oracle: the SQL replays
+    * the identical bucket arithmetic with ln(γ), γ, and 2/(γ+1)
+    * interpolated from the very Scala doubles the Spark plan uses. */
+  private val qd1 = Q(
+    "qd1_ddsketch_quantiles",
+    (s, d) => {
+      val est = graft.operators.Sketches.ddQuantiles(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice",
+        qdAlpha, qdQs)
+      est.select(col("l_returnflag") +: col("n") +:
+        qdQs.map { case (nm, _) => round(col(nm), 6).as(nm) }: _*)
+    },
+    Some {
+      val g = graft.operators.Sketches.gamma(qdAlpha)
+      val lg = graft.operators.Sketches.lnGamma(qdAlpha)
+      val coef = 2.0 / (g + 1.0)
+      val picks = qdQs.map { case (nm, q) =>
+        s"""round(max(CASE WHEN cum - c < ceil(n * $q) AND ceil(n * $q) <= cum
+              THEN $coef * pow($g, b) END), 6) AS $nm"""
+      }.mkString(",\n              ")
+      s"""WITH h AS (SELECT l_returnflag,
+                 CAST(ceil(ln(l_extendedprice) / $lg) AS BIGINT) AS b,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2),
+          cum AS (SELECT l_returnflag, b, c,
+                 CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS BIGINT) AS cum,
+                 CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n FROM h)
+          SELECT l_returnflag, max(n) AS n,
+              $picks
+          FROM cum GROUP BY l_returnflag"""
+    })
+
   def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, gs1, wz1, rz1, fz1, w1, w2, ii1,
-    bp1, bp2, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1)
+    bp1, bp2, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1)
 }

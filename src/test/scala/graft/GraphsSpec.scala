@@ -61,4 +61,50 @@ class GraphsSpec extends SparkSpec with Matchers {
     val total = Graphs.pageRank(edges, iters = 6).agg(sum("pr")).head.getDouble(0)
     total shouldBe 1.0 +- 1e-9
   }
+
+  // ------------------------------------------------------ triangle counts
+
+  /** In-test reference: brute-force canonical-triple enumeration. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2)
+      .map(p => (p._1 min p._2, p._1 max p._2)).distinct.toSet
+    val nodes = (e.map(_._1) ++ e.map(_._2)).toSeq.sorted
+    val tris = for {
+      x <- nodes; y <- nodes if y > x && e((x, y))
+      z <- nodes if z > y && e((x, z)) && e((y, z))
+    } yield (x, y, z)
+    tris.flatMap(t => Seq(t._1, t._2, t._3)).groupBy(identity)
+      .map { case (id, xs) => id -> xs.size.toLong }
+  }
+
+  test("triangles: K4 gives every node 3 triangles") {
+    val edges = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val got = Graphs.triangleCounts(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+  }
+
+  test("triangles: a square has none (empty result)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    Graphs.triangleCounts(edges).count() shouldBe 0L
+  }
+
+  test("triangles: duplicates, reversed copies and self-loops collapse") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val noisy = (base ++ base.map(_.swap) ++ Seq((2L, 2L)) ++ base)
+      .toDF("src", "dst").repartition(5)
+    val got = Graphs.triangleCounts(noisy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+  }
+
+  test("triangles: hub star with cross edges matches brute force") {
+    // hub 0 to 8 spokes, a few chords among spokes — exercises the
+    // degree orientation (the hub must never be a wedge apex)
+    val edges = (1L to 8L).map(i => (0L, i)) ++
+      Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (1L, 3L))
+    val got = Graphs.triangleCounts(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe refTriangles(edges)
+  }
 }

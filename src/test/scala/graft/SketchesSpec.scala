@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  /** Exact discrete quantile: value at 1-based rank ⌈q·n⌉ — the same
+    * convention [[Sketches.ddQuantiles]] targets. */
+  private def exactQ(xs: Seq[Double], q: Double): Double = {
+    val s = xs.sorted
+    s((math.ceil(q * s.size) - 1).toInt.max(0))
+  }
+
+  private val qs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+  test("relative error stays within alpha on skewed data") {
+    // deterministic lognormal-ish spread over 5 decades, two groups
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 4000).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      (g, math.exp(rnd.nextGaussian() * 2.5 + 3.0))
+    }
+    val df = rows.toDF("grp", "v").repartition(7)
+    for (alpha <- Seq(0.01, 0.05)) {
+      val got = Sketches.ddQuantiles(df, Seq("grp"), "v", alpha, qs)
+        .collect().map(r => r.getString(0) -> r).toMap
+      for ((g, sub) <- rows.groupBy(_._1); (nm, q) <- qs) {
+        val exact = exactQ(sub.map(_._2), q)
+        val est = got(g).getAs[Double](nm)
+        // 1.01 head-room: a 1-ulp ln() boundary flip moves the estimate
+        // one bucket, α·(1+O(α)) — still far under the next assertion size
+        math.abs(est - exact) / exact should be <= alpha * 1.01
+      }
+    }
+  }
+
+  test("sketch histograms merge by addition (order-independent)") {
+    val a = (1 to 500).map(i => ("g", i * 1.37)).toDF("grp", "v")
+    val b = (1 to 300).map(i => ("g", i * 97.3)).toDF("grp", "v")
+    val merged = Sketches.ddHistogram(a.union(b), Seq("grp"), "v", 0.01)
+    val added = Sketches.ddHistogram(a, Seq("grp"), "v", 0.01)
+      .union(Sketches.ddHistogram(b, Seq("grp"), "v", 0.01))
+      .groupBy("grp", "bucket").agg(sum("c").as("c"))
+    merged.except(added).count() shouldBe 0L
+    added.except(merged).count() shouldBe 0L
+  }
+
+  test("non-positive values fall outside the positive store") {
+    val df = Seq(("g", -5.0), ("g", 0.0), ("g", 10.0), ("g", 20.0))
+      .toDF("grp", "v")
+    val out = Sketches.ddQuantiles(df, Seq("grp"), "v", 0.01,
+      Seq(("p50", 0.5))).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("n") shouldBe 2L
+    math.abs(out.head.getAs[Double]("p50") - 10.0) / 10.0 should be <= 0.01
+  }
+
+  test("bucket count is bounded by dynamic range, not rows") {
+    // 100k-row group spanning 3 decades at alpha=1% → ≤ ~ln(1e3)/ln(γ)+2 buckets
+    val df = spark.range(100000)
+      .select(lit("g").as("grp"), (rand(7) * 999 + 1).as("v"))
+    val nb = Sketches.ddHistogram(df, Seq("grp"), "v", 0.01).count()
+    nb should be <= (math.log(1000.0) / Sketches.lnGamma(0.01) + 2).toLong
+  }
+}
