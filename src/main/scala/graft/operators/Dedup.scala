@@ -250,14 +250,15 @@ object Dedup {
       .select("sh")
       .persist()
     graft.Caches.releaseAfterAction(trainSh)
-    val test = pairs.filter(!col("is_train")).select("doc_id", "sh")
-    // totals: distinct count folds duplicate in-doc shingles inside the
-    // two-phase agg — no pre-DISTINCT shuffle of the raw pair stream
-    val totals = test.groupBy("doc_id")
-      .agg(count_distinct(col("sh")).as("n_sh"))
-    val hits = test.join(trainSh, Seq("sh"), "leftsemi")
-      .groupBy("doc_id").agg(count_distinct(col("sh")).as("n_shared"))
-    totals.join(hits, Seq("doc_id"))
+    // ONE pass over the test side: distinct (doc, sh) — the same
+    // partial-dedup shuffle a count_distinct pays internally, paid once
+    // instead of once per aggregate — then totals AND hits off a single
+    // dictionary left join (count of non-null marks = shared shingles)
+    pairs.filter(!col("is_train")).select("doc_id", "sh").distinct()
+      .join(trainSh.withColumn("__hit", lit(1)), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_shared"))
+      .filter(col("n_shared") > 0)
       .withColumn("contamination", round(col("n_shared") / col("n_sh"), 6))
       .select("doc_id", "n_sh", "n_shared", "contamination")
   }

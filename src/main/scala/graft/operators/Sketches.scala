@@ -78,13 +78,24 @@ object Sketches {
     * @return one row per group: grp ++ (`n`, estimates…)
     */
   def ddQuantiles(df: DataFrame, grp: Seq[String], value: String,
+      alpha: Double, qs: Seq[(String, Double)]): DataFrame =
+    ddQuantilesOfHistogram(ddHistogram(df, grp, value, alpha), grp, alpha, qs)
+
+  /** [[ddQuantiles]]' selection stage when the caller ALREADY HOLDS the
+    * sketch histogram (`grp ++ (bucket, c)` — e.g. the output of
+    * [[ddHistogram]], a persisted sketch artifact, or the emitted state
+    * of the streaming windowed sketch). This split is the serving
+    * pattern: the histogram is the cheap mergeable thing pipelines
+    * store/stream; quantile extraction is a constant-sized afterthought
+    * run wherever it's needed. */
+  def ddQuantilesOfHistogram(hist: DataFrame, grp: Seq[String],
       alpha: Double, qs: Seq[(String, Double)]): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 },
       s"quantiles must be in (0,1]: $qs")
     require(grp.nonEmpty, "ddQuantiles needs grouping keys")
     val g = grp.map(col)
     val byGrp = Window.partitionBy(g: _*)
-    val cum = ddHistogram(df, grp, value, alpha)
+    val cum = hist
       .withColumn("__cum", sum(col("c")).over(byGrp.orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__n", sum(col("c")).over(byGrp))

@@ -245,6 +245,52 @@ object StreamParityQueries {
                      AS win_total
             FROM e GROUP BY w, event_type"""))
 
+  private val s9Alpha = 0.01
+  private val s9Qs = Seq(("p50", 0.5), ("p95", 0.95))
+
+  /** S9 — windowed DDSketch value quantiles
+    * (EventStreams.windowedValueSketch +
+    * Sketches.ddQuantilesOfHistogram), batch-replayed: the stream's
+    * per-window log-bucket histogram is the ONLY stateful aggregation
+    * (partials merge by addition across micro-batches, O(buckets) state
+    * per window); quantile extraction runs downstream over the emitted
+    * frame — the sketch-then-serve split a 100 TB metrics feed uses.
+    * Same cross-engine float-parity scheme as `qd1`: ln(γ), γ and
+    * 2/(γ+1) are interpolated into the SQL from the Scala doubles the
+    * plan uses. */
+  private val s9 = Q(
+    "s9_stream_value_sketch",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(Tables.eventTs.as("ts"), col("value"))
+      val hist = EventStreams
+        .windowedValueSketch(ev, windowLen = "1 hour", alpha = s9Alpha)
+        .select(unix_timestamp(col("win_start")).as("win_start_epoch"),
+          col("bucket"), col("c"))
+      graft.operators.Sketches
+        .ddQuantilesOfHistogram(hist, Seq("win_start_epoch"), s9Alpha, s9Qs)
+        .select(col("win_start_epoch") +: col("n") +:
+          s9Qs.map { case (nm, _) => round(col(nm), 6).as(nm) }: _*)
+    },
+    Some {
+      val g = graft.operators.Sketches.gamma(s9Alpha)
+      val lg = graft.operators.Sketches.lnGamma(s9Alpha)
+      val coef = 2.0 / (g + 1.0)
+      val picks = s9Qs.map { case (nm, q) =>
+        s"""round(max(CASE WHEN cum - c < ceil(n * $q) AND ceil(n * $q) <= cum
+              THEN $coef * pow($g, b) END), 6) AS $nm"""
+      }.mkString(",\n              ")
+      s"""WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+                 CAST(ceil(ln(value) / $lg) AS BIGINT) AS b,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM events WHERE value > 0 GROUP BY 1, 2),
+          cum AS (SELECT w, b, c,
+                 CAST(sum(c) OVER (PARTITION BY w ORDER BY b) AS BIGINT) AS cum,
+                 CAST(sum(c) OVER (PARTITION BY w) AS BIGINT) AS n FROM h)
+          SELECT CAST(epoch(w) AS BIGINT) AS win_start_epoch, max(n) AS n,
+              $picks
+          FROM cum GROUP BY w"""
+    })
+
   /** A5 — delimited parameter-list scan steering a plan
     * (read.delim("genes.txt")[,1] + toupper, BRCA_path_stage_DESeq.R:7-9):
     * the Spark side reads a real tab-delimited file through CsvIO; the
@@ -264,5 +310,5 @@ object StreamParityQueries {
     Some("""SELECT p_partkey, p_type FROM part
             WHERE p_type IN ('ECONOMY','STANDARD')"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, a5)
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, a5)
 }

@@ -107,6 +107,29 @@ object EventStreams extends Serializable {
         col("e.cnt").as("cnt"), col("e.n").as("win_total"))
   }
 
+  /** Windowed DDSketch value histogram — the quantile member of the
+    * streaming sketch family beside [[windowedFrequentTypes]]' Misra–
+    * Gries counts: per event-time window, the log-bucket histogram of
+    * `valueCol` ([[graft.operators.Sketches]]). The histogram IS the
+    * sketch state, and it's a plain `groupBy(window, bucket).count` —
+    * a single streaming-safe aggregation whose partials merge across
+    * micro-batches by addition, O(buckets) state per window regardless
+    * of event volume. Quantile EXTRACTION
+    * ([[graft.operators.Sketches.ddQuantilesOfHistogram]]) is the
+    * downstream serving step over the emitted frame: chaining it here
+    * would need a second stateful agg, which append-mode streaming
+    * rightly refuses.
+    * @return `(win_start, bucket, c)` */
+  def windowedValueSketch(events: DataFrame, tsCol: String = "ts",
+      valueCol: String = "value", watermark: String = "10 minutes",
+      windowLen: String = "1 hour", alpha: Double = 0.01): DataFrame =
+    events.filter(col(valueCol) > 0)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen),
+        graft.operators.Sketches.ddIndex(col(valueCol), alpha).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("win_start"), col("bucket"), col("c"))
+
   /** Per-user session assembly via flatMapGroupsWithState with event-time
     * timeout: a session closes after `gapSeconds` of silence (emitted on
     * watermark passage in streaming; batch mode emits every session, the

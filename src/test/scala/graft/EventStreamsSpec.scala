@@ -136,6 +136,49 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed DDSketch histogram: stream matches batch across micro-batches") {
+    val sf = "/root/testdata/sf0.001"
+    val batchEv = Tables.events(spark, sf)
+      .select(Tables.eventTs.as("ts"), col("value"))
+    val expect = EventStreams.windowedValueSketch(batchEv, windowLen = "1 hour")
+    // several files, one per trigger: per-(window, bucket) partial counts
+    // must land in the state store and MERGE by addition
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dd")
+    Tables.events(spark, sf).repartition(3)
+      .write.mode("overwrite").parquet(dir.toString)
+    val streamEv = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .select(Tables.eventTs.as("ts"), col("value"))
+    val q = EventStreams.windowedValueSketch(streamEv, windowLen = "1 hour")
+      .writeStream.format("memory").queryName("file_stream_dd")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_stream_dd")
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        s"stream=${got.count()} batch=${expect.count()}")
+      // downstream serving step composes on the emitted histogram and its
+      // estimates obey the sketch's relative-error bound per window
+      val sel = graft.operators.Sketches.ddQuantilesOfHistogram(
+        spark.table("file_stream_dd"), Seq("win_start"), 0.01,
+        Seq(("p50", 0.5))).collect()
+      val exact = batchEv.filter($"value" > 0)
+        .groupBy(window($"ts", "1 hour")).agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("m"))
+        .select($"window.start".as("w"), $"m").collect()
+        .map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+      assert(sel.nonEmpty)
+      sel.foreach { r =>
+        val w = r.getTimestamp(0); val est = r.getAs[Double]("p50")
+        val ex = exact(w)
+        assert(math.abs(est - ex) / ex <= 0.0101,
+          s"window $w: est $est vs exact $ex")
+      }
+    } finally q.stop()
+  }
+
   test("parquet sink + checkpoint: stop/resume is exactly-once, partitions prunable") {
     val sf = "/root/testdata/sf0.001"
     val in = java.nio.file.Files.createTempDirectory("graft_eo_in")
