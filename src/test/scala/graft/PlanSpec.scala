@@ -382,4 +382,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bsz"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("tc1 triangle joins are all equi-joins — no cartesian, no nested loop") {
+    // degree orientation only pays off if every pair stage is a keyed
+    // join: apex for wedges, (v, w) for closure. A nested-loop anywhere
+    // means the m^1.5 bound is gone.
+    val p = plan("tc1_triangle_count")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("qd1/s9 DDSketch: fact never range-shuffles; rank windows sit on the bucket frame") {
+    // the sketch's whole point vs wz1's exact ranks: the only full-data
+    // pass is a hash aggregation. A RangePartitioning anywhere means the
+    // fact took the exact-quantile sort it exists to avoid; the cum-count
+    // windows must be keyed AND fed by the histogram agg (constant-sized),
+    // never by the fact.
+    for (name <- Seq("qd1_ddsketch_quantiles", "s9_stream_value_sketch")) {
+      val df = QueryCatalog.byName(name).run(spark, dir)
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("rangepartitioning"), s"$name:\n$p")
+      val windows = nodes.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$name:\n$p")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty, s"$name: unkeyed window\n$p")
+        assert(flatten(w.child).exists(_.isInstanceOf[BaseAggregateExec]),
+          s"$name: window not above the histogram agg\n$p")
+      }
+    }
+  }
 }
