@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the 139-query bench generates far more codegen classes than the
+  // 240 MB default code cache holds; once it fills, the JIT stops
+  // compiling and every later hot loop runs interpreted (measured: bf1
+  // 8.4 s after a 14-query warmup vs 19.1 s after the full-suite warmup)
+  "-XX:ReservedCodeCacheSize=1g",
 )

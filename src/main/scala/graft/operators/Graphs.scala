@@ -121,4 +121,51 @@ object Graphs {
     graft.Caches.releaseAfterAction(e, eo)
     counts
   }
+
+  /** k-core peel with a FIXED round count: each round drops every node
+    * whose degree in the SURVIVING subgraph is < k, together with its
+    * edges. After enough rounds this is exactly the k-core (the maximal
+    * subgraph of min-degree ≥ k); with a fixed `rounds` it is the
+    * well-defined `rounds`-step approximation both engines can replay —
+    * the same fixed-iteration-for-an-oracle stance as [[pageRank]].
+    *
+    * Scale shape: each round is one degree aggregation plus two
+    * node-keyed semi joins — all hash-partitioned on node id, no driver
+    * participation. The surviving edge frame is persisted PER ROUND
+    * (each round's degree count and the next round's join both read it,
+    * and without materialization the unrolled lineage would re-execute
+    * every earlier round per reference); previous rounds' caches are
+    * dropped as soon as the next round materializes, so peak storage is
+    * two edge frames. Monotone shrinkage means later rounds cost less.
+    *
+    * @param edges `src`/`dst` frame; canonicalized like [[triangleCounts]]
+    * @return (id, deg) — surviving nodes and their in-core degree after
+    *         `rounds` peels
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"kCore: need k >= 1, rounds >= 1")
+    var e = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().persist()
+    var i = 0
+    var last = e
+    while (i < rounds) {
+      val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("id")
+      val next = e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "leftsemi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "leftsemi")
+        .select("a", "b").persist()
+      next.count() // materialize, then drop the previous round's cache
+      last.unpersist()
+      e = next
+      last = next
+      i += 1
+    }
+    val out = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    graft.Caches.releaseAfterAction(e)
+    out
+  }
 }

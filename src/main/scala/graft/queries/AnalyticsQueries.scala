@@ -959,6 +959,57 @@ object AnalyticsQueries {
                   UNION ALL SELECT z AS id FROM tri)
             GROUP BY id"""))
 
+  // ------------------------------------------------------ kc1: k-core
+
+  private val kcK = 3
+  private val kcRounds = 3
+
+  /** KC1 — `kcRounds`-step k-core peel (k = `kcK`) on the same order
+    * co-shipment graph as `tc1` ([[graft.operators.Graphs.kCore]]): each
+    * round drops nodes whose surviving degree is < k plus their edges.
+    * Like `pr1`, the FIXED round count is what buys an iterative
+    * operator a full hash oracle — the SQL unrolls the identical peels
+    * as chained CTEs. Pure integer arithmetic, no float parity games. */
+  private val kc1 = Q(
+    "kc1_kcore_peel",
+    (s, d) => {
+      // one ship-year of the tc1 graph — a pushdown-pruned slice keeps
+      // the 3-round demo at catalog cost; the operator itself is
+      // volume-agnostic (every round is keyed aggs/joins)
+      val blk = Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between("1995-01-01", "1995-12-31"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          date_trunc("week", col("l_shipdate")).as("wk"))
+        .persist()
+      graft.Caches.releaseAfterAction(blk)
+      val edges = blk.as("a").join(blk.as("b"),
+          col("a.sk") === col("b.sk") && col("a.wk") === col("b.wk") &&
+            col("a.ok") < col("b.ok"))
+        .select(col("a.ok").as("src"), col("b.ok").as("dst"))
+      graft.operators.Graphs.kCore(edges, kcK, kcRounds)
+    },
+    Some {
+      val base =
+        """WITH blk AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk,
+               date_trunc('week', l_shipdate) AS wk FROM lineitem
+               WHERE l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'),
+           e0 AS (SELECT DISTINCT a.ok AS a, b.ok AS b FROM blk a JOIN blk b
+                  ON a.sk = b.sk AND a.wk = b.wk AND a.ok < b.ok)"""
+      val steps = (1 to kcRounds).map { i =>
+        s"""d$i AS (SELECT id, count(*) AS d FROM (SELECT a AS id FROM e${i - 1}
+                 UNION ALL SELECT b AS id FROM e${i - 1}) GROUP BY id),
+           k$i AS (SELECT id FROM d$i WHERE d >= $kcK),
+           e$i AS (SELECT a, b FROM e${i - 1}
+                 JOIN k$i ka ON e${i - 1}.a = ka.id
+                 JOIN k$i kb ON e${i - 1}.b = kb.id)"""
+      }.mkString(",\n")
+      s"""$base,
+          $steps
+          SELECT id, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT a AS id FROM e$kcRounds UNION ALL SELECT b AS id FROM e$kcRounds)
+          GROUP BY id"""
+    })
+
   // -------------------------------------------- qd1: DDSketch quantiles
 
   private val qdAlpha = 0.01
@@ -1003,5 +1054,5 @@ object AnalyticsQueries {
     })
 
   def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, gs1, wz1, rz1, fz1, w1, w2, ii1,
-    bp1, bp2, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1)
+    bp1, bp2, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1, kc1)
 }

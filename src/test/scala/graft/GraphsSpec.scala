@@ -98,6 +98,33 @@ class GraphsSpec extends SparkSpec with Matchers {
     got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
   }
 
+  // ------------------------------------------------------------- k-core
+
+  test("kCore: K4 is its own 3-core, every degree 3") {
+    val edges = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val got = Graphs.kCore(edges, k = 3, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+  }
+
+  test("kCore: pendant peels off, triangle survives as the 2-core") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graphs.kCore(edges, k = 2, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+  }
+
+  test("kCore: a path fully unravels round by round") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    // round 1 drops the endpoints, round 2 the next pair — nothing left
+    Graphs.kCore(edges, k = 2, rounds = 2).count() shouldBe 0L
+    // a single round only peels the outermost shell
+    val one = Graphs.kCore(edges, k = 2, rounds = 1).collect()
+      .map(r => r.getLong(0)).toSet
+    one shouldBe Set(2L, 3L, 4L)
+  }
+
   test("triangles: hub star with cross edges matches brute force") {
     // hub 0 to 8 spokes, a few chords among spokes — exercises the
     // degree orientation (the hub must never be a wedge apex)

@@ -69,4 +69,25 @@ class SourcesSpec extends SparkSpec {
     assert(clean.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("ORC interchange: round trip, predicate pushdown, column pruning") {
+    // ORC is the other columnar lake format Spark reads natively (no
+    // extra deps) — assert the same scan-side guarantees the parquet
+    // paths get: filters reach the ORC reader, untouched columns are
+    // never read, values round-trip exactly
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath + "/li"
+    val src = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+      .filter(col("l_quantity") > 25.0)
+      .select("l_orderkey", "l_quantity")
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"), p)
+    assert(!p.contains("l_linestatus"), "pruned column still read:\n" + p)
+    val expect = src.filter(col("l_quantity") > 25.0)
+      .select("l_orderkey", "l_quantity")
+    assert(back.except(expect).isEmpty && expect.except(back).isEmpty)
+  }
 }
