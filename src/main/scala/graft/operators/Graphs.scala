@@ -168,4 +168,55 @@ object Graphs {
     graft.Caches.releaseAfterAction(e)
     out
   }
+
+  /** Level-synchronous BFS to a FIXED depth over an undirected edge
+    * list: round d joins the (d−1)-frontier with the adjacency list and
+    * anti-joins the visited set, so every node gets its true hop
+    * distance from the nearest source (≤ `maxDepth`). The fixed depth
+    * is again what buys an iterative operator a full hash oracle
+    * (unrolled-CTE replay, the [[pageRank]]/[[kCore]] stance) — and is
+    * also how production BFS runs at scale (bounded supersteps).
+    *
+    * Scale shape: each round is one hash join frontier⋈adjacency plus
+    * one anti join against visited — all keyed on node id. The visited
+    * frame is persisted per round with an eager swap (three consumers
+    * per round would otherwise re-execute the whole prefix), previous
+    * rounds' caches dropped as each round lands: peak storage is two
+    * node-sized frames plus the adjacency.
+    *
+    * @param edges   `src`/`dst` frame, treated as undirected
+    * @param sources frame with an `id` column (dist 0)
+    * @return (id, dist) — every node within `maxDepth` hops of a source
+    */
+  def bfsLevels(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, "bfsLevels: maxDepth must be >= 1")
+    val adj = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .select(explode(array(struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    var visited = sources.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)).persist()
+    visited.count()
+    var last = visited
+    var d = 1
+    while (d <= maxDepth) {
+      val frontier = visited.filter(col("dist") === (d - 1).toLong).select("id")
+      val reached = adj.join(frontier.withColumnRenamed("id", "u"), Seq("u"))
+        .select(col("v").as("id")).distinct()
+      val fresh = reached.join(visited, Seq("id"), "leftanti")
+        .withColumn("dist", lit(d.toLong))
+      val next = visited.union(fresh).persist()
+      next.count() // materialize before dropping the previous round
+      last.unpersist()
+      visited = next
+      last = next
+      d += 1
+    }
+    graft.Caches.releaseAfterAction(adj, visited)
+    visited
+  }
 }

@@ -1010,6 +1010,44 @@ object AnalyticsQueries {
           GROUP BY id"""
     })
 
+  // ------------------------------------------------------- bfs1: BFS
+
+  private val bfsDepth = 3
+
+  /** BFS1 — hop distances from customers 1–3 over the (undirected)
+    * customer↔supplier trade graph of `pr1`, `bfsDepth` level-synchronous
+    * rounds ([[graft.operators.Graphs.bfsLevels]]). Dist 1 = their
+    * suppliers, dist 2 = customers sharing a supplier, dist 3 = that
+    * cohort's suppliers. Fixed depth → unrolled-CTE hash oracle; pure
+    * integer arithmetic. */
+  private val bfs1 = Q(
+    "bfs1_graph_bfs",
+    (s, d) => {
+      val ed = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      val sources = Tables.customer(s, d).filter(col("c_custkey") <= 3)
+        .select(col("c_custkey").as("id"))
+      graft.operators.Graphs.bfsLevels(ed, sources, bfsDepth)
+    },
+    Some {
+      val base =
+        """WITH e AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+           v0 AS (SELECT c_custkey AS id, CAST(0 AS BIGINT) AS dist
+               FROM customer WHERE c_custkey <= 3)"""
+      val steps = (1 to bfsDepth).map { i =>
+        s"""f$i AS (SELECT DISTINCT adj.v AS id FROM adj
+                 JOIN v${i - 1} p ON adj.u = p.id AND p.dist = ${i - 1}),
+           n$i AS (SELECT f$i.id, CAST($i AS BIGINT) AS dist FROM f$i
+                 WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v WHERE v.id = f$i.id)),
+           v$i AS (SELECT id, dist FROM v${i - 1} UNION ALL SELECT id, dist FROM n$i)"""
+      }.mkString(",\n")
+      s"$base,\n$steps\nSELECT id, dist FROM v$bfsDepth"
+    })
+
   // -------------------------------------------- qd1: DDSketch quantiles
 
   private val qdAlpha = 0.01
@@ -1054,5 +1092,5 @@ object AnalyticsQueries {
     })
 
   def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, gs1, wz1, rz1, fz1, w1, w2, ii1,
-    bp1, bp2, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1, kc1)
+    bp1, bp2, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1, kc1, bfs1)
 }

@@ -125,6 +125,32 @@ class GraphsSpec extends SparkSpec with Matchers {
     one shouldBe Set(2L, 3L, 4L)
   }
 
+  // ---------------------------------------------------------------- BFS
+
+  test("bfsLevels: hop distances on a path, capped at maxDepth") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val src = Seq(1L).toDF("id")
+    val got = Graphs.bfsLevels(edges, src, maxDepth = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L)
+  }
+
+  test("bfsLevels: multiple sources take the nearest, edges are undirected") {
+    // 5→4→3→2→1 given reversed: undirected canonicalization must not care
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)).toDF("src", "dst")
+    val src = Seq(1L, 5L).toDF("id")
+    val got = Graphs.bfsLevels(edges, src, maxDepth = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L)
+  }
+
+  test("bfsLevels: disconnected component stays unreached") {
+    val edges = Seq((1L, 2L), (8L, 9L)).toDF("src", "dst")
+    val got = Graphs.bfsLevels(edges, Seq(1L).toDF("id"), maxDepth = 3)
+      .collect().map(r => r.getLong(0)).toSet
+    got shouldBe Set(1L, 2L)
+  }
+
   test("triangles: hub star with cross edges matches brute force") {
     // hub 0 to 8 spokes, a few chords among spokes — exercises the
     // degree orientation (the hub must never be a wedge apex)
