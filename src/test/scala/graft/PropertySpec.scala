@@ -421,6 +421,93 @@ class PropertySpec extends SparkSpec {
     assert(d0 == 0L)
   }
 
+  test("triangleCounts == brute-force triple enumeration on random graphs") {
+    val gen = for {
+      n <- Gen.chooseNum(4, 18)
+      m <- Gen.chooseNum(3, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong); b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+    } yield es
+    samples(gen, 6).foreach { es =>
+      val eSet = es.filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2)).toSet
+      val nodes = (eSet.map(_._1) ++ eSet.map(_._2)).toSeq.sorted
+      val want = (for {
+        x <- nodes; y <- nodes if y > x && eSet((x, y))
+        z <- nodes if z > y && eSet((x, z)) && eSet((y, z))
+      } yield Seq(x, y, z)).flatten
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val got = graft.operators.Graphs
+        .triangleCounts(es.toDF("src", "dst").repartition(3))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"edges=$es")
+    }
+  }
+
+  test("kCore: fixed-round peel equals the reference peel on random graphs") {
+    def refPeel(e0: Set[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+      var e = e0
+      for (_ <- 1 to rounds) {
+        val deg = (e.toSeq.map(_._1) ++ e.toSeq.map(_._2))
+          .groupBy(identity).map { case (id, xs) => id -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        e = e.filter(p => keep(p._1) && keep(p._2))
+      }
+      (e.toSeq.map(_._1) ++ e.toSeq.map(_._2))
+        .groupBy(identity).map { case (id, xs) => id -> xs.size.toLong }
+    }
+    val gen = for {
+      n <- Gen.chooseNum(4, 15)
+      m <- Gen.chooseNum(5, 45)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong); b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+    } yield es
+    samples(gen, 5).foreach { es =>
+      val canon = es.filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2)).toSet
+      val got = graft.operators.Graphs
+        .kCore(es.toDF("src", "dst").repartition(3), k = 2, rounds = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refPeel(canon, 2, 2), s"edges=$es")
+    }
+  }
+
+  test("bfsLevels: dist equals reference BFS truncated at maxDepth") {
+    def refBfs(adj: Map[Long, Set[Long]], src: Set[Long], d: Int): Map[Long, Long] = {
+      var dist = src.map(_ -> 0L).toMap
+      var frontier = src
+      for (lvl <- 1 to d) {
+        val next = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+          .diff(dist.keySet)
+        dist ++= next.map(_ -> lvl.toLong)
+        frontier = next
+      }
+      dist
+    }
+    val gen = for {
+      n <- Gen.chooseNum(4, 15)
+      m <- Gen.chooseNum(4, 35)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong); b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+    } yield es
+    samples(gen, 5).foreach { es =>
+      val eSet = es.filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2)).toSet
+      val adj = (eSet.toSeq ++ eSet.toSeq.map(_.swap))
+        .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+      val srcs = eSet.map(_._1).take(2)
+      if (srcs.nonEmpty) {
+        val got = graft.operators.Graphs
+          .bfsLevels(es.toDF("src", "dst"), srcs.toSeq.toDF("id"), maxDepth = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == refBfs(adj, srcs, 3), s"edges=$es srcs=$srcs")
+      }
+    }
+  }
+
   test("x8: chi-square is non-negative and zero under exact independence") {
     import org.apache.spark.sql.functions._
     val r = graft.queries.QueryCatalog.byName("x8_chi_square")
