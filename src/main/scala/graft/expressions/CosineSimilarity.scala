@@ -131,5 +131,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("freq_sketch"),
       new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
       (args: Seq[Expression]) => FreqSketch(args(0), args(1))))
+    // the (c)-tier custom operator: plans graft.plans.AsOfJoinPlan as the
+    // sorted-merge AsOfJoinExec (NativeAsOf also self-registers through
+    // experimental.extraStrategies for sessions built without extensions)
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

@@ -207,6 +207,30 @@ object PipelineQueries {
                    r_tsu AS r_ts_us, round(r_value, 6) AS r_value, r_event_id
             FROM j WHERE rn = 1"""))
 
+  /** AJ2 — the SAME as-of semantics as `aj1` through the (c)-tier NATIVE
+    * operator ([[graft.plans.NativeAsOf]]): custom LogicalPlan → planner
+    * Strategy → sorted-merge AsOfJoinExec, children co-partitioned by
+    * `EnsureRequirements`. One shuffle per side, per-partition O(L+R)
+    * merge with O(1) state — no union materialization, no window pass.
+    * Shares aj1's DuckDB oracle verbatim (identical output contract);
+    * NativeAsOfSpec holds the plan guard + generated parity suite. */
+  private val aj2 = Q(
+    "aj2_asof_native",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", Tables.eventTsMicros)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "value", "event_id")
+      graft.plans.NativeAsOf.asOf(clicks, purchases, Seq("user_id"), "ts_us",
+          payload = Seq("value", "event_id"), tieCol = "event_id")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("value"), 6).as("value"),
+          col("r_ts_us"), round(col("r_value"), 6).as("r_value"),
+          col("r_event_id"))
+    },
+    aj1.oracle)
+
   /** X6 — PII scrubbing (TextFunctions.scrubPii): emails / phones / IPv4
     * replaced with typed placeholders, plus the per-doc redaction count.
     * The synthetic corpus has no organic PII, so deterministic PII is
@@ -318,5 +342,5 @@ object PipelineQueries {
                (cum_tokens - 1) // $packBudget AS pack_id
              FROM c"""))
 
-  def all: Seq[Q] = Seq(x4, hl1, x5, x6, ct1, bf1, sm1, qt1, aj1, pk1, pk2)
+  def all: Seq[Q] = Seq(x4, hl1, x5, x6, ct1, bf1, sm1, qt1, aj1, aj2, pk1, pk2)
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.AsOfJoin
+import graft.plans.NativeAsOf
+
+class NativeAsOfSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(77L + i)))
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(v => if (v == null) "∅" else v.toString)
+      .mkString("|")).sorted.toSeq
+
+  test("parity with the union+window composition on generated event sets") {
+    val gen = for {
+      nl <- Gen.chooseNum(0, 40)
+      nr <- Gen.chooseNum(0, 40)
+      ls <- Gen.listOfN(nl, for {
+        k <- Gen.chooseNum(1L, 4L); ts <- Gen.chooseNum(0L, 20L)
+      } yield (k, ts))
+      rs <- Gen.listOfN(nr, for {
+        k <- Gen.chooseNum(1L, 4L); ts <- Gen.chooseNum(0L, 20L)
+        v <- Gen.chooseNum(0.0, 9.0)
+      } yield (k, ts, v))
+    } yield (ls, rs)
+    samples(gen, 8).foreach { case (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("lid", "user_id", "ts_us").repartition(5)
+      val right = rs.zipWithIndex
+        .map { case ((k, ts, v), i) => (k, ts, v, i.toLong) }
+        .toDF("user_id", "ts_us", "value", "event_id").repartition(3)
+      val a = AsOfJoin.asOf(left, right, Seq("user_id"), "ts_us",
+        payload = Seq("value", "event_id"), tieCol = "event_id")
+      val b = NativeAsOf.asOf(left, right, Seq("user_id"), "ts_us",
+        payload = Seq("value", "event_id"), tieCol = "event_id")
+      b.columns.toSeq shouldBe a.columns.toSeq
+      canon(b) shouldBe canon(a)
+    }
+  }
+
+  test("left-outer nulls before the first right row; inclusive <=; min-tie wins") {
+    val left = Seq((1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 15L), (4L, 2L, 5L))
+      .toDF("lid", "k", "ts")
+    val right = Seq(
+      (1L, 10L, "a", 7L), (1L, 10L, "b", 3L), // tie at ts 10 → event 3 wins
+      (1L, 12L, "c", 1L))
+      .toDF("k", "ts", "tag", "eid")
+    val out = NativeAsOf.asOf(left, right, Seq("k"), "ts",
+        payload = Seq("tag", "eid"), tieCol = "eid")
+      .orderBy("lid").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("r_tag"))) // ts 5: nothing at-or-before
+    out(1).getAs[String]("r_tag") shouldBe "b" // inclusive ts 10, min tie
+    out(1).getAs[Long]("r_eid") shouldBe 3L
+    out(2).getAs[String]("r_tag") shouldBe "c" // most recent (ts 12)
+    assert(out(3).isNullAt(out(3).fieldIndex("r_tag"))) // key 2 has no right rows
+  }
+
+  test("multi-key join and empty right side") {
+    val left = Seq(("a", 1L, 10L, 100L), ("b", 1L, 10L, 101L))
+      .toDF("g", "k", "ts", "lid")
+    val right = Seq(("a", 1L, 8L, 0.5, 1L))
+      .toDF("g", "k", "ts", "v", "eid")
+    val out = NativeAsOf.asOf(left, right, Seq("g", "k"), "ts",
+        payload = Seq("v"), tieCol = "eid")
+      .orderBy("lid").collect()
+    out(0).getAs[Double]("r_v") shouldBe 0.5
+    assert(out(1).isNullAt(out(1).fieldIndex("r_v"))) // ("b",1) never matches ("a",1)
+    val empty = right.filter(lit(false))
+    NativeAsOf.asOf(left, empty, Seq("g", "k"), "ts",
+      payload = Seq("v"), tieCol = "eid").count() shouldBe 2L
+  }
+
+  test("plans as AsOfJoinExec: co-partitioned children, no union, no window") {
+    val left = (1 to 500).map(i => (i.toLong, (i % 7).toLong, (i % 50).toLong))
+      .toDF("lid", "k", "ts")
+    val right = (1 to 300).map(i => ((i % 7).toLong, (i % 40).toLong, i.toLong))
+      .toDF("k", "ts", "eid")
+    val df = NativeAsOf.asOf(left, right, Seq("k"), "ts",
+      payload = Seq("eid"), tieCol = "eid")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p) // nodeName strips the Exec suffix
+    assert(!p.contains("Window") && !p.contains("Union"), p)
+    // EnsureRequirements placed one hash exchange per side on the keys
+    assert("hashpartitioning\\(k".r.findAllIn(p).size >= 2, p)
+  }
+}
