@@ -106,12 +106,27 @@ final case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. */
+/** Plans [[AsOfJoinPlan]] physically, picking by right-side STATS the
+  * way the built-in join strategy picks BHJ vs SMJ: a right side under
+  * `spark.sql.autoBroadcastJoinThreshold` broadcasts
+  * ([[BroadcastAsOfJoinExec]] — the fact side is never shuffled OR
+  * sorted), anything larger takes the co-partitioned sorted merge
+  * ([[AsOfJoinExec]]). */
 final class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
-      AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs, p.rightTie,
-        p.payload, p.payloadOut, planLater(p.left), planLater(p.right)) :: Nil
+      val threshold = org.apache.spark.sql.internal.SQLConf.get
+        .autoBroadcastJoinThreshold
+      val exec =
+        if (threshold > 0 && p.right.stats.sizeInBytes <= threshold)
+          BroadcastAsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs,
+            p.rightTie, p.payload, p.payloadOut,
+            planLater(p.left), planLater(p.right))
+        else
+          AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs,
+            p.rightTie, p.payload, p.payloadOut,
+            planLater(p.left), planLater(p.right))
+      exec :: Nil
     case _ => Nil
   }
 }
@@ -214,6 +229,129 @@ final case class AsOfJoinExec(
             else nullPay
           outProj(joined(l, pay))
         }
+      }
+    }
+  }
+}
+
+/** Broadcast as-of join — the scale path for enriching a huge fact
+  * against a SMALL reference: the right side ships whole to every
+  * executor (`BroadcastDistribution(IdentityBroadcastMode)`), each task
+  * builds a per-key ts-sorted index once, and the left side is consumed
+  * AS IS — no shuffle, no sort, a pure narrow pass over the fact. The
+  * 100 TB story: as-of-enriching every event against a reference table
+  * costs exactly one broadcast plus one map, where the merge form (and
+  * the union+window form) would shuffle the full fact.
+  *
+  * Same semantics as [[AsOfJoinExec]] (latest right at-or-before, ties
+  * by smallest `tie`, left-outer NULLs), property-checked against it.
+  */
+object BroadcastAsOfJoinExec {
+  private val indexCache =
+    new java.util.WeakHashMap[AnyRef, java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]]
+  /** One index build per (executor, broadcast value); weak keys let the
+    * index unload together with the broadcast block. */
+  private[plans] def cachedIndex(key: AnyRef)(
+      build: => java.util.HashMap[InternalRow, Array[(Any, InternalRow)]])
+      : java.util.HashMap[InternalRow, Array[(Any, InternalRow)]] =
+    indexCache.synchronized {
+      val got = indexCache.get(key)
+      if (got != null) got
+      else { val v = build; indexCache.put(key, v); v }
+    }
+}
+
+final case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute, rightTie: Attribute,
+    payload: Seq[Attribute], payloadOut: Seq[Attribute],
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+  override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  // the fact passes through untouched — everything upstream survives
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val tsType = leftTs.dataType
+    val tieType = rightTie.dataType
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val rTsProj = UnsafeProjection.create(Seq(rightTs), right.output)
+      val rTieProj = UnsafeProjection.create(Seq(rightTie), right.output)
+      val payProj = UnsafeProjection.create(payload, right.output)
+      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      val tieOrd = TypeUtils.getInterpretedOrdering(tieType)
+      // per-key index: ts-ascending arrays of (ts, payload), one entry
+      // per (key, ts) group (smallest tie wins within a group). Built
+      // ONCE per executor per broadcast (weak-keyed on the broadcast
+      // value, so it unloads with the broadcast) — rebuilding per task
+      // would multiply the dim sort by the task count.
+      val index = BroadcastAsOfJoinExec.cachedIndex(bcast.value) {
+      val index = new java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]
+      locally {
+        val groups = new java.util.HashMap[InternalRow,
+          scala.collection.mutable.ArrayBuffer[(Any, Any, InternalRow)]]
+        bcast.value.foreach { r =>
+          val k = rKeyProj(r).copy()
+          val ts = rTsProj(r).get(0, tsType)
+          if (ts != null) {
+            var buf = groups.get(k)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[(Any, Any, InternalRow)]
+              groups.put(k, buf)
+            }
+            buf += ((ts, rTieProj(r).get(0, tieType), payProj(r).copy()))
+          }
+        }
+        groups.forEach { (k, buf) =>
+          val sorted = buf.sortWith { case ((t1, e1, _), (t2, e2, _)) =>
+            val c = tsOrd.compare(t1, t2)
+            if (c != 0) c < 0 else tieOrd.compare(e1, e2) < 0
+          }
+          val dedup = scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]()
+          sorted.foreach { case (ts, _, pay) =>
+            if (dedup.isEmpty || !tsOrd.equiv(dedup.last._1, ts))
+              dedup += ((ts, pay))
+          }
+          index.put(k, dedup.toArray)
+        }
+      }
+      index
+      }
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val lTsProj = UnsafeProjection.create(Seq(leftTs), left.output)
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(output, output)
+      val nullPay = new GenericInternalRow(payloadOut.size)
+      lIter.map { l =>
+        val arr = index.get(lKeyProj(l))
+        val lTs = lTsProj(l).get(0, tsType)
+        var pay: InternalRow = nullPay
+        if (arr != null && lTs != null) {
+          // greatest ts <= lTs by binary search
+          var lo = 0; var hi = arr.length - 1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (tsOrd.lteq(arr(mid)._1, lTs)) { pay = arr(mid)._2; lo = mid + 1 }
+            else hi = mid - 1
+          }
+        }
+        outProj(joined(l, pay))
       }
     }
   }

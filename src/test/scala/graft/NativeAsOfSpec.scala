@@ -39,10 +39,20 @@ class NativeAsOfSpec extends SparkSpec with Matchers {
         .toDF("user_id", "ts_us", "value", "event_id").repartition(3)
       val a = AsOfJoin.asOf(left, right, Seq("user_id"), "ts_us",
         payload = Seq("value", "event_id"), tieCol = "event_id")
+      // both physical paths must match the composition: broadcast (the
+      // default pick on this tiny right side) and the sorted merge
+      // (forced by disabling broadcast)
       val b = NativeAsOf.asOf(left, right, Seq("user_id"), "ts_us",
         payload = Seq("value", "event_id"), tieCol = "event_id")
       b.columns.toSeq shouldBe a.columns.toSeq
       canon(b) shouldBe canon(a)
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val c = NativeAsOf.asOf(left, right, Seq("user_id"), "ts_us",
+          payload = Seq("value", "event_id"), tieCol = "event_id")
+        canon(c) shouldBe canon(a)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
   }
 
@@ -83,13 +93,32 @@ class NativeAsOfSpec extends SparkSpec with Matchers {
       .toDF("lid", "k", "ts")
     val right = (1 to 300).map(i => ((i % 7).toLong, (i % 40).toLong, i.toLong))
       .toDF("k", "ts", "eid")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = NativeAsOf.asOf(left, right, Seq("k"), "ts",
+        payload = Seq("eid"), tieCol = "eid")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AsOfJoin"), p) // nodeName strips the Exec suffix
+      assert(!p.contains("Window") && !p.contains("Union"), p)
+      // EnsureRequirements placed one hash exchange per side on the keys
+      assert("hashpartitioning\\(k".r.findAllIn(p).size >= 2, p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("small right side picks BroadcastAsOfJoin: the fact is never shuffled") {
+    val left = (1 to 500).map(i => (i.toLong, (i % 7).toLong, (i % 50).toLong))
+      .toDF("lid", "k", "ts")
+    val right = (1 to 50).map(i => ((i % 7).toLong, (i % 40).toLong, i.toLong))
+      .toDF("k", "ts", "eid")
     val df = NativeAsOf.asOf(left, right, Seq("k"), "ts",
       payload = Seq("eid"), tieCol = "eid")
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("AsOfJoin"), p) // nodeName strips the Exec suffix
-    assert(!p.contains("Window") && !p.contains("Union"), p)
-    // EnsureRequirements placed one hash exchange per side on the keys
-    assert("hashpartitioning\\(k".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastAsOfJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("hashpartitioning"), "fact side took a shuffle:\n" + p)
+    assert(!p.contains("Sort "), "fact side took a sort:\n" + p)
   }
 }
