@@ -132,8 +132,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
       (args: Seq[Expression]) => FreqSketch(args(0), args(1))))
     // the (c)-tier custom operator: plans graft.plans.AsOfJoinPlan as the
-    // sorted-merge AsOfJoinExec (NativeAsOf also self-registers through
-    // experimental.extraStrategies for sessions built without extensions)
+    // sorted-merge/broadcast AsOfJoinExec, with the injected pushdown
+    // rule restoring scan-level filtering through the custom node
+    // (NativeAsOf also self-registers both through the public
+    // experimental hooks for sessions built without extensions)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfFilterPushdown)
   }
 }

@@ -74,13 +74,46 @@ object NativeAsOf {
     GraftSqlBridge.ofRows(spark, node)
   }
 
-  /** Register [[AsOfJoinStrategy]] once per session (public
-    * `experimental.extraStrategies` hook; [[graft.expressions
-    * .GraftExtensions]] injects it for externally-built sessions). */
-  def ensureStrategy(spark: SparkSession): Unit =
+  /** Register [[AsOfJoinStrategy]] + [[AsOfFilterPushdown]] once per
+    * session (public `experimental` hooks; [[graft.expressions
+    * .GraftExtensions]] injects both for externally-built sessions). */
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.exists(_ eq AsOfFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfFilterPushdown
+  }
+}
+
+/** Injected optimizer rule: Catalyst pushes filters through nodes it
+  * KNOWS; a custom node stalls them, so a predicate on fact columns
+  * sitting above an as-of enrichment would otherwise run post-join and
+  * never reach the parquet scan. Left-side-only conjuncts move below
+  * the node (every left row maps 1:1 to an output row, so this is
+  * semantics-preserving); right/payload predicates must stay above —
+  * dropping a right row changes which payload earlier rows pick up.
+  * With the filter adjacent to the scan again, the BUILT-IN pushdown
+  * machinery carries it into `PushedFilters` (asserted in
+  * NativeAsOfSpec). */
+object AsOfFilterPushdown
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, asOf: AsOfJoinPlan) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(asOf.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = asOf.copy(left = Filter(pushable.reduce(
+          org.apache.spark.sql.catalyst.expressions.And), asOf.left))
+        kept.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
 }
 
 /** Logical as-of join node. All attributes are RESOLVED at construction

@@ -107,6 +107,30 @@ class NativeAsOfSpec extends SparkSpec with Matchers {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("injected rule pushes left-side filters through the node to the scan") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", Tables.eventTsMicros)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us", "value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "value", "event_id")
+    val df = NativeAsOf.asOf(clicks, purchases, Seq("user_id"), "ts_us",
+        payload = Seq("value"), tieCol = "event_id")
+      .filter(col("user_id") < 50) // left-only predicate ABOVE the custom node
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the rule moved it below AsOfJoinPlan, and V1 parquet planning then
+    // carried it into the scan — visible as a pushed filter, not a
+    // post-join Filter over the joined output
+    assert(p.contains("PushedFilters") && p.contains("LessThan(user_id,50)"), p)
+    // parity: same rows as filtering after the composition
+    val want = AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts_us",
+        payload = Seq("value"), tieCol = "event_id")
+      .filter(col("user_id") < 50)
+    canon(df.select(want.columns.map(col).toIndexedSeq: _*)) shouldBe canon(want)
+  }
+
   test("small right side picks BroadcastAsOfJoin: the fact is never shuffled") {
     val left = (1 to 500).map(i => (i.toLong, (i % 7).toLong, (i % 50).toLong))
       .toDF("lid", "k", "ts")
