@@ -138,5 +138,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // experimental hooks for sessions built without extensions)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfFilterPushdown)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfColumnPruning)
   }
 }

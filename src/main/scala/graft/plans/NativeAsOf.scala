@@ -84,6 +84,32 @@ object NativeAsOf {
     if (!spark.experimental.extraOptimizations.exists(_ eq AsOfFilterPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AsOfFilterPushdown
+    if (!spark.experimental.extraOptimizations.exists(_ eq AsOfColumnPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfColumnPruning
+  }
+}
+
+/** Injected column pruning through the as-of node: a parent projection
+  * that uses a subset of the left columns narrows the left child to
+  * (parent references ∩ left) ∪ keys ∪ ts. The node's `output` derives
+  * from `left.output`, so it shrinks consistently, and at a 100 TB scan
+  * this is the difference between reading two columns and reading the
+  * table — asserted on `ReadSchema` in NativeAsOfSpec. Reaches a fixed
+  * point once nothing more can be dropped. */
+object AsOfColumnPruning
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case p @ Project(_, asOf: AsOfJoinPlan) =>
+      val needed = p.references ++
+        AttributeSet(asOf.leftKeys :+ asOf.leftTs)
+      val keep = asOf.left.output.filter(needed.contains)
+      if (keep.size == asOf.left.output.size) p
+      else p.copy(child = asOf.copy(
+        left = Project(keep.map(a => a: org.apache.spark.sql.catalyst
+          .expressions.NamedExpression), asOf.left)))
   }
 }
 

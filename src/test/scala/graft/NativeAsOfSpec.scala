@@ -131,6 +131,24 @@ class NativeAsOfSpec extends SparkSpec with Matchers {
     canon(df.select(want.columns.map(col).toIndexedSeq: _*)) shouldBe canon(want)
   }
 
+  test("injected pruning narrows the left scan through the node") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", Tables.eventTsMicros)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us", "value", "props")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "value", "event_id")
+    val df = NativeAsOf.asOf(clicks, purchases, Seq("user_id"), "ts_us",
+        payload = Seq("value"), tieCol = "event_id")
+      .select("event_id", "r_value") // left value/props unused
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("props"), "unused left column still read:\n" + p)
+    // keys + ts survive for the merge even though unprojected
+    assert(p.contains("user_id"), p)
+  }
+
   test("small right side picks BroadcastAsOfJoin: the fact is never shuffled") {
     val left = (1 to 500).map(i => (i.toLong, (i % 7).toLong, (i % 50).toLong))
       .toDF("lid", "k", "ts")
