@@ -28,7 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * property-tested): for each left row, the payload of the most recent
   * right row with `r.ts <= l.ts` in the same key group; several right
   * rows on one (keys, ts) resolve to the smallest `tie`; left rows with
-  * no prior right row keep NULL payloads (left-outer).
+  * no prior right row keep NULL payloads (left-outer). NULL keys follow
+  * window-GROUPING semantics on both implementations (null-key left
+  * rows see null-key right history), not SQL equi-join semantics where
+  * nulls never match — the distinction pandas `merge_asof` also makes.
   *
   * Scale shape: one hash shuffle per side (skipped when a side is
   * already partitioned on the keys), per-partition merge is O(|L|+|R|)
@@ -130,8 +133,12 @@ object AsOfFilterPushdown
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, asOf: AsOfJoinPlan) =>
+      // deterministic only — pushing rand()-style predicates below would
+      // change evaluation order/count, the same refusal built-in
+      // pushdown makes
       val (pushable, kept) = splitConjunctivePredicates(cond)
-        .partition(_.references.subsetOf(asOf.left.outputSet))
+        .partition(c => c.deterministic &&
+          c.references.subsetOf(asOf.left.outputSet))
       if (pushable.isEmpty) f
       else {
         val pushed = asOf.copy(left = Filter(pushable.reduce(
