@@ -50,6 +50,33 @@ object Sketches {
   def ddIndex(value: Column, alpha: Double): Column =
     when(value > 0, ceil(log(value) / lit(lnGamma(alpha))).cast("long"))
 
+  /** Key offset separating the three signed stores: |⌈ln(x)/ln(γ)⌉| is
+    * bounded by ln(DoubleMax)/ln(γ) ≈ 709/ln(γ) — at α ≥ 0.1% that is
+    * < 10⁶, so ±10⁶ cleanly brackets zero. */
+  private val SignOffset = 1000000L
+
+  /** ORDER-PRESERVING bucket key over the full real line (the paper's
+    * two-store + zero-bucket layout folded into one orderable key):
+    * x > 0 → `+10⁶ + ⌈ln(x)/ln(γ)⌉`, x = 0 → 0, x < 0 → the mirrored
+    * negative store `−10⁶ − ⌈ln(−x)/ln(γ)⌉`. Key order = value order, so
+    * the SAME cum-count rank selection works unchanged. */
+  def ddIndexSigned(value: Column, alpha: Double): Column = {
+    val lg = lit(lnGamma(alpha))
+    when(value > 0, lit(SignOffset) + ceil(log(value) / lg).cast("long"))
+      .when(value === 0, lit(0L))
+      .otherwise(lit(-SignOffset) - ceil(log(-value) / lg).cast("long"))
+  }
+
+  /** Representative value for a signed key: ±2γ^|i|/(γ+1), exactly 0 for
+    * the zero bucket — within α RELATIVE error of every member. */
+  def ddEstimateSigned(bucket: Column, alpha: Double): Column = {
+    val g = gamma(alpha)
+    val coef = lit(2.0 / (g + 1.0))
+    when(bucket > 0, coef * pow(lit(g), (bucket - lit(SignOffset)).cast("double")))
+      .when(bucket === 0, lit(0.0))
+      .otherwise(-coef * pow(lit(g), (-bucket - lit(SignOffset)).cast("double")))
+  }
+
   /** Representative value for bucket i: 2γ^i/(γ+1) — within α relative
     * error of every member of (γ^(i−1), γ^i]. */
   def ddEstimate(bucket: Column, alpha: Double): Column = {
@@ -81,6 +108,27 @@ object Sketches {
       alpha: Double, qs: Seq[(String, Double)]): DataFrame =
     ddQuantilesOfHistogram(ddHistogram(df, grp, value, alpha), grp, alpha, qs)
 
+  /** Full-real-line sketch histogram: [[ddIndexSigned]] keys, nothing
+    * dropped (negative and zero values land in their own stores). */
+  def ddHistogramSigned(df: DataFrame, grp: Seq[String], value: String,
+      alpha: Double): DataFrame = {
+    require(709.0 / lnGamma(alpha) < SignOffset,
+      s"alpha $alpha too fine for the signed key offset")
+    df.filter(col(value).isNotNull)
+      .select(grp.map(col) :+ ddIndexSigned(col(value), alpha).as("bucket"): _*)
+      .groupBy((grp.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** [[ddQuantiles]] over the FULL real line: signed keys are
+    * order-preserving, so the identical cum-count selection applies;
+    * estimates come from [[ddEstimateSigned]]. α relative error against
+    * |true value|, exact for the zero bucket. */
+  def ddQuantilesSigned(df: DataFrame, grp: Seq[String], value: String,
+      alpha: Double, qs: Seq[(String, Double)]): DataFrame =
+    selectQuantiles(ddHistogramSigned(df, grp, value, alpha), grp, qs,
+      ddEstimateSigned(col("bucket"), alpha))
+
   /** [[ddQuantiles]]' selection stage when the caller ALREADY HOLDS the
     * sketch histogram (`grp ++ (bucket, c)` — e.g. the output of
     * [[ddHistogram]], a persisted sketch artifact, or the emitted state
@@ -89,7 +137,13 @@ object Sketches {
     * store/stream; quantile extraction is a constant-sized afterthought
     * run wherever it's needed. */
   def ddQuantilesOfHistogram(hist: DataFrame, grp: Seq[String],
-      alpha: Double, qs: Seq[(String, Double)]): DataFrame = {
+      alpha: Double, qs: Seq[(String, Double)]): DataFrame =
+    selectQuantiles(hist, grp, qs, ddEstimate(col("bucket"), alpha))
+
+  /** Shared rank-selection stage: cum counts over bucket order, pick the
+    * bucket covering rank ⌈q·n⌉, emit `estimate` for it. */
+  private def selectQuantiles(hist: DataFrame, grp: Seq[String],
+      qs: Seq[(String, Double)], estimate: Column): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 },
       s"quantiles must be in (0,1]: $qs")
     require(grp.nonEmpty, "ddQuantiles needs grouping keys")
@@ -102,7 +156,7 @@ object Sketches {
     val aggs = qs.map { case (name, q) =>
       val target = ceil(col("__n") * q)
       max(when(col("__cum") - col("c") < target && target <= col("__cum"),
-        ddEstimate(col("bucket"), alpha))).as(name)
+        estimate)).as(name)
     }
     cum.groupBy(g: _*).agg(max(col("__n")).as("n"), aggs: _*)
   }

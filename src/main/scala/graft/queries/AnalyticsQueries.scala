@@ -1091,6 +1091,54 @@ object AnalyticsQueries {
           FROM cum GROUP BY l_returnflag"""
     })
 
+  // -------------------------------------- qd2: signed DDSketch quantiles
+
+  private val qd2Qs = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
+
+  /** QD2 — DDSketch over the FULL real line: centered price deviations
+    * (`l_extendedprice − 53000`, ≈ the corpus median, so both stores
+    * fill) per return flag through
+    * [[graft.operators.Sketches.ddQuantilesSigned]] — the paper's
+    * mirrored negative store + zero bucket, folded into one
+    * ORDER-PRESERVING key so the positive-store rank selection applies
+    * unchanged. Same one-histogram-pass scale shape and the same
+    * interpolated-constant float parity as `qd1`. */
+  private val qd2 = Q(
+    "qd2_signed_sketch",
+    (s, d) => {
+      val centered = Tables.lineitem(s, d)
+        .withColumn("dev", col("l_extendedprice") - lit(53000.0))
+      val est = graft.operators.Sketches.ddQuantilesSigned(
+        centered, Seq("l_returnflag"), "dev", qdAlpha, qd2Qs)
+      est.select(col("l_returnflag") +: col("n") +:
+        qd2Qs.map { case (nm, _) => round(col(nm), 6).as(nm) }: _*)
+    },
+    Some {
+      val g = graft.operators.Sketches.gamma(qdAlpha)
+      val lg = graft.operators.Sketches.lnGamma(qdAlpha)
+      val coef = 2.0 / (g + 1.0)
+      val picks = qd2Qs.map { case (nm, q) =>
+        s"""round(max(CASE WHEN cum - c < ceil(n * $q) AND ceil(n * $q) <= cum
+              THEN CASE WHEN b > 0 THEN $coef * pow($g, b - 1000000)
+                        WHEN b = 0 THEN 0.0
+                        ELSE -$coef * pow($g, -b - 1000000) END END), 6) AS $nm"""
+      }.mkString(",\n              ")
+      s"""WITH v AS (SELECT l_returnflag, l_extendedprice - 53000.0 AS dev
+               FROM lineitem),
+          h AS (SELECT l_returnflag,
+                 CASE WHEN dev > 0 THEN 1000000 + CAST(ceil(ln(dev) / $lg) AS BIGINT)
+                      WHEN dev = 0 THEN 0
+                      ELSE -1000000 - CAST(ceil(ln(-dev) / $lg) AS BIGINT) END AS b,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM v GROUP BY 1, 2),
+          cum AS (SELECT l_returnflag, b, c,
+                 CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS BIGINT) AS cum,
+                 CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n FROM h)
+          SELECT l_returnflag, max(n) AS n,
+              $picks
+          FROM cum GROUP BY l_returnflag"""
+    })
+
   def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, gs1, wz1, rz1, fz1, w1, w2, ii1,
-    bp1, bp2, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1, kc1, bfs1)
+    bp1, bp2, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1, kc1, bfs1, qd2)
 }

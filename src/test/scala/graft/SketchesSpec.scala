@@ -59,6 +59,35 @@ class SketchesSpec extends SparkSpec with Matchers {
     math.abs(out.head.getAs[Double]("p50") - 10.0) / 10.0 should be <= 0.01
   }
 
+  test("signed sketch: relative error holds across negative/zero/positive") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 3000).map { i =>
+      val v =
+        if (i % 10 == 0) 0.0
+        else (if (i % 2 == 0) 1 else -1) * math.exp(rnd.nextGaussian() * 2 + 1)
+      ("g", v)
+    }
+    val df = rows.toDF("grp", "v").repartition(5)
+    val qs2 = Seq(("p10", 0.1), ("p50", 0.5), ("p90", 0.9))
+    val got = Sketches.ddQuantilesSigned(df, Seq("grp"), "v", 0.01, qs2)
+      .collect().head
+    got.getAs[Long]("n") shouldBe 3000L
+    for ((nm, q) <- qs2) {
+      val exact = exactQ(rows.map(_._2), q)
+      val est = got.getAs[Double](nm)
+      if (exact == 0.0) est shouldBe 0.0
+      else math.abs(est - exact) should be <= 0.01 * 1.01 * math.abs(exact)
+    }
+  }
+
+  test("signed bucket key preserves value order") {
+    val vs = Seq(-1e6, -17.3, -0.004, 0.0, 1e-9, 0.5, 2.0, 88888.8)
+    val keys = vs.map(v => Seq(v).toDF("v")
+      .select(Sketches.ddIndexSigned(col("v"), 0.02).as("k"))
+      .head().getLong(0))
+    keys shouldBe keys.sorted
+  }
+
   test("bucket count is bounded by dynamic range, not rows") {
     // 100k-row group spanning 3 decades at alpha=1% → ≤ ~ln(1e3)/ln(γ)+2 buckets
     val df = spark.range(100000)
