@@ -391,6 +391,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("graph family: every round is keyed joins/aggs — kc1, bfs1, pr1") {
+    // the iterative graph ops are rounds of hash joins + aggregations on
+    // node ids; a cartesian/nested-loop anywhere means a round degraded
+    for (name <- Seq("kc1_kcore_peel", "bfs1_graph_bfs")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$name:\n$p")
+    }
+    // pr1 keeps its deliberate 1-ROW broadcast cross join (the N scalar
+    // riding nodesN) — only a true cartesian would be a degradation
+    val p = plan("pr1_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("qd1/s9 DDSketch: fact never range-shuffles; rank windows sit on the bucket frame") {
     // the sketch's whole point vs wz1's exact ranks: the only full-data
     // pass is a hash aggregation. A RangePartitioning anywhere means the
