@@ -104,13 +104,21 @@ object Graphs {
         when(ka < kb, col("b")).otherwise(col("a")).as("v"),
         when(ka < kb, kb).otherwise(ka).as("vk"))
       .persist()
-    // wedges from each apex's out-neighbours (ordered pairs), closed by
-    // the oriented (v, w) edge — which, if the undirected edge exists,
-    // is oriented exactly min-key → max-key
-    val tri = eo.as("e1")
-      .join(eo.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.vk") < col("e2.vk"))
-      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    // wedges from each apex's out-neighbours: the out-list is BOUNDED at
+    // O(√m) by the orientation, so collecting it per apex is safe — one
+    // hash agg plus a narrow ordered-pair explode, instead of a
+    // sort-both-sides self-join producing the identical wedge set.
+    // Closed by the oriented (v, w) edge — which, if the undirected edge
+    // exists, is oriented exactly min-key → max-key.
+    val wedges = eo
+      .groupBy("u")
+      .agg(sort_array(collect_list(struct(col("vk"), col("v")))).as("nb"))
+      .select(col("u").as("x"), explode(expr(
+        """flatten(transform(nb, (a, i) ->
+             transform(slice(nb, i + 2, size(nb)), b -> struct(a.v AS y, b.v AS z))))"""))
+        .as("p"))
+      .select(col("x"), col("p.y").as("y"), col("p.z").as("z"))
+    val tri = wedges
       .join(eo.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
     // one pass, three corners: explode instead of a 3-way union — a union
     // would reference (and thus RE-EXECUTE) the uncached triangle join
