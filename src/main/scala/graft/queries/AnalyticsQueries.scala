@@ -1023,7 +1023,11 @@ object AnalyticsQueries {
   private val bfs1 = Q(
     "bfs1_graph_bfs",
     (s, d) => {
-      val ed = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      // one order-year of the trade graph (pushdown-pruned, the kc1
+      // stance) — BFS itself is volume-agnostic
+      val ed = Tables.orders(s, d)
+        .filter(col("o_orderdate").between("1995-01-01", "1995-12-31"))
+        .select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
@@ -1034,7 +1038,8 @@ object AnalyticsQueries {
     Some {
       val base =
         """WITH e AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
-               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'),
            adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
            v0 AS (SELECT c_custkey AS id, CAST(0 AS BIGINT) AS dist
                FROM customer WHERE c_custkey <= 3)"""
