@@ -362,6 +362,14 @@ final case class BroadcastAsOfJoinExec(
       val payProj = UnsafeProjection.create(payload, right.output)
       val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
       val tieOrd = TypeUtils.getInterpretedOrdering(tieType)
+      // values held past the next projection call must own their memory
+      // (UTF8String results alias the projection's reused buffer —
+      // storing them raw lets later rows clobber the index order)
+      def own(v: Any): Any = v match {
+        case s: UTF8String => s.copy()
+        case d: Decimal => d
+        case x => x
+      }
       // per-key index: ts-ascending arrays of (ts, payload), one entry
       // per (key, ts) group (smallest tie wins within a group). Built
       // ONCE per executor per broadcast (weak-keyed on the broadcast
@@ -381,7 +389,8 @@ final case class BroadcastAsOfJoinExec(
               buf = new scala.collection.mutable.ArrayBuffer[(Any, Any, InternalRow)]
               groups.put(k, buf)
             }
-            buf += ((ts, rTieProj(r).get(0, tieType), payProj(r).copy()))
+            buf += ((own(ts), own(rTieProj(r).get(0, tieType)),
+              payProj(r).copy()))
           }
         }
         groups.forEach { (k, buf) =>

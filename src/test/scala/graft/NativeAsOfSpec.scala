@@ -107,6 +107,33 @@ class NativeAsOfSpec extends SparkSpec with Matchers {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("string keys and string ts: non-primitive orderings and held-state copies") {
+    // exercises UTF8String comparisons in the key/ts orderings and the
+    // ownTs defensive copy (a held UTF8String must not alias a reused
+    // sorter buffer) — ISO strings sort like the instants they encode
+    val left = Seq(
+      ("alice", "2026-01-03", 1L), ("alice", "2026-01-07", 2L),
+      ("bob", "2026-01-05", 3L), ("carol", "2026-01-02", 4L))
+      .toDF("name", "day", "lid")
+    val right = Seq(
+      ("alice", "2026-01-01", 10.0, 1L), ("alice", "2026-01-05", 20.0, 2L),
+      ("bob", "2026-01-05", 30.0, 3L), ("dave", "2026-01-01", 99.0, 4L))
+      .toDF("name", "day", "v", "eid")
+    for (threshold <- Seq("10MB", "-1")) { // broadcast AND merge paths
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        val out = NativeAsOf.asOf(left, right, Seq("name"), "day",
+            payload = Seq("v"), tieCol = "eid")
+          .orderBy("lid").collect()
+        out(0).getAs[Double]("r_v") shouldBe 10.0 // jan 3 ← jan 1
+        out(1).getAs[Double]("r_v") shouldBe 20.0 // jan 7 ← jan 5
+        out(2).getAs[Double]("r_v") shouldBe 30.0 // inclusive same-day
+        assert(out(3).isNullAt(out(3).fieldIndex("r_v"))) // carol: none
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
   test("injected rule pushes left-side filters through the node to the scan") {
     val sf = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, sf)
