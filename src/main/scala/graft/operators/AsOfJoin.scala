@@ -48,7 +48,12 @@ object AsOfJoin {
     // one right row per (keys, ts): smallest tieCol wins. The window groups
     // are (keys, ts) buckets — cardinality-bounded, not a global sort.
     val wTie = Window.partitionBy((keys :+ tsCol).map(col): _*).orderBy(col(tieCol))
+    // NULL-ts right rows never match anything (SQL/merge_asof
+    // semantics): dropped here, which also keeps null-ts LEFT rows on
+    // NULL payloads (they sort before every real-ts row of their key) —
+    // aligned with plans.NativeAsOf on both physical paths
     val rightOne = right
+      .filter(col(tsCol).isNotNull)
       .withColumn("__tie", row_number().over(wTie))
       .filter(col("__tie") === 1)
     val rpay = struct(

@@ -275,7 +275,12 @@ final case class AsOfJoinExec(
               rHead = if (rIter.hasNext) rIter.next() else null
             } else if (c == 0) {
               val rTs = rTsProj(rHead).get(0, tsType)
-              if (lTs != null && rTs != null && tsOrd.lteq(rTs, lTs)) {
+              if (rTs == null) {
+                // NULL ts never matches (SQL/merge_asof semantics) —
+                // consume it, or it would stall the right iterator for
+                // every remaining left row of this key
+                rHead = if (rIter.hasNext) rIter.next() else null
+              } else if (lTs != null && tsOrd.lteq(rTs, lTs)) {
                 val sameGroup = heldPay != null && heldKey != null &&
                   keyOrd.compare(heldKey, lKey) == 0 && tsOrd.equiv(heldTs, rTs)
                 if (!sameGroup) {

@@ -134,6 +134,38 @@ class NativeAsOfSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("null ts never matches — composition and both native paths agree") {
+    // null-ts RIGHT rows must be consumed-and-ignored (a stalled right
+    // iterator would starve every later left row of the key); null-ts
+    // LEFT rows keep NULL payloads
+    val left = Seq(
+      (1L, java.lang.Long.valueOf(10L), 100L),
+      (1L, null.asInstanceOf[java.lang.Long], 101L),
+      (1L, java.lang.Long.valueOf(20L), 102L))
+      .toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, null.asInstanceOf[java.lang.Long], 0.1, 1L),
+      (1L, java.lang.Long.valueOf(5L), 0.5, 2L),
+      (1L, java.lang.Long.valueOf(15L), 1.5, 3L))
+      .toDF("k", "ts", "v", "eid")
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val out = df.orderBy("lid").collect()
+      out(0).getAs[Double]("r_v") shouldBe 0.5 // ts 10 ← ts 5
+      assert(out(1).isNullAt(out(1).fieldIndex("r_v"))) // null left ts
+      out(2).getAs[Double]("r_v") shouldBe 1.5 // ts 20 ← ts 15
+    }
+    check(AsOfJoin.asOf(left, right, Seq("k"), "ts",
+      payload = Seq("v"), tieCol = "eid"))
+    for (threshold <- Seq("10MB", "-1")) {
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        check(NativeAsOf.asOf(left, right, Seq("k"), "ts",
+          payload = Seq("v"), tieCol = "eid"))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
   test("injected rule pushes left-side filters through the node to the scan") {
     val sf = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, sf)
