@@ -89,8 +89,10 @@ object Graphs {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct().persist()
+    // persisted: BOTH orientation joins read it — unpersisted, the
+    // explode+agg degree pass over the edge set would execute twice
     val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .groupBy("id").agg(count(lit(1)).as("deg")).persist()
     // orient by the total order (deg, id); carry the head's key so the
     // wedge join can order a node's two out-neighbours without a third
     // degree join
@@ -126,7 +128,7 @@ object Graphs {
     val counts = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
-    graft.Caches.releaseAfterAction(e, eo)
+    graft.Caches.releaseAfterAction(e, deg, eo)
     counts
   }
 

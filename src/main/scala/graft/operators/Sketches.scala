@@ -90,7 +90,7 @@ object Sketches {
     * the sketch's domain and are dropped (DDSketch's positive store). */
   def ddHistogram(df: DataFrame, grp: Seq[String], value: String,
       alpha: Double): DataFrame =
-    df.filter(col(value) > 0)
+    df.filter(col(value) > 0 && abs(col(value)) <= lit(Double.MaxValue))
       .select(grp.map(col) :+ ddIndex(col(value), alpha).as("bucket"): _*)
       .groupBy((grp.map(col) :+ col("bucket")): _*)
       .agg(count(lit(1)).as("c"))
@@ -112,9 +112,14 @@ object Sketches {
     * dropped (negative and zero values land in their own stores). */
   def ddHistogramSigned(df: DataFrame, grp: Seq[String], value: String,
       alpha: Double): DataFrame = {
-    require(709.0 / lnGamma(alpha) < SignOffset,
+    // bound uses ln of the smallest SUBNORMAL (|ln(4.9e-324)| ≈ 744.5),
+    // not ln(DoubleMax) ≈ 709 — a subnormal's index magnitude is larger
+    require(745.0 / lnGamma(alpha) < SignOffset,
       s"alpha $alpha too fine for the signed key offset")
-    df.filter(col(value).isNotNull)
+    // non-finite values are outside the sketch domain on BOTH stores:
+    // NaN would land in a finite bucket (Spark: NaN > 0 is true, ceil
+    // maps NaN to 0) and ±Inf overflows the signed key arithmetic
+    df.filter(col(value).isNotNull && abs(col(value)) <= lit(Double.MaxValue))
       .select(grp.map(col) :+ ddIndexSigned(col(value), alpha).as("bucket"): _*)
       .groupBy((grp.map(col) :+ col("bucket")): _*)
       .agg(count(lit(1)).as("c"))

@@ -65,6 +65,14 @@ object NativeAsOf {
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"asOf: column $name not found in [${p.output.map(_.name).mkString(", ")}]"))
+    keys.foreach { k =>
+      require(attr(lPlan, k).dataType == attr(rPlan, k).dataType,
+        s"asOf: key $k type mismatch: ${attr(lPlan, k).dataType.sql} vs " +
+          attr(rPlan, k).dataType.sql)
+    }
+    require(attr(lPlan, tsCol).dataType == attr(rPlan, tsCol).dataType,
+      s"asOf: ts $tsCol type mismatch: ${attr(lPlan, tsCol).dataType.sql} vs " +
+        attr(rPlan, tsCol).dataType.sql)
     val rightCarry = tsCol +: payload
     val outAttrs = rightCarry.map { c =>
       val a = attr(rPlan, c)
@@ -318,18 +326,38 @@ final case class AsOfJoinExec(
   * by smallest `tie`, left-outer NULLs), property-checked against it.
   */
 object BroadcastAsOfJoinExec {
-  private val indexCache =
-    new java.util.WeakHashMap[AnyRef, java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]]
-  /** One index build per (executor, broadcast value); weak keys let the
-    * index unload together with the broadcast block. */
-  private[plans] def cachedIndex(key: AnyRef)(
+  private val indexCache = new java.util.WeakHashMap[AnyRef,
+    java.util.HashMap[String, java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]]]
+  /** One index build per (executor, broadcast value, PROJECTION): the
+    * weak outer key is the broadcast array (the index unloads with the
+    * block), the inner key the join's projection identity — two as-of
+    * joins sharing one ReuseExchange-deduplicated broadcast but reading
+    * different key/ts/payload columns must NOT share an index. The
+    * by-name build runs OUTSIDE the map lock (an idempotent duplicate
+    * build under a rare race beats serializing every task slot on one
+    * monitor). */
+  private[plans] def cachedIndex(key: AnyRef, projId: String)(
       build: => java.util.HashMap[InternalRow, Array[(Any, InternalRow)]])
-      : java.util.HashMap[InternalRow, Array[(Any, InternalRow)]] =
-    indexCache.synchronized {
-      val got = indexCache.get(key)
-      if (got != null) got
-      else { val v = build; indexCache.put(key, v); v }
+      : java.util.HashMap[InternalRow, Array[(Any, InternalRow)]] = {
+    val hit = indexCache.synchronized {
+      val inner = indexCache.get(key)
+      if (inner == null) null else inner.get(projId)
     }
+    if (hit != null) hit
+    else {
+      val v = build
+      indexCache.synchronized {
+        var inner = indexCache.get(key)
+        if (inner == null) {
+          inner = new java.util.HashMap[String,
+            java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]]
+          indexCache.put(key, inner)
+        }
+        val raced = inner.get(projId)
+        if (raced != null) raced else { inner.put(projId, v); v }
+      }
+    }
+  }
 }
 
 final case class BroadcastAsOfJoinExec(
@@ -380,7 +408,9 @@ final case class BroadcastAsOfJoinExec(
       // ONCE per executor per broadcast (weak-keyed on the broadcast
       // value, so it unloads with the broadcast) — rebuilding per task
       // would multiply the dim sort by the task count.
-      val index = BroadcastAsOfJoinExec.cachedIndex(bcast.value) {
+      val projId = (rightKeys ++ Seq(rightTs, rightTie) ++ payload)
+        .map(a => s"${a.exprId.id}:${a.dataType.sql}").mkString(",")
+      val index = BroadcastAsOfJoinExec.cachedIndex(bcast.value, projId) {
       val index = new java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]
       locally {
         val groups = new java.util.HashMap[InternalRow,
@@ -399,9 +429,16 @@ final case class BroadcastAsOfJoinExec(
           }
         }
         groups.forEach { (k, buf) =>
+          // null ties sort FIRST (win), matching SortOrder's nulls-first
+          // in the merge exec and the composition's window orderBy
+          def tieCmp(a: Any, b: Any): Int =
+            if (a == null && b == null) 0
+            else if (a == null) -1
+            else if (b == null) 1
+            else tieOrd.compare(a, b)
           val sorted = buf.sortWith { case ((t1, e1, _), (t2, e2, _)) =>
             val c = tsOrd.compare(t1, t2)
-            if (c != 0) c < 0 else tieOrd.compare(e1, e2) < 0
+            if (c != 0) c < 0 else tieCmp(e1, e2) < 0
           }
           val dedup = scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]()
           sorted.foreach { case (ts, _, pay) =>

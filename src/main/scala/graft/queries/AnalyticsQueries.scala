@@ -1087,7 +1087,7 @@ object AnalyticsQueries {
       s"""WITH h AS (SELECT l_returnflag,
                  CAST(ceil(ln(l_extendedprice) / $lg) AS BIGINT) AS b,
                  CAST(count(*) AS BIGINT) AS c
-               FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2),
+               FROM lineitem WHERE l_extendedprice > 0 AND isfinite(l_extendedprice) GROUP BY 1, 2),
           cum AS (SELECT l_returnflag, b, c,
                  CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS BIGINT) AS cum,
                  CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n FROM h)
@@ -1135,7 +1135,7 @@ object AnalyticsQueries {
                       WHEN dev = 0 THEN 0
                       ELSE -1000000 - CAST(ceil(ln(-dev) / $lg) AS BIGINT) END AS b,
                  CAST(count(*) AS BIGINT) AS c
-               FROM v GROUP BY 1, 2),
+               FROM v WHERE isfinite(dev) GROUP BY 1, 2),
           cum AS (SELECT l_returnflag, b, c,
                  CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS BIGINT) AS cum,
                  CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n FROM h)

@@ -282,7 +282,7 @@ object StreamParityQueries {
       s"""WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
                  CAST(ceil(ln(value) / $lg) AS BIGINT) AS b,
                  CAST(count(*) AS BIGINT) AS c
-               FROM events WHERE value > 0 GROUP BY 1, 2),
+               FROM events WHERE value > 0 AND isfinite(value) GROUP BY 1, 2),
           cum AS (SELECT w, b, c,
                  CAST(sum(c) OVER (PARTITION BY w ORDER BY b) AS BIGINT) AS cum,
                  CAST(sum(c) OVER (PARTITION BY w) AS BIGINT) AS n FROM h)

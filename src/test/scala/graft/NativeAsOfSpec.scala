@@ -166,6 +166,45 @@ class NativeAsOfSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("null tie wins the (key, ts) group on both physical paths") {
+    // nulls-first tie order: a null tie sorts smallest, so its payload
+    // beats a non-null tie at the same instant — the composition's
+    // window orderBy convention, mirrored by both execs
+    val left = Seq((1L, 10L, 100L)).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, 10L, "loser", java.lang.Long.valueOf(5L)),
+      (1L, 10L, "winner", null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "ts", "tag", "eid")
+    val want = AsOfJoin.asOf(left, right, Seq("k"), "ts",
+      payload = Seq("tag"), tieCol = "eid").head().getAs[String]("r_tag")
+    want shouldBe "winner"
+    for (threshold <- Seq("10MB", "-1")) {
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        NativeAsOf.asOf(left, right, Seq("k"), "ts",
+          payload = Seq("tag"), tieCol = "eid")
+          .head().getAs[String]("r_tag") shouldBe "winner"
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
+  test("mismatched key/ts types fail fast instead of corrupting silently") {
+    val left = Seq((1, 10L, 1L)).toDF("k", "ts", "lid") // k: INT
+    val right = Seq((1L, 5L, 0.5, 1L)).toDF("k", "ts", "v", "eid") // k: BIGINT
+    val e1 = intercept[IllegalArgumentException] {
+      NativeAsOf.asOf(left, right, Seq("k"), "ts",
+        payload = Seq("v"), tieCol = "eid")
+    }
+    e1.getMessage should include("type mismatch")
+    val right2 = Seq((1, 5, 0.5, 1L)).toDF("k", "ts", "v", "eid") // ts: INT
+    val e2 = intercept[IllegalArgumentException] {
+      NativeAsOf.asOf(left, right2, Seq("k"), "ts",
+        payload = Seq("v"), tieCol = "eid")
+    }
+    e2.getMessage should include("type mismatch")
+  }
+
   test("injected rule pushes left-side filters through the node to the scan") {
     val sf = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, sf)

@@ -80,6 +80,16 @@ class SketchesSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("non-finite values are outside the sketch domain on both stores") {
+    val df = Seq(("g", 1.0), ("g", Double.NaN), ("g", Double.PositiveInfinity),
+      ("g", Double.NegativeInfinity), ("g", 4.0), ("g", -2.0))
+      .toDF("grp", "v")
+    Sketches.ddQuantiles(df, Seq("grp"), "v", 0.01, Seq(("p50", 0.5)))
+      .head().getAs[Long]("n") shouldBe 2L // 1.0, 4.0
+    Sketches.ddQuantilesSigned(df, Seq("grp"), "v", 0.01, Seq(("p50", 0.5)))
+      .head().getAs[Long]("n") shouldBe 3L // 1.0, 4.0, -2.0
+  }
+
   test("signed bucket key preserves value order") {
     val vs = Seq(-1e6, -17.3, -0.004, 0.0, 1e-9, 0.5, 2.0, 88888.8)
     val keys = vs.map(v => Seq(v).toDF("v")
