@@ -194,6 +194,12 @@ object Dedup {
     * buckets over `maxBucket` rows are dropped + logged. */
   def simhashNearPairs(simhashes: DataFrame, bits: Int, bandBits: Int,
       maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
+    require(bits % bandBits == 0,
+      s"simhashNearPairs: bits ($bits) must divide into $bandBits-bit bands" +
+        " — a remainder would leave unbanded bits and silently drop pairs")
+    require(maxHamming < bits / bandBits,
+      s"simhashNearPairs: maxHamming ($maxHamming) must be < nBands" +
+        s" (${bits / bandBits}) for the pigeonhole guarantee")
     val sigs = simhashes.persist()
     val nBands = bits / bandBits
     val bands = (0 until nBands).map { b =>
@@ -357,8 +363,14 @@ object Dedup {
     graft.expressions.GraftFunctions.register(spark)
     val pairs = spread(docs).select(col(idCol).as("doc_id"), trainFlag.as("is_train"),
       explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+    DropAudit.ensure(spark)
     val trainSh = pairs.filter(col("is_train")).select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("__ndocs"))
+      // same cap AUDIT as the exact contamination path: boilerplate
+      // shingles leave the dictionary counted, never silently
+      .observe(s"graft_capped_contamination_bloom_${auditSeq.getAndIncrement()}",
+        sum(when(col("__ndocs") > maxShingleTrainDocs, 1L).otherwise(0L))
+          .as("dropped_rows"))
       .filter(col("__ndocs") <= maxShingleTrainDocs)
       .select("sh")
       .persist()

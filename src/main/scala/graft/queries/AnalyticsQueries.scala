@@ -90,9 +90,15 @@ object AnalyticsQueries {
     "cc1_ccnet_buckets",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // persisted: the quantile pass (range sampling + shuffle) and the
+      // final bucket join would otherwise each re-run the whole
+      // tokenize + LM-score chain — Catalyst does not dedupe common
+      // DataFrame subtrees (the rz1 `cls` lesson)
       val scores = graft.api.Corpus.languageModelScores(docs)
         .select(col("doc_id"), round(col("ppl"), 6).as("ppl"))
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .persist()
+      graft.Caches.releaseAfterAction(scores)
       val th = Ranks.quantiles(scores, Seq("lang"), "ppl", "doc_id",
         Seq(("t1", 1.0 / 3), ("t2", 2.0 / 3))).drop("n")
       scores.join(broadcast(th), "lang")
@@ -700,11 +706,18 @@ object AnalyticsQueries {
       graft.expressions.GraftFunctions.register(s)
       val tok = Tables.documents(s, d)
         .select(explode(graft.operators.TextFunctions.tokens(col("text"))).as("term"))
-      val cands = tok
+      // ONE sketch pass serves both candidates and the exact total: the
+      // Misra–Gries rows carry n, so the third corpus scan (a separate
+      // count agg) is free; the 1-row sketch frame is persisted so its
+      // two consumers don't re-run the sketch aggregation
+      val sk = tok
         .agg(call_function("freq_sketch", col("term"), lit(hhK)).as("sk"))
-        .select(explode(col("sk")).as("e"))
+        .persist()
+      graft.Caches.releaseAfterAction(sk)
+      val cands = sk.select(explode(col("sk")).as("e"))
         .select(col("e.item").as("term"))
-      val n = tok.agg(count(lit(1)).as("n_total"))
+      val n = sk.select(coalesce(element_at(col("sk"), 1).getField("n"),
+        lit(0L)).as("n_total"))
       tok.join(broadcast(cands), "term")
         .groupBy("term").agg(count(lit(1)).as("cnt"))
         .crossJoin(broadcast(n))

@@ -109,16 +109,19 @@ object StreamParityQueries {
           unix_micros(col("rTs")).as("r_ts_us"),
           round(col("rValue"), 6).as("r_value"))
     },
-    Some("""WITH l AS (SELECT user_id, epoch_us(ts) AS tsu, value
+    Some("""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value
                        FROM events WHERE event_type = 'click'),
             r0 AS (SELECT user_id, epoch_us(ts) AS tsu, value,
                      row_number() OVER (PARTITION BY user_id, epoch_us(ts)
                        ORDER BY value) AS rn
                    FROM events WHERE event_type = 'purchase'),
             r AS (SELECT user_id, tsu, value FROM r0 WHERE rn = 1),
-            j AS (SELECT l.user_id, l.tsu, l.value,
+            -- partition by the UNIQUE click id: identical (user, ts,
+            -- value) duplicate clicks must each keep their own row, as
+            -- the handler emits one enrichment per event
+            j AS (SELECT l.event_id, l.user_id, l.tsu, l.value,
                     r.tsu AS r_tsu, r.value AS r_value,
-                    row_number() OVER (PARTITION BY l.user_id, l.tsu, l.value
+                    row_number() OVER (PARTITION BY l.event_id
                       ORDER BY r.tsu DESC) AS rn
                   FROM l LEFT JOIN r
                     ON l.user_id = r.user_id AND r.tsu <= l.tsu)

@@ -123,7 +123,10 @@ object EventStreams extends Serializable {
   def windowedValueSketch(events: DataFrame, tsCol: String = "ts",
       valueCol: String = "value", watermark: String = "10 minutes",
       windowLen: String = "1 hour", alpha: Double = 0.01): DataFrame =
-    events.filter(col(valueCol) > 0)
+    // same domain guard as the batch ddHistogram: positive AND finite
+    // (NaN passes `> 0` in Spark's ordering; ±Inf has no log bucket)
+    events.filter(col(valueCol) > 0 &&
+        abs(col(valueCol)) <= lit(Double.MaxValue))
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen),
         graft.operators.Sketches.ddIndex(col(valueCol), alpha).as("bucket"))
@@ -156,9 +159,19 @@ object EventStreams extends Serializable {
         sorted.foreach { e =>
           val t = toUs(e.ts)
           cur match {
+            // DEFENSIVE: a straggler gap-distant BEFORE the open session
+            // becomes its own bygone session, emitted closed at once.
+            // With this operator's watermark == gap the branch cannot
+            // fire (such rows are already watermark-dropped); it guards
+            // a future laxer watermark configuration
+            case Some(s) if t < s.startUs - gapUs =>
+              closed += toSession(uid, SessionState(t, t, 1L, e.value))
             case Some(s) if t - s.endUs <= gapUs =>
-              cur = Some(SessionState(s.startUs, math.max(s.endUs, t),
-                s.nEvents + 1, s.totalValue + e.value))
+              // min: a straggler INSIDE the gap window extends the
+              // session backward, matching what a batch replay of the
+              // same rows would produce
+              cur = Some(SessionState(math.min(s.startUs, t),
+                math.max(s.endUs, t), s.nEvents + 1, s.totalValue + e.value))
             case Some(s) =>
               closed += toSession(uid, s)
               cur = Some(SessionState(t, t, 1L, e.value))

@@ -136,6 +136,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: an in-gap straggler extends the session BACKWARD") {
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.sessionize(src.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions_straggler")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(Event(1, ts(30), "a", 1.0))
+      q.processAllAvailable()
+      // late but inside both the watermark and the gap: the session must
+      // now START at 10:20, not keep 10:30 (the batch-replay answer)
+      src.addData(Event(1, ts(20), "b", 2.0))
+      q.processAllAvailable()
+      // push the watermark far past -> the session closes
+      src.addData(Event(2, Timestamp.valueOf("2026-01-01 12:00:00"), "c", 0.0))
+      q.processAllAvailable()
+      val s1 = spark.table("sessions_straggler")
+        .filter($"userId" === 1L).collect()
+      assert(s1.length == 1)
+      assert(s1.head.getAs[Timestamp]("start") == ts(20))
+      assert(s1.head.getAs[Timestamp]("end") == ts(30))
+      assert(s1.head.getAs[Long]("nEvents") == 2L)
+    } finally q.stop()
+  }
+
   test("windowed DDSketch histogram: stream matches batch across micro-batches") {
     val sf = "/root/testdata/sf0.001"
     val batchEv = Tables.events(spark, sf)
