@@ -105,6 +105,15 @@ object Corpus {
       textCol: String = "text", shingleN: Int = 3, numHashes: Int = 6,
       bandsOf: Int = 2, jaccardMin: Double = 0.5,
       maxBucket: Int = 1000, keeperBy: Option[Column] = None): DataFrame = {
+    // fail fast: the component walk's min-label algebra needs NUMERIC
+    // ids — a string id would cast to null deep inside an executor task
+    val idType = docs.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"dedupClusters: $idCol must be an integral id column, got ${idType.sql}" +
+        " (hash or zip non-numeric ids first)")
     val pairs = nearDuplicates(docs, idCol, textCol, shingleN, numHashes,
       bandsOf, jaccardMin, maxBucket)
     val comps = graft.operators.Components
@@ -194,10 +203,14 @@ object Corpus {
     * callers round for cross-engine hashing. */
   def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", topK: Int = 3): DataFrame = {
+    // persisted: three consumers (per-doc totals, df, corpus count) —
+    // unpersisted, each re-runs the tokenize+explode+agg corpus pass
     val tc = docs
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    graft.Caches.releaseAfterAction(tc)
     val withN = tc.withColumn("n_tok",
       sum(col("tf")).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))))
@@ -443,7 +456,9 @@ object Corpus {
     graft.operators.Ranks
       .rowNumber(keyed, Nil, Seq(col("shuffle_key"), col(idCol)), out = "rn")
       .withColumn("shard_id", (col("rn") - 1) % nShards)
-      .drop("__n")
+      // internal helpers stay internal: a persisted seed-dependent hash
+      // column would poison schema parity across differently-seeded runs
+      .drop("__n", "shuffle_key")
   }
 
   /** Context-window chunking (CH1): `size`-token windows advancing by
@@ -507,9 +522,12 @@ object Corpus {
         keeperBy = Some(length(col(textCol))))
       .filter(!col("keeper")).select(idCol)
     val c2 = c1.join(losers, Seq(idCol), "left_anti")
+    // contamination normalizes its id column to "doc_id" — rename back
+    // so a non-default idCol joins correctly
     val leaked = contamination(c2.filter(!evalFlag).unionByName(docs.filter(evalFlag)),
         evalFlag, idCol, textCol)
-      .filter(col("contamination") >= contaminationMax).select(idCol)
+      .filter(col("contamination") >= contaminationMax)
+      .select(col("doc_id").as(idCol))
     val c3 = c2.filter(!evalFlag).join(leaked, Seq(idCol), "left_anti")
     val c4 = Sampling.temperatureResample(c3, col(idCol), col(langCol),
       alpha, budget)

@@ -165,9 +165,10 @@ object Ann {
     assignRows(normalized(emb, idCol, vecCol), centroidRows(centroids))
 
   private def assignRows(vectors: DataFrame,
-      rows: Seq[(Int, Seq[Double])]): DataFrame =
+      rows: Seq[(Int, Seq[Double])],
+      shared: Option[CentroidBc] = None): DataFrame =
     if (rows.size <= LiteralPathMaxK) assignWithLiteral(vectors, centroidLit(rows))
-    else assignWithBroadcast(vectors, rows)
+    else assignWithBroadcast(vectors, rows, shared)
 
   private[graft] def assignWithLiteral(vectors: DataFrame, cents: Column): DataFrame = {
     val best = aggregate(
@@ -188,24 +189,37 @@ object Ann {
     * once per executor. A function (not codegen) — but so is the
     * interpreted higher-order fold it replaces, and the hot cost is the
     * k·dim arithmetic either way. */
+  private[graft] type CentroidBc =
+    org.apache.spark.broadcast.Broadcast[(Array[Int], Array[Array[Double]])]
+
+  /** ONE broadcast of the centroid matrix per ivfTopK call — the assign
+    * and probe paths share it instead of shipping k·dim doubles twice. */
+  private[graft] def centroidBc(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[(Int, Seq[Double])]): CentroidBc =
+    spark.sparkContext.broadcast(
+      (rows.map(_._1).toArray, rows.map(_._2.toArray).toArray))
+
   private[graft] def assignWithBroadcast(vectors: DataFrame,
-      rows: Seq[(Int, Seq[Double])]): DataFrame = {
-    val cellIds: Array[Int] = rows.map(_._1).toArray
-    val mat: Array[Array[Double]] = rows.map(_._2.toArray).toArray
-    val bc = vectors.sparkSession.sparkContext.broadcast((cellIds, mat))
+      rows: Seq[(Int, Seq[Double])],
+      shared: Option[CentroidBc] = None): DataFrame = {
+    val bc = shared.getOrElse(centroidBc(vectors.sparkSession, rows))
     val nearest = udf { (vn: Seq[Double]) =>
       val (cs, m) = bc.value
       var best = -1
       var bestD = Double.MaxValue
-      var c = 0
-      while (c < m.length) {
-        val cv = m(c)
-        var d = 0.0
-        var i = 0
-        val n = math.min(vn.length, cv.length)
-        while (i < n) { val t = vn(i) - cv(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = cs(c) }
-        c += 1
+      // dim mismatch = no cell, matching the literal fold (whose
+      // zip_with null-pads and never fires the `<`) — NOT a truncated
+      // prefix distance
+      if (m.length == 0 || vn.length == m(0).length) {
+        var c = 0
+        while (c < m.length) {
+          val cv = m(c)
+          var d = 0.0
+          var i = 0
+          while (i < cv.length) { val t = vn(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = cs(c) }
+          c += 1
+        }
       }
       best
     }
@@ -219,9 +233,10 @@ object Ann {
     * the broadcast matrix — same float accumulation, same tiebreak, so
     * identical probe sets (tested at k = 8192). Both narrow. */
   private[graft] def probeCells(queries: DataFrame,
-      rows: Seq[(Int, Seq[Double])], nProbe: Int): Column =
+      rows: Seq[(Int, Seq[Double])], nProbe: Int,
+      shared: Option[CentroidBc] = None): Column =
     if (rows.size <= LiteralPathMaxK) probeCellsLiteral(rows, nProbe)
-    else probeCellsBroadcast(queries, rows, nProbe)
+    else probeCellsBroadcast(queries, rows, nProbe, shared)
 
   private[graft] def probeCellsLiteral(rows: Seq[(Int, Seq[Double])],
       nProbe: Int): Column =
@@ -234,10 +249,9 @@ object Ann {
       pc => pc.getField("cell"))
 
   private[graft] def probeCellsBroadcast(queries: DataFrame,
-      rows: Seq[(Int, Seq[Double])], nProbe: Int): Column = {
-    val cellIds: Array[Int] = rows.map(_._1).toArray
-    val mat: Array[Array[Double]] = rows.map(_._2.toArray).toArray
-    val bc = queries.sparkSession.sparkContext.broadcast((cellIds, mat))
+      rows: Seq[(Int, Seq[Double])], nProbe: Int,
+      shared: Option[CentroidBc] = None): Column = {
+    val bc = shared.getOrElse(centroidBc(queries.sparkSession, rows))
     val nearestN = udf { (qvn: Seq[Double]) =>
       val (cs, m) = bc.value
       // exact (d2, cell) ordering over all k, then take nProbe — k log k
@@ -269,18 +283,20 @@ object Ann {
     // the Lloyd result materializes ONCE; both the corpus assign and the
     // query-side probe pick the literal or broadcast path by k
     val rows = centroidRows(kmeansCentroids(emb, idCol, vecCol, k, iters))
+    val shared = if (rows.size > LiteralPathMaxK)
+      Some(centroidBc(spark, rows)) else None
     // persist the assigned corpus: this IS the IVF index artifact (cell →
     // vectors). Without it the interpreted fold that computes `cell`
     // re-evaluates per join-OUTPUT row (~nProbe× per vector — measured 6×
     // the whole query); a real deployment would even write it to storage
     // (sources.Stages.materialize) and reuse it across query batches.
-    val corpus = assignRows(normalized(emb, idCol, vecCol), rows).persist()
+    val corpus = assignRows(normalized(emb, idCol, vecCol), rows, shared).persist()
     graft.Caches.releaseAfterAction(corpus)
     val qn = normalized(queries, idCol, vecCol)
       .select(col("id").as("q_id"), col("v").as("qv"), col("vn").as("qvn"))
     val probed = qn
       .select(col("q_id"), col("qv"),
-        explode(probeCells(qn, rows, nProbe)).as("cell"))
+        explode(probeCells(qn, rows, nProbe, shared)).as("cell"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
     probed.join(corpus, Seq("cell"))
       .filter(col("id") =!= col("q_id"))

@@ -45,7 +45,8 @@ object Pq {
     require(books.length == m, s"expected $m codebooks, got ${books.length}")
     def ksub: Int = books.head.length
     def dim: Int = m * dsub
-    /** Mean squared reconstruction error contribution of one vector. */
+    /** Rebuild the approximate vector from its m codes (codebook
+      * centroids concatenated subspace by subspace). */
     def reconstruct(codes: Array[Int]): Array[Double] = {
       val out = new Array[Double](dim)
       var s = 0
@@ -139,8 +140,14 @@ object Pq {
   def encode(emb: DataFrame, vecCol: String, model: PqModel,
       idCol: String = "vec_id"): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
-    val sliced = emb.select(col(idCol) +: (0 until model.m).map(s =>
-      slice(v, s * model.dsub + 1, model.dsub).as(s"sub_$s")): _*)
+    // output is PROJECTED to (id, code); rows whose vector length differs
+    // from the model dim are outside the codec's domain and are dropped —
+    // silently encoding them would leave the -1 sentinel in `code`, which
+    // adcScores/decode later dereference as a codebook index
+    val sliced = emb
+      .filter(size(col(vecCol)) === model.dim)
+      .select(col(idCol) +: (0 until model.m).map(s =>
+        slice(v, s * model.dsub + 1, model.dsub).as(s"sub_$s")): _*)
     val codes = (0 until model.m).map { s =>
       aggregate(bookLit(model.books(s)),
         struct(lit(Double.MaxValue).as("d2"), lit(-1).as("code")),

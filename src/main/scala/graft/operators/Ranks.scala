@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * killer. Here instead: range-partition on (group, order) keys, rank
   * locally per physical partition (balanced tasks), then add each
   * partition's cumulative row-count offset. The only no-partition work
-  * runs over one row per (group, partition) — bounded by the shuffle
-  * partition count, never by the data.
+  * runs over one row per (group, partition) — bounded by groups × the
+  * shuffle partition count. NOTE the offsets frame is broadcast: at
+  * LOW group cardinality (the catalog's flags/langs/classes) that is a
+  * few rows; a million-group caller should pre-aggregate or shard by
+  * group instead — the broadcast would then scale with the group count.
   */
 object Ranks {
 
@@ -65,7 +68,8 @@ object Ranks {
     * distributed prefix-scan, built like [[rowNumber]]: range partition on
     * (group, order), sum locally per physical partition under a cumulative
     * window, then add each partition's prefix-total offset (one row per
-    * (group, partition) — bounded by the shuffle-partition count). `sum`
+    * (group, partition) — broadcast; see the object doc's group-
+    * cardinality note). `sum`
     * over integers is exactly associative, so the result is bit-identical
     * to the one-task `sum().over(Window.orderBy(...))` formulation at any
     * partitioning; over doubles the usual float-association caveat
