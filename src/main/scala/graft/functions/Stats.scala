@@ -47,14 +47,20 @@ object Stats {
     val ord = Seq(col(pCol).desc, col(tieBreak).desc) // one descending scan
     // persist the input: repartitionByRange's boundary-sampling pass is a
     // separate job that would otherwise re-execute the whole upstream plan
-    // (for d3 that is the NB-GLM fit) once before the range write runs
-    val in = df.persist()
+    // (for d3 that is the NB-GLM fit) once before the range write runs —
+    // and the null-p branch below reads it a second time
+    val all = df.persist()
+    // R's p.adjust keeps NA as NA: null p-values take no BH rank, inflate
+    // no group size, and come back with a NULL padj (unranked, they would
+    // otherwise soak up the smallest ranks and least() would hand them
+    // the group minimum)
+    val in = all.filter(col(pCol).isNotNull)
     // persist: the partition id must agree across the offsets, per-partition
     // minima, and local-scan branches
     val ranged = in.repartitionByRange((part ++ ord): _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
-    graft.Caches.releaseAfterAction(in, ranged)
+    graft.Caches.releaseAfterAction(all, ranged)
     val byPid = part :+ col("__pid")
     val wOff = Window.partitionBy(part: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -83,6 +89,8 @@ object Stats {
       .withColumn("padj", least(col("__locMin"),
         coalesce(col("__prev"), col("__locMin"))))
       .select((df.columns.toIndexedSeq.map(col) :+ col("padj")): _*)
+      .unionByName(all.filter(col(pCol).isNull)
+        .withColumn("padj", lit(null).cast("double")))
   }
 
   /** Exact CDF of the Mann–Whitney U statistic under H0 for group sizes
@@ -144,7 +152,10 @@ object Stats {
   def wilcoxon(df: DataFrame, groupCol: String, condCol: String,
       valueCol: String, condA: String, condB: String,
       exactMaxN: Int = 0): DataFrame = {
-    val t = df.filter(col(condCol).isin(condA, condB))
+    // null values carry no rank (R's wilcox.test drops NAs) — ranked,
+    // they would sort first and shift every real rank
+    val t = df.filter(col(condCol).isin(condA, condB) &&
+        col(valueCol).isNotNull)
       .select(col(groupCol), col(condCol), col(valueCol))
     val wRank = Window.partitionBy(groupCol).orderBy(valueCol)
     val wTie = Window.partitionBy(col(groupCol), col(valueCol))

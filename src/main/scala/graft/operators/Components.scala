@@ -95,6 +95,9 @@ object Components {
       }(tupleEnc)
       .mapPartitions { it =>
         val parent = new scala.collection.mutable.LongMap[Long]()
+        // ids reaching here were cast to long upstream: a null (from a
+        // non-numeric id column) would die as an opaque executor NPE —
+        // the callers' integral-id requirement is asserted there
         def find(x: Long): Long = {
           var r = x
           while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
@@ -171,6 +174,11 @@ object Components {
         println(f"[cc] round $rounds ${(System.nanoTime() - tRound) / 1e9}%6.3f s changed=${!converged}")
     }
     sym.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxRounds rounds — " +
+          "raise maxRounds (a silent partial labelling would split " +
+          "components and let duplicate keepers through)")
     labels
   }
 }

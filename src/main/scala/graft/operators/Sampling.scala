@@ -74,7 +74,10 @@ object Sampling {
           lit(budget) * col("__n_total") * (col("__w") / col("__z")) /
             col("__n_s")), 6))
       .withColumn("__thr", floor(col("__rate") * lit(Space)).cast("long"))
-    df.join(broadcast(rates), stratum === col("__stratum"))
+    // null-safe join: a null stratum is its own census group and must
+    // keep its computed rate — a plain === would silently drop every
+    // null-stratum row while still counting them in Z and N_total
+    df.join(broadcast(rates), stratum <=> col("__stratum"))
       .filter(Dedup.hash60(key.cast("string")) < col("__thr"))
       .withColumn("sample_rate", col("__rate"))
       .drop("__stratum", "__n_s", "__w", "__z", "__n_total", "__rate", "__thr")
@@ -106,7 +109,9 @@ object Sampling {
       weight: Column => Column, budget: Double): DataFrame = {
     val counts = df.groupBy(stratum.as("__stratum"))
       .agg(count(lit(1)).as("__n_s"))
-    val total = df.agg(count(lit(1)).as("__n_total"))
+    // N_total from the census (exact integer sum) — not a second
+    // full-corpus scan
+    val total = counts.agg(sum(col("__n_s")).as("__n_total"))
     // rate arithmetic in ONE fixed operation order so external mirrors
     // (the DuckDB oracle) reproduce the exact IEEE doubles
     val rates = counts.crossJoin(broadcast(total))
@@ -114,7 +119,7 @@ object Sampling {
         least(lit(1.0),
           lit(budget) * col("__n_total") * weight(col("__stratum")) / col("__n_s")))
       .withColumn("__thr", floor(col("__rate") * lit(Space)).cast("long"))
-    df.join(broadcast(rates), stratum === col("__stratum"))
+    df.join(broadcast(rates), stratum <=> col("__stratum"))
       .filter(Dedup.hash60(key.cast("string")) < col("__thr"))
       .withColumn("sample_rate", round(col("__rate"), 6))
       .drop("__stratum", "__n_s", "__n_total", "__rate", "__thr")

@@ -34,6 +34,21 @@ class ComponentsSpec extends SparkSpec {
     assert(comps(Seq.empty[(Long, Long)]) === Map.empty)
   }
 
+  test("an exhausted round budget throws instead of returning split labels") {
+    import spark.implicits._
+    // force the multi-partition loop (tiny rowsPerPartition) on a chain
+    // that cannot settle in one hook+jump round
+    val edges = (1L until 400L).map(i => (i, i + 1)).toDF("src", "dst")
+      .repartition(8)
+    val e = intercept[IllegalStateException] {
+      graft.operators.Components
+        .connectedComponents(edges, "src", "dst", maxRounds = 1,
+          rowsPerPartition = 50L)
+        .count()
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("long chain converges within the round budget") {
     val chain = (1L until 40L).map(i => (i, i + 1))
     val got = comps(chain)

@@ -57,6 +57,21 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("resamplers keep null-stratum rows at their census rate") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // 40 rows per stratum incl. a NULL stratum: the null group is a
+    // census group like any other and must survive the rate join
+    val df = (1 to 120).map(i =>
+      (i.toLong, if (i % 3 == 2) null else s"s${i % 3}")).toDF("id", "dom")
+    val kept = Sampling.temperatureResample(df, col("id"), col("dom"),
+      alpha = 1.0, budget = 1.0)
+    assert(kept.count() == 120L) // budget 1.0 keeps everything, nulls included
+    assert(kept.filter(col("dom").isNull).count() == 40L)
+    val mixed = Sampling.mixtureResample(df, col("id"), col("dom"),
+      w => when(w.isNull, lit(0.5)).otherwise(lit(0.25)), budget = 1.0)
+    assert(mixed.filter(col("dom").isNull).count() === 40L)
+  }
+
   test("temperatureResample: alpha=1 thins uniformly, alpha=0 targets equal counts") {
     // skewed strata: 1800 of "a", 200 of "b"
     val df = (1 to 2000).map(i => (i.toLong, if (i <= 1800) "a" else "b"))

@@ -20,6 +20,32 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("pvalue") - 0.07963) < 1e-3)
   }
 
+  test("null handling: NA p-values keep NULL padj; NA values take no rank") {
+    import org.apache.spark.sql.functions.col
+    // bhAdjust: nulls must not consume ranks, inflate n, or absorb the
+    // group minimum (R's p.adjust keeps NA as NA)
+    val withNulls = Seq((1L, Some(0.01)), (2L, None), (3L, Some(0.04)),
+      (4L, None), (5L, Some(0.03))).toDF("id", "pval")
+    val adj = Stats.bhAdjust(withNulls, "pval", "id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(adj(2L).isEmpty && adj(4L).isEmpty)
+    // same padj as running BH on just the 3 real p-values (n = 3, not 5)
+    val clean = Stats.bhAdjust(
+      withNulls.filter(col("pval").isNotNull), "pval", "id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    Seq(1L, 3L, 5L).foreach(id => assert(adj(id).contains(clean(id))))
+    // wilcoxon: a null value must not shift real ranks
+    val base = Seq(("g", "A", 1.0), ("g", "A", 3.0), ("g", "B", 2.0),
+      ("g", "B", 4.0)).toDF("grp", "cond", "v")
+    val noisy = base.unionByName(
+      Seq(("g", "A", null.asInstanceOf[java.lang.Double]))
+        .toDF("grp", "cond", "v"))
+    val a = Stats.wilcoxon(base, "grp", "cond", "v", "A", "B").collect()
+    val b = Stats.wilcoxon(noisy, "grp", "cond", "v", "A", "B").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("wilcoxon drops degenerate groups (one-sided or zero variance)") {
     val df = Seq(
       ("only_a", "A", 1.0), ("only_a", "A", 2.0),
