@@ -66,7 +66,7 @@ object Bpe {
       .limit(maxVocab)
       .collect()
     var words: Array[(Seq[String], Long)] =
-      top.map(r => (r.getString(0).map(_.toString): Seq[String], r.getLong(1)))
+      top.map(r => (codePointSymbols(r.getString(0)), r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 0
     var done = false
@@ -110,11 +110,26 @@ object Bpe {
     out.toSeq
   }
 
+  /** Symbol init by CODE POINT, not UTF-16 char: `map(_.toString)`
+    * would split surrogate pairs (emoji, astral CJK) into lone
+    * surrogates that corrupt to U+FFFD on write unless a merge happens
+    * to rejoin them. Fit and apply must split identically. */
+  private[graft] def codePointSymbols(word: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Apply ranked merges to one word: repeatedly merge the
     * lowest-ranked pair present until none applies. */
   private[graft] def applyMerges(word: String,
       ranks: Map[(String, String), Int]): Seq[String] = {
-    var syms: Seq[String] = word.map(_.toString)
+    var syms: Seq[String] = codePointSymbols(word)
     var continue = syms.length >= 2
     while (continue) {
       var best = Int.MaxValue
@@ -147,7 +162,11 @@ object Bpe {
     import spark.implicits._
     val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
     val bRanks = spark.sparkContext.broadcast(ranks)
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    // null text (and null/uncastable ids) are outside the tokenizer's
+    // domain: tokens() of NULL decodes to a null Seq and the flatMap
+    // would NPE mid-task — filter them like wordCounts' explode does
+    docs.filter(col(textCol).isNotNull && col(idCol).cast("long").isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("words"))
       .as[(Long, Seq[String])]
       .flatMap { case (id, ws) =>

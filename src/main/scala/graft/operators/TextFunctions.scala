@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of the lower-cased, trimmed text. */
+  /** Whitespace tokens of the lower-cased, trimmed text.
+    * QUIRK, kept deliberately: empty/whitespace-only text yields [""]
+    * (size 1, not 0) — DuckDB's `string_split_regex` does the same, and
+    * every oracle is written against that shared behavior; "fixing" one
+    * side alone would hash-break dozens of queries. Callers that need
+    * true emptiness filter `length(t) > 0` (see Bpe.wordCounts). */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** Word n-gram shingles (space-joined). Empty array when there are fewer
@@ -39,8 +44,12 @@ object TextFunctions {
   def meanWordLen(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
 
+  /** Unicode-aware: letters/digits in ANY script plus whitespace count
+    * as signal (the ASCII-only class banded clean CJK/accented text as
+    * pure punctuation); `\p{L}\p{N}` is supported by Java regex and
+    * DuckDB's RE2 alike, and the x2 oracle mirrors this class. */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(lower(text), "[a-z0-9 ]", "")).cast("double") /
+    length(regexp_replace(lower(text), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
       length(text)
 
   def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
@@ -61,7 +70,12 @@ object TextFunctions {
     * Java regex (Spark) and RE2 (DuckDB/engines without backtracking):
     * no backreferences, no lookaround. */
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  val PhoneRe = "(?:\\+?[0-9]{1,3}[-. ]?)?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+  /** Trailing \b stops a match ending mid-digit-run (a 16-digit card
+    * number no longer loses its first 10 digits to "<PHONE>"); RE2 (the
+    * oracle's engine) has no lookarounds, so a LEADING guard that does
+    * not consume a character is not portably expressible — long digit
+    * runs can still match a suffix. Documented trade, not defended. */
+  val PhoneRe = "(?:\\+?[0-9]{1,3}[-. ]?)?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\\b"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** Replace emails / phone numbers / IPv4 literals with typed placeholder

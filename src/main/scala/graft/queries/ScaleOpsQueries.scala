@@ -118,7 +118,7 @@ object ScaleOpsQueries {
                     AS n_regex_tokens,
                   round(CAST(list_reduce(list_transform(toks, x -> CAST(len(x) AS BIGINT)),
                     (a, b) -> a + b) AS DOUBLE) / len(toks), 6) AS mean_word_len,
-                  round(CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                  round(CAST(len(regexp_replace(lower(text), '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
                     / len(text), 6) AS punct_ratio,
                   round(CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE)
                     / len(toks), 6) AS stop_ratio
@@ -567,7 +567,7 @@ object ScaleOpsQueries {
       s"""WITH t AS ($toksSql),
           m AS (SELECT doc_id,
                   CAST(len(toks) AS BIGINT) AS n_tokens,
-                  round(CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                  round(CAST(len(regexp_replace(lower(text), '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
                     / len(text), 6) AS punct_ratio,
                   round(CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE)
                     / len(toks), 6) AS stop_ratio,

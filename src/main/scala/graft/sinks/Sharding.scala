@@ -58,6 +58,9 @@ object Sharding {
       order: Seq[Column]): Unit =
     packByBudget(df, sizeCol, budget, order)
       .repartition(col("pack_id"))
-      .sortWithinPartitions(order: _*)
+      // pack_id FIRST: the dynamic-partition writer requires ordering by
+      // the partition column and would otherwise insert its own unstable
+      // sort on pack_id, discarding `order` within each pack file
+      .sortWithinPartitions(col("pack_id") +: order: _*)
       .write.mode("overwrite").partitionBy("pack_id").parquet(path)
 }

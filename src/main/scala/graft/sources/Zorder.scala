@@ -62,8 +62,12 @@ object Zorder {
     val buckets = 1 << bits
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val doubled = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
-    val ranks = cols.map { c =>
-      val bounds = doubled.stat.approxQuantile(c, probs, 1.0 / (buckets * 64))
+    // ONE pass computes every column's boundaries (the per-column
+    // overload would rescan the input cols.size times)
+    val allBounds = doubled.stat
+      .approxQuantile(cols.toArray, probs, 1.0 / (buckets * 64))
+    val ranks = cols.zipWithIndex.map { case (c, ci) =>
+      val bounds = allBounds(ci)
       // strictly-greater indicators: duplicate boundaries (heavy ties)
       // simply collapse adjacent ranks
       bounds.distinct.foldLeft(lit(0L)) { (acc, b) =>
