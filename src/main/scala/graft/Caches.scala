@@ -21,6 +21,15 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * one DataFrame reuse its physical RDD), just uncached; such callers
   * should persist the *returned* frame themselves.
   *
+  * CONCURRENCY CONTRACT: "the next action" means the next action on the
+  * WHOLE session — the listener cannot tell the consuming action from an
+  * unrelated one. A session shared by concurrent threads (a notebook
+  * with parallel cells, a ThriftServer) can release a cache early (the
+  * consumer then recomputes — slower, never wrong) and a caller that
+  * never runs an action leaves cache + listener registered until
+  * `clearCaches`. The engine's own entry points (Verify/Bench/Demo) are
+  * single-action-at-a-time by construction.
+  *
   * `clearCaches` is the blunt escape hatch for long-lived sessions.
   */
 object Caches {

@@ -268,7 +268,12 @@ object DiffExpression {
       fitGene(gene, it, levels, prior) match {
         case Some(f) =>
           val k = f.levelIndex.getOrElse(levels(1), -1)
-          if (k < 0) Iterator.empty
+          // the same non-positive-variance drop as contrasts(): an
+          // ill-conditioned fit whose inverted covariance rounds to a
+          // non-positive diagonal would otherwise emit NaN se/stat/p —
+          // and a NaN p-value is NOT null, so it would sail through
+          // results()'s universe filter into the BH machinery
+          if (k < 0 || f.cov(k)(k) <= 0) Iterator.empty
           else {
             val se = math.sqrt(f.cov(k)(k))
             val stat = f.beta(k) / se

@@ -45,17 +45,11 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
       payload: Seq[String], tieCol: String, prefix: String = "r_"): DataFrame = {
     val k = keys.map(col)
-    // one right row per (keys, ts): smallest tieCol wins. The window groups
-    // are (keys, ts) buckets — cardinality-bounded, not a global sort.
-    val wTie = Window.partitionBy((keys :+ tsCol).map(col): _*).orderBy(col(tieCol))
     // NULL-ts right rows never match anything (SQL/merge_asof
     // semantics): dropped here, which also keeps null-ts LEFT rows on
     // NULL payloads (they sort before every real-ts row of their key) —
     // aligned with plans.NativeAsOf on both physical paths
-    val rightOne = right
-      .filter(col(tsCol).isNotNull)
-      .withColumn("__tie", row_number().over(wTie))
-      .filter(col("__tie") === 1)
+    val rightOne = right.filter(col(tsCol).isNotNull)
     val rpay = struct(
       col(tsCol).as(prefix + tsCol) +: payload.map(c => col(c).as(prefix + c)): _*)
     val rpayType = rightOne.select(rpay.as("p")).schema("p").dataType
@@ -63,11 +57,19 @@ object AsOfJoin {
     val lrowType = left.select(lrow.as("l")).schema("l").dataType
     val r2 = rightOne.select(
       k :+ col(tsCol).as("__ts") :+ lit(0).as("__tag") :+
+        col(tieCol).as("__tie") :+
         rpay.as("__rpay") :+ lit(null).cast(lrowType).as("__lrow"): _*)
     val l2 = left.select(
       k :+ col(tsCol).as("__ts") :+ lit(1).as("__tag") :+
+        lit(null).cast(r2.schema("__tie").dataType).as("__tie") :+
         lit(null).cast(rpayType).as("__rpay") :+ lrow.as("__lrow"): _*)
-    val w = Window.partitionBy(k: _*).orderBy(col("__ts"), col("__tag"))
+    // ties resolve INSIDE the one window: among right rows of equal
+    // (keys, ts), ordering by tie DESC puts the smallest tie LAST, so
+    // `last(ignoreNulls)` carries exactly the winner — no pre-window
+    // (keys, ts)-partitioned dedup pass, which would cost a second
+    // exchange of the right side
+    val w = Window.partitionBy(k: _*)
+      .orderBy(col("__ts"), col("__tag"), col("__tie").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val attached = r2.unionByName(l2)
       .withColumn("__asof", last(col("__rpay"), ignoreNulls = true).over(w))

@@ -20,14 +20,17 @@ object Chunking {
   /** One row per (doc, chunk): `chunk_idx`, `start` (0-based token
     * offset), `n_chunk_tokens`, and the chunk text. Chunk starts are the
     * multiples of `stride` below the token count, so every token is
-    * covered and every doc — even one shorter than `size` — yields at
-    * least one chunk.
+    * covered and every NON-NULL-text doc — even one shorter than `size`
+    * — yields at least one chunk. NULL text is outside the chunker's
+    * domain and is dropped explicitly (without the filter it would
+    * vanish through a size(null) = −1 comparison, a silent drop).
     */
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
       size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size: size=$size stride=$stride")
     docs
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
       // sequence() is inclusive of the stop bound, so stop at __n - 1;

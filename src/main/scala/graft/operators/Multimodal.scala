@@ -59,12 +59,14 @@ object Multimodal {
     val spark = media.sparkSession
     val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd
       .mapPartitions { it =>
-        // batch shape: the iterator is consumed in chunks like a columnar
-        // batch; state is per-partition, nothing escapes to the driver.
-        it.grouped(256).flatMap { batch =>
-          batch.iterator.map { r =>
-            val id = r.getLong(0)
-            val bytes = r.getAs[Array[Byte]](1)
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          if (bytes == null) {
+            // quarantined, not crashed and not dropped — the same stance
+            // as the real decoders' decode_ok = false rows
+            Row(id, null, null, null)
+          } else {
             // --- STUB decoder start (deterministic fake, not a codec) ---
             val hist = new Array[Float](8)
             var sum = 0L
@@ -149,11 +151,16 @@ object Multimodal {
             val (w, h) = (img.getWidth, img.getHeight)
             val hist = new Array[Float](8)
             var sum = 0.0
+            // bulk row reads: per-pixel getRGB(x, y) pays a ColorModel
+            // conversion + bounds check per call — one reused row buffer
+            // computes identical luma values at a fraction of the cost
+            val rowBuf = new Array[Int](w)
             var y = 0
             while (y < h) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
               var x = 0
               while (x < w) {
-                val p = img.getRGB(x, y)
+                val p = rowBuf(x)
                 val luma = 0.299 * ((p >> 16) & 0xff) +
                   0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
                 hist((luma / 32.0).toInt.min(7)) += 1f
@@ -237,7 +244,9 @@ object Multimodal {
             in.close()
             var sumSq = 0.0
             var n = 0L
-            if (fmt.getSampleSizeInBits == 16) {
+            val signed16 = fmt.getSampleSizeInBits == 16 &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (signed16) {
               val le = !fmt.isBigEndian
               var i = 0
               while (i + 1 < data.length) {
@@ -254,8 +263,10 @@ object Multimodal {
             val nSamples: java.lang.Long = if (frames >= 0) Long.box(frames) else null
             val durMs: java.lang.Long =
               if (frames >= 0 && rate > 0) Long.box(frames * 1000L / rate) else null
+            // degraded decodes stay distinguishable: the signed-16 math
+            // covers only PCM_SIGNED — any other encoding reports null
             val rms: java.lang.Double =
-              if (fmt.getSampleSizeInBits == 16 && n > 0) Double.box(math.sqrt(sumSq / n))
+              if (signed16 && n > 0) Double.box(math.sqrt(sumSq / n))
               else null
             Row(id, true, rate, fmt.getChannels, nSamples, durMs, rms)
           } catch {
