@@ -54,10 +54,27 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    // summary fields LAST: the driver retains only a bounded TAIL of this
+    // line, so total/count/top20 must sit at the end to survive truncation
+    // (r5 lost the totals, which led the line). Key order is irrelevant to
+    // any JSON parser; it matters only to the tail cut.
+    val top = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","unit":"sec","queries":$qjson,""" +
+      s""""sf":"$sfDir","count":${results.size},"top20":$top,"value":${fmt(total)}}"""
+    println(line)
+    // full, untruncated copy for the repo (the driver commits stray files):
+    // per-query history survives even when the stdout line is tail-cut
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_LATEST.json")),
+      line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

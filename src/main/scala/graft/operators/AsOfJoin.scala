@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: several right rows can share (keys, ts); `tieCol` picks
   * the winner (smallest wins) so output is unique and engine-reproducible.
+  * CONTRACT: `tieCol` must be unique within each (keys, ts) group — with
+  * duplicate (keys, ts, tie) rows carrying different payloads, the winner
+  * is whatever row the engine happens to order last, and this composition
+  * and the native execs ([[graft.plans.NativeAsOf]]) may legitimately
+  * disagree. A rowid/uuid tie column satisfies the contract trivially.
   *
   * Scale: per-key state is a window sort — fine for natural keys (users,
   * devices, symbols). A single degenerate mega-key concentrates one task,

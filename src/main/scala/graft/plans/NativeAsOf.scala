@@ -28,7 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * property-tested): for each left row, the payload of the most recent
   * right row with `r.ts <= l.ts` in the same key group; several right
   * rows on one (keys, ts) resolve to the smallest `tie`; left rows with
-  * no prior right row keep NULL payloads (left-outer). NULL keys follow
+  * no prior right row keep NULL payloads (left-outer). As with the
+  * composition, `tie` must be unique within each (keys, ts) group —
+  * duplicate (keys, ts, tie) rows with different payloads resolve
+  * engine-arbitrarily (this exec takes the first row of the sorted
+  * group, the composition the last in window order). NULL keys follow
   * window-GROUPING semantics on both implementations (null-key left
   * rows see null-key right history), not SQL equi-join semantics where
   * nulls never match — the distinction pandas `merge_asof` also makes.
@@ -47,6 +51,14 @@ object NativeAsOf {
     * `prefix+tsCol, prefix+payload*`). */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
       payload: Seq[String], tieCol: String, prefix: String = "r_"): DataFrame = {
+    // keyless (global) as-of: ClusteredDistribution(Nil) is not plannable
+    // (EnsureRequirements throws an opaque internal error), and a global
+    // as-of has no partitioning to exploit anyway — delegate to the
+    // composition, which handles it as one unpartitioned window, keeping
+    // the two implementations API-equivalent on every input
+    if (keys.isEmpty)
+      return graft.operators.AsOfJoin.asOf(
+        left, right, keys, tsCol, payload, tieCol, prefix)
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = GraftSqlBridge.analyzed(left)
@@ -89,6 +101,13 @@ object NativeAsOf {
     * session (public `experimental` hooks; [[graft.expressions
     * .GraftExtensions]] injects both for externally-built sessions). */
   def ensureStrategy(spark: SparkSession): Unit = {
+    // a session built with GraftExtensions already carries the strategy
+    // and both rules via injectPlannerStrategy/injectOptimizerRule;
+    // re-adding them through the experimental hooks would run the
+    // pushdown/pruning rules twice per optimization pass (harmless but
+    // wasteful — flagged by the r5 advisor)
+    if (spark.conf.getOption("spark.sql.extensions")
+        .exists(_.contains("graft.expressions.GraftExtensions"))) return
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsOfJoinStrategy

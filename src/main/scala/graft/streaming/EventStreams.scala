@@ -153,30 +153,32 @@ object EventStreams extends Serializable {
         state.remove()
         out
       } else {
-        val sorted = evs.toArray.sortBy(e => (toUs(e.ts), e.eventType, e.value))
-        var cur = state.getOption
+        // INTERVAL SWEEP over (carried open session ∪ batch events), sorted
+        // by start time: adjacent items merge whenever the next start is
+        // within `gap` of the running end — exactly the grouping a batch
+        // replay of the same rows produces. This makes straggler handling
+        // uniform: a gap-distant early event (unreachable at the default
+        // watermark == gap, but reachable under a laxer watermark) opens
+        // its own bygone session AND merges with adjacent stragglers,
+        // where the r5 per-event branch emitted each as a singleton.
+        // Merged sums (n, total, min/max bounds) are order-independent
+        // within a group, so the sweep is deterministic.
+        val items = (state.getOption.toSeq ++
+            evs.map(e => SessionState(toUs(e.ts), toUs(e.ts), 1L, e.value)))
+          .sortBy(s => (s.startUs, s.endUs, s.nEvents, s.totalValue))
+        var cur: Option[SessionState] = None
         val closed = Seq.newBuilder[UserSession]
-        sorted.foreach { e =>
-          val t = toUs(e.ts)
+        items.foreach { it =>
           cur match {
-            // DEFENSIVE: a straggler gap-distant BEFORE the open session
-            // becomes its own bygone session, emitted closed at once.
-            // With this operator's watermark == gap the branch cannot
-            // fire (such rows are already watermark-dropped); it guards
-            // a future laxer watermark configuration
-            case Some(s) if t < s.startUs - gapUs =>
-              closed += toSession(uid, SessionState(t, t, 1L, e.value))
-            case Some(s) if t - s.endUs <= gapUs =>
-              // min: a straggler INSIDE the gap window extends the
-              // session backward, matching what a batch replay of the
-              // same rows would produce
-              cur = Some(SessionState(math.min(s.startUs, t),
-                math.max(s.endUs, t), s.nEvents + 1, s.totalValue + e.value))
+            case Some(s) if it.startUs - s.endUs <= gapUs =>
+              cur = Some(SessionState(math.min(s.startUs, it.startUs),
+                math.max(s.endUs, it.endUs),
+                s.nEvents + it.nEvents, s.totalValue + it.totalValue))
             case Some(s) =>
               closed += toSession(uid, s)
-              cur = Some(SessionState(t, t, 1L, e.value))
+              cur = Some(it)
             case None =>
-              cur = Some(SessionState(t, t, 1L, e.value))
+              cur = Some(it)
           }
         }
         cur.foreach { s =>
