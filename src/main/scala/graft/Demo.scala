@@ -79,13 +79,19 @@ object Demo {
       Seq("Chemotherapy", "Tamoxifen"), goi)
     println(s"[demo] drug-km fan-out: curves = ${kmCurves.count()}, tests = ${kmTests.count()}")
 
-    // A7 PNG plot sink (java2d edge renderer over the plot-ready frames)
-    val bxPng = graft.sinks.Plots.writeBoxplotPng(bp, "/tmp/graft_plots/box.png")
+    // A7 PNG plot sink (java2d edge renderer over the plot-ready frames):
+    // boxplot with p.signif brackets (hide.ns), KM with the median "hv"
+    // guides and n= legend counts — the full ggsurvplot/ggboxplot shape
+    val bxPng = graft.sinks.Plots.writeBoxplotPng(bp, "/tmp/graft_plots/box.png",
+      signif = Map(goi.head -> "**"))
     val oneCurve = kmCurves
       .filter(col("drug_class") === "Chemotherapy" && col("gene_name") === goi.head)
       .withColumnRenamed("strat", "arm")
+    val armCounts = oneCurve.groupBy("arm")
+      .agg(max(col("n_risk")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val kmPng = graft.sinks.Plots.writeKmPng(oneCurve, "arm",
-      "/tmp/graft_plots/km.png", pValue = Some(0.05))
+      "/tmp/graft_plots/km.png", pValue = Some(0.05), counts = armCounts)
     println(s"[demo] plot sink: ${bxPng.length()}B ${kmPng.length()}B PNGs written")
 
     // Corpus API: score -> gate -> dedup over the real documents table

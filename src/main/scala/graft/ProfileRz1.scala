@@ -46,6 +46,25 @@ object ProfileRz1 {
         Ranks.quantilesOfClasses(cls, Seq("flag"), "price", "__c",
           Seq("med" -> 0.5)).collect()
       }
+      val medF = Ranks.quantilesOfClasses(cls, Seq("flag"), "price", "__c",
+        Seq("med" -> 0.5)).select(col("flag"), col("med"))
+      val devClsF = cls.join(broadcast(medF), "flag")
+        .groupBy(col("flag"), col("med"),
+          abs(col("price") - col("med")).as("adev"))
+        .agg(sum(col("__c")).as("__c"))
+      time("stats (med+mad chain) collect") {
+        Ranks.quantilesOfClasses(devClsF, Seq("flag", "med"), "adev", "__c",
+          Seq("mad" -> 0.5)).collect()
+      }
+      time("final join only (with warm stats)") {
+        val statsF = Ranks.quantilesOfClasses(devClsF, Seq("flag", "med"), "adev", "__c",
+          Seq("mad" -> 0.5)).select(col("flag"), col("med"), col("mad"))
+        li.join(broadcast(statsF), "flag")
+          .select(col("l_orderkey"), col("l_linenumber"), col("flag"),
+            round(col("price"), 6).as("price"),
+            round((col("price") - col("med")) / (lit(1.4826) * col("mad")), 6)
+              .as("robust_z")).count()
+      }
       cls.unpersist()
       time("whole query via catalog") {
         graft.queries.QueryCatalog.byName("rz1_robust_zscore").run(spark, d).count()

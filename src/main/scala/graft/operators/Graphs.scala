@@ -32,12 +32,25 @@ object Graphs {
     * persisted node frame instead) — a second reference would double the
     * unrolled plan per round, 2^iters subtree copies by the end.
     *
+    * Even the single-reference lineage still grows LINEARLY in `iters`
+    * (analyzer/optimizer cost per action, stage-graph size), so every
+    * `checkpointEvery` rounds the rank frame is `localCheckpoint`ed —
+    * lineage resets to a materialized-RDD scan, bounding plan depth at
+    * O(checkpointEvery) regardless of `iters` (asserted in GraphsSpec).
+    * Executor-local checkpoint blocks are the right durability tradeoff
+    * here: losing an executor costs a rerun, not correctness, and a
+    * reliable-storage `checkpoint()` would add an HDFS round-trip per
+    * interval — swap it in only for day-long jobs.
+    *
     * @param edges frame with `src` and `dst` columns (any numeric/string
     *              id type; duplicates collapse to one edge)
+    * @param checkpointEvery rounds between lineage truncations
     * @return (id, pr) — one row per node appearing in any edge
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      checkpointEvery: Int = 10): DataFrame = {
     require(iters >= 1, "pageRank: iters must be >= 1")
+    require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
     val e = edges.select(col("src"), col("dst")).distinct().persist()
     val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // round-invariant (src, dst, outdeg) — hoisted so each round pays one
@@ -58,6 +71,9 @@ object Graphs {
         .select(col("id"), (lit(1.0 - damping) / col("n") +
           lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
       i += 1
+      // values are materialized EXACTLY as computed, so checkpointing
+      // never changes a bit of the result — only the plan shape
+      if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
     }
     graft.Caches.releaseAfterAction(e, eo, nodesN)
     rank

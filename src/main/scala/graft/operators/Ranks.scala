@@ -182,6 +182,114 @@ object Ranks {
       .agg(max(col("__n")).as("n"), aggs: _*)
   }
 
+  /** [[quantilesByValue]] through the bucket-refinement path — for
+    * NUMERIC value columns (wz1's shape: fact → class histogram → exact
+    * per-group bands with hash aggregations only, no range exchange). */
+  def quantilesByValueBucketed(df: DataFrame, grp: Seq[String], value: String,
+      qs: Seq[(String, Double)], nBuckets: Int = 4096): DataFrame = {
+    require(grp.nonEmpty, "quantilesByValueBucketed needs grouping keys")
+    val classes = df.groupBy((grp.map(col) :+ col(value)): _*)
+      .agg(count(lit(1)).as("__c"))
+    quantilesOfClassesBucketed(classes, grp, value, "__c", qs, nBuckets)
+  }
+
+  /** Exact per-group quantiles over a NUMERIC tie-class histogram via
+    * BUCKET REFINEMENT — an ALTERNATIVE to [[quantilesOfClasses]] for
+    * numeric values. Instead of range-exchanging the whole class frame
+    * (a sampling job + sort shuffle + two windows + an offsets join),
+    * this runs hash aggregations only:
+    *
+    *  1. per-group (min, max, n) — one map-side-combined agg;
+    *  2. per-group fixed `nBuckets` histogram of the class counts — one
+    *     hash agg, output bounded at groups × nBuckets;
+    *  3. locate each quantile's target bucket on that BOUNDED frame
+    *     (groups × buckets windows — driver-scale);
+    *  4. resolve the exact class inside the target buckets only: a
+    *     broadcast semi-join keeps ~1/nBuckets of the classes, and the
+    *     in-bucket rank window starts from the bucket's known cumulative
+    *     offset.
+    *
+    * Same `ceil(q·n)` rank semantics, bit-identical results (the selected
+    * value is an exact class value; bucket boundaries only steer WHERE
+    * the search looks, so float bucket math needs no cross-engine
+    * parity). Scale note: step 4's window is per (group, quantile) over
+    * one bucket's classes — with mass spread so no bucket holds more
+    * than ~1/nBuckets of a group this is tiny; a distribution that
+    * concentrates a group's whole mass inside one bucket-width of an
+    * extreme outlier degrades the in-bucket frame toward the group's
+    * class count (still never worse than the one-task-per-group window
+    * [[quantilesOfClasses]] avoids — switch back to it, or raise
+    * `nBuckets`, for such data).
+    *
+    * REGIME (measured, local[32] @ sf0.1): at ~600k classes / 3 groups
+    * the range-exchange form is ~25% FASTER — its sort shuffle is cheap
+    * and this path pays an extra cache materialization plus more jobs —
+    * so the catalog queries keep [[quantilesOfClasses]]. This form's
+    * shape wins when the class frame is large enough that sampling +
+    * sort-shuffling it dominates (hundreds of millions of classes, wide
+    * group counts): everything here is a map-side-combined hash agg and
+    * only ~1/nBuckets of the classes are ever sorted. */
+  def quantilesOfClassesBucketed(classes: DataFrame, grp: Seq[String],
+      value: String, countCol: String, qs: Seq[(String, Double)],
+      nBuckets: Int = 4096): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 },
+      s"quantiles must be in (0,1]: $qs")
+    require(grp.nonEmpty, "quantilesOfClassesBucketed needs grouping keys")
+    val g = grp.map(col)
+    // persisted: three consumers read the class frame (bounds agg, bucket
+    // histogram, in-bucket resolution) — unpersisted, the upstream that
+    // produced the classes would execute three times (measured 13.6 s vs
+    // 8.4 s on rz1's shape). Released after the caller's action.
+    val cls = classes.select((g :+ col(value).cast("double").as("__v") :+
+      col(countCol).cast("long").as("__c")): _*).persist()
+    graft.Caches.releaseAfterAction(cls)
+    val bounds = cls.groupBy(g: _*).agg(min(col("__v")).as("__mn"),
+      max(col("__v")).as("__mx"), sum(col("__c")).as("__n"))
+    // bucket id: equal-width over [mn, mx], constant-only-group → bucket 0
+    def bucketOf(v: Column): Column =
+      when(col("__mx") === col("__mn"), lit(0L))
+        .otherwise(least(
+          floor((v - col("__mn")) / ((col("__mx") - col("__mn")) / nBuckets)),
+          lit((nBuckets - 1).toLong)).cast("long"))
+    val withB = cls.join(broadcast(bounds), grp)
+      .withColumn("__b", bucketOf(col("__v")))
+      // project the bounds back off: the target-bucket join below carries
+      // its own __n and a duplicate would make the column ambiguous
+      .select((g :+ col("__v") :+ col("__c") :+ col("__b")): _*)
+    val hist = withB.groupBy((g :+ col("__b")): _*)
+      .agg(sum(col("__c")).as("__bc"))
+    // cumulative count below each bucket — a window over the BOUNDED
+    // (groups × nBuckets) histogram, then one target-bucket row per
+    // (group, quantile)
+    val wB = Window.partitionBy(g: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bcum = hist
+      .withColumn("__below", coalesce(sum(col("__bc")).over(wB), lit(0L)))
+      .join(broadcast(bounds.select((g :+ col("__n")): _*)), grp)
+    val targets = qs.map { case (name, q) =>
+      val t = ceil(col("__n") * q).cast("long")
+      bcum.filter(col("__below") < t && t <= col("__below") + col("__bc"))
+        .select((g :+ col("__b") :+ col("__below") :+ col("__n") :+
+          lit(name).as("__q") :+ t.as("__t")): _*)
+    }.reduce(_.unionByName(_))
+    // resolve inside the target buckets only: classes there are ~1/nBuckets
+    // of the group, the rank window resumes from the bucket's offset
+    val inBucket = withB.join(broadcast(targets), grp :+ "__b")
+    val wIn = Window.partitionBy((g :+ col("__q")): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = inBucket
+      .withColumn("__cum", col("__below") + sum(col("__c")).over(wIn))
+      .filter(col("__cum") - col("__c") < col("__t") &&
+        col("__t") <= col("__cum"))
+      .select((g :+ col("__q") :+ col("__v") :+ col("__n")): _*)
+    // pivot the (group, quantile) rows back to one row per group
+    picked.groupBy(g: _*).agg(
+      max(col("__n")).as("n"),
+      qs.map { case (name, _) =>
+        max(when(col("__q") === name, col("__v"))).as(name)
+      }: _*)
+  }
+
   /** SQL `NTILE(tiles)` semantics via the two-phase rank: the first
     * `n % tiles` tiles hold `ceil(n/tiles)` rows, the rest `floor`.
     * (`/` on Columns is double division — `floor` recovers the integer

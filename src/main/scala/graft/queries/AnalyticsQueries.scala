@@ -300,27 +300,25 @@ object AnalyticsQueries {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
-      // persisted: prefixSum's range sampling + shuffle would otherwise
-      // execute the histogram agg twice
+      // persisted: BOTH quantile passes read the class histogram (the
+      // median pass's range sampling + shuffle, then the MAD pass's
+      // dev-class remap) — unpersisted, the fact agg would run 3×
       val cls = li.groupBy(col("flag"), col("price"))
         .agg(count(lit(1)).as("__c")).persist()
       graft.Caches.releaseAfterAction(cls)
-      // ONE scanned-and-ranked frame serves both quantile passes: `cum`
-      // (whose range frame prefixSum persists) yields the median by a
-      // direct rank agg, and the SAME frame — not a re-read of the
-      // histogram — remaps to |price − med| classes for the MAD pass.
-      val cum = Ranks.prefixSum(cls, Seq(col("flag")), Seq(col("price")),
-        col("__c"), "__cum", "__n")
-      val med = cum.groupBy(col("flag"))
-        .agg(max(when(col("__cum") - col("__c") < ceil(col("__n") * 0.5)
-            && ceil(col("__n") * 0.5) <= col("__cum"), col("price"))).as("med"))
-      val devCls = cum.join(broadcast(med), "flag")
+      val med = Ranks.quantilesOfClasses(cls, Seq("flag"), "price", "__c",
+          Seq("med" -> 0.5))
+        .select(col("flag"), col("med"))
+      // MAD classes from the CACHED histogram directly — r5 routed this
+      // through the median's ranked frame, paying that pass's window +
+      // offsets join a second time for columns (flag, price, __c) the
+      // cache already holds (the r5→r6 rz1 cut, ~25% off the in-suite
+      // time). `med` rides the grouping keys (constant per flag), so the
+      // stat frame stays ONE subplan with the median chain inside it.
+      val devCls = cls.join(broadcast(med), "flag")
         .groupBy(col("flag"), col("med"),
           abs(col("price") - col("med")).as("adev"))
         .agg(sum(col("__c")).as("__c"))
-      // `med` rides the MAD pass's grouping keys (constant per flag), so
-      // the final stat frame is ONE subplan — the median chain executes
-      // once, inside it, not a second time in a separate join
       val stats = Ranks.quantilesOfClasses(devCls, Seq("flag", "med"),
           "adev", "__c", Seq("mad" -> 0.5))
         .select(col("flag"), col("med"), col("mad"))
@@ -561,6 +559,61 @@ object AnalyticsQueries {
         .orderBy(col("n").desc, col("bpe_token")).limit(100)
     },
     None)
+
+  /** BP2B — the APPLY stage of `bp2` behind the FROZEN
+    * [[FrozenModels.bpeMerges]] checkpoint (a committed `Bpe.fit` result):
+    * tokenization given a merge table is deterministic, so unlike the
+    * sequential trainer it takes a full per-(doc, pos) hash oracle. The
+    * SQL replays `Bpe.applyMerges` exactly, resting on two equivalences
+    * (both property-tested in BpeSpec):
+    *  1. lowest-rank-first application ≡ applying each rank exhaustively
+    *     in rank order — a merge can only create symbols that participate
+    *     in LATER-rank pairs (the symbol didn't exist when earlier ranks
+    *     were learned), so exhausting ranks in order never misses an
+    *     earlier-rank pair;
+    *  2. one rank's exhaustive application ≡ a single greedy left-to-right
+    *     fold — the merged symbol `l+r` can never itself be the `l` of the
+    *     same pair (that would need `r` empty), so a left fold that joins
+    *     `r` onto a trailing `l` IS `mergeOnce`.
+    * Each rank is one `list_reduce` over the symbol list with a string
+    * accumulator (join on ' ' — tokens never contain whitespace, the
+    * tokenizer split them on `\s+`); ranks chain as 30 nested folds,
+    * evaluated once per DISTINCT word, then joined back positionally.
+    * Spark side stays the broadcast-ranks narrow map of `bp2`. */
+  private val bp2b = Q(
+    "bp2b_bpe_apply",
+    (s, d) =>
+      graft.operators.Bpe.tokenize(Tables.documents(s, d), "doc_id", "text",
+        FrozenModels.bpeMerges.zipWithIndex.map { case ((l, r), i) =>
+          graft.operators.Bpe.Merge(i, l, r)
+        }),
+    Some {
+      def sqlStr(s0: String): String = "'" + s0.replace("'", "''") + "'"
+      // one rank's greedy fold: join r onto a trailing l, else append x
+      def rankFold(inner: String, l: String, r: String): String = {
+        val ls = sqlStr(l); val rs = sqlStr(r)
+        val lLen = l.codePointCount(0, l.length) + 1 // ' ' + l, in code points
+        s"""string_split(list_reduce($inner,
+             (acc, x) -> CASE WHEN x = $rs AND (acc = $ls OR right(acc, $lLen) = ' ' || $ls)
+                         THEN acc || $rs ELSE acc || ' ' || x END), ' ')"""
+      }
+      val folds = FrozenModels.bpeMerges.foldLeft("regexp_split_to_array(w, '')") {
+        case (inner, (l, r)) => rankFold(inner, l, r)
+      }
+      s"""WITH t AS ($toksSql WHERE text IS NOT NULL),
+          g0 AS (SELECT doc_id, unnest(toks) AS w,
+                   unnest(range(1, len(toks) + 1)) AS wi FROM t),
+          g AS (SELECT doc_id, w, wi FROM g0 WHERE len(w) > 0),
+          tw AS (SELECT w, $folds AS tl FROM (SELECT DISTINCT w FROM g)),
+          x AS (SELECT g.doc_id, g.wi, unnest(tw.tl) AS bpe_token,
+                  unnest(range(1, len(tw.tl) + 1)) AS ti
+                FROM g JOIN tw USING (w))
+          SELECT doc_id,
+                 CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti)
+                   AS BIGINT) AS pos,
+                 bpe_token
+          FROM x"""
+    })
 
   // ------------------------------------------------------- lm2: KN bigram LM
 
@@ -887,7 +940,8 @@ object AnalyticsQueries {
 
   /** PR1 — PageRank over the customer→supplier trade graph (edges =
     * distinct (o_custkey, l_suppkey) pairs through orders⋈lineitem;
-    * supplier ids offset by 10⁶ into a shared node-id space): `prIters`
+    * supplier ids offset by 2⁴⁰ into a shared node-id space — far above any
+    * realistic custkey, so the two id ranges cannot collide at any SF): `prIters`
     * fixed power-iteration rounds at damping `prD`
     * ([[graft.operators.Graphs.pageRank]]). The canonical
     * O(rounds)-of-shuffles iterative workload — and, because the round
@@ -906,13 +960,13 @@ object AnalyticsQueries {
       val ed = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + (1L << 40)).as("dst"))
       graft.operators.Graphs.pageRank(ed, prIters, prD)
         .select(col("id"), round(col("pr"), 6).as("pr"))
     },
     Some {
       val base =
-        s"""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        s"""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1099511627776 AS dst
                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
            og AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
            nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
@@ -1043,14 +1097,14 @@ object AnalyticsQueries {
         .select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + (1L << 40)).as("dst"))
       val sources = Tables.customer(s, d).filter(col("c_custkey") <= 3)
         .select(col("c_custkey").as("id"))
       graft.operators.Graphs.bfsLevels(ed, sources, bfsDepth)
     },
     Some {
       val base =
-        """WITH e AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+        """WITH e AS (SELECT DISTINCT o_custkey AS a, l_suppkey + 1099511627776 AS b
                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
                WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'),
            adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
@@ -1158,5 +1212,5 @@ object AnalyticsQueries {
     })
 
   def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, gs1, wz1, rz1, fz1, w1, w2, ii1,
-    bp1, bp2, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1, kc1, bfs1, qd2)
+    bp1, bp2, bp2b, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1, kc1, bfs1, qd2)
 }

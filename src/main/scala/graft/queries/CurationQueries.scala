@@ -658,6 +658,68 @@ object CurationQueries {
     },
     None)
 
+  /** Frozen classifier weights for `lr1b` (intercept, then one weight
+    * per feature in `lr1bFeats` order) — all exactly binary-representable
+    * doubles, so the literal parses to the same bits on both engines. */
+  private val lr1bW = Array(4.0, 2.5, 1.75, 3.0, 0.5)
+
+  /** LR1B — the SCORING stage of `lr1` behind FROZEN weights: given a
+    * model checkpoint, `Fit.probCol` is a deterministic codegen'd
+    * sigmoid over per-doc features, so unlike the Newton fit it takes a
+    * full hash oracle. Features are the x7 rule margins — `mean_word_len`
+    * / `distinct_ratio` arrive PRE-ROUNDED from `Corpus.ruleFiltered`
+    * (cross-engine parity of those values is already proven by x7's
+    * hash match) and the length margin is pure rational arithmetic
+    * (`n_tok/30 − 1`, `1 − n_tok/5000` — no transcendentals), so every
+    * input to the sigmoid is bit-identical across engines; `round(p, 6)`
+    * absorbs nothing more than exp()'s final ulp. The SQL mirrors
+    * `scoreCol`'s left-assoc accumulation order exactly. */
+  private val lr1b = Q(
+    "lr1b_classifier_apply",
+    (s, d) => {
+      val feats = graft.api.Corpus.ruleFiltered(Tables.documents(s, d),
+          stopList = stopList)
+        .select(col("doc_id"),
+          least(least(col("n_tok").cast("double") / 30.0 - 1.0,
+            lit(1.0) - col("n_tok").cast("double") / 5000.0), lit(0.0)).as("f_len"),
+          least(least(col("mean_word_len") - 4.0,
+            lit(5.0) - col("mean_word_len")), lit(0.0)).as("f_mwl"),
+          least(col("distinct_ratio") - 0.35, lit(0.0)).as("f_dr"),
+          least(col("n_stop").cast("double") - 2.0, lit(0.0)).as("f_stop"))
+      val fit = graft.functions.LogisticRegression.Fit(
+        lr1bW, iters = 0, converged = true, logLik = 0.0, n = 0L)
+      val fcols = Seq(col("f_len"), col("f_mwl"), col("f_dr"), col("f_stop"))
+      feats.select(col("doc_id"),
+        round(fit.probCol(fcols), 6).as("p_keep"),
+        (fit.probCol(fcols) > 0.5).as("pred_keep"))
+    },
+    Some {
+      val z = s"(${lr1bW(0)} + f_len * ${lr1bW(1)} + f_mwl * ${lr1bW(2)}" +
+        s" + f_dr * ${lr1bW(3)} + f_stop * ${lr1bW(4)})"
+      s"""WITH t AS (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents),
+          m AS (SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tok,
+                  round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                    / len(toks), 6) AS mwl,
+                  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dr,
+                  CAST(len(list_intersect(list_distinct(toks),
+                    [${stopList.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS n_stop
+                FROM t),
+          f AS (SELECT doc_id,
+                  least(least(CAST(n_tok AS DOUBLE) / 30.0 - 1.0,
+                    1.0 - CAST(n_tok AS DOUBLE) / 5000.0), 0.0) AS f_len,
+                  least(least(mwl - 4.0, 5.0 - mwl), 0.0) AS f_mwl,
+                  least(dr - 0.35, 0.0) AS f_dr,
+                  least(CAST(n_stop AS DOUBLE) - 2.0, 0.0) AS f_stop
+                FROM m)
+          SELECT doc_id,
+                 round(1.0 / (1.0 + exp(-$z)), 6) AS p_keep,
+                 1.0 / (1.0 + exp(-$z)) > 0.5 AS pred_keep
+          FROM f"""
+    })
+
   // ---------------------------------------------------- scd1: type-2 history
 
   /** SCD1 — slowly-changing-dimension TYPE-2 history from the sd1
@@ -974,6 +1036,6 @@ object CurationQueries {
              SELECT r.source, n.n_docs, r.pos, r.doc_id
              FROM r JOIN n USING (source) WHERE r.pos <= $dcCap"""))
 
-  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, ng3, ng4, cu1, lr1, sd1,
+  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, ng3, ng4, cu1, lr1, lr1b, sd1,
     scd1, dr1, ds1, qs1, dq1, dc1)
 }

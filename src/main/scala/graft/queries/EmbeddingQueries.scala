@@ -202,5 +202,104 @@ object EmbeddingQueries {
     },
     None)
 
-  def all: Seq[Q] = Seq(rp1, pc1, eq1, sd2, pq1)
+  /** PC1B — the APPLY stage of `pc1` split out behind a FROZEN fitted
+    * checkpoint ([[FrozenModels.pcaMean]]/[[FrozenModels.pcaComponents]],
+    * a committed `Pca.fit` result — the fit-once / apply-everywhere
+    * deployment shape): projection given components is a deterministic
+    * narrow map, so unlike the iterative fit it takes a full hash oracle —
+    * the SQL replays the identical literals with the same ascending-`i`
+    * fold `mat_vec_project` codegens. This shrinks the rows-only set: the
+    * un-oracleable part of PCA is now ONLY the eigendecomposition (pinned
+    * by golden + PcaSpec), not the transform. */
+  private val pc1b = Q(
+    "pc1b_pca_apply",
+    (s, d) => {
+      val model = Pca.PcaModel(FrozenModels.pcaMean, FrozenModels.pcaComponents,
+        eigenvalues = new Array[Double](8), totalVariance = 1.0)
+      Pca.project(Tables.embeddings(s, d), "embedding", model)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("k0", "v")))
+        .select(col("vec_id"), col("k0").cast("long").as("k"),
+          round(col("v"), 6).as("val"))
+    },
+    Some {
+      val mean = FrozenModels.pcaMean
+      val comps = FrozenModels.pcaComponents
+      val selects = (0 until 8).map { k =>
+        // explicit left-assoc `+` chain: bit-identical to the codegen'd
+        // ascending-i accumulation (no dependence on list_sum internals)
+        val terms = (0 until 64).map { i =>
+          s"(CAST(embedding[${i + 1}] AS DOUBLE) - (${mean(i)})) * (${comps(k * 64 + i)})"
+        }.mkString(" + ")
+        s"""SELECT vec_id, CAST($k AS BIGINT) AS k,
+              round($terms, 6) AS val
+            FROM embeddings"""
+      }
+      selects.mkString("\nUNION ALL\n")
+    })
+
+  /** PQ1B — the APPLY stages of `pq1` (encode + ADC) behind the FROZEN
+    * [[FrozenModels.pqBooks]] checkpoint: per subspace, the code is a
+    * strict-< argmin over 16 literal centroids (first-min tiebreak on
+    * both engines — Spark's fold keeps the first minimum, DuckDB's
+    * `list_position(l, list_min(l))` returns the first occurrence), and
+    * `adc_d2` is the m-lookup asymmetric distance to the frozen query
+    * vector ([[FrozenModels.pqQuery]]) — the table entries recomputed in
+    * SQL with the same left-to-right subspace sums the driver uses. One
+    * narrow scan, codes + distance as 10 scalar columns per vector; the
+    * un-oracleable remainder of PQ is now only the Lloyd fit. */
+  private val pq1b = Q(
+    "pq1b_pq_apply",
+    (s, d) => {
+      import graft.operators.Pq
+      val model = Pq.PqModel(8, 8, FrozenModels.pqBooks)
+      val codes = Pq.encode(Tables.embeddings(s, d), "embedding", model)
+      Pq.adcScores(codes, model, FrozenModels.pqQuery)
+        .select(col("vec_id") +:
+          (0 until 8).map(s0 => element_at(col("code"), s0 + 1)
+            .cast("long").as(s"c$s0")) :+
+          round(col("adc_d2"), 6).as("adc_d2"): _*)
+    },
+    Some {
+      val books = FrozenModels.pqBooks
+      val q = FrozenModels.pqQuery
+      // per-subspace squared distance of the row's subvector to centroid cv
+      // explicit left-assoc `+` chain: bit-identical to sliceD2's
+      // ascending-i fold — argmin compares UNROUNDED values, so the sum
+      // order must match exactly, not merely to 6 decimals
+      def d2Sql(s0: Int, cv: Array[Double]): String = {
+        val terms = (0 until 8).map { i =>
+          val e = s"CAST(embedding[${s0 * 8 + i + 1}] AS DOUBLE)"
+          s"($e - (${cv(i)})) * ($e - (${cv(i)}))"
+        }.mkString(" + ")
+        s"($terms)"
+      }
+      def codeSql(s0: Int): String = {
+        val ds = books(s0).map(cv => d2Sql(s0, cv)).mkString(",")
+        s"CAST(list_position([$ds], list_min([$ds])) - 1 AS BIGINT)"
+      }
+      // driver-side ADC table entry dt(s)(c), recomputed as a SQL literal
+      // with the same ascending-i sum Pq.d2 runs
+      def dt(s0: Int, c: Int): Double = {
+        var acc = 0.0
+        var i = 0
+        while (i < 8) {
+          val t = q(s0 * 8 + i) - books(s0)(c)(i); acc += t * t; i += 1
+        }
+        acc
+      }
+      val adcTerms = (0 until 8).map { s0 =>
+        val tab = (0 until 16).map(c => dt(s0, c).toString).mkString(",")
+        s"[$tab][CAST(c$s0 AS INT) + 1]"
+      }.mkString(" + ")
+      val codeCols = (0 until 8).map(s0 => s"${codeSql(s0)} AS c$s0")
+        .mkString(",\n                 ")
+      s"""WITH enc AS (SELECT vec_id,
+                 $codeCols
+               FROM embeddings WHERE len(embedding) = 64)
+          SELECT vec_id, c0, c1, c2, c3, c4, c5, c6, c7,
+                 round($adcTerms, 6) AS adc_d2
+          FROM enc"""
+    })
+
+  def all: Seq[Q] = Seq(rp1, pc1, pc1b, eq1, sd2, pq1, pq1b)
 }

@@ -22,6 +22,37 @@ object RelationalQueries {
     (s, d) => Tables.region(s, d).select($("r_regionkey"), $("r_name")),
     Some("SELECT r_regionkey, r_name FROM region"))
 
+  /** ZO1 — Z-order clustering round trip with a 2-D box scan
+    * ([[graft.sources.Zorder]], SURVEY §2 X layout family): orders is
+    * rewritten ONCE per sf dir as 16 Morton-clustered parquet files
+    * (quantile-bucketed (o_totalprice, o_custkey) ranks, bit-interleaved,
+    * range-partitioned — the Delta/Iceberg OPTIMIZE ZORDER shape), then a
+    * price × custkey box predicate scans it back. The box result is
+    * LAYOUT-INDEPENDENT, so the oracle simply replays the predicate on
+    * the original table — while the plan-level payoff (most files
+    * skipped from footer stats alone) is asserted on this query's
+    * executed `numFiles` metric in PlanSpec. The rewrite is write-if-
+    * missing: re-verification and bench measure the pruned SCAN, the
+    * one-off clustering cost is the ingest-time price any clustered
+    * layout pays. */
+  private val zo1 = Q(
+    "zo1_zorder_prune",
+    (s, d) => {
+      val path = s"/tmp/graft_zo1/${java.lang.Integer.toHexString(d.hashCode)}"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        graft.sources.Zorder.writeZordered(
+          Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+          path, Seq("o_totalprice", "o_custkey"), files = 16)
+      }
+      s.read.parquet(path)
+        .filter(col("o_totalprice").between(100000.0, 150000.0) &&
+          col("o_custkey").between(100L, 2000L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice BETWEEN 100000.0 AND 150000.0
+              AND o_custkey BETWEEN 100 AND 2000"""))
+
   /** B1 — NULL-drop row filter (vital_status_DESeq.R:29). The driver data has
     * no NULLs, so nulls are manufactured deterministically first (nullif),
     * then dropped — exercising 3-valued logic end to end. */
@@ -504,7 +535,7 @@ object RelationalQueries {
                   FROM events)
             GROUP BY event_type"""))
 
-  def all: Seq[Q] = Seq(a2, b1, b2, b3, b4, b5, b6, b7, b8, b9,
+  def all: Seq[Q] = Seq(a2, zo1, b1, b2, b3, b4, b5, b6, b7, b8, b9,
     c1, c2, c3, c4, c5, c6, an1, sq1, rj1, fo1, so1, js1,
     fScalars, f5, f6, f7, f10, g1, g3)
 }

@@ -93,8 +93,20 @@ object Plots {
 
   /** Grouped boxplots (one box per (gene, cond)), whiskers at min/max —
     * the `ggboxplot(counts ~ cond, facet by gene)` shape. `frame` is the
-    * long `(gene, cond, counts)` plot frame (api.Tcga.boxplotFrame). */
+    * long `(gene, cond, counts)` plot frame (api.Tcga.boxplotFrame).
+    *
+    * @param signif per-gene significance band for the bracket annotation
+    *               (`stat_pvalue_manual(stat_test, label="p.signif",
+    *               hide.ns=T)`, BRCA_path_stage_DESeq.R:199 /
+    *               vital_status_DESeq.R:135-141): a bracket spanning the
+    *               gene's boxes with the band label, drawn only for bands
+    *               other than "ns" (hide.ns) — so the all-ns fallback
+    *               (`Tcga.allNonSignificant`, F12) renders bracket-free
+    *               through the SAME call. Feed
+    *               `Tcga.wilcoxonWithDeBanding`'s `wilcoxon_p_signif`
+    *               keyed by gene_name. */
   def writeBoxplotPng(frame: DataFrame, out: String,
+      signif: Map[String, String] = Map.empty,
       w: Int = 900, h: Int = 600): File = {
     val stats = boxplotStats(frame)
       .collect().map { r =>
@@ -103,7 +115,12 @@ object Plots {
       }.sortBy(t => (t._1, t._2))
     require(stats.nonEmpty, "empty boxplot frame")
     val yLo = stats.map(_._3.head).min
-    val yHi = stats.map(_._3.last).max
+    val yHi0 = stats.map(_._3.last).max
+    // reserve headroom for the brackets when any non-ns band will draw
+    val drawn = signif.filter { case (g, band) =>
+      band != "ns" && stats.exists(_._1 == g)
+    }
+    val yHi = if (drawn.isEmpty) yHi0 else yHi0 + (yHi0 - yLo) * 0.12
     val pad = math.max((yHi - yLo) * 0.05, 1e-9)
     val c = canvas(w, h, 0, stats.length, yLo - pad, yHi + pad,
       "expression by condition", "", "vst counts")
@@ -126,15 +143,46 @@ object Plots {
       c.g.drawString(lab.take(14),
         xm - c.g.getFontMetrics.stringWidth(lab.take(14)) / 2, c.y1 + 30)
     }
+    // p.signif brackets: per annotated gene, a bracket spanning its boxes
+    // just above the gene's tallest whisker, labelled with the band
+    drawn.foreach { case (gene, band) =>
+      val idx = stats.zipWithIndex.filter(_._1._1 == gene)
+      val top = idx.map(_._1._3.last).max
+      val yB = c.py(top + (yHi - yLo) * 0.04)
+      val (xl, xr) = (c.px(idx.head._2 + 0.5), c.px(idx.last._2 + 0.5))
+      c.g.setColor(Color.BLACK)
+      c.g.setStroke(new BasicStroke(1f))
+      c.g.drawLine(xl, yB, xr, yB)
+      c.g.drawLine(xl, yB, xl, yB + 5)
+      c.g.drawLine(xr, yB, xr, yB + 5)
+      c.g.drawString(band,
+        (xl + xr) / 2 - c.g.getFontMetrics.stringWidth(band) / 2, yB - 4)
+    }
     finish(c, out)
   }
 
   /** Kaplan–Meier step curves with CI bands per stratum, optional log-rank
-    * p annotation — the `ggsurvplot(s1, pval=T, conf.int=T)` shape.
-    * `curves` is Survival.kmCurve output (stratCol, time, survival,
-    * ci_lo, ci_hi). */
+    * p annotation — the `ggsurvplot(s1, pval=T, conf.int=T,
+    * surv.median.line="hv", legend.labs=paste(..., "n=", n))` shape
+    * (surv_analysis_median_exp.R:143-163). `curves` is Survival.kmCurve
+    * output (stratCol, time, survival, ci_lo, ci_hi).
+    *
+    * @param counts  per-stratum subject counts for the legend's `n=`
+    *                labels (the reference builds them from `sum(...)`
+    *                at surv_analysis_median_exp.R:143-144; feed
+    *                `d9_group_counts` output). Strata absent from the
+    *                map keep a bare label.
+    * @param medianLines draw the "hv" median-survival guides
+    *                (surv_analysis_median_exp.R:158): one horizontal
+    *                S = 0.5 reference plus a vertical drop at each
+    *                stratum's median (first time S ≤ 0.5, the same
+    *                definition as [[graft.functions.Survival
+    *                .medianSurvival]]); strata whose curve never
+    *                reaches 0.5 draw no drop, and the horizontal is
+    *                omitted when no stratum does. */
   def writeKmPng(curves: DataFrame, stratCol: String, out: String,
-      pValue: Option[Double] = None, w: Int = 900, h: Int = 600): File = {
+      pValue: Option[Double] = None, counts: Map[String, Long] = Map.empty,
+      medianLines: Boolean = true, w: Int = 900, h: Int = 600): File = {
     val rows = curves
       .select(col(stratCol).cast("string"), col("time").cast("double"),
         col("survival"), col("ci_lo"), col("ci_hi"))
@@ -147,6 +195,23 @@ object Plots {
     val tMax = rows.flatMap(_._2).map(_._2).max
     val c = canvas(w, h, 0, math.max(tMax, 1e-9), 0, 1.0,
       "Kaplan-Meier survival", "time", "S(t)")
+    // median-survival "hv" guides UNDER the curves (same ulp guard as
+    // Survival.medianSurvival; the per-stratum medians recompute here on
+    // the already-collected plot frame — no extra Spark job)
+    if (medianLines) {
+      val medians = rows.flatMap { case (_, pts) =>
+        pts.filter(_._3 <= 0.5 + 1e-12).map(_._2).minOption
+      }
+      if (medians.nonEmpty) {
+        c.g.setColor(Color.GRAY)
+        c.g.setStroke(new BasicStroke(1f, BasicStroke.CAP_BUTT,
+          BasicStroke.JOIN_MITER, 10f, Array(4f, 4f), 0f))
+        val y05 = c.py(0.5)
+        c.g.drawLine(c.x0, y05, c.px(medians.max), y05)
+        medians.foreach(m => c.g.drawLine(c.px(m), y05, c.px(m), c.py(0.0)))
+        c.g.setStroke(new BasicStroke(1f))
+      }
+    }
     rows.zipWithIndex.foreach { case ((strat, pts0), si) =>
       val pts = pts0.sortBy(_._2)
       val col = seriesColors(si % seriesColors.length)
@@ -174,10 +239,13 @@ object Plots {
         pt = t; ps = s
       }
       c.g.drawLine(c.px(pt), c.py(ps), c.x1, c.py(ps)) // tail
-      // legend
+      // legend — "HIGH, n=123" when counts are supplied (the reference's
+      // legend.labs = paste(strat, ", n=", n) at
+      // surv_analysis_median_exp.R:143-144)
       c.g.fillRect(c.x0 + 10, c.y0 + 8 + si * 16, 10, 10)
       c.g.setColor(Color.BLACK)
-      c.g.drawString(strat, c.x0 + 25, c.y0 + 17 + si * 16)
+      val lab = counts.get(strat).map(n => s"$strat, n=$n").getOrElse(strat)
+      c.g.drawString(lab, c.x0 + 25, c.y0 + 17 + si * 16)
     }
     pValue.foreach { p =>
       c.g.setColor(Color.BLACK)

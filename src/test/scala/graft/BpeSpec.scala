@@ -56,4 +56,62 @@ class BpeSpec extends SparkSpec {
     val wf = Bpe.wordCounts(corpus, "text")
     assert(Bpe.fit(wf.repartition(7), 6) === Bpe.fit(wf.repartition(2), 6))
   }
+
+  // ---- rank-order equivalence: the foundation of bp2b's SQL oracle ----
+
+  /** Reference apply: each rank exhaustively, in rank order — ONE greedy
+    * mergeOnce pass per rank (a pass leaves no (l, r) pair behind: the
+    * merged symbol l+r can't re-form (l, r) with a neighbour since that
+    * would need l+r to equal l or r). This is exactly what the bp2b
+    * oracle's chained list_reduce folds compute in SQL. */
+  private def applyByRankOrder(word: String, merges: Seq[Bpe.Merge]): Seq[String] =
+    merges.sortBy(_.rank).foldLeft(Bpe.codePointSymbols(word)) {
+      (syms, m) => Bpe.mergeOnce(syms, m.left, m.right)
+    }
+
+  /** Structural soundness of a merge list for rank-order application: a
+    * later merge must never create a symbol an earlier-rank pair uses —
+    * guaranteed when (a) concatenations are pairwise distinct (unique
+    * creator per symbol) and (b) every pair member is a single code point
+    * or the concatenation of a STRICTLY EARLIER merge. Trained lists have
+    * this by construction; the assertion guards FrozenModels regeneration. */
+  private def assertRankOrderSound(merges: Seq[Bpe.Merge]): Unit = {
+    val ms = merges.sortBy(_.rank)
+    val concats = ms.map(m => m.left + m.right)
+    assert(concats.distinct.size == concats.size, "duplicate concatenation")
+    ms.zipWithIndex.foreach { case (m, i) =>
+      Seq(m.left, m.right).foreach { s =>
+        val single = s.codePointCount(0, s.length) == 1
+        val earlier = concats.take(i).contains(s)
+        assert(single || earlier,
+          s"rank ${m.rank}: symbol '$s' is neither atomic nor created earlier")
+      }
+    }
+  }
+
+  test("frozen checkpoint: rank-order apply == priority apply on random words") {
+    val frozen = graft.queries.FrozenModels.bpeMerges.zipWithIndex
+      .map { case ((l, r), i) => Bpe.Merge(i, l, r) }
+    assertRankOrderSound(frozen)
+    val ranks = frozen.map(m => (m.left, m.right) -> m.rank).toMap
+    // alphabet biased toward the merge symbols so merges actually fire
+    val alpha = frozen.flatMap(m => (m.left + m.right).toSeq).distinct ++
+      Seq('q', 'z', '7', 'é')
+    val rnd = new scala.util.Random(421)
+    (1 to 2000).foreach { _ =>
+      val w = Seq.fill(rnd.nextInt(13))(alpha(rnd.nextInt(alpha.size))).mkString
+      assert(Bpe.applyMerges(w, ranks) === applyByRankOrder(w, frozen),
+        s"divergence on word '$w'")
+    }
+  }
+
+  test("fitted lists are rank-order sound and equivalent on corpus words") {
+    val merges = Bpe.fit(Bpe.wordCounts(corpus, "text"), numMerges = 10)
+    assertRankOrderSound(merges)
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val words = corpus.collect().flatMap(_.getString(1).split("\\s+"))
+    words.foreach { w =>
+      assert(Bpe.applyMerges(w, ranks) === applyByRankOrder(w, merges))
+    }
+  }
 }

@@ -62,6 +62,24 @@ class GraphsSpec extends SparkSpec with Matchers {
     total shouldBe 1.0 +- 1e-9
   }
 
+  test("checkpointing bounds plan depth at high iters without changing values") {
+    val edges = Seq((1L, 10L), (2L, 10L), (10L, 1L), (1L, 99L))
+    def planSize(iters: Int, every: Int): Int =
+      Graphs.pageRank(edges.toDF("src", "dst"), iters, 0.85, every)
+        .queryExecution.analyzed.collect { case p => p }.size
+    // lineage truncation: 50 rounds at checkpointEvery=10 must plan like
+    // ~10 rounds, NOT grow linearly to 50 (the r5 advisor's pr1 note)
+    val bounded = planSize(iters = 50, every = 10)
+    val linear = planSize(iters = 50, every = 1000)
+    assert(bounded < linear / 3, s"bounded=$bounded linear=$linear")
+    // and the values are bit-identical to the uncheckpointed run
+    val a = Graphs.pageRank(edges.toDF("src", "dst"), 25, 0.85, checkpointEvery = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graphs.pageRank(edges.toDF("src", "dst"), 25, 0.85, checkpointEvery = 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+  }
+
   // ------------------------------------------------------ triangle counts
 
   /** In-test reference: brute-force canonical-triple enumeration. */

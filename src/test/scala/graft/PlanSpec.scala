@@ -426,4 +426,36 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("zo1 z-order box scan: predicates pushed, most file stat-boxes miss") {
+    val df = QueryCatalog.byName("zo1_zorder_prune").run(spark, dir)
+    df.collect()
+    val scan = flatten(df.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in zo1 plan"))
+    // both box predicates must reach the parquet reader — that is what
+    // turns each file's footer min/max into row-group skipping
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("o_totalprice") && pushed.contains("o_custkey"), pushed)
+    // the files-pruned witness (engine-independent, the PartitioningSpec
+    // stance: Spark's V1 scan LISTS every file regardless, so numFiles
+    // can't show it — the skipping acts via footer stats / a manifest):
+    // at most half of the 16 clustered files' [min,max] boxes may
+    // intersect the query box on BOTH columns
+    val path = s"/tmp/graft_zo1/${java.lang.Integer.toHexString(dir.hashCode)}"
+    val boxes = spark.read.parquet(path)
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.min("o_totalprice").as("plo"),
+        org.apache.spark.sql.functions.max("o_totalprice").as("phi"),
+        org.apache.spark.sql.functions.min("o_custkey").as("clo"),
+        org.apache.spark.sql.functions.max("o_custkey").as("chi"))
+    val total = boxes.count()
+    val hit = boxes.filter(
+      org.apache.spark.sql.functions.col("plo") <= 150000.0 &&
+        org.apache.spark.sql.functions.col("phi") >= 100000.0 &&
+        org.apache.spark.sql.functions.col("clo") <= 2000L &&
+        org.apache.spark.sql.functions.col("chi") >= 100L).count()
+    assert(total >= 8, s"expected a multi-file layout, got $total")
+    assert(hit * 2 <= total, s"box intersects $hit of $total stat-boxes")
+  }
 }

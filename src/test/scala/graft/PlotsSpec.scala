@@ -56,6 +56,68 @@ class PlotsSpec extends SparkSpec {
     assert(distinctColors(f) > 4)
   }
 
+  private def pixels(f: java.io.File): Seq[Int] = {
+    val img = ImageIO.read(f)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      yield img.getRGB(x, y)
+  }
+
+  test("KM PNG: median-survival hv guides draw gray dashes at S=0.5") {
+    val subjects = (for (i <- 1 to 80) yield {
+      val strat = if (i % 2 == 0) "HIGH" else "LOW"
+      ((strat, (i % 11 + 1).toDouble, 1))
+    }).toDF("strat", "time", "event")
+    val curves = Survival.kmCurve(subjects, "strat", "time", "event")
+    // every subject is an event → both curves cross 0.5 → guides draw
+    val on = Plots.writeKmPng(curves, "strat", tmp("km_med.png"))
+    val off = Plots.writeKmPng(curves, "strat", tmp("km_nomed.png"),
+      medianLines = false)
+    val gray = java.awt.Color.GRAY.getRGB
+    val onGray = pixels(on).count(_ == gray)
+    assert(onGray > 50, s"expected median guide ink, got $onGray gray px")
+    assert(onGray > pixels(off).count(_ == gray))
+    // the horizontal guide sits on the S=0.5 raster row: y1 - 0.5*(y1-y0)
+    val img = ImageIO.read(on)
+    val y05 = 550 - ((0.5 / 1.0) * (550 - 40)).round.toInt
+    assert((70 until 890 by 2).exists(x => img.getRGB(x, y05) == gray))
+  }
+
+  test("KM PNG: legend renders n= counts when supplied") {
+    val subjects = (for (i <- 1 to 60) yield
+      ((if (i % 2 == 0) "HIGH" else "LOW"), (i % 7 + 1).toDouble, 1))
+      .toDF("strat", "time", "event")
+    val curves = Survival.kmCurve(subjects, "strat", "time", "event")
+    val bare = Plots.writeKmPng(curves, "strat", tmp("km_bare.png"),
+      medianLines = false)
+    val withN = Plots.writeKmPng(curves, "strat", tmp("km_n.png"),
+      counts = Map("HIGH" -> 30L, "LOW" -> 30L), medianLines = false)
+    // the longer labels add legend ink; everything else is identical
+    def legendInk(f: java.io.File): Int = {
+      val img = ImageIO.read(f)
+      (for (y <- 40 until 90; x <- 95 until 300)
+        yield img.getRGB(x, y)).count(_ == java.awt.Color.BLACK.getRGB)
+    }
+    assert(legendInk(withN) > legendInk(bare))
+  }
+
+  test("boxplot PNG: p.signif brackets draw for significant genes, hide.ns") {
+    val frame = (for {
+      g <- Seq("TP53", "BRCA1"); c <- Seq("Alive", "Dead"); i <- 1 to 40
+    } yield (g, c, (i % 13).toDouble + (if (c == "Dead") 5 else 0)))
+      .toDF("gene", "cond", "counts")
+    val plain = Plots.writeBoxplotPng(frame, tmp("box_plain.png"))
+    val starred = Plots.writeBoxplotPng(frame, tmp("box_sig.png"),
+      signif = Map("TP53" -> "***", "BRCA1" -> "ns"))
+    val allNs = Plots.writeBoxplotPng(frame, tmp("box_ns.png"),
+      signif = Map("TP53" -> "ns", "BRCA1" -> "ns"))
+    // all-ns (the F12 fallback) renders EXACTLY the un-annotated plot
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(allNs.toPath), Files.readAllBytes(plain.toPath)))
+    // a drawn bracket adds black ink above the boxes
+    val black = java.awt.Color.BLACK.getRGB
+    assert(pixels(starred).count(_ == black) > pixels(plain).count(_ == black))
+  }
+
   test("boxplot stats stay distributed: one row per (gene, cond)") {
     val frame = Seq(("g1", "a", 1.0), ("g1", "a", 2.0), ("g1", "b", 3.0))
       .toDF("gene", "cond", "counts")

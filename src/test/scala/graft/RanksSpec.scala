@@ -91,6 +91,37 @@ class RanksSpec extends SparkSpec {
       Seq("p50" -> 0.5)).count() === 0)
   }
 
+  test("quantilesOfClassesBucketed equals the range-exchange form") {
+    val qs = Seq("p01" -> 0.01, "p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99,
+      "p100" -> 1.0)
+    // heavy-tie classes from the fixture
+    val cls = df.groupBy($"g", $"v".cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val want = Ranks.quantilesOfClasses(cls, Seq("g"), "v", "c", qs)
+    for (buckets <- Seq(2, 7, 4096)) {
+      val got = Ranks.quantilesOfClassesBucketed(cls, Seq("g"), "v", "c",
+        qs, nBuckets = buckets)
+      assert(got.columns.toSeq === want.columns.toSeq, s"buckets=$buckets")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"buckets=$buckets:\n${got.collect().mkString("\n")}\nvs\n" +
+          want.collect().mkString("\n"))
+    }
+    // continuous values (every class count 1), skewed + negative, and a
+    // constant-valued group (mn == mx) — the degenerate bucket branches
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 500).map(i =>
+      ("a", math.exp(rnd.nextGaussian() * 3) - 10.0)) ++
+      (1 to 37).map(i => ("b", rnd.nextDouble())) ++
+      (1 to 5).map(_ => ("k", 42.0))
+    val cls2 = data.toDF("g", "v").groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val want2 = Ranks.quantilesOfClasses(cls2, Seq("g"), "v", "c", qs)
+    val got2 = Ranks.quantilesOfClassesBucketed(cls2, Seq("g"), "v", "c", qs)
+    assert(got2.except(want2).isEmpty && want2.except(got2).isEmpty)
+    // empty input
+    assert(Ranks.quantilesOfClassesBucketed(cls.filter(lit(false)),
+      Seq("g"), "v", "c", Seq("p50" -> 0.5)).count() === 0)
+  }
+
   test("prefixSum matches the single-window running total, grouped and global") {
     val expectGrouped = df.withColumn("cs",
       sum($"v").over(Window.partitionBy($"g").orderBy($"v", $"id")
