@@ -37,6 +37,69 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** PORTABLE HyperLogLog (Flajolet et al. 2007) over the engine's own
+    * md5-derived 60-bit hash ([[Dedup.hash60]]) — the ORACLE-ABLE sibling
+    * of `approx_count_distinct` (hl1): Spark's built-in HLL++ hashes with
+    * an engine-internal xxhash, so its estimate can never cross-engine
+    * match; this one derives every register from a portable hash, keeps
+    * the register sum in EXACT integer arithmetic (Σ 2^(maxRank−M_j)
+    * ≤ m·2^49 < 2^62 — association-free, unlike the float Σ 2^(−M_j)),
+    * and applies the standard estimator + linear-counting small-range
+    * correction as closed-form arithmetic both engines replay
+    * bit-for-bit. (The large-range correction is omitted identically on
+    * both sides — it only matters beyond ~2^55 distinct values.)
+    *
+    * Scale shape: identical to hl1 — one narrow hash pass, a
+    * (groups × m)-bounded register aggregation with map-side combine,
+    * then per-group O(1) arithmetic. Registers, not values, cross the
+    * wire.
+    *
+    * @param p register-index bits (m = 2^p registers; rsd ≈ 1.04/√m)
+    * @return one row per group: grp ++ (n_buckets_used, est) */
+  def portableHllDistinct(df: DataFrame, grp: Seq[String], valueCol: String,
+      p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 20, s"p must be in [4,20]: $p")
+    require(grp.nonEmpty, "portableHllDistinct needs grouping keys")
+    val m = 1 << p
+    val maxRank = 60 - p + 1 // rem has 60-p bits; rank = zeros+1 ∈ [1, maxRank]
+    val g = grp.map(col)
+    val regs = df
+      .withColumn("__h", Dedup.hash60(col(valueCol)))
+      .withColumn("__b", col("__h").bitwiseAND(lit((m - 1).toLong)))
+      .withColumn("__rem", shiftright(col("__h"), p))
+      // leading-zero rank via the minimal binary string: bin(rem) carries
+      // no leading zeros, so its length IS rem's bit length (both engines)
+      .withColumn("__rank", when(col("__rem") === 0L, lit(maxRank.toLong))
+        .otherwise(lit(maxRank.toLong) - length(bin(col("__rem")))))
+      .groupBy((g :+ col("__b")): _*).agg(max(col("__rank")).as("__reg"))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // the whole numerator as ONE double literal, shared verbatim with the
+    // oracle SQL (the qd1 lnGamma convention)
+    val num = alpha * m * m * math.pow(2.0, maxRank.toDouble)
+    regs.groupBy(g: _*).agg(
+        count(lit(1)).as("__used"),
+        // the SQL ShiftLeft expression takes a column shift amount (the
+        // functions-API overload only takes a literal Int)
+        sum(expr(s"shiftleft(1L, cast($maxRank - __reg as int))"))
+          .as("__s_used"))
+      .withColumn("__sint",
+        col("__s_used") + (lit(m.toLong) - col("__used")) * lit(1L << maxRank))
+      .withColumn("__v", lit(m.toLong) - col("__used"))
+      .withColumn("__e", lit(num) / col("__sint"))
+      .withColumn("est", round(
+        when(col("__v") > 0 && col("__e") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+          .otherwise(col("__e")), 6))
+      .select((g :+ col("__used").as("n_buckets_used") :+ col("est")): _*)
+  }
+
+  /** The [[portableHllDistinct]] numerator literal for an oracle at the
+    * same `p` — exposed so SQL embeds the IDENTICAL double. */
+  def hllNumerator(p: Int): Double = {
+    val m = 1 << p
+    (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, (60 - p + 1).toDouble)
+  }
+
   /** γ = (1+α)/(1−α): consecutive bucket boundaries' ratio. */
   def gamma(alpha: Double): Double = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")

@@ -54,6 +54,50 @@ object PipelineQueries {
         .agg(approx_count_distinct(col("token"), 0.02).as("approx_vocab")),
     None)
 
+  /** HL2 — portable HyperLogLog vocabulary estimate per language
+    * ([[graft.operators.Sketches.portableHllDistinct]]): the same
+    * sketch-not-distinct-shuffle scale shape as `hl1`, but over the
+    * engine's own md5-derived hash60, so EVERY stage — register index,
+    * leading-zero rank, the exact-integer register sum, the estimator
+    * and its linear-counting branch — replays in DuckDB and the whole
+    * approximate-distinct family graduates from rows-only to a full
+    * hash oracle (hl1 keeps pinning the built-in HLL++ against the
+    * exact count in AnalyticsSpec). */
+  private val hl2 = Q(
+    "hl2_portable_hll",
+    (s, d) =>
+      graft.operators.Sketches.portableHllDistinct(
+        Tables.documents(s, d)
+          .select(col("lang"),
+            explode(TextFunctions.tokens(col("text"))).as("token")),
+        Seq("lang"), "token"),
+    Some {
+      val num = graft.operators.Sketches.hllNumerator(12)
+      s"""WITH t AS ($toksSql),
+          tok AS (SELECT lang, unnest(toks) AS token FROM t),
+          h AS (SELECT lang,
+                  CAST(('0x'||substring(md5(token),1,15)) AS BIGINT) AS h
+                FROM tok),
+          r AS (SELECT lang, h % 4096 AS b, h // 4096 AS rem FROM h),
+          regs AS (SELECT lang, b,
+                     max(CASE WHEN rem = 0 THEN 49
+                              ELSE 49 - length(bin(rem)) END) AS reg
+                   FROM r GROUP BY 1, 2),
+          agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS used,
+                    CAST(sum(CAST(1 AS BIGINT) << CAST(49 - reg AS INT))
+                      AS BIGINT) AS s_used
+                  FROM regs GROUP BY 1),
+          e AS (SELECT lang, used,
+                  s_used + (4096 - used) * (CAST(1 AS BIGINT) << 49) AS sint,
+                  4096 - used AS v
+                FROM agg)
+          SELECT lang, used AS n_buckets_used,
+            round(CASE WHEN v > 0 AND $num / sint <= 10240.0
+                  THEN 4096.0 * ln(4096.0 / v)
+                  ELSE $num / sint END, 6) AS est
+          FROM e"""
+    })
+
   /** X5 — within-document repetition scoring (the Gopher quality-rule
     * family): per doc over its word 2-grams, the duplicate fraction
     * (1 − distinct/total) and the top-gram fraction (most frequent 2-gram's
@@ -342,5 +386,5 @@ object PipelineQueries {
                (cum_tokens - 1) // $packBudget AS pack_id
              FROM c"""))
 
-  def all: Seq[Q] = Seq(x4, hl1, x5, x6, ct1, bf1, sm1, qt1, aj1, aj2, pk1, pk2)
+  def all: Seq[Q] = Seq(x4, hl1, hl2, x5, x6, ct1, bf1, sm1, qt1, aj1, aj2, pk1, pk2)
 }

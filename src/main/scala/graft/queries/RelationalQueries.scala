@@ -53,6 +53,35 @@ object RelationalQueries {
             WHERE o_totalprice BETWEEN 100000.0 AND 150000.0
               AND o_custkey BETWEEN 100 AND 2000"""))
 
+  /** OR1 — ORC interchange under the oracle (SURVEY §2 X source family):
+    * lineitem is written ONCE per sf dir as ORC — the other columnar
+    * lake format Spark reads natively — and scanned back through a
+    * ship-year predicate that must reach the ORC reader
+    * (`PushedFilters`, asserted in PlanSpec along with ReadSchema
+    * pruning). The result is layout-independent, so the oracle replays
+    * the predicate on the original parquet table: one CORRECTNESS row
+    * proves the whole write→read→pushdown path end to end, upgrading
+    * the interchange from spec-only (SourcesSpec round trip) to
+    * oracled. Write-if-missing, the zo1 stance. */
+  private val or1 = Q(
+    "or1_orc_interchange",
+    (s, d) => {
+      val path = s"/tmp/graft_or1/${java.lang.Integer.toHexString(d.hashCode)}"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+          .write.mode("overwrite").orc(path)
+      }
+      s.read.orc(path)
+        .filter(col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          round(col("l_extendedprice"), 6).as("price"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_shipdate,
+              round(l_extendedprice, 6) AS price
+            FROM lineitem
+            WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'"""))
+
   /** B1 — NULL-drop row filter (vital_status_DESeq.R:29). The driver data has
     * no NULLs, so nulls are manufactured deterministically first (nullif),
     * then dropped — exercising 3-valued logic end to end. */
@@ -535,7 +564,7 @@ object RelationalQueries {
                   FROM events)
             GROUP BY event_type"""))
 
-  def all: Seq[Q] = Seq(a2, zo1, b1, b2, b3, b4, b5, b6, b7, b8, b9,
+  def all: Seq[Q] = Seq(a2, zo1, or1, b1, b2, b3, b4, b5, b6, b7, b8, b9,
     c1, c2, c3, c4, c5, c6, an1, sq1, rj1, fo1, so1, js1,
     fScalars, f5, f6, f7, f10, g1, g3)
 }

@@ -161,6 +161,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: adjacent pre-session stragglers merge like a batch replay") {
+    // the r6 interval-sweep rewrite (r5 advisor): gap-distant early
+    // events must group among THEMSELVES, exactly as a batch replay
+    // would, rather than each becoming a singleton. The true
+    // straggler-behind-open-state path is unreachable through the public
+    // API (watermark == gap drops such rows first — documented on
+    // sessionize), so this exercises the same sweep in batch mode on
+    // unsorted input: the early pair sits > gap before the late pair and
+    // must come out as ONE two-event session.
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(50), "late", 1.0), // sweep state opens on the late pair
+      Event(1, ts(55), "late", 1.0),
+      Event(1, ts(1), "early", 1.0), // gap-distant early pair, adjacent
+      Event(1, ts(2), "early", 1.0)).toDS()
+    val got = EventStreams.sessionize(events, gapSeconds = 600)
+      .collect().sortBy(_.start.getTime)
+    assert(got.length == 2, got.mkString(", "))
+    assert(got(0).start == ts(1) && got(0).end == ts(2) && got(0).nEvents == 2L)
+    assert(got(1).start == ts(50) && got(1).end == ts(55) && got(1).nEvents == 2L)
+  }
+
   test("windowed DDSketch histogram: stream matches batch across micro-batches") {
     val sf = "/root/testdata/sf0.001"
     val batchEv = Tables.events(spark, sf)

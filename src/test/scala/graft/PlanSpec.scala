@@ -427,6 +427,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("or1 ORC scan: ship-date predicate pushed to the ORC reader, columns pruned") {
+    val df = QueryCatalog.byName("or1_orc_interchange").run(spark, dir)
+    df.collect()
+    val scan = flatten(df.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in or1 plan"))
+    assert(scan.metadata.getOrElse("Format", "").toLowerCase.contains("orc"),
+      scan.metadata.toString)
+    assert(scan.metadata.getOrElse("PushedFilters", "").contains("l_shipdate"),
+      scan.metadata.toString)
+    // projection pruning: the scan reads only the four written columns
+    assert(scan.schema.fieldNames.toSet ==
+      Set("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"),
+      scan.schema.treeString)
+  }
+
   test("zo1 z-order box scan: predicates pushed, most file stat-boxes miss") {
     val df = QueryCatalog.byName("zo1_zorder_prune").run(spark, dir)
     df.collect()

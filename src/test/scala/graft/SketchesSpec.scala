@@ -105,4 +105,25 @@ class SketchesSpec extends SparkSpec with Matchers {
     val nb = Sketches.ddHistogram(df, Seq("grp"), "v", 0.01).count()
     nb should be <= (math.log(1000.0) / Sketches.lnGamma(0.01) + 2).toLong
   }
+
+  test("portable HLL: estimate within 3 rsd of exact, layout-invariant") {
+    // two groups with known cardinalities straddling the linear-counting
+    // crossover (2.5·m = 10240 at p=12): "small" takes the V-based branch,
+    // "big" the raw-estimator branch; duplicates must not move either
+    val rows =
+      (1 to 3000).map(i => ("small", s"tok_$i")) ++
+        (1 to 3000).map(i => ("small", s"tok_$i")) ++ // exact duplicates
+        (1 to 60000).map(i => ("big", s"item_$i"))
+    val df = rows.toDF("grp", "token")
+    val rsd = 1.04 / math.sqrt(4096.0)
+    val got = Sketches.portableHllDistinct(df, Seq("grp"), "token")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    got("small") shouldBe 3000.0 +- (3 * rsd * 3000)
+    got("big") shouldBe 60000.0 +- (3 * rsd * 60000)
+    // registers are pure functions of the values: any partitioning, any
+    // duplication factor, same estimate to the bit
+    val re = Sketches.portableHllDistinct(df.repartition(17), Seq("grp"), "token")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    re shouldBe got
+  }
 }
