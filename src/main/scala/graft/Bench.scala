@@ -54,7 +54,10 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale (de_DE et al.) would render 0,123 — invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

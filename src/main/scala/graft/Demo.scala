@@ -87,6 +87,10 @@ object Demo {
     val oneCurve = kmCurves
       .filter(col("drug_class") === "Chemotherapy" && col("gene_name") === goi.head)
       .withColumnRenamed("strat", "arm")
+    // demo approximation: max(n_risk) = subjects at risk at the arm's
+    // first death time, an UNDERCOUNT when subjects censor earlier — a
+    // real pipeline passes exact per-arm subject counts (d9-style) as
+    // writeKmPng's doc says; the demo only exercises the legend plumbing
     val armCounts = oneCurve.groupBy("arm")
       .agg(max(col("n_risk")).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -72,8 +72,14 @@ object Graphs {
           lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
       i += 1
       // values are materialized EXACTLY as computed, so checkpointing
-      // never changes a bit of the result — only the plan shape
-      if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
+      // never changes a bit of the result — only the plan shape. LAZY
+      // (eager = false): the logical plan truncates immediately either
+      // way, but an eager checkpoint is a full Spark ACTION during plan
+      // CONSTRUCTION — it would fire QueryExecutionListeners and release
+      // any frame an enclosing computation registered through
+      // Caches.releaseAfterAction before the caller's real action runs
+      if (i % checkpointEvery == 0 && i < iters)
+        rank = rank.localCheckpoint(eager = false)
     }
     graft.Caches.releaseAfterAction(e, eo, nodesN)
     rank

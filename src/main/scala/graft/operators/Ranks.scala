@@ -209,10 +209,14 @@ object Ranks {
     *     in-bucket rank window starts from the bucket's known cumulative
     *     offset.
     *
-    * Same `ceil(q·n)` rank semantics, bit-identical results (the selected
-    * value is an exact class value; bucket boundaries only steer WHERE
-    * the search looks, so float bucket math needs no cross-engine
-    * parity). Scale note: step 4's window is per (group, quantile) over
+    * Same `ceil(q·n)` rank semantics. The value column is evaluated AS
+    * DOUBLE (and returned as DOUBLE): for double/float inputs results are
+    * bit-identical to [[quantilesOfClasses]] (the selected value is an
+    * exact class value; bucket boundaries only steer WHERE the search
+    * looks, so float bucket math needs no cross-engine parity) — but
+    * integers above 2^53 or decimals would lose precision in the cast,
+    * so non-floating value columns should stay on the range-exchange
+    * form. Scale note: step 4's window is per (group, quantile) over
     * one bucket's classes — with mass spread so no bucket holds more
     * than ~1/nBuckets of a group this is tiny; a distribution that
     * concentrates a group's whole mass inside one bucket-width of an

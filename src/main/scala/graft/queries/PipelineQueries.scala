@@ -63,6 +63,10 @@ object PipelineQueries {
     * approximate-distinct family graduates from rows-only to a full
     * hash oracle (hl1 keeps pinning the built-in HLL++ against the
     * exact count in AnalyticsSpec). */
+  /** hl2's register-index bits — shared between the Spark side and the
+    * oracle SQL so the two can never drift apart. */
+  private val hllP = 12
+
   private val hl2 = Q(
     "hl2_portable_hll",
     (s, d) =>
@@ -70,30 +74,32 @@ object PipelineQueries {
         Tables.documents(s, d)
           .select(col("lang"),
             explode(TextFunctions.tokens(col("text"))).as("token")),
-        Seq("lang"), "token"),
+        Seq("lang"), "token", p = hllP),
     Some {
-      val num = graft.operators.Sketches.hllNumerator(12)
+      val num = graft.operators.Sketches.hllNumerator(hllP)
+      val m = 1 << hllP
+      val maxRank = 60 - hllP + 1
       s"""WITH t AS ($toksSql),
           tok AS (SELECT lang, unnest(toks) AS token FROM t),
           h AS (SELECT lang,
                   CAST(('0x'||substring(md5(token),1,15)) AS BIGINT) AS h
                 FROM tok),
-          r AS (SELECT lang, h % 4096 AS b, h // 4096 AS rem FROM h),
+          r AS (SELECT lang, h % $m AS b, h // $m AS rem FROM h),
           regs AS (SELECT lang, b,
-                     max(CASE WHEN rem = 0 THEN 49
-                              ELSE 49 - length(bin(rem)) END) AS reg
+                     max(CASE WHEN rem = 0 THEN $maxRank
+                              ELSE $maxRank - length(bin(rem)) END) AS reg
                    FROM r GROUP BY 1, 2),
           agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS used,
-                    CAST(sum(CAST(1 AS BIGINT) << CAST(49 - reg AS INT))
+                    CAST(sum(CAST(1 AS BIGINT) << CAST($maxRank - reg AS INT))
                       AS BIGINT) AS s_used
                   FROM regs GROUP BY 1),
           e AS (SELECT lang, used,
-                  s_used + (4096 - used) * (CAST(1 AS BIGINT) << 49) AS sint,
-                  4096 - used AS v
+                  s_used + ($m - used) * (CAST(1 AS BIGINT) << $maxRank) AS sint,
+                  $m - used AS v
                 FROM agg)
           SELECT lang, used AS n_buckets_used,
-            round(CASE WHEN v > 0 AND $num / sint <= 10240.0
-                  THEN 4096.0 * ln(4096.0 / v)
+            round(CASE WHEN v > 0 AND $num / sint <= ${2.5 * m}
+                  THEN $m.0 * ln($m.0 / v)
                   ELSE $num / sint END, 6) AS est
           FROM e"""
     })

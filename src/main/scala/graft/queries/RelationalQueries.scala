@@ -16,6 +16,16 @@ import graft.Tables
   */
 object RelationalQueries {
 
+  /** Scratch-layout cache key for the write-once zo1/or1 rewrites: the
+    * sf dir path (sanitized — collision-free, unlike a 32-bit hashCode)
+    * plus the source table's mtime/size, so a regenerated testdata dir
+    * invalidates the cached layout instead of serving stale rows. */
+  private def cacheKey(dir: String, table: String): String = {
+    val f = new java.io.File(dir, table)
+    dir.replaceAll("[^A-Za-z0-9.-]", "_") +
+      s"_${f.lastModified}_${f.length}"
+  }
+
   /** A2 — parquet scan of a cached/staged table (vital_status_DESeq.R:25-26). */
   private val a2 = Q(
     "a2_scan_cache",
@@ -38,7 +48,7 @@ object RelationalQueries {
   private val zo1 = Q(
     "zo1_zorder_prune",
     (s, d) => {
-      val path = s"/tmp/graft_zo1/${java.lang.Integer.toHexString(d.hashCode)}"
+      val path = s"/tmp/graft_zo1/${cacheKey(d, "orders.parquet")}"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         graft.sources.Zorder.writeZordered(
           Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
@@ -66,7 +76,7 @@ object RelationalQueries {
   private val or1 = Q(
     "or1_orc_interchange",
     (s, d) => {
-      val path = s"/tmp/graft_or1/${java.lang.Integer.toHexString(d.hashCode)}"
+      val path = s"/tmp/graft_or1/${cacheKey(d, "lineitem.parquet")}"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")

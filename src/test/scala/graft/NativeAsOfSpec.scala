@@ -247,6 +247,22 @@ class NativeAsOfSpec extends SparkSpec with Matchers {
     assert(p.contains("user_id"), p)
   }
 
+  test("keyless (global) as-of delegates to the composition instead of failing") {
+    // ClusteredDistribution(Nil) is unplannable, so empty keys fall back
+    // to AsOfJoin.asOf's unpartitioned window (r5 advisor) — the two
+    // entry points must accept the same inputs with the same semantics
+    val left = Seq((1L, 10L), (2L, 25L), (3L, 4L)).toDF("lid", "ts")
+    val right = Seq((5L, 100.0, 1L), (20L, 200.0, 2L)).toDF("ts", "v", "eid")
+    val got = graft.plans.NativeAsOf.asOf(left, right, Seq.empty, "ts",
+        payload = Seq("v"), tieCol = "eid")
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(0), Option(r.get(r.fieldIndex("r_v")))))
+    assert(got === Array(
+      (1L, Some(100.0)), // latest right at ts<=10 is ts=5
+      (2L, Some(200.0)), // ts=20
+      (3L, None)))       // no right row at or before ts=4
+  }
+
   test("small right side picks BroadcastAsOfJoin: the fact is never shuffled") {
     val left = (1 to 500).map(i => (i.toLong, (i % 7).toLong, (i % 50).toLong))
       .toDF("lid", "k", "ts")
