@@ -414,5 +414,77 @@ object StatsQueries {
                   * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
             FROM m"""))
 
-  def all: Seq[Q] = Seq(d1, d2, d5, d6, d6b, d7, d8, d9, e1, x8, ks1, sp1)
+  /** WT1 — grouped two-sample WELCH z-test per gene over the VST-
+    * normalized counts (the parametric screening complement to d7's
+    * rank-based Wilcoxon — the limma-style "moderated-t without
+    * moderation" shape, normal approximation documented; d7's exact
+    * branch owns the small-n regime). Everything is closed-form:
+    * per-(gene, group) count/mean/sample-variance in ONE partial+final
+    * hash agg, conditional aggregation to wide per-gene columns (no
+    * second shuffle), z = Δmean / √(v_a/n_a + v_b/n_b), p from the
+    * shared Abramowitz–Stegun tail. Degenerate genes (a group smaller
+    * than 2, or zero pooled variance — both-constant groups, which both
+    * engines compute as exactly 0.0) are filtered identically on both
+    * sides. Cross-engine float note: avg/var_samp are association-
+    * sensitive at ulp scale; `round(·, 6)` on every emitted double
+    * absorbs it (the d6b OLS-trend precedent). */
+  private val wt1 = Q(
+    "wt1_welch_z",
+    (s, d) => {
+      val vst = Normalization.vst(cells(s, d), "gene", "smp", "cnt")
+        .withColumn("grp", when(col("smp") % 2 === 0, "A").otherwise("B"))
+      val st = vst.groupBy(col("gene"), col("grp")).agg(
+        count(lit(1)).as("n"), avg(col("vst")).as("m"),
+        var_samp(col("vst")).as("v"))
+      val wide = st.groupBy(col("gene")).agg(
+        max(when(col("grp") === "A", col("n"))).as("n_a"),
+        max(when(col("grp") === "A", col("m"))).as("m_a"),
+        max(when(col("grp") === "A", col("v"))).as("v_a"),
+        max(when(col("grp") === "B", col("n"))).as("n_b"),
+        max(when(col("grp") === "B", col("m"))).as("m_b"),
+        max(when(col("grp") === "B", col("v"))).as("v_b"))
+      wide.filter(col("n_a") >= 2 && col("n_b") >= 2)
+        .withColumn("se2", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+        .filter(col("se2") > 0)
+        .withColumn("zv", (col("m_a") - col("m_b")) / sqrt(col("se2")))
+        .select(col("gene"), col("n_a"), col("n_b"),
+          round(col("m_a") - col("m_b"), 6).as("mean_diff"),
+          round(col("zv"), 6).as("z"),
+          round(Stats.normalSfTwoSided(col("zv")), 6).as("pvalue"))
+    },
+    Some {
+      val inner = s"""WITH cell AS ($cellsSql),
+             gm AS (SELECT gene, exp(avg(ln(cnt))) AS geomean
+                    FROM cell WHERE cnt > 0 GROUP BY gene),
+             sf AS (SELECT smp,
+                      percentile_cont(0.5) WITHIN GROUP (ORDER BY ratio) AS size_factor
+                    FROM (SELECT smp, cnt / geomean AS ratio
+                          FROM cell JOIN gm USING (gene) WHERE cnt > 0)
+                    GROUP BY smp),
+             vst AS (SELECT gene, smp, log2(cnt / size_factor + 1) AS vst
+                     FROM cell JOIN sf USING (smp)),
+             g AS (SELECT gene,
+                     CASE WHEN smp % 2 = 0 THEN 'A' ELSE 'B' END AS grp, vst
+                   FROM vst),
+             st AS (SELECT gene, grp, CAST(count(*) AS BIGINT) AS n,
+                      avg(vst) AS m, var_samp(vst) AS v
+                    FROM g GROUP BY 1, 2),
+             w AS (SELECT gene,
+                     max(CASE WHEN grp = 'A' THEN n END) AS n_a,
+                     max(CASE WHEN grp = 'A' THEN m END) AS m_a,
+                     max(CASE WHEN grp = 'A' THEN v END) AS v_a,
+                     max(CASE WHEN grp = 'B' THEN n END) AS n_b,
+                     max(CASE WHEN grp = 'B' THEN m END) AS m_b,
+                     max(CASE WHEN grp = 'B' THEN v END) AS v_b
+                   FROM st GROUP BY gene)
+             SELECT gene, n_a, n_b,
+               round(m_a - m_b, 6) AS mean_diff,
+               (m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) AS z,
+               round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS z_r
+             FROM w
+             WHERE n_a >= 2 AND n_b >= 2 AND v_a / n_a + v_b / n_b > 0"""
+      withNormalSf(inner, "gene, n_a, n_b, mean_diff, z_r AS z")
+    })
+
+  def all: Seq[Q] = Seq(d1, d2, d5, d6, d6b, d7, d8, d9, e1, x8, ks1, sp1, wt1)
 }

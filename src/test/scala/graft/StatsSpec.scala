@@ -113,6 +113,26 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(df(2) - 1.0) < 1e-6)
   }
 
+  test("wt1 Welch z: valid p-range, |z|↔p monotone, sign tracks the mean diff") {
+    val rows = graft.queries.QueryCatalog.byName("wt1_welch_z")
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val triples = rows.map(r => (r.getAs[Double]("z"),
+      r.getAs[Double]("pvalue"), r.getAs[Double]("mean_diff")))
+    triples.foreach { case (z, p, md) =>
+      assert(p >= 0.0 && p <= 1.0, s"p out of range: $p")
+      // z carries the direction of the group difference
+      assert(z == 0.0 || math.signum(z) == math.signum(md), s"z=$z md=$md")
+    }
+    // the survival function is monotone: sorting by |z| descending must
+    // sort p ascending (ties aside — compare with tolerance for round-6)
+    val sorted = triples.sortBy { case (z, _, _) => -math.abs(z) }.map(_._2)
+    sorted.sliding(2).foreach { pair =>
+      if (pair.length == 2)
+        assert(pair(0) <= pair(1) + 1e-6, s"${pair(0)} > ${pair(1)}")
+    }
+  }
+
   test("significance banding propagates NULL like R's NA") {
     val df = Seq(Some(0.2), Some(0.03), Some(0.005), Some(0.0005), Some(0.00001), None)
       .toDF("padj").select(Stats.signifBand(col("padj")).as("b"))
