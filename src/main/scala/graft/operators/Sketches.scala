@@ -63,7 +63,11 @@ object Sketches {
     val m = 1 << p
     val maxRank = 60 - p + 1 // rem has 60-p bits; rank = zeros+1 ∈ [1, maxRank]
     val g = grp.map(col)
+    // NULLs are not values: drop them like approx_count_distinct does —
+    // left in, hash60(NULL) would mint a phantom NULL register that
+    // shrinks the empty-bucket count and biases the estimate upward
     val regs = df
+      .filter(col(valueCol).isNotNull)
       .withColumn("__h", Dedup.hash60(col(valueCol)))
       .withColumn("__b", col("__h").bitwiseAND(lit((m - 1).toLong)))
       .withColumn("__rem", shiftright(col("__h"), p))
@@ -72,10 +76,10 @@ object Sketches {
       .withColumn("__rank", when(col("__rem") === 0L, lit(maxRank.toLong))
         .otherwise(lit(maxRank.toLong) - length(bin(col("__rem")))))
       .groupBy((g :+ col("__b")): _*).agg(max(col("__rank")).as("__reg"))
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    // the whole numerator as ONE double literal, shared verbatim with the
-    // oracle SQL (the qd1 lnGamma convention)
-    val num = alpha * m * m * math.pow(2.0, maxRank.toDouble)
+    // the whole numerator as ONE double, computed by the SAME function an
+    // oracle embeds (the qd1 lnGamma convention) — a second hand-written
+    // copy of the expression could drift and break bit-parity
+    val num = hllNumerator(p)
     regs.groupBy(g: _*).agg(
         count(lit(1)).as("__used"),
         // the SQL ShiftLeft expression takes a column shift amount (the

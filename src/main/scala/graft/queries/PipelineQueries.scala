@@ -54,6 +54,10 @@ object PipelineQueries {
         .agg(approx_count_distinct(col("token"), 0.02).as("approx_vocab")),
     None)
 
+  /** hl2's register-index bits — shared between the Spark side and the
+    * oracle SQL so the two can never drift apart. */
+  private val hllP = 12
+
   /** HL2 — portable HyperLogLog vocabulary estimate per language
     * ([[graft.operators.Sketches.portableHllDistinct]]): the same
     * sketch-not-distinct-shuffle scale shape as `hl1`, but over the
@@ -63,10 +67,6 @@ object PipelineQueries {
     * approximate-distinct family graduates from rows-only to a full
     * hash oracle (hl1 keeps pinning the built-in HLL++ against the
     * exact count in AnalyticsSpec). */
-  /** hl2's register-index bits — shared between the Spark side and the
-    * oracle SQL so the two can never drift apart. */
-  private val hllP = 12
-
   private val hl2 = Q(
     "hl2_portable_hll",
     (s, d) =>

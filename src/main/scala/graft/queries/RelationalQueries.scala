@@ -17,13 +17,18 @@ import graft.Tables
 object RelationalQueries {
 
   /** Scratch-layout cache key for the write-once zo1/or1 rewrites: the
-    * sf dir path (sanitized — collision-free, unlike a 32-bit hashCode)
-    * plus the source table's mtime/size, so a regenerated testdata dir
-    * invalidates the cached layout instead of serving stale rows. */
+    * MD5 of the sf dir path (collision-free, unlike a lossy sanitization
+    * or a 32-bit hashCode) plus the source table's mtime/size, so a
+    * regenerated testdata dir invalidates the cached layout instead of
+    * serving stale rows. A missing source file fails fast here rather
+    * than minting a degenerate `_0_0` key and a confusing read error
+    * downstream. */
   private def cacheKey(dir: String, table: String): String = {
     val f = new java.io.File(dir, table)
-    dir.replaceAll("[^A-Za-z0-9.-]", "_") +
-      s"_${f.lastModified}_${f.length}"
+    require(f.exists, s"cacheKey: missing source ${f.getPath}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${md}_${f.lastModified}_${f.length}"
   }
 
   /** A2 — parquet scan of a cached/staged table (vital_status_DESeq.R:25-26). */

@@ -63,6 +63,21 @@ object StatsQueries {
                    FROM cell JOIN gm USING (gene) WHERE cnt > 0)
              GROUP BY smp"""))
 
+  /** Shared oracle CTE chain `cell → gm → sf` (geomean + median-of-ratios
+    * size factors) — ONE copy serving d6's and wt1's oracles so a parity
+    * fix to the float-op order can never be applied to one and missed in
+    * the other (d2 stops at gm; d6b's trend chain is structurally
+    * different and stays inline). */
+  private val sfSql =
+    s"""cell AS ($cellsSql),
+             gm AS (SELECT gene, exp(avg(ln(cnt))) AS geomean
+                    FROM cell WHERE cnt > 0 GROUP BY gene),
+             sf AS (SELECT smp,
+                      percentile_cont(0.5) WITHIN GROUP (ORDER BY ratio) AS size_factor
+                    FROM (SELECT smp, cnt / geomean AS ratio
+                          FROM cell JOIN gm USING (gene) WHERE cnt > 0)
+                    GROUP BY smp)"""
+
   /** D6 — VST-approx normalized counts `log2(cnt/sf + 1)`
     * (vital_status_DESeq.R:100-101; deviation documented in Normalization). */
   private val d6 = Q(
@@ -70,14 +85,7 @@ object StatsQueries {
     (s, d) =>
       Normalization.vst(cells(s, d), "gene", "smp", "cnt")
         .select(col("gene"), col("smp"), round(col("vst"), 6).as("vst")),
-    Some(s"""WITH cell AS ($cellsSql),
-             gm AS (SELECT gene, exp(avg(ln(cnt))) AS geomean
-                    FROM cell WHERE cnt > 0 GROUP BY gene),
-             sf AS (SELECT smp,
-                      percentile_cont(0.5) WITHIN GROUP (ORDER BY ratio) AS size_factor
-                    FROM (SELECT smp, cnt / geomean AS ratio
-                          FROM cell JOIN gm USING (gene) WHERE cnt > 0)
-                    GROUP BY smp)
+    Some(s"""WITH $sfSql
              SELECT gene, smp, round(log2(cnt / size_factor + 1), 6) AS vst
              FROM cell JOIN sf USING (smp)"""))
 
@@ -453,14 +461,7 @@ object StatsQueries {
           round(Stats.normalSfTwoSided(col("zv")), 6).as("pvalue"))
     },
     Some {
-      val inner = s"""WITH cell AS ($cellsSql),
-             gm AS (SELECT gene, exp(avg(ln(cnt))) AS geomean
-                    FROM cell WHERE cnt > 0 GROUP BY gene),
-             sf AS (SELECT smp,
-                      percentile_cont(0.5) WITHIN GROUP (ORDER BY ratio) AS size_factor
-                    FROM (SELECT smp, cnt / geomean AS ratio
-                          FROM cell JOIN gm USING (gene) WHERE cnt > 0)
-                    GROUP BY smp),
+      val inner = s"""WITH $sfSql,
              vst AS (SELECT gene, smp, log2(cnt / size_factor + 1) AS vst
                      FROM cell JOIN sf USING (smp)),
              g AS (SELECT gene,

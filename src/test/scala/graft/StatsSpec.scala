@@ -127,9 +127,11 @@ class StatsSpec extends SparkSpec {
     // the survival function is monotone: sorting by |z| descending must
     // sort p ascending (ties aside — compare with tolerance for round-6)
     val sorted = triples.sortBy { case (z, _, _) => -math.abs(z) }.map(_._2)
+    // tolerance 5e-6: z and p are both 6dp-rounded, so two genes whose
+    // unrounded |z| round together can carry p's up to ~2e-6 out of order
     sorted.sliding(2).foreach { pair =>
       if (pair.length == 2)
-        assert(pair(0) <= pair(1) + 1e-6, s"${pair(0)} > ${pair(1)}")
+        assert(pair(0) <= pair(1) + 5e-6, s"${pair(0)} > ${pair(1)}")
     }
   }
 
