@@ -120,6 +120,12 @@ class RanksSpec extends SparkSpec {
     // empty input
     assert(Ranks.quantilesOfClassesBucketed(cls.filter(lit(false)),
       Seq("g"), "v", "c", Seq("p50" -> 0.5)).count() === 0)
+    // the fact-level wrapper equals the fact-level range-exchange form
+    val wantFact = Ranks.quantilesByValue(
+      df.select($"g", $"v".cast("double").as("v")), Seq("g"), "v", qs)
+    val gotFact = Ranks.quantilesByValueBucketed(
+      df.select($"g", $"v".cast("double").as("v")), Seq("g"), "v", qs)
+    assert(gotFact.except(wantFact).isEmpty && wantFact.except(gotFact).isEmpty)
   }
 
   test("prefixSum matches the single-window running total, grouped and global") {
