@@ -71,6 +71,17 @@ object Bench {
     val line = s"""{"metric":"total","unit":"sec","queries":$qjson,""" +
       s""""sf":"$sfDir","count":${results.size},"top20":$top,"value":${fmt(total)}}"""
     println(line)
+    // The driver retains only a ~2 KB stdout tail, so the full line above
+    // never parses there (its head is cut off). This second line is a
+    // self-contained compact summary guaranteed to fit entirely inside
+    // the tail — the one the driver actually parses (r6 verdict #3).
+    val top10 = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","unit":"sec","value":${fmt(total)},""" +
+      s""""count":${results.size},"sf":"$sfDir","queries":$top10}"""
+    require(summary.length <= 1800, s"bench summary too long: ${summary.length}")
+    println(summary)
     // full, untruncated copy for the repo (the driver commits stray files):
     // per-query history survives even when the stdout line is tail-cut
     try java.nio.file.Files.writeString(

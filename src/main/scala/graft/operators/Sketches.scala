@@ -101,7 +101,18 @@ object Sketches {
     * same `p` — exposed so SQL embeds the IDENTICAL double. */
   def hllNumerator(p: Int): Double = {
     val m = 1 << p
-    (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, (60 - p + 1).toDouble)
+    // the Flajolet et al. bias constants: the asymptotic form holds only
+    // for m >= 128 (p >= 7); the three small-m cases have their own
+    // tabulated values — using the asymptotic one at p=4..6 carries
+    // avoidable bias (cross-engine parity was unaffected since both
+    // sides embed this same function, but the ESTIMATE was off)
+    val alphaM = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alphaM * m * m * math.pow(2.0, (60 - p + 1).toDouble)
   }
 
   /** γ = (1+α)/(1−α): consecutive bucket boundaries' ratio. */

@@ -105,9 +105,15 @@ object NativeAsOf {
     // and both rules via injectPlannerStrategy/injectOptimizerRule;
     // re-adding them through the experimental hooks would run the
     // pushdown/pruning rules twice per optimization pass (harmless but
-    // wasteful — flagged by the r5 advisor)
-    if (spark.conf.getOption("spark.sql.extensions")
-        .exists(_.contains("graft.expressions.GraftExtensions"))) return
+    // wasteful — flagged by the r5 advisor). The skip is gated on an
+    // APPLIED-extensions witness, not the conf string: Spark logs-and-
+    // continues when an extensions class fails to instantiate, so the
+    // conf merely MENTIONING GraftExtensions does not prove injection
+    // (r6 advisor). The planner's strategy list is ground truth, and
+    // both registration paths add the strategy and the two rules
+    // together, so strategy-present ⇔ rules-present.
+    if (spark.sessionState.planner.strategies
+        .exists(_.isInstanceOf[AsOfJoinStrategy])) return
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsOfJoinStrategy

@@ -344,7 +344,7 @@ object DomainQueries {
     * per-gene fit each re-read the kc cache through two broadcast joins,
     * which is cache-read-priced, instead of paying a second fact-sized
     * cache materialization (round-2's d3/d4 regression). */
-  private def nbInput(s: SparkSession, d: String,
+  private[graft] def nbInput(s: SparkSession, d: String,
       levels: Int): (DataFrame, Seq[DataFrame]) = {
     val cond =
       if (levels == 2) when(col("s_suppkey") % 2 === 0, "NT").otherwise("TP")
@@ -385,6 +385,130 @@ object DomainQueries {
     },
     None)
 
+  /** D3B — the Wald SCORING stage of d3 behind a FROZEN dispersion model
+    * (the lr1b/pc1b fit/apply split, closing the last un-oracled operator
+    * family): per-gene MAP dispersions from the REAL d3 fit on sf0.001
+    * ([[FrozenModels.nbAlphas]]) ship as plan literals; size factors are
+    * recomputed in-query via the d2 median-of-ratios chain (itself
+    * hash-oracled). Given alpha and sf everything is closed-form:
+    *
+    *  - group normalized mean: q_g = Σcnt / Σsf — the one-step offset
+    *    estimator (the exact NB score-equation root given the fitted q,
+    *    and the documented deviation from d3's full IRLS MLE, which
+    *    weights samples by 1/(1+α·μ_i); at the testdata's moderate
+    *    dispersions the two agree to ~α·CV(sf) relative error)
+    *  - Fisher information per group: I_g = Σ_i sf_i·q/(1+α·sf_i·q)
+    *    (the NB-GLM weight sum d3's covariance inverts — exact given q)
+    *  - log2fc = (ln q_TP − ln q_NT)/ln2, se = √(1/I_NT + 1/I_TP)/ln2,
+    *    z = lfc/se, p via the shared A&S tail — computed from the
+    *    6-dp-rounded z on BOTH sides so the tail polynomial sees
+    *    bit-identical input.
+    *
+    * Scale shape: two bounded hash aggs over the (gene × sample) frame
+    * with the gene-level stats broadcast back — no window over the fact,
+    * no driver math beyond the frozen literals. */
+  private val d3b = Q(
+    "d3b_wald_apply",
+    (s, d) => {
+      val ln2 = math.log(2.0)
+      val fz = s.createDataFrame(
+        FrozenModels.nbGenes.zip(FrozenModels.nbAlphas).toSeq)
+        .toDF("gene", "alpha")
+      val kc = keptCells(s, d).persist()
+      val sf = Normalization.sizeFactors(kc, "gene", "smp", "cnt").persist()
+      val c = kc.join(broadcast(sf), "smp")
+        .join(broadcast(fz), "gene")
+        .select(col("gene"), col("smp"), col("cnt"),
+          when(col("smp") % 2 === 0, "NT").otherwise("TP").as("cond"),
+          col("size_factor").as("sf"), col("alpha"))
+      val grp = c.groupBy(col("gene"), col("cond")).agg(
+          sum(col("cnt")).as("sy"), sum(col("sf")).as("ssf"),
+          sum(col("cnt") / col("sf")).as("snorm"),
+          count(lit(1)).as("n"))
+        .withColumn("q", col("sy") / col("ssf"))
+        .select(col("gene"), col("cond"), col("q"), col("snorm"), col("n"))
+      val info = c.join(broadcast(grp), Seq("gene", "cond"))
+        .withColumn("w",
+          col("sf") * col("q") / (lit(1.0) + col("alpha") * col("sf") * col("q")))
+        .groupBy(col("gene"), col("cond")).agg(
+          max(col("q")).as("q"), max(col("snorm")).as("snorm"),
+          max(col("n")).as("n"), sum(col("w")).as("i"))
+      def side(cnd: String, src: String, as0: String) =
+        max(when(col("cond") === cnd, col(src))).as(as0)
+      val wide = info.groupBy(col("gene")).agg(
+        side("NT", "q", "q_nt"), side("NT", "i", "i_nt"),
+        side("NT", "n", "n_nt"), side("NT", "snorm", "s_nt"),
+        side("TP", "q", "q_tp"), side("TP", "i", "i_tp"),
+        side("TP", "n", "n_tp"), side("TP", "snorm", "s_tp"))
+      val out = wide
+        .filter(col("n_nt") >= 2 && col("n_tp") >= 2 &&
+          col("q_nt") > 0 && col("q_tp") > 0 &&
+          col("i_nt") > 0 && col("i_tp") > 0)
+        .withColumn("lfc", log(col("q_tp")) - log(col("q_nt")))
+        .withColumn("se", sqrt(lit(1.0) / col("i_nt") + lit(1.0) / col("i_tp")))
+        .withColumn("zr", round(col("lfc") / col("se"), 6))
+        .select(col("gene"),
+          round((col("s_nt") + col("s_tp")) / (col("n_nt") + col("n_tp")), 6)
+            .as("base_mean"),
+          round(col("lfc") / lit(ln2), 6).as("log2fc"),
+          round(col("se") / lit(ln2), 6).as("lfc_se"),
+          col("zr").as("stat"),
+          round(Stats.normalSfTwoSided(col("zr")), 6).as("pvalue"))
+      graft.Caches.releaseAfterAction(kc, sf)
+      out
+    },
+    Some {
+      val ln2 = math.log(2.0).toString
+      val fzRows = FrozenModels.nbGenes.zip(FrozenModels.nbAlphas)
+        .map { case (g, a) => s"($g, $a)" }.mkString(", ")
+      val zInner =
+        s"""WITH cellk AS ($keptCellsSql),
+            gm AS (SELECT gene, exp(avg(ln(cnt))) AS geomean
+                   FROM cellk WHERE cnt > 0 GROUP BY gene),
+            sfac AS (SELECT smp,
+                       percentile_cont(0.5) WITHIN GROUP (ORDER BY ratio) AS size_factor
+                     FROM (SELECT smp, cnt / geomean AS ratio
+                           FROM cellk JOIN gm USING (gene) WHERE cnt > 0)
+                     GROUP BY smp),
+            fz(gene, alpha) AS (VALUES $fzRows),
+            c AS (SELECT gene, smp, cnt,
+                    CASE WHEN smp % 2 = 0 THEN 'NT' ELSE 'TP' END AS cond,
+                    size_factor AS sf, alpha
+                  FROM cellk JOIN sfac USING (smp) JOIN fz USING (gene)),
+            g AS (SELECT gene, cond, sum(cnt) AS sy, sum(sf) AS ssf,
+                    sum(cnt / sf) AS snorm, CAST(count(*) AS BIGINT) AS n
+                  FROM c GROUP BY 1, 2),
+            gq AS (SELECT gene, cond, sy / ssf AS q, snorm, n FROM g),
+            w AS (SELECT c.gene, c.cond, max(gq.q) AS q, max(gq.snorm) AS snorm,
+                    max(gq.n) AS n,
+                    sum(c.sf * gq.q / (1.0 + c.alpha * c.sf * gq.q)) AS i
+                  FROM c JOIN gq ON c.gene = gq.gene AND c.cond = gq.cond
+                  GROUP BY 1, 2),
+            wd AS (SELECT gene,
+                     max(CASE WHEN cond = 'NT' THEN q END) AS q_nt,
+                     max(CASE WHEN cond = 'NT' THEN i END) AS i_nt,
+                     max(CASE WHEN cond = 'NT' THEN n END) AS n_nt,
+                     max(CASE WHEN cond = 'NT' THEN snorm END) AS s_nt,
+                     max(CASE WHEN cond = 'TP' THEN q END) AS q_tp,
+                     max(CASE WHEN cond = 'TP' THEN i END) AS i_tp,
+                     max(CASE WHEN cond = 'TP' THEN n END) AS n_tp,
+                     max(CASE WHEN cond = 'TP' THEN snorm END) AS s_tp
+                   FROM w GROUP BY gene)
+            SELECT gene,
+              round((s_nt + s_tp) / (n_nt + n_tp), 6) AS base_mean,
+              round((ln(q_tp) - ln(q_nt)) / $ln2, 6) AS log2fc,
+              round(sqrt(1.0 / i_nt + 1.0 / i_tp) / $ln2, 6) AS lfc_se,
+              round((ln(q_tp) - ln(q_nt)) / sqrt(1.0 / i_nt + 1.0 / i_tp), 6) AS z
+            FROM wd
+            WHERE n_nt >= 2 AND n_tp >= 2 AND q_nt > 0 AND q_tp > 0
+              AND i_nt > 0 AND i_tp > 0"""
+      val withP =
+        withNormalSf(zInner, "gene, base_mean, log2fc, lfc_se, z AS stat")
+      s"""SELECT gene, base_mean, log2fc, lfc_se, stat,
+            round(pvalue, 6) AS pvalue
+          FROM ($withP)"""
+    })
+
   /** D4 — 10 pairwise contrasts from one 5-level fit
     * (BRCA_path_stage_DESeq.R:113-122). */
   private val d4 = Q(
@@ -407,5 +531,5 @@ object DomainQueries {
     },
     None)
 
-  def all: Seq[Q] = Seq(de1, km1, km2, fan1, d3, d4)
+  def all: Seq[Q] = Seq(de1, km1, km2, fan1, d3, d3b, d4)
 }

@@ -293,6 +293,9 @@ object EmbeddingQueries {
       }.mkString(" + ")
       val codeCols = (0 until 8).map(s0 => s"${codeSql(s0)} AS c$s0")
         .mkString(",\n                 ")
+      // the len(embedding) = 64 guard MIRRORS Pq.encode's own domain
+      // filter (size(vecCol) === model.dim) — both engines drop the same
+      // malformed-length rows, so row counts stay in lockstep
       s"""WITH enc AS (SELECT vec_id,
                  $codeCols
                FROM embeddings WHERE len(embedding) = 64)

@@ -23,12 +23,37 @@ object RelationalQueries {
     * serving stale rows. A missing source file fails fast here rather
     * than minting a degenerate `_0_0` key and a confusing read error
     * downstream. */
-  private def cacheKey(dir: String, table: String): String = {
+  private[graft] def cacheKey(dir: String, table: String): String = {
     val f = new java.io.File(dir, table)
     require(f.exists, s"cacheKey: missing source ${f.getPath}")
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"${md}_${f.lastModified}_${f.length}"
+  }
+
+  /** Reap stale scratch layouts under `root` before writing `key`: any
+    * sibling for the SAME source dir (same MD5 prefix, different
+    * mtime/size — a testdata regen) and any key not in the current
+    * md5_mtime_size format (legacy hashCode keys no code can read) is
+    * deleted. Layouts for OTHER sf dirs (different MD5) are kept, so the
+    * invariant is one layout per (scratch root, sf dir). Idempotent and
+    * cheap — a listFiles over a root holding a handful of layouts. */
+  private[graft] def gcStaleLayouts(root: String, key: String): Unit = {
+    val keyRe = "^[0-9a-f]{32}_\\d+_\\d+$".r
+    val md5 = key.take(32)
+    val dir = new java.io.File(root)
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { child =>
+      val n = child.getName
+      val stale =
+        n != key && (n.startsWith(md5) || keyRe.findFirstIn(n).isEmpty)
+      if (stale) deleteRecursively(child)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** A2 — parquet scan of a cached/staged table (vital_status_DESeq.R:25-26). */
@@ -53,8 +78,10 @@ object RelationalQueries {
   private val zo1 = Q(
     "zo1_zorder_prune",
     (s, d) => {
-      val path = s"/tmp/graft_zo1/${cacheKey(d, "orders.parquet")}"
+      val key = cacheKey(d, "orders.parquet")
+      val path = s"/tmp/graft_zo1/$key"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
+        gcStaleLayouts("/tmp/graft_zo1", key)
         graft.sources.Zorder.writeZordered(
           Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
           path, Seq("o_totalprice", "o_custkey"), files = 16)
@@ -81,8 +108,10 @@ object RelationalQueries {
   private val or1 = Q(
     "or1_orc_interchange",
     (s, d) => {
-      val path = s"/tmp/graft_or1/${cacheKey(d, "lineitem.parquet")}"
+      val key = cacheKey(d, "lineitem.parquet")
+      val path = s"/tmp/graft_or1/$key"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
+        gcStaleLayouts("/tmp/graft_or1", key)
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
           .write.mode("overwrite").orc(path)

@@ -422,46 +422,11 @@ object StatsQueries {
                   * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
             FROM m"""))
 
-  /** WT1 — grouped two-sample WELCH z-test per gene over the VST-
-    * normalized counts (the parametric screening complement to d7's
-    * rank-based Wilcoxon — the limma-style "moderated-t without
-    * moderation" shape, normal approximation documented; d7's exact
-    * branch owns the small-n regime). Everything is closed-form:
-    * per-(gene, group) count/mean/sample-variance in ONE partial+final
-    * hash agg, conditional aggregation to wide per-gene columns (no
-    * second shuffle), z = Δmean / √(v_a/n_a + v_b/n_b), p from the
-    * shared Abramowitz–Stegun tail. Degenerate genes (a group smaller
-    * than 2, or zero pooled variance — both-constant groups, which both
-    * engines compute as exactly 0.0) are filtered identically on both
-    * sides. Cross-engine float note: avg/var_samp are association-
-    * sensitive at ulp scale; `round(·, 6)` on every emitted double
-    * absorbs it (the d6b OLS-trend precedent). */
-  private val wt1 = Q(
-    "wt1_welch_z",
-    (s, d) => {
-      val vst = Normalization.vst(cells(s, d), "gene", "smp", "cnt")
-        .withColumn("grp", when(col("smp") % 2 === 0, "A").otherwise("B"))
-      val st = vst.groupBy(col("gene"), col("grp")).agg(
-        count(lit(1)).as("n"), avg(col("vst")).as("m"),
-        var_samp(col("vst")).as("v"))
-      val wide = st.groupBy(col("gene")).agg(
-        max(when(col("grp") === "A", col("n"))).as("n_a"),
-        max(when(col("grp") === "A", col("m"))).as("m_a"),
-        max(when(col("grp") === "A", col("v"))).as("v_a"),
-        max(when(col("grp") === "B", col("n"))).as("n_b"),
-        max(when(col("grp") === "B", col("m"))).as("m_b"),
-        max(when(col("grp") === "B", col("v"))).as("v_b"))
-      wide.filter(col("n_a") >= 2 && col("n_b") >= 2)
-        .withColumn("se2", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
-        .filter(col("se2") > 0)
-        .withColumn("zv", (col("m_a") - col("m_b")) / sqrt(col("se2")))
-        .select(col("gene"), col("n_a"), col("n_b"),
-          round(col("m_a") - col("m_b"), 6).as("mean_diff"),
-          round(col("zv"), 6).as("z"),
-          round(Stats.normalSfTwoSided(col("zv")), 6).as("pvalue"))
-    },
-    Some {
-      val inner = s"""WITH $sfSql,
+  /** Shared oracle CTE chain `cell → gm → sf → vst → g → st → w` ending
+    * in the per-gene wide two-group stat frame — the SQL mirror of
+    * [[welchWide]], ONE copy serving the wt1 and wt2 oracles. */
+  private val welchWideSql =
+    s"""$sfSql,
              vst AS (SELECT gene, smp, log2(cnt / size_factor + 1) AS vst
                      FROM cell JOIN sf USING (smp)),
              g AS (SELECT gene,
@@ -477,7 +442,57 @@ object StatsQueries {
                      max(CASE WHEN grp = 'B' THEN n END) AS n_b,
                      max(CASE WHEN grp = 'B' THEN m END) AS m_b,
                      max(CASE WHEN grp = 'B' THEN v END) AS v_b
-                   FROM st GROUP BY gene)
+                   FROM st GROUP BY gene)"""
+
+  /** WT1 — grouped two-sample WELCH z-test per gene over the VST-
+    * normalized counts (the parametric screening complement to d7's
+    * rank-based Wilcoxon — the limma-style "moderated-t without
+    * moderation" shape, normal approximation documented; d7's exact
+    * branch owns the small-n regime). Everything is closed-form:
+    * per-(gene, group) count/mean/sample-variance in ONE partial+final
+    * hash agg, conditional aggregation to wide per-gene columns (no
+    * second shuffle), z = Δmean / √(v_a/n_a + v_b/n_b), p from the
+    * shared Abramowitz–Stegun tail. Degenerate genes (a group smaller
+    * than 2, or zero pooled variance — both-constant groups, which both
+    * engines compute as exactly 0.0) are filtered identically on both
+    * sides. Cross-engine float note: avg/var_samp are association-
+    * sensitive at ulp scale; `round(·, 6)` on every emitted double
+    * absorbs it (the d6b OLS-trend precedent). */
+  /** Shared two-group per-gene VST stat frame — the wt1/wt2 front end
+    * (and the input [[graft.FreezeModels]] fits the wt2 variance prior
+    * on): one partial+final hash agg to (gene, grp) moments, conditional
+    * aggregation to wide per-gene columns, no second shuffle. */
+  private[graft] def welchWide(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val vst = Normalization.vst(cells(s, d), "gene", "smp", "cnt")
+      .withColumn("grp", when(col("smp") % 2 === 0, "A").otherwise("B"))
+    val st = vst.groupBy(col("gene"), col("grp")).agg(
+      count(lit(1)).as("n"), avg(col("vst")).as("m"),
+      var_samp(col("vst")).as("v"))
+    st.groupBy(col("gene")).agg(
+      max(when(col("grp") === "A", col("n"))).as("n_a"),
+      max(when(col("grp") === "A", col("m"))).as("m_a"),
+      max(when(col("grp") === "A", col("v"))).as("v_a"),
+      max(when(col("grp") === "B", col("n"))).as("n_b"),
+      max(when(col("grp") === "B", col("m"))).as("m_b"),
+      max(when(col("grp") === "B", col("v"))).as("v_b"))
+  }
+
+  private val wt1 = Q(
+    "wt1_welch_z",
+    (s, d) => {
+      val wide = welchWide(s, d)
+      wide.filter(col("n_a") >= 2 && col("n_b") >= 2)
+        .withColumn("se2", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+        .filter(col("se2") > 0)
+        .withColumn("zv", (col("m_a") - col("m_b")) / sqrt(col("se2")))
+        .select(col("gene"), col("n_a"), col("n_b"),
+          round(col("m_a") - col("m_b"), 6).as("mean_diff"),
+          round(col("zv"), 6).as("z"),
+          round(Stats.normalSfTwoSided(col("zv")), 6).as("pvalue"))
+    },
+    Some {
+      val inner = s"""WITH $welchWideSql
              SELECT gene, n_a, n_b,
                round(m_a - m_b, 6) AS mean_diff,
                (m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) AS z,
@@ -487,5 +502,72 @@ object StatsQueries {
       withNormalSf(inner, "gene, n_a, n_b, mean_diff, z_r AS z")
     })
 
-  def all: Seq[Q] = Seq(d1, d2, d5, d6, d6b, d7, d8, d9, e1, x8, ks1, sp1, wt1)
+  /** WT2 — MODERATED z-test per gene: the limma `squeezeVar` complement
+    * to wt1 behind a FROZEN variance prior (the d3b/lr1b fit/apply
+    * split). The Smyth EB prior (d0, s0²) was fitted once on the sf0.001
+    * pooled per-gene variances ([[graft.functions.Moderation
+    * .fitVariancePrior]] — iterative only in the 1-D trigamma inversion,
+    * hence frozen) and ships as two plan literals; the APPLY stage is
+    * pure closed-form column math over the shared [[welchWide]] frame:
+    *
+    *   s²_g    = (ssq_A + ssq_B)/(n_A + n_B − 2)   pooled residual var
+    *   s²_post = (d0·s0² + df_g·s²_g)/(d0 + df_g)  EB shrinkage
+    *   z       = Δmean / √(s²_post·(1/n_A + 1/n_B)), p via the A&S tail
+    *
+    * computed from the 6-dp-rounded z on both sides (the d3b convention)
+    * so the tail polynomial sees bit-identical input. Same scale shape
+    * as wt1: one partial+final hash agg, no second shuffle, the prior is
+    * two literals. Deviation from limma, documented: p from the normal
+    * tail, not the t(d0+df) tail — the moderated-z screening form; wt1's
+    * normal approximation precedent. */
+  private val wt2 = Q(
+    "wt2_moderated_z",
+    (s, d) => {
+      val d0 = FrozenModels.wtPriorDf
+      val s02 = FrozenModels.wtPriorS2
+      welchWide(s, d)
+        .filter(col("n_a") >= 2 && col("n_b") >= 2)
+        .withColumn("dfg", (col("n_a") + col("n_b") - 2).cast("double"))
+        .withColumn("s2",
+          (col("v_a") * (col("n_a") - 1) + col("v_b") * (col("n_b") - 1)) /
+            col("dfg"))
+        .withColumn("s2post",
+          (lit(d0) * lit(s02) + col("dfg") * col("s2")) / (lit(d0) + col("dfg")))
+        .filter(col("s2post") > 0)
+        .withColumn("zr", round(
+          (col("m_a") - col("m_b")) /
+            sqrt(col("s2post") * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))),
+          6))
+        .select(col("gene"), col("n_a"), col("n_b"),
+          round(col("m_a") - col("m_b"), 6).as("mean_diff"),
+          round(col("s2post"), 6).as("s2_post"),
+          col("zr").as("z"),
+          round(Stats.normalSfTwoSided(col("zr")), 6).as("pvalue"))
+    },
+    Some {
+      val d0 = FrozenModels.wtPriorDf.toString
+      val s02 = FrozenModels.wtPriorS2.toString
+      val zInner = s"""WITH $welchWideSql,
+             m AS (SELECT gene, n_a, n_b, m_a, m_b,
+                     CAST(n_a + n_b - 2 AS DOUBLE) AS dfg,
+                     (v_a * (n_a - 1) + v_b * (n_b - 1)) /
+                       CAST(n_a + n_b - 2 AS DOUBLE) AS s2
+                   FROM w WHERE n_a >= 2 AND n_b >= 2),
+             p AS (SELECT gene, n_a, n_b, m_a, m_b, dfg,
+                     ($d0 * $s02 + dfg * s2) / ($d0 + dfg) AS s2post
+                   FROM m)
+             SELECT gene, n_a, n_b,
+               round(m_a - m_b, 6) AS mean_diff,
+               round(s2post, 6) AS s2_post,
+               round((m_a - m_b) / sqrt(s2post * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+             FROM p WHERE s2post > 0"""
+      val withP =
+        withNormalSf(zInner, "gene, n_a, n_b, mean_diff, s2_post, z")
+      s"""SELECT gene, n_a, n_b, mean_diff, s2_post, z,
+            round(pvalue, 6) AS pvalue
+          FROM ($withP)"""
+    })
+
+  def all: Seq[Q] =
+    Seq(d1, d2, d5, d6, d6b, d7, d8, d9, e1, x8, ks1, sp1, wt1, wt2)
 }

@@ -164,4 +164,24 @@ class DiffExpressionSpec extends SparkSpec {
     // ...and high-mean nulls keep a non-null, non-significant padj
     assert(out(30L).getAs[Double]("padj") > 0.1)
   }
+
+  test("d3b Wald apply: frozen-dispersion scoring invariants on sf0.001") {
+    val out = graft.queries.QueryCatalog.byName("d3b_wald_apply")
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty, "apply stage must score the frozen genes")
+    out.foreach { r =>
+      val (fc, se, st, p) = (r.getAs[Double]("log2fc"), r.getAs[Double]("lfc_se"),
+        r.getAs[Double]("stat"), r.getAs[Double]("pvalue"))
+      assert(se > 0, s"se must be positive: $r")
+      assert(p >= 0 && p <= 1, s"pvalue out of range: $r")
+      assert(r.getAs[Double]("base_mean") > 0, s"base_mean: $r")
+      // z = lfc/se with the ln2 factors cancelling — identity up to the
+      // 6-dp rounding applied independently to all three columns
+      assert(math.abs(st - fc / se) <= 2e-5 * math.max(1.0, math.abs(st)),
+        s"stat != log2fc/lfc_se: $r")
+    }
+    // the frozen checkpoint was FIT on this very dir, so its gene set is
+    // exactly the fit's surviving genes — every one must be scored
+    assert(out.length == graft.queries.FrozenModels.nbGenes.length)
+  }
 }

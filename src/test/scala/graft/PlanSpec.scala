@@ -458,7 +458,11 @@ class PlanSpec extends SparkSpec {
     // can't show it — the skipping acts via footer stats / a manifest):
     // at most half of the 16 clustered files' [min,max] boxes may
     // intersect the query box on BOTH columns
-    val path = s"/tmp/graft_zo1/${java.lang.Integer.toHexString(dir.hashCode)}"
+    // reuse the query's own cache key so the test reads the layout the
+    // query actually wrote (a reconstructed key silently validated a
+    // stale pre-rename layout — round-6 verdict)
+    val path =
+      s"/tmp/graft_zo1/${graft.queries.RelationalQueries.cacheKey(dir, "orders.parquet")}"
     val boxes = spark.read.parquet(path)
       .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
       .agg(org.apache.spark.sql.functions.min("o_totalprice").as("plo"),

@@ -24,6 +24,23 @@ class SourcesSpec extends SparkSpec {
     assert(back(0).getString(2) == "2.5")
   }
 
+  test("scratch-layout GC: regen siblings and legacy keys reaped, other sf dirs kept") {
+    import graft.queries.RelationalQueries.{cacheKey, gcStaleLayouts}
+    val root = Files.createTempDirectory("graft_gc").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val key = cacheKey(sfDir, "orders.parquet")
+    def mk(name: String) = { new java.io.File(root, name).mkdirs(); name }
+    val current = mk(key)
+    val regen = mk(key.take(32) + "_1_2") // same source dir, pre-regen mtime/size
+    val legacy = mk("d178f9eb") // pre-rename hashCode-format key
+    val other = mk("0123456789abcdef0123456789abcdef_5_6") // another sf dir
+    gcStaleLayouts(root.getAbsolutePath, key)
+    assert(new java.io.File(root, current).exists, "current layout must survive")
+    assert(!new java.io.File(root, regen).exists, "regen sibling must be reaped")
+    assert(!new java.io.File(root, legacy).exists, "legacy key must be reaped")
+    assert(new java.io.File(root, other).exists, "other sf dir's layout must survive")
+  }
+
   test("A2-A4: loadOrBuild probes, materializes once, then reuses") {
     val path = Files.createTempDirectory("graft_stage").toFile.getAbsolutePath + "/stage1"
     var builds = 0

@@ -8,6 +8,12 @@ SF_BENCH=${SF_BENCH:-/root/testdata/sf0.1}
 CPUS=${SPARK_GRAFT_CPUS:-8}
 OUT=${OUT:-/tmp/gate_out}
 
+# Clean-environment gate: leftover scratch layouts have masked a
+# stale-path test bug before (round-6 verdict) — kill the class. Every
+# graft scratch dir is write-if-missing or per-run temp, so a cold start
+# must stay green.
+rm -rf /tmp/graft_*
+
 sbt -batch compile
 sbt -batch test
 SPARK_GRAFT_CPUS=$CPUS sbt -batch "runMain graft.Verify $SF_ORACLE $OUT"
