@@ -57,15 +57,22 @@ object DomainQueries {
     Normalization.vst(keptCells(s, d), "gene", "smp", "cnt")
       .select(col("gene"), col("smp"), round(col("vst"), 6).as("val"))
 
-  private val vstValsSql =
-    s"""WITH cellk AS ($keptCellsSql),
+  /** Shared oracle CTE chain `cellk → gm → sfac` (kept cells + geomean +
+    * median-of-ratios size factors) — ONE copy serving vstValsSql and
+    * d3b's oracle, the StatsQueries.sfSql dedup rule: a float-op parity
+    * fix can never be applied to one copy and missed in the other. */
+  private val keptSfSql =
+    s"""cellk AS ($keptCellsSql),
         gm AS (SELECT gene, exp(avg(ln(cnt))) AS geomean
                FROM cellk WHERE cnt > 0 GROUP BY gene),
         sfac AS (SELECT smp,
                    percentile_cont(0.5) WITHIN GROUP (ORDER BY ratio) AS size_factor
                  FROM (SELECT smp, cnt / geomean AS ratio
                        FROM cellk JOIN gm USING (gene) WHERE cnt > 0)
-                 GROUP BY smp)
+                 GROUP BY smp)"""
+
+  private val vstValsSql =
+    s"""WITH $keptSfSql
         SELECT gene, smp, round(log2(cnt / size_factor + 1), 6) AS val
         FROM cellk JOIN sfac USING (smp)"""
 
@@ -462,14 +469,7 @@ object DomainQueries {
       val fzRows = FrozenModels.nbGenes.zip(FrozenModels.nbAlphas)
         .map { case (g, a) => s"($g, $a)" }.mkString(", ")
       val zInner =
-        s"""WITH cellk AS ($keptCellsSql),
-            gm AS (SELECT gene, exp(avg(ln(cnt))) AS geomean
-                   FROM cellk WHERE cnt > 0 GROUP BY gene),
-            sfac AS (SELECT smp,
-                       percentile_cont(0.5) WITHIN GROUP (ORDER BY ratio) AS size_factor
-                     FROM (SELECT smp, cnt / geomean AS ratio
-                           FROM cellk JOIN gm USING (gene) WHERE cnt > 0)
-                     GROUP BY smp),
+        s"""WITH $keptSfSql,
             fz(gene, alpha) AS (VALUES $fzRows),
             c AS (SELECT gene, smp, cnt,
                     CASE WHEN smp % 2 = 0 THEN 'NT' ELSE 'TP' END AS cond,

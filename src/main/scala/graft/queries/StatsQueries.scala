@@ -561,11 +561,9 @@ object StatsQueries {
                round(s2post, 6) AS s2_post,
                round((m_a - m_b) / sqrt(s2post * (1.0 / n_a + 1.0 / n_b)), 6) AS z
              FROM p WHERE s2post > 0"""
-      val withP =
-        withNormalSf(zInner, "gene, n_a, n_b, mean_diff, s2_post, z")
-      s"""SELECT gene, n_a, n_b, mean_diff, s2_post, z,
-            round(pvalue, 6) AS pvalue
-          FROM ($withP)"""
+      // this file's withNormalSf already rounds pvalue (unlike the
+      // DomainQueries variant d3b wraps) — no outer layer needed
+      withNormalSf(zInner, "gene, n_a, n_b, mean_diff, s2_post, z")
     })
 
   def all: Seq[Q] =
