@@ -213,6 +213,34 @@ object Stats {
     least(lit(1.0), erfc)
   }
 
+  /** Exact grouped ROC AUC via the Mann–Whitney rank identity
+    * AUC = (Σ_pos r̄ − n₁(n₁+1)/2)/(n₁n₀) with tie-AVERAGE ranks — the
+    * same `2·min(rn)+ties−1` integer rank (= 2·r̄) the Wilcoxon/Spearman
+    * family uses, so all arithmetic is exact integers up to the final
+    * division. `labelCol` must be 0/1 (long); callers wanting
+    * cross-engine hash parity should round `scoreCol` BEFORE calling
+    * (the rounded-before-ranking rule) so tie structure is identical.
+    * Groups with no positives or no negatives (AUC undefined) are
+    * dropped. Scale shape: one per-group sort — the inherent cost of
+    * exact AUC; a group too large to sort per-partition would move to a
+    * binned approximate AUC. */
+  def rankAuc(df: DataFrame, grpCol: String, labelCol: String,
+      scoreCol: String, idCol: String): DataFrame = {
+    val wRn = Window.partitionBy(col(grpCol)).orderBy(col(scoreCol), col(idCol))
+    val wTie = Window.partitionBy(col(grpCol), col(scoreCol))
+    df.withColumn("__rn", row_number().over(wRn).cast("long"))
+      .withColumn("__rx",
+        lit(2L) * min(col("__rn")).over(wTie) + count(lit(1)).over(wTie) - 1L)
+      .groupBy(col(grpCol)).agg(
+        sum(col(labelCol)).as("n_pos"),
+        (count(lit(1)) - sum(col(labelCol))).as("n_neg"),
+        sum(when(col(labelCol) === 1L, col("__rx")).otherwise(0L)).as("__srx"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col(grpCol), col("n_pos"), col("n_neg"),
+        round((col("__srx") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
   /** Significance banding of adjusted p-values with R's NA propagation
     * (vital_status_DESeq.R:93-97): NULL padj stays NULL. */
   def signifBand(padj: Column): Column =

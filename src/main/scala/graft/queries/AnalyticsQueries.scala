@@ -1219,8 +1219,8 @@ object AnalyticsQueries {
     * u = h/2⁶⁰ < CDF(k) ⇔ h < ⌊CDF(k)·2⁶⁰⌋. Computed ONCE driver-side and
     * embedded as the SAME literals in both the Spark plan and the oracle
     * SQL, so the inverse-CDF comparison is exact-integer on both engines.
-    * Truncated at k = 8 (P(X ≥ 8) ≈ 1e-6 — at most a 1e-6 weight-mass
-    * clip, identical on both sides by construction). */
+    * Truncated at k = 8 (P(X ≥ 8) = 1 − CDF(7) ≈ 1.04e-5 — at most a
+    * ~1e-5 weight-mass clip, identical on both sides by construction). */
   private val poissonThresholds: Seq[Long] = {
     var cdf = 0.0
     var fact = 1.0

@@ -663,29 +663,71 @@ object CurationQueries {
     * doubles, so the literal parses to the same bits on both engines. */
   private val lr1bW = Array(4.0, 2.5, 1.75, 3.0, 0.5)
 
+  /** Shared lr1b/auc1 feature pass (Spark side): the x7 rule margins +
+    * `keep` flag from `Corpus.ruleFiltered`, with optional carried
+    * columns — ONE copy so the two queries' hash oracles can never
+    * drift apart. `mean_word_len`/`distinct_ratio` arrive PRE-ROUNDED
+    * (cross-engine parity proven by x7's hash match); the length margin
+    * is pure rational arithmetic. */
+  private def classifierFeats(s: SparkSession, d: String,
+      carry: Seq[String] = Nil): DataFrame =
+    graft.api.Corpus.ruleFiltered(Tables.documents(s, d),
+        stopList = stopList, carry = carry)
+      .select(col("doc_id") +: carry.map(col) :+
+        least(least(col("n_tok").cast("double") / 30.0 - 1.0,
+          lit(1.0) - col("n_tok").cast("double") / 5000.0), lit(0.0)).as("f_len") :+
+        least(least(col("mean_word_len") - 4.0,
+          lit(5.0) - col("mean_word_len")), lit(0.0)).as("f_mwl") :+
+        least(col("distinct_ratio") - 0.35, lit(0.0)).as("f_dr") :+
+        least(col("n_stop").cast("double") - 2.0, lit(0.0)).as("f_stop") :+
+        col("keep"): _*)
+
+  /** The SQL mirror of [[classifierFeats]], ending in CTE `f` with
+    * (doc_id, source, f_len, f_mwl, f_dr, f_stop, keep). Parity rules:
+    * the FEATURES use the 6-dp-rounded mwl/dr (matching ruleFiltered's
+    * rounded output columns), the `keep` flag uses the UNROUNDED values
+    * (matching ruleFiltered's r_* flags and the x7 oracle precedent —
+    * rounding before the threshold comparison would be a latent label
+    * divergence near rule boundaries). */
+  private val classifierFeatSql =
+    s"""t AS (SELECT doc_id, source,
+                string_split_regex(trim(lower(text)), '\\s+') AS toks
+              FROM documents),
+        m AS (SELECT doc_id, source,
+                CAST(len(toks) AS BIGINT) AS n_tok,
+                CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                  / len(toks) AS mwl,
+                CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr,
+                CAST(len(list_intersect(list_distinct(toks),
+                  [${stopList.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS n_stop
+              FROM t),
+        f AS (SELECT doc_id, source,
+                least(least(CAST(n_tok AS DOUBLE) / 30.0 - 1.0,
+                  1.0 - CAST(n_tok AS DOUBLE) / 5000.0), 0.0) AS f_len,
+                least(least(round(mwl, 6) - 4.0, 5.0 - round(mwl, 6)), 0.0) AS f_mwl,
+                least(round(dr, 6) - 0.35, 0.0) AS f_dr,
+                least(CAST(n_stop AS DOUBLE) - 2.0, 0.0) AS f_stop,
+                (n_tok >= 30 AND n_tok <= 5000)
+                  AND (mwl >= CAST(4.0 AS DOUBLE) AND mwl <= CAST(5.0 AS DOUBLE))
+                  AND dr >= CAST(0.35 AS DOUBLE) AND n_stop >= 2 AS keep
+              FROM m)"""
+
+  /** The frozen-weight score as SQL — mirrors `scoreCol`'s left-assoc
+    * accumulation order exactly. */
+  private val lr1bZSql =
+    s"(${lr1bW(0)} + f_len * ${lr1bW(1)} + f_mwl * ${lr1bW(2)}" +
+      s" + f_dr * ${lr1bW(3)} + f_stop * ${lr1bW(4)})"
+
   /** LR1B — the SCORING stage of `lr1` behind FROZEN weights: given a
     * model checkpoint, `Fit.probCol` is a deterministic codegen'd
-    * sigmoid over per-doc features, so unlike the Newton fit it takes a
-    * full hash oracle. Features are the x7 rule margins — `mean_word_len`
-    * / `distinct_ratio` arrive PRE-ROUNDED from `Corpus.ruleFiltered`
-    * (cross-engine parity of those values is already proven by x7's
-    * hash match) and the length margin is pure rational arithmetic
-    * (`n_tok/30 − 1`, `1 − n_tok/5000` — no transcendentals), so every
-    * input to the sigmoid is bit-identical across engines; `round(p, 6)`
-    * absorbs nothing more than exp()'s final ulp. The SQL mirrors
-    * `scoreCol`'s left-assoc accumulation order exactly. */
+    * sigmoid over per-doc features ([[classifierFeats]]), so unlike the
+    * Newton fit it takes a full hash oracle — every input to the
+    * sigmoid is bit-identical across engines; `round(p, 6)` absorbs
+    * nothing more than exp()'s final ulp. */
   private val lr1b = Q(
     "lr1b_classifier_apply",
     (s, d) => {
-      val feats = graft.api.Corpus.ruleFiltered(Tables.documents(s, d),
-          stopList = stopList)
-        .select(col("doc_id"),
-          least(least(col("n_tok").cast("double") / 30.0 - 1.0,
-            lit(1.0) - col("n_tok").cast("double") / 5000.0), lit(0.0)).as("f_len"),
-          least(least(col("mean_word_len") - 4.0,
-            lit(5.0) - col("mean_word_len")), lit(0.0)).as("f_mwl"),
-          least(col("distinct_ratio") - 0.35, lit(0.0)).as("f_dr"),
-          least(col("n_stop").cast("double") - 2.0, lit(0.0)).as("f_stop"))
+      val feats = classifierFeats(s, d)
       val fit = graft.functions.LogisticRegression.Fit(
         lr1bW, iters = 0, converged = true, logLik = 0.0, n = 0L)
       val fcols = Seq(col("f_len"), col("f_mwl"), col("f_dr"), col("f_stop"))
@@ -693,32 +735,11 @@ object CurationQueries {
         round(fit.probCol(fcols), 6).as("p_keep"),
         (fit.probCol(fcols) > 0.5).as("pred_keep"))
     },
-    Some {
-      val z = s"(${lr1bW(0)} + f_len * ${lr1bW(1)} + f_mwl * ${lr1bW(2)}" +
-        s" + f_dr * ${lr1bW(3)} + f_stop * ${lr1bW(4)})"
-      s"""WITH t AS (SELECT doc_id,
-                 string_split_regex(trim(lower(text)), '\\s+') AS toks
-               FROM documents),
-          m AS (SELECT doc_id,
-                  CAST(len(toks) AS BIGINT) AS n_tok,
-                  round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-                    / len(toks), 6) AS mwl,
-                  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dr,
-                  CAST(len(list_intersect(list_distinct(toks),
-                    [${stopList.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS n_stop
-                FROM t),
-          f AS (SELECT doc_id,
-                  least(least(CAST(n_tok AS DOUBLE) / 30.0 - 1.0,
-                    1.0 - CAST(n_tok AS DOUBLE) / 5000.0), 0.0) AS f_len,
-                  least(least(mwl - 4.0, 5.0 - mwl), 0.0) AS f_mwl,
-                  least(dr - 0.35, 0.0) AS f_dr,
-                  least(CAST(n_stop AS DOUBLE) - 2.0, 0.0) AS f_stop
-                FROM m)
+    Some(s"""WITH $classifierFeatSql
           SELECT doc_id,
-                 round(1.0 / (1.0 + exp(-$z)), 6) AS p_keep,
-                 1.0 / (1.0 + exp(-$z)) > 0.5 AS pred_keep
-          FROM f"""
-    })
+                 round(1.0 / (1.0 + exp(-$lr1bZSql)), 6) AS p_keep,
+                 1.0 / (1.0 + exp(-$lr1bZSql)) > 0.5 AS pred_keep
+          FROM f"""))
 
   /** AUC1 — classifier EVALUATION at scale: rank-based ROC AUC of the
     * FROZEN lr1b scorer against lr1's noisy rule labels, per `source`
@@ -738,17 +759,7 @@ object CurationQueries {
   private val auc1 = Q(
     "auc1_rank_auc",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val feats = graft.api.Corpus.ruleFiltered(Tables.documents(s, d),
-          stopList = stopList, carry = Seq("source"))
-        .select(col("doc_id"), col("source"),
-          least(least(col("n_tok").cast("double") / 30.0 - 1.0,
-            lit(1.0) - col("n_tok").cast("double") / 5000.0), lit(0.0)).as("f_len"),
-          least(least(col("mean_word_len") - 4.0,
-            lit(5.0) - col("mean_word_len")), lit(0.0)).as("f_mwl"),
-          least(col("distinct_ratio") - 0.35, lit(0.0)).as("f_dr"),
-          least(col("n_stop").cast("double") - 2.0, lit(0.0)).as("f_stop"),
-          col("keep"))
+      val feats = classifierFeats(s, d, carry = Seq("source"))
         .withColumn("noise",
           (Dedup.hash60(concat(lit("lr:"), col("doc_id").cast("string")))
             % 100L) < 10L)
@@ -758,50 +769,15 @@ object CurationQueries {
       val fcols = Seq(col("f_len"), col("f_mwl"), col("f_dr"), col("f_stop"))
       val scored = feats.select(col("doc_id"), col("source"), col("label"),
         round(fit.probCol(fcols), 6).as("p"))
-      val wRn = Window.partitionBy(col("source")).orderBy(col("p"), col("doc_id"))
-      val wTie = Window.partitionBy(col("source"), col("p"))
-      val ranked = scored
-        .withColumn("rn", row_number().over(wRn).cast("long"))
-        .withColumn("rx",
-          lit(2L) * min(col("rn")).over(wTie) + count(lit(1)).over(wTie) - 1L)
-      ranked.groupBy(col("source")).agg(
-          sum(col("label")).as("n_pos"),
-          (count(lit(1)) - sum(col("label"))).as("n_neg"),
-          sum(when(col("label") === 1L, col("rx")).otherwise(0L)).as("srx"))
-        .filter(col("n_pos") > 0 && col("n_neg") > 0)
-        .select(col("source"), col("n_pos"), col("n_neg"),
-          round((col("srx") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
-            (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+      graft.functions.Stats.rankAuc(scored, "source", "label", "p", "doc_id")
     },
     Some {
-      val z = s"(${lr1bW(0)} + f_len * ${lr1bW(1)} + f_mwl * ${lr1bW(2)}" +
-        s" + f_dr * ${lr1bW(3)} + f_stop * ${lr1bW(4)})"
-      s"""WITH t AS (SELECT doc_id, source,
-                 string_split_regex(trim(lower(text)), '\\s+') AS toks
-               FROM documents),
-          m AS (SELECT doc_id, source,
-                  CAST(len(toks) AS BIGINT) AS n_tok,
-                  round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-                    / len(toks), 6) AS mwl,
-                  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dr,
-                  CAST(len(list_intersect(list_distinct(toks),
-                    [${stopList.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS n_stop
-                FROM t),
-          f AS (SELECT doc_id, source,
-                  least(least(CAST(n_tok AS DOUBLE) / 30.0 - 1.0,
-                    1.0 - CAST(n_tok AS DOUBLE) / 5000.0), 0.0) AS f_len,
-                  least(least(mwl - 4.0, 5.0 - mwl), 0.0) AS f_mwl,
-                  least(dr - 0.35, 0.0) AS f_dr,
-                  least(CAST(n_stop AS DOUBLE) - 2.0, 0.0) AS f_stop,
-                  (n_tok >= 30 AND n_tok <= 5000)
-                    AND (mwl >= CAST(4.0 AS DOUBLE) AND mwl <= CAST(5.0 AS DOUBLE))
-                    AND dr >= CAST(0.35 AS DOUBLE) AND n_stop >= 2 AS keep
-                FROM m),
+      s"""WITH $classifierFeatSql,
           l AS (SELECT doc_id, source,
                   CASE WHEN keep !=
                     (${hash60sql("'lr:'||CAST(doc_id AS VARCHAR)")} % 100 < 10)
                     THEN 1 ELSE 0 END AS label,
-                  round(1.0 / (1.0 + exp(-$z)), 6) AS p
+                  round(1.0 / (1.0 + exp(-$lr1bZSql)), 6) AS p
                 FROM f),
           r0 AS (SELECT source, label, p,
                    row_number() OVER (PARTITION BY source

@@ -232,7 +232,10 @@ class AnalyticsSpec extends SparkSpec with Matchers {
       assert(r.getAs[Long]("n_boot") == 32L, s"all replicas nonempty expected: $r")
       assert(se > 0, s"degenerate bootstrap SE: $r")
       assert(lo <= m && m <= hi, s"CI must bracket the mean: $r")
-      assert(hi - lo < 10 * se * 2 * 2.5, s"CI implausibly wide vs SE: $r")
+      // the sample range of n points is mathematically <= sqrt(2(n-1))
+      // sample SDs (~7.9 at n=32); a quantile landing outside that
+      // envelope means the percentile mixed groups or values
+      assert(hi - lo <= 7.9 * se, s"CI outside the n=32 range envelope: $r")
     }
   }
 }

@@ -162,8 +162,7 @@ class CurationSpec extends SparkSpec with Matchers {
     assert(math.abs(sums.getDouble(1) - 1.0) < 1e-4, sums)
   }
 
-  test("auc1: AUC in [0,1], better-than-random on rule labels, exact on a planted ranking") {
-    import org.apache.spark.sql.functions._
+  test("auc1: AUC in [0,1] per source, best source clearly above chance") {
     val out = QueryCatalog.byName("auc1_rank_auc").run(spark, sf).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
@@ -172,8 +171,10 @@ class CurationSpec extends SparkSpec with Matchers {
       assert(r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0)
     }
     // the frozen scorer imitates the rule labels up to the 10% flip
-    // noise, so pooled AUC must sit clearly above chance
-    val pooled = out.map(r => r.getAs[Double]("auc"))
-    assert(pooled.max > 0.6, s"scorer should beat chance somewhere: ${pooled.mkString(",")}")
+    // noise, so at least the best-separated source must beat chance
+    // (exact planted-ranking values are asserted in StatsSpec.rankAuc)
+    val perSource = out.map(r => r.getAs[Double]("auc"))
+    assert(perSource.max > 0.6,
+      s"scorer should beat chance somewhere: ${perSource.mkString(",")}")
   }
 }

@@ -141,4 +141,28 @@ class StatsSpec extends SparkSpec {
     assert(df.collect().map(r => Option(r.getString(0))).toSeq ==
       Seq(Some("ns"), Some("*"), Some("**"), Some("***"), Some("****"), None))
   }
+
+  test("rankAuc: exact Mann-Whitney values on planted rankings, ties averaged") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Long)]): Double = {
+      val df = rows.zipWithIndex
+        .map { case ((s, l), i) => ("g", i.toLong, l, s) }
+        .toDF("grp", "id", "label", "score")
+      Stats.rankAuc(df, "grp", "label", "score", "id").head().getAs[Double]("auc")
+    }
+    // perfect separation -> 1; reversed -> 0
+    assert(auc(Seq(1.0 -> 0L, 2.0 -> 0L, 3.0 -> 1L, 4.0 -> 1L)) == 1.0)
+    assert(auc(Seq(1.0 -> 1L, 2.0 -> 1L, 3.0 -> 0L, 4.0 -> 0L)) == 0.0)
+    // all scores tied -> chance
+    assert(auc(Seq(5.0 -> 0L, 5.0 -> 1L, 5.0 -> 0L, 5.0 -> 1L)) == 0.5)
+    // hand-computed mixed case: pairs (2>1), (2<3), (4>1), (4>3) -> 3/4
+    assert(auc(Seq(1.0 -> 0L, 2.0 -> 1L, 3.0 -> 0L, 4.0 -> 1L)) == 0.75)
+    // tie split: pos ranks {2.5, 4}, AUC = (6.5 - 3)/4 = 0.875
+    assert(auc(Seq(1.0 -> 0L, 2.0 -> 1L, 2.0 -> 0L, 3.0 -> 1L)) == 0.875)
+    // degenerate groups (all-pos / all-neg) are dropped
+    val deg = Seq(("a", 1L, 1L, 0.3), ("a", 2L, 1L, 0.7), ("b", 3L, 0L, 0.4),
+      ("b", 4L, 1L, 0.6)).toDF("grp", "id", "label", "score")
+    val out = Stats.rankAuc(deg, "grp", "label", "score", "id").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("b"))
+  }
 }
