@@ -756,29 +756,41 @@ object CurationQueries {
     * window partitions by eval domain, and a domain that can't sort
     * per-partition would move to a binned/approximate AUC, documented
     * trade). No driver math, no fact-sized collect. */
-  private val auc1 = Q(
-    "auc1_rank_auc",
-    (s, d) => {
-      val feats = classifierFeats(s, d, carry = Seq("source"))
-        .withColumn("noise",
-          (Dedup.hash60(concat(lit("lr:"), col("doc_id").cast("string")))
-            % 100L) < 10L)
-        .withColumn("label", (col("keep") =!= col("noise")).cast("long"))
-      val fit = graft.functions.LogisticRegression.Fit(
-        lr1bW, iters = 0, converged = true, logLik = 0.0, n = 0L)
-      val fcols = Seq(col("f_len"), col("f_mwl"), col("f_dr"), col("f_stop"))
-      val scored = feats.select(col("doc_id"), col("source"), col("label"),
-        round(fit.probCol(fcols), 6).as("p"))
-      graft.functions.Stats.rankAuc(scored, "source", "label", "p", "doc_id")
-    },
-    Some {
-      s"""WITH $classifierFeatSql,
+  /** Shared auc1/cal1 eval frame (Spark side): the frozen lr1b score
+    * `p` (6-dp-rounded sigmoid) beside lr1's noisy rule label, one row
+    * per (doc_id, source) — ONE copy so the two eval queries grade the
+    * same scorer against the same labels. */
+  private def labeledScores(s: SparkSession, d: String): DataFrame = {
+    val feats = classifierFeats(s, d, carry = Seq("source"))
+      .withColumn("noise",
+        (Dedup.hash60(concat(lit("lr:"), col("doc_id").cast("string")))
+          % 100L) < 10L)
+      .withColumn("label", (col("keep") =!= col("noise")).cast("long"))
+    val fit = graft.functions.LogisticRegression.Fit(
+      lr1bW, iters = 0, converged = true, logLik = 0.0, n = 0L)
+    val fcols = Seq(col("f_len"), col("f_mwl"), col("f_dr"), col("f_stop"))
+    feats.select(col("doc_id"), col("source"), col("label"),
+      round(fit.probCol(fcols), 6).as("p"))
+  }
+
+  /** SQL mirror of [[labeledScores]]: `classifierFeatSql` extended by
+    * CTE `l` with (doc_id, source, label, p). */
+  private val labeledScoreSql =
+    s"""$classifierFeatSql,
           l AS (SELECT doc_id, source,
                   CASE WHEN keep !=
                     (${hash60sql("'lr:'||CAST(doc_id AS VARCHAR)")} % 100 < 10)
                     THEN 1 ELSE 0 END AS label,
                   round(1.0 / (1.0 + exp(-$lr1bZSql)), 6) AS p
-                FROM f),
+                FROM f)"""
+
+  private val auc1 = Q(
+    "auc1_rank_auc",
+    (s, d) =>
+      graft.functions.Stats.rankAuc(
+        labeledScores(s, d), "source", "label", "p", "doc_id"),
+    Some {
+      s"""WITH $labeledScoreSql,
           r0 AS (SELECT source, label, p,
                    row_number() OVER (PARTITION BY source
                      ORDER BY p, doc_id) AS rn
@@ -796,6 +808,57 @@ object CurationQueries {
               / (2.0 * n_pos * n_neg), 6) AS auc
           FROM a WHERE n_pos > 0 AND n_neg > 0"""
     })
+
+  /** CAL1 — classifier CALIBRATION at scale: the reliability-diagram
+    * aggregate (per-(source, decile-of-p) count, mean predicted p,
+    * observed positive rate) plus the per-bin Brier contribution, over
+    * the same frozen-scorer-vs-noisy-labels frame auc1 grades
+    * ([[labeledScores]]). auc1 answers "does the scorer RANK well";
+    * cal1 answers "do its probabilities MEAN anything" — the two
+    * standard eval surfaces a curation pipeline reports side by side.
+    *
+    * Scale shape: pure partial+final hash agg keyed by (source, bin) —
+    * unlike auc1 there is no per-domain sort, so this is the eval that
+    * stays one-scan cheap at any corpus size (output = sources × ≤10
+    * rows).
+    *
+    * Cross-engine exactness: p is 6-dp-rounded, so pm = round(p·10⁶) is
+    * an exact integer on both engines; mean_p, frac_pos and the Brier
+    * sum Σ(pm − label·10⁶)² are integer sums (≤ 10¹² per row — LONG to
+    * ~9e6 rows per bin; the DECIMAL accumulator takes over past that)
+    * divided once. The decile floor(p·10) is computed from the same
+    * double on both sides; p = 1.0 clamps into bin 9. */
+  private val cal1 = Q(
+    "cal1_calibration_bins",
+    (s, d) => {
+      val b = labeledScores(s, d)
+        .withColumn("pm", round(col("p") * lit(1000000.0)).cast("long"))
+        .withColumn("bin",
+          least(floor(col("p") * lit(10.0)).cast("long"), lit(9L)))
+      b.groupBy(col("source"), col("bin")).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("pm")).cast("double") /
+            (count(lit(1)).cast("double") * lit(1000000.0)), 6).as("mean_p"),
+          round(sum(col("label")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("frac_pos"),
+          round(sum((col("pm") - col("label") * lit(1000000L)) *
+              (col("pm") - col("label") * lit(1000000L))).cast("double") /
+            (count(lit(1)).cast("double") * lit(1.0e12)), 6).as("brier"))
+    },
+    Some(s"""WITH $labeledScoreSql,
+          b AS (SELECT source, label, p,
+                  CAST(round(p * 1000000.0) AS BIGINT) AS pm,
+                  least(CAST(floor(p * 10.0) AS BIGINT), 9) AS bin
+                FROM l)
+          SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+            round(CAST(sum(pm) AS DOUBLE)
+              / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_p,
+            round(CAST(sum(label) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS frac_pos,
+            round(CAST(sum((pm - label * 1000000) * (pm - label * 1000000))
+                AS DOUBLE)
+              / (CAST(count(*) AS DOUBLE) * 1000000000000.0), 6) AS brier
+          FROM b GROUP BY source, bin"""))
 
   // ---------------------------------------------------- scd1: type-2 history
 
@@ -1113,6 +1176,77 @@ object CurationQueries {
              SELECT r.source, n.n_docs, r.pos, r.doc_id
              FROM r JOIN n USING (source) WHERE r.pos <= $dcCap"""))
 
+  // ------------------------------------------------- dp1: DP count release
+
+  /** Per-release privacy budget for dp1. Sensitivity is 1 (each document
+    * contributes to exactly one (source, lang) count), so the two-sided
+    * geometric mechanism with alpha = e^(-eps) is eps-differentially
+    * private (Ghosh-Roughgarden-Sundararajan). */
+  private val dpEps = 1.0
+
+  /** Survival thresholds of the one-sided Geometric(1 - e^(-eps)) on the
+    * 60-bit hash range: G >= k  <=>  u < alpha^k  <=>  h < floor(alpha^k
+    * * 2^60). Computed ONCE driver-side and embedded as the SAME
+    * literals in both the Spark plan and the oracle SQL (the bs1
+    * Poisson-ladder pattern), so the inverse-CDF draw is exact-integer
+    * on both engines. Truncated at k = 30: P(G > 30) = e^-30 ~ 9.4e-14
+    * per side — an immaterial tail clip, identical by construction. */
+  private val geomThresholds: Seq[Long] =
+    (1 to 30).map(k =>
+      math.floor(math.exp(-k * dpEps) * math.pow(2.0, 60)).toLong)
+
+  /** G = max{k : h < t_k} (0 if none) — the geometric draw as a
+    * when-ladder over the embedded thresholds. */
+  private def geomDraw(h: Column): Column =
+    geomThresholds.zipWithIndex.foldLeft(lit(0L): Column) {
+      case (acc, (t, i)) => when(h < t, lit((i + 1).toLong)).otherwise(acc)
+    }
+
+  /** SQL mirror of [[geomDraw]] — descending CASE ladder, same max-k
+    * semantics (thresholds decrease in k, so the first match from the
+    * smallest threshold up is the max). */
+  private def geomDrawSql(h: String): String = {
+    val ladder = geomThresholds.zipWithIndex.reverse
+      .map { case (t, i) => s"WHEN $h < $t THEN ${i + 1}" }.mkString(" ")
+    s"CASE $ladder ELSE 0 END"
+  }
+
+  /** DP1 — differentially-private corpus-composition release: per
+    * (source, lang) document counts with two-sided-geometric noise
+    * (noisy_n = n + G1 - G2), the integer analogue of the Laplace
+    * mechanism and the standard governance surface for publishing
+    * training-data composition stats without certifying any individual
+    * document's membership. eps = 1, sensitivity 1; the TRUE counts
+    * never leave the plan.
+    *
+    * The noise draws here are DETERMINISTIC 60-bit content hashes of the
+    * group key (the bs1 reproducible-replica convention) so the release
+    * is testable and hash-oracled; a production release would swap the
+    * hash for a sealed RNG seed — the mechanism, ladder and arithmetic
+    * are unchanged. Scale shape: one partial+final count agg (group
+    * cardinality = sources x langs), noise is per-GROUP map math on the
+    * tiny aggregated frame — free at any corpus size. */
+  private val dp1 = Q(
+    "dp1_noisy_counts",
+    (s, d) => {
+      val h1 = Dedup.hash60(
+        concat(lit("dp:a:"), col("source"), lit(":"), col("lang")))
+      val h2 = Dedup.hash60(
+        concat(lit("dp:b:"), col("source"), lit(":"), col("lang")))
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_true"))
+        .select(col("source"), col("lang"),
+          (col("n_true") + geomDraw(h1) - geomDraw(h2)).as("noisy_n"))
+    },
+    Some(s"""WITH c AS (SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_true
+                 FROM documents GROUP BY 1, 2)
+             SELECT source, lang,
+               n_true + ${geomDrawSql(hash60sql("'dp:a:'||source||':'||lang"))}
+                 - ${geomDrawSql(hash60sql("'dp:b:'||source||':'||lang"))}
+                 AS noisy_n
+             FROM c"""))
+
   def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, ng3, ng4, cu1, lr1, lr1b, auc1,
-    sd1, scd1, dr1, ds1, qs1, dq1, dc1)
+    cal1, sd1, scd1, dr1, ds1, qs1, dq1, dc1, dp1)
 }

@@ -15,6 +15,12 @@ import graft.functions.{Normalization, Stats}
   */
 object StatsQueries {
 
+  /** Exact-integer accumulator type for moment sums: DECIMAL(38,0) sums
+    * stay exact to 1e38 where LONG sums overflow at bench-and-above group
+    * sizes; the DuckDB oracle side accumulates in HUGEINT, so decimal is
+    * what keeps the ENGINE as exact as the oracle. */
+  private val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
   /** Shared p-value wrapper: Abramowitz–Stegun erfc polynomial (identical to
     * Stats.normalSfTwoSided) applied to a column `z` of `inner`. */
   private def withNormalSf(inner: String, keep: String): String =
@@ -385,12 +391,16 @@ object StatsQueries {
         .withColumn("ry",
           lit(2) * min(col("__rn")).over(wy) + count(lit(1)).over(wy) - 1)
         .join(broadcast(rx), Seq("flag", "x"))
+      // sums as DECIMAL(38,0): per-flag n at bench SF is ~2e5, so the
+      // LONG combination n*syy ~ 1.3n^4 overflows past n ~ 1.6e5 — the
+      // oracle's HUGEINT never does; decimal keeps Spark exact too
+      // (identical values at every SF, so the sf0.01 hash is unchanged)
       r.groupBy("flag").agg(
           count(lit(1)).as("n"),
-          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-          sum(col("rx") * col("rx")).as("sxx"),
-          sum(col("ry") * col("ry")).as("syy"),
-          sum(col("rx") * col("ry")).as("sxy"))
+          sum(col("rx").cast(dec38)).as("sx"), sum(col("ry").cast(dec38)).as("sy"),
+          sum((col("rx") * col("rx")).cast(dec38)).as("sxx"),
+          sum((col("ry") * col("ry")).cast(dec38)).as("syy"),
+          sum((col("rx") * col("ry")).cast(dec38)).as("sxy"))
         .select(col("flag"), col("n"),
           round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
@@ -566,6 +576,98 @@ object StatsQueries {
       withNormalSf(zInner, "gene, n_a, n_b, mean_diff, s2_post, z")
     })
 
+  /** OLS1 — grouped simple linear regression SCREEN: per part, the
+    * least-squares line of extended price (y, in cents) on quantity (x),
+    * with slope/intercept/R² and a slope z-test — the per-key
+    * dose-response scan shape (one regression per gene/feature/part,
+    * thousands at once; the d7/wt1 screening family's regression
+    * member). Everything reduces to the five moment sums (Σx, Σy, Σx²,
+    * Σy², Σxy), so the whole query is ONE partial+final hash agg over
+    * the fact table and closed-form column math on the group frame — no
+    * second shuffle, no window, no driver math; the scale cost is the
+    * same as d1's grouped sum.
+    *
+    * Cross-engine exactness: x is integral quantity, y is
+    * round(price·100) cents — both exact BIGINTs — and the moment sums
+    * accumulate in DECIMAL(38,0) (engine) / HUGEINT (oracle), so the
+    * n-scaled combinations dx = n·Σx²−(Σx)², dyv = n·Σy²−(Σy)²,
+    * num = n·Σxy−ΣxΣy are exact integers cast once to double; the
+    * closed forms (slope = num/dx, R² = num²/(dx·dyv),
+    * se = √(ssr/((n−2)·dx)) with ssr = dyv − num²/dx) then follow the
+    * identical-float-op-order rule, p from the shared A&S tail (normal
+    * approximation of the slope t — the wt1 screening convention,
+    * documented; n ≥ 3 enforced). Degenerate groups (constant x,
+    * constant y, or a perfect fit, where se = 0) are filtered by the
+    * same exact-arithmetic predicates on both sides. */
+  private val ols1 = Q(
+    "ols1_grouped_regression",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_partkey"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("yc"))
+      val a = li.groupBy(col("l_partkey")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast(dec38)).as("sx"),
+          sum(col("yc").cast(dec38)).as("sy"),
+          sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+          sum((col("yc") * col("yc")).cast(dec38)).as("syy"),
+          sum((col("x") * col("yc")).cast(dec38)).as("sxy"))
+        .filter(col("n") >= 3)
+      val e = a
+        .withColumn("dx",
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("dyv",
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+        .withColumn("num",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+        .filter(col("dx") > 0 && col("dyv") > 0)
+        .withColumn("slope_c", col("num") / col("dx"))
+        .withColumn("ssr", col("dyv") - col("num") * col("num") / col("dx"))
+        .filter(col("ssr") > 0)
+        .withColumn("zv", col("slope_c") /
+          sqrt(col("ssr") / ((col("n").cast("double") - lit(2.0)) * col("dx"))))
+      e.select(col("l_partkey"), col("n"),
+        round(col("slope_c") / 100.0, 6).as("slope_usd"),
+        round((col("sy").cast("double") / col("n").cast("double") -
+          col("slope_c") * (col("sx").cast("double") / col("n").cast("double")))
+          / 100.0, 6).as("intercept_usd"),
+        round(col("num") * col("num") / (col("dx") * col("dyv")), 6).as("r2"),
+        round(col("zv"), 6).as("z"),
+        round(Stats.normalSfTwoSided(col("zv")), 6).as("pvalue"))
+    },
+    Some {
+      val inner = """WITH s AS (SELECT l_partkey,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+               FROM lineitem),
+          a AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                  sum(x) AS sx, sum(yc) AS sy, sum(x * x) AS sxx,
+                  sum(yc * yc) AS syy, sum(x * yc) AS sxy
+                FROM s GROUP BY 1 HAVING count(*) >= 3),
+          e AS (SELECT l_partkey, n,
+                  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                  CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+                  CAST(n * syy - sy * sy AS DOUBLE) AS dyv,
+                  CAST(n * sxy - sx * sy AS DOUBLE) AS num
+                FROM a),
+          f AS (SELECT *, num / dx AS slope_c,
+                  dyv - num * num / dx AS ssr
+                FROM e WHERE dx > 0 AND dyv > 0),
+          g AS (SELECT l_partkey, n, sxd, syd, dx, dyv, num, slope_c,
+                  slope_c / sqrt(ssr / ((CAST(n AS DOUBLE) - 2.0) * dx)) AS z
+                FROM f WHERE ssr > 0)
+          SELECT l_partkey, n,
+            round(slope_c / 100.0, 6) AS slope_usd,
+            round((syd / CAST(n AS DOUBLE)
+              - slope_c * (sxd / CAST(n AS DOUBLE))) / 100.0, 6) AS intercept_usd,
+            round(num * num / (dx * dyv), 6) AS r2,
+            z, round(z, 6) AS z_r
+          FROM g"""
+      withNormalSf(inner,
+        "l_partkey, n, slope_usd, intercept_usd, r2, z_r AS z")
+    })
+
   def all: Seq[Q] =
-    Seq(d1, d2, d5, d6, d6b, d7, d8, d9, e1, x8, ks1, sp1, wt1, wt2)
+    Seq(d1, d2, d5, d6, d6b, d7, d8, d9, e1, x8, ks1, sp1, wt1, wt2, ols1)
 }

@@ -177,4 +177,42 @@ class CurationSpec extends SparkSpec with Matchers {
     assert(perSource.max > 0.6,
       s"scorer should beat chance somewhere: ${perSource.mkString(",")}")
   }
+
+  test("cal1: bins partition the corpus, mean_p inside its decile, brier bounded") {
+    val out = QueryCatalog.byName("cal1_calibration_bins").run(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.map(_.getAs[Long]("n")).sum == total,
+      "every document lands in exactly one (source, bin) cell")
+    out.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin <= 9, s"bin range: $r")
+      val mp = r.getAs[Double]("mean_p")
+      // mean of p's in [bin/10, (bin+1)/10) stays inside the decile
+      // (bin 9 also absorbs p = 1.0); 1e-6 slack for the 6-dp rounding
+      assert(mp >= bin / 10.0 - 1e-6 && mp <= (bin + 1) / 10.0 + 1e-6,
+        s"mean_p outside decile: $r")
+      val fp = r.getAs[Double]("frac_pos")
+      assert(fp >= 0.0 && fp <= 1.0, s"frac_pos range: $r")
+      val brier = r.getAs[Double]("brier")
+      assert(brier >= 0.0 && brier <= 1.0, s"brier range: $r")
+    }
+  }
+
+  test("dp1: noise bounded by the ladder cap and actually fires") {
+    import org.apache.spark.sql.functions._
+    val out = QueryCatalog.byName("dp1_noisy_counts").run(spark, sf)
+    val truth = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_true"))
+    val j = out.join(truth, Seq("source", "lang")).collect()
+    assert(j.nonEmpty && j.length == truth.count())
+    val noises = j.map(r => r.getAs[Long]("noisy_n") - r.getAs[Long]("n_true"))
+    // each side of the two-sided geometric is ladder-capped at 30
+    assert(noises.forall(n => math.abs(n) <= 60), noises.mkString(","))
+    assert(noises.exists(_ != 0L), "noise never fired — ladder broken")
+    // E|G1 - G2| ~ 0.66 at eps = 1; a mean far above that means the
+    // threshold comparison is inverted or mis-scaled
+    val meanAbs = noises.map(math.abs).sum.toDouble / noises.length
+    assert(meanAbs < 3.0, s"implausible noise magnitude: $meanAbs")
+  }
 }

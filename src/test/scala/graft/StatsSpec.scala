@@ -165,4 +165,37 @@ class StatsSpec extends SparkSpec {
     val out = Stats.rankAuc(deg, "grp", "label", "score", "id").collect()
     assert(out.map(_.getString(0)).toSeq == Seq("b"))
   }
+
+  test("ols1: slope/intercept/r2 match the covariance closed forms per part") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.QueryCatalog.byName("ols1_grouped_regression")
+      .run(spark, sf)
+    // independent reference: Spark's own covariance/correlation aggregates
+    // over the same (part, qty, price) pairs — algebraically identical to
+    // the query's integer-moment route, so agreement to rounding noise
+    // validates the whole sum->combination pipeline
+    val ref = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_partkey").agg(
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("cxy"),
+        var_pop(col("l_quantity")).as("vx"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("r"),
+        avg(col("l_extendedprice")).as("my"),
+        avg(col("l_quantity")).as("mx"))
+    val j = out.join(ref, "l_partkey").collect()
+    assert(j.length > 100, s"expected many regressed parts, got ${j.length}")
+    j.foreach { row =>
+      val slope = row.getAs[Double]("slope_usd")
+      val refSlope = row.getAs[Double]("cxy") / row.getAs[Double]("vx")
+      assert(math.abs(slope - refSlope) < 1e-4, s"slope: $row")
+      val ic = row.getAs[Double]("intercept_usd")
+      val refIc = row.getAs[Double]("my") - refSlope * row.getAs[Double]("mx")
+      assert(math.abs(ic - refIc) < 1e-3, s"intercept: $row")
+      val r = row.getAs[Double]("r")
+      assert(math.abs(row.getAs[Double]("r2") - r * r) < 1e-5, s"r2: $row")
+      // z carries the slope's sign; p in (0, 1]
+      assert(row.getAs[Double]("z").sign == slope.sign || slope == 0.0)
+      val p = row.getAs[Double]("pvalue")
+      assert(p > 0.0 && p <= 1.0, s"pvalue: $row")
+    }
+  }
 }
