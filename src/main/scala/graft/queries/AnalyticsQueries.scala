@@ -21,6 +21,23 @@ object AnalyticsQueries {
     """SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
        FROM documents"""
 
+  /** Shared per-doc unigram-LM CTE chain ending in
+    * `d(doc_id, n_tokens, s)` where `s` is the summed ln-prob — the SQL
+    * mirror of `Corpus.languageModelScores`, ONE copy serving the lm1
+    * and dm1 oracles. */
+  private[queries] val lmDocSql =
+    s"""t AS ($toksSql),
+             tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+             tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS k
+                    FROM tok GROUP BY 1, 2),
+             gc AS (SELECT term, CAST(sum(k) AS BIGINT) AS c FROM tc GROUP BY 1),
+             tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM gc),
+             d AS (SELECT tc.doc_id, CAST(sum(tc.k) AS BIGINT) AS n_tokens,
+                     sum(CAST(tc.k AS DOUBLE)
+                       * ln(CAST(gc.c AS DOUBLE) / tot.t_total)) AS s
+                   FROM tc JOIN gc USING (term) CROSS JOIN tot
+                   GROUP BY tc.doc_id)"""
+
   /** TF1 — TF-IDF top-3 terms per document: tf = term count / doc tokens,
     * idf = ln(N / df) (docs-containing-term), top 3 by score with a term
     * tiebreak. The ranking key is `round(score, 9)` on BOTH engines: tf,
@@ -62,17 +79,7 @@ object AnalyticsQueries {
     (s, d) => graft.api.Corpus.languageModelScores(Tables.documents(s, d))
       .withColumn("mean_logprob", round(col("mean_logprob"), 6))
       .withColumn("ppl", round(col("ppl"), 6)),
-    Some(s"""WITH t AS ($toksSql),
-             tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
-             tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS k
-                    FROM tok GROUP BY 1, 2),
-             gc AS (SELECT term, CAST(sum(k) AS BIGINT) AS c FROM tc GROUP BY 1),
-             tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM gc),
-             d AS (SELECT tc.doc_id, CAST(sum(tc.k) AS BIGINT) AS n_tokens,
-                     sum(CAST(tc.k AS DOUBLE)
-                       * ln(CAST(gc.c AS DOUBLE) / tot.t_total)) AS s
-                   FROM tc JOIN gc USING (term) CROSS JOIN tot
-                   GROUP BY tc.doc_id)
+    Some(s"""WITH $lmDocSql
              SELECT doc_id, n_tokens, round(s / n_tokens, 6) AS mean_logprob,
                round(exp(-(s / n_tokens)), 6) AS ppl
              FROM d"""))

@@ -1247,6 +1247,80 @@ object CurationQueries {
                  AS noisy_n
              FROM c"""))
 
+  // ---------------------------------------------- dm1: DoReMi mixture step
+
+  /** DM1 — DoReMi-style domain-mixture reweighting STEP (Xie et al.
+    * 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): per training domain (`source`), the exponentiated-
+    * gradient update w_i ∝ exp(η·excess_i) over the domain's EXCESS
+    * proxy loss — its mean per-doc unigram-LM NLL minus the corpus-wide
+    * mean (the reference-model baseline stand-in; η = 1). The output is
+    * the normalized next-round sampling weight per domain — the control
+    * signal the mixture scheduler (tm1/sm2) consumes. Docs with no
+    * tokens carry no LM score and are outside the mixture on both sides.
+    *
+    * Cross-engine exactness: per-doc NLL rides the lm1-proven chain and
+    * is scaled to the exact integer smi = round(−mean_logprob·10⁶); all
+    * domain/corpus means are integer-sum ratios in identical op order;
+    * exp's final ulp is absorbed by the same ·10⁶ integer scaling BEFORE
+    * the normalizing sum, so the weight denominator is exact (the lr1b
+    * sigmoid precedent). Scale shape: the one heavy pass is the lm
+    * chain itself; everything after is domain-cardinality (`persist`
+    * bounds the chain to one execution — the cc1 lesson; both
+    * normalizing scalars ride broadcast 1-row cross joins). */
+  private val dm1 = Q(
+    "dm1_doremi_weights",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ds = graft.api.Corpus.languageModelScores(docs)
+        .select(col("doc_id"),
+          round(-col("mean_logprob") * lit(1000000.0)).cast("long").as("smi"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"), sum(col("smi")).as("ts"))
+        .persist()
+      graft.Caches.releaseAfterAction(ds)
+      val g = ds.agg(sum(col("n_docs")).as("gn"), sum(col("ts")).as("gs"))
+      val e = ds.crossJoin(broadcast(g))
+        .withColumn("mean_nll", col("ts").cast("double") /
+          (col("n_docs").cast("double") * lit(1000000.0)))
+        .withColumn("excess", greatest(lit(0.0),
+          col("mean_nll") -
+            col("gs").cast("double") / (col("gn").cast("double") * lit(1000000.0))))
+        .withColumn("em", round(exp(col("excess")) * lit(1000000.0)).cast("long"))
+      val z = e.agg(sum(col("em")).as("zt"))
+      e.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"),
+          round(col("mean_nll"), 6).as("mean_nll"),
+          round(col("excess"), 6).as("excess"),
+          round(col("em").cast("double") / col("zt").cast("double"), 6).as("weight"))
+    },
+    Some(s"""WITH ${AnalyticsQueries.lmDocSql},
+          sc AS (SELECT doc_id,
+                   CAST(round(-(s / n_tokens) * 1000000.0) AS BIGINT) AS smi
+                 FROM d),
+          ds AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(smi) AS BIGINT) AS ts
+                 FROM sc JOIN documents USING (doc_id) GROUP BY source),
+          g AS (SELECT CAST(sum(n_docs) AS BIGINT) AS gn,
+                  CAST(sum(ts) AS BIGINT) AS gs FROM ds),
+          e AS (SELECT source, n_docs,
+                  CAST(ts AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000000.0)
+                    AS mean_nll,
+                  greatest(0.0,
+                    CAST(ts AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000000.0)
+                    - CAST(gs AS DOUBLE) / (CAST(gn AS DOUBLE) * 1000000.0))
+                    AS excess
+                FROM ds CROSS JOIN g),
+          w AS (SELECT source, n_docs, mean_nll, excess,
+                  CAST(round(exp(excess) * 1000000.0) AS BIGINT) AS em
+                FROM e),
+          z AS (SELECT CAST(sum(em) AS BIGINT) AS zt FROM w)
+          SELECT source, n_docs, round(mean_nll, 6) AS mean_nll,
+            round(excess, 6) AS excess,
+            round(CAST(em AS DOUBLE) / CAST(zt AS DOUBLE), 6) AS weight
+          FROM w CROSS JOIN z"""))
+
   def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, ng3, ng4, cu1, lr1, lr1b, auc1,
-    cal1, sd1, scd1, dr1, ds1, qs1, dq1, dc1, dp1)
+    cal1, sd1, scd1, dr1, ds1, qs1, dq1, dc1, dp1, dm1)
 }

@@ -215,4 +215,23 @@ class CurationSpec extends SparkSpec with Matchers {
     val meanAbs = noises.map(math.abs).sum.toDouble / noises.length
     assert(meanAbs < 3.0, s"implausible noise magnitude: $meanAbs")
   }
+
+  test("dm1: weights form a distribution, upweighting tracks excess loss") {
+    val out = QueryCatalog.byName("dm1_doremi_weights").run(spark, sf).collect()
+    assert(out.length > 1, "need several domains to reweight")
+    val wsum = out.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights must normalize: $wsum")
+    out.foreach { r =>
+      assert(r.getAs[Double]("excess") >= 0.0, s"excess clamps at 0: $r")
+      assert(r.getAs[Double]("weight") > 0.0, s"every domain keeps mass: $r")
+      assert(r.getAs[Double]("mean_nll") > 0.0, s"NLL is positive: $r")
+    }
+    // the exponentiated-gradient step is monotone: any domain with
+    // positive excess loss must outweigh every zero-excess domain
+    val (hot, base) = out.partition(_.getAs[Double]("excess") > 0)
+    if (hot.nonEmpty && base.nonEmpty)
+      assert(hot.map(_.getAs[Double]("weight")).min >
+        base.map(_.getAs[Double]("weight")).max - 1e-9,
+        s"monotonicity: ${out.mkString(";")}")
+  }
 }

@@ -478,4 +478,30 @@ class PlanSpec extends SparkSpec {
     assert(total >= 8, s"expected a multi-file layout, got $total")
     assert(hit * 2 <= total, s"box intersects $hit of $total stat-boxes")
   }
+
+  test("ols1/cal1/dp1 are single-exchange hash aggs, no windows") {
+    // the screening/eval/release aggregates must stay one-shuffle cheap:
+    // everything before the groupBy is narrow map work riding the scan,
+    // everything after is closed-form column math on the group frame
+    Seq("ols1_grouped_regression", "cal1_calibration_bins",
+      "dp1_noisy_counts").foreach { name =>
+      val df = QueryCatalog.byName(name).run(spark, dir)
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val shuffles = nodes.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      assert(shuffles == 1, s"$name: expected 1 exchange, got $shuffles\n" +
+        df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+        s"$name: unexpected window")
+    }
+  }
+
+  test("dm1 reweighting: scalars ride broadcast 1-row joins, no fact cartesian") {
+    val df = QueryCatalog.byName("dm1_doremi_weights").run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assertNoPartitionWindowsBounded(df, "dm1_doremi_weights")
+  }
 }
