@@ -80,13 +80,19 @@ object Bench {
     val top = sorted.take(20)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","unit":"sec","queries":$qjson,""" +
+    // metric "total_full", NOT "total": on a short (subset) run both lines
+    // fit inside the driver's ~2 KB stdout tail, and two parseable records
+    // both claiming metric=total would make any "find the total line"
+    // consumer ambiguous — exactly ONE line (the summary below) carries
+    // "metric":"total"
+    val line = s"""{"metric":"total_full","unit":"sec","queries":$qjson,""" +
       s""""sf":"$sfDir","count":${results.size},"top20":$top,"value":${fmt(total)}}"""
     println(line)
     // The driver retains only a ~2 KB stdout tail, so the full line above
-    // never parses there (its head is cut off). This second line is a
-    // self-contained compact summary guaranteed to fit entirely inside
-    // the tail — the one the driver actually parses (r6 verdict #3).
+    // never parses there on a full-suite run (its head is cut off). This
+    // second line is a self-contained compact summary guaranteed to fit
+    // entirely inside the tail — the one the driver actually parses
+    // (r6 verdict #3).
     // degrade by dropping top-k entries rather than failing: a throw here
     // would discard a finished ~190 s run (and skip the full-file write)
     def mkSummary(k: Int): String = {

@@ -234,7 +234,10 @@ object Stats {
       .groupBy(col(grpCol)).agg(
         sum(col(labelCol)).as("n_pos"),
         (count(lit(1)) - sum(col(labelCol))).as("n_neg"),
-        sum(when(col(labelCol) === 1L, col("__rx")).otherwise(0L)).as("__srx"))
+        // DECIMAL accumulator: Σrx reaches 2n² — a LONG sum wraps past
+        // ~2.1e9 rows per group; the oracle side is HUGEINT-exact
+        sum(when(col(labelCol) === 1L, col("__rx")).otherwise(0L)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__srx"))
       .filter(col("n_pos") > 0 && col("n_neg") > 0)
       .select(col(grpCol), col("n_pos"), col("n_neg"),
         round((col("__srx") - col("n_pos") * (col("n_pos") + 1)).cast("double") /

@@ -1280,8 +1280,8 @@ object AnalyticsQueries {
           round(expr("percentile(mean_b, 0.975)"), 6).as("ci_hi"))
     },
     Some {
-      val h = "CAST(('0x'||substring(md5('bs:'||CAST(b AS VARCHAR)||':'" +
-        "||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)"
+      val h = OracleSql.hash60(
+        "'bs:'||CAST(b AS VARCHAR)||':'||CAST(doc_id AS VARCHAR)")
       val ladder = poissonThresholds.zipWithIndex
         .map { case (t, k) => s"WHEN h < $t THEN $k" }
         .mkString(" ")

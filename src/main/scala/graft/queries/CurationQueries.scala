@@ -15,8 +15,7 @@ import graft.operators.{Chunking, Dedup, Ranks, Sampling, TextFunctions}
   */
 object CurationQueries {
 
-  private def hash60sql(e: String): String =
-    s"CAST(('0x'||substring(md5($e),1,15)) AS BIGINT)"
+  private def hash60sql(e: String): String = OracleSql.hash60(e)
 
   private val toksSql =
     """SELECT doc_id, lang, source, n_chars,
@@ -824,10 +823,11 @@ object CurationQueries {
     *
     * Cross-engine exactness: p is 6-dp-rounded, so pm = round(p·10⁶) is
     * an exact integer on both engines; mean_p, frac_pos and the Brier
-    * sum Σ(pm − label·10⁶)² are integer sums (≤ 10¹² per row — LONG to
-    * ~9e6 rows per bin; the DECIMAL accumulator takes over past that)
-    * divided once. The decile floor(p·10) is computed from the same
-    * double on both sides; p = 1.0 clamps into bin 9. */
+    * sum Σ(pm − label·10⁶)² are integer sums divided once — the Brier
+    * term reaches 10¹² per row, so its sum accumulates in DECIMAL(38,0)
+    * (engine) / HUGEINT (oracle) like sp1/ols1; a LONG sum would wrap
+    * past ~9e6 rows per bin. The decile floor(p·10) is computed from
+    * the same double on both sides; p = 1.0 clamps into bin 9. */
   private val cal1 = Q(
     "cal1_calibration_bins",
     (s, d) => {
@@ -841,8 +841,10 @@ object CurationQueries {
             (count(lit(1)).cast("double") * lit(1000000.0)), 6).as("mean_p"),
           round(sum(col("label")).cast("double") /
             count(lit(1)).cast("double"), 6).as("frac_pos"),
-          round(sum((col("pm") - col("label") * lit(1000000L)) *
-              (col("pm") - col("label") * lit(1000000L))).cast("double") /
+          round(sum(((col("pm") - col("label") * lit(1000000L)) *
+              (col("pm") - col("label") * lit(1000000L)))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") /
             (count(lit(1)).cast("double") * lit(1.0e12)), 6).as("brier"))
     },
     Some(s"""WITH $labeledScoreSql,

@@ -18,6 +18,17 @@ final case class Q(
     oracle: Option[String],
     doc: String = "")
 
+/** Oracle-SQL idioms shared across query groups — a dependency-free home
+  * so no two query objects need to reference each other during
+  * initialization (cross-object val cycles deadlock under concurrent
+  * first-touch). */
+object OracleSql {
+  /** SQL mirror of `Dedup.hash60` — the ONE copy of the parity-critical
+    * 60-bit md5 idiom every oracle derives hashes from. */
+  def hash60(e: String): String =
+    s"CAST(('0x'||substring(md5($e),1,15)) AS BIGINT)"
+}
+
 object QueryCatalog {
   /** All registered query groups, in SURVEY.md §2 order. */
   def all: Seq[Q] =
