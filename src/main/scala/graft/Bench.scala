@@ -38,8 +38,9 @@ object Bench {
     // INGEST-time costs, not scan costs: pay them for the TIMED dir
     // before the window opens, or a clean machine (gate.sh now wipes
     // /tmp/graft_*) charges the one-off write to the scan query —
-    // observed zo1 0.16 s -> 2.38 s in the r7 gate bench
-    val layoutWriters = Set("zo1_zorder_prune", "or1_orc_interchange")
+    // observed zo1 0.16 s -> 2.38 s in the r7 gate bench. The name set
+    // lives next to the zo1/or1 definitions so it can't silently desync.
+    val layoutWriters = graft.queries.RelationalQueries.layoutWriterQueries
     qs.foreach { case (name, fn) =>
       if (layoutWriters.contains(name))
         try fn(spark, sfDir).count() catch { case _: Throwable => () }

@@ -78,7 +78,8 @@ object Moderation {
     * non-positive variances before taking logs).
     *
     * Smyth's moment match on e_g = log s²_g − ψ(df_g/2) + log(df_g/2):
-    * E[e] = log s0² + ψ(d0/2) − log(d0/2) and Var[e] ≈ ψ′(d0/2) +
+    * E[e] = log s0² − ψ(d0/2) + log(d0/2) (so log s0² = mean(e) +
+    * ψ(d0/2) − log(d0/2), as implemented) and Var[e] ≈ ψ′(d0/2) +
     * mean ψ′(df_g/2)… rearranged: d0 = 2·ψ′⁻¹(var(e) − mean ψ′(df_g/2)),
     * then s0² from the mean equation. A non-positive corrected variance
     * means the s²_g scatter is no wider than sampling noise — the prior

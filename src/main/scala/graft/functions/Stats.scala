@@ -240,7 +240,12 @@ object Stats {
           .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__srx"))
       .filter(col("n_pos") > 0 && col("n_neg") > 0)
       .select(col(grpCol), col("n_pos"), col("n_neg"),
-        round((col("__srx") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+        // n_pos promoted to decimal BEFORE the product: n_pos*(n_pos+1)
+        // in LONG would wrap past ~3e9 positives, defeating __srx's
+        // decimal accumulator in the same regime
+        round((col("__srx") -
+            col("n_pos").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            (col("n_pos") + 1)).cast("double") /
           (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
   }
 

@@ -1269,7 +1269,10 @@ object AnalyticsQueries {
         .withColumn("w", wOf(col("h")).cast("long"))
       val means = reps.groupBy(col("source"), col("b")).agg(
           sum(col("w")).as("sw"),
-          sum(col("w") * col("n_chars")).as("swx"))
+          // DECIMAL accumulator: w*n_chars ~ 1e7/row, a LONG sum wraps
+          // past ~1e12 rows per (source, replica); the oracle is HUGEINT
+          sum((col("w") * col("n_chars"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("swx"))
         .filter(col("sw") > 0)
         .withColumn("mean_b", col("swx").cast("double") / col("sw"))
       means.groupBy(col("source")).agg(

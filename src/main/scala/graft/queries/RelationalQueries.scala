@@ -75,6 +75,17 @@ object RelationalQueries {
     * missing: re-verification and bench measure the pruned SCAN, the
     * one-off clustering cost is the ingest-time price any clustered
     * layout pays. */
+
+  /** Names of the queries whose FIRST run on a dir performs a one-off
+    * write-if-missing layout rewrite (z-order / ORC). Lives HERE, next
+    * to those queries, so adding or renaming one cannot silently desync
+    * the benchmark's pre-warm pass (`Bench` pays these ingest costs
+    * before its timed window opens — on a clean machine the gate wipes
+    * /tmp/graft_*, and an unwarmed layout write would otherwise be
+    * charged to the scan query: observed 0.16 s → 2.38 s on zo1). */
+  val layoutWriterQueries: Set[String] =
+    Set("zo1_zorder_prune", "or1_orc_interchange")
+
   private val zo1 = Q(
     "zo1_zorder_prune",
     (s, d) => {
