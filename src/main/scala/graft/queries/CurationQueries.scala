@@ -1249,6 +1249,55 @@ object CurationQueries {
                  AS noisy_n
              FROM c"""))
 
+  /** CM1 — the confusion-matrix eval completing the frozen-classifier
+    * report beside auc1 (ranking) and cal1 (calibration): per `source`,
+    * TP/FP/FN/TN of the 0.5-threshold decision against the noisy rule
+    * labels, with precision, recall and F1. Pure integer counts from ONE
+    * partial+final hash agg (same single-exchange shape as cal1); the
+    * three ratios are single divisions of exact integers with NULL on
+    * empty denominators, identically guarded on both engines (F1 from
+    * the count identity 2TP/(2TP+FP+FN) — one division, no compounded
+    * rounding through precision/recall). */
+  private val cm1 = Q(
+    "cm1_confusion_matrix",
+    (s, d) => {
+      val b = labeledScores(s, d)
+        .withColumn("pred", (col("p") > 0.5).cast("long"))
+      val cts = b.groupBy(col("source")).agg(
+        sum(col("pred") * col("label")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("label"))).as("fp"),
+        sum((lit(1L) - col("pred")) * col("label")).as("fn"),
+        sum((lit(1L) - col("pred")) * (lit(1L) - col("label"))).as("tn"))
+      cts.select(col("source"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+          .as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * col("tp") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
+    },
+    Some(s"""WITH $labeledScoreSql,
+          b AS (SELECT source, label,
+                  CASE WHEN p > 0.5 THEN 1 ELSE 0 END AS pred
+                FROM l),
+          c AS (SELECT source,
+                  CAST(sum(pred * label) AS BIGINT) AS tp,
+                  CAST(sum(pred * (1 - label)) AS BIGINT) AS fp,
+                  CAST(sum((1 - pred) * label) AS BIGINT) AS fn,
+                  CAST(sum((1 - pred) * (1 - label)) AS BIGINT) AS tn
+                FROM b GROUP BY source)
+          SELECT source, tp, fp, fn, tn,
+            CASE WHEN tp + fp > 0
+              THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+            CASE WHEN tp + fn > 0
+              THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+            CASE WHEN 2 * tp + fp + fn > 0
+              THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+          FROM c"""))
+
   // ---------------------------------------------- dm1: DoReMi mixture step
 
   /** DM1 — DoReMi-style domain-mixture reweighting STEP (Xie et al.
@@ -1324,5 +1373,5 @@ object CurationQueries {
           FROM w CROSS JOIN z"""))
 
   def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, ng3, ng4, cu1, lr1, lr1b, auc1,
-    cal1, sd1, scd1, dr1, ds1, qs1, dq1, dc1, dp1, dm1)
+    cal1, cm1, sd1, scd1, dr1, ds1, qs1, dq1, dc1, dp1, dm1)
 }

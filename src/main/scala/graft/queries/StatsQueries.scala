@@ -668,6 +668,52 @@ object StatsQueries {
         "l_partkey, n, slope_usd, intercept_usd, r2, z_r AS z")
     })
 
+  /** PV1 — p-value-distribution QC over the wt1 Welch screen: the
+    * 20-bin p-value histogram plus Storey's π0 estimate at λ = 0.5
+    * (Storey 2002, "A direct approach to false discovery rates":
+    * π0 = #{p > λ} / ((1−λ)·m), clamped to 1) — the standard sanity
+    * report run over EVERY large screening result before trusting its
+    * FDR: a U-shaped or right-leaning histogram means the null model is
+    * wrong, and π0 calibrates how much of the corpus is null.
+    *
+    * Built ON wt1: the Spark side consumes `wt1.run`'s output frame and
+    * the oracle WRAPS wt1's own oracle SQL as a CTE, so the two queries
+    * can never diverge on what the p-values are. Everything downstream
+    * of wt1 is integer bin counts and two scalar divisions (the n-frame
+    * rides a broadcast 1-row cross join; the 2000-row p frame is
+    * persisted so the Welch chain runs once). */
+  private val pv1 = Q(
+    "pv1_pvalue_qc",
+    (s, d) => {
+      val base = wt1.run(s, d).select(col("pvalue")).persist()
+      graft.Caches.releaseAfterAction(base)
+      val n = base.agg(count(lit(1)).as("n_tot"),
+        sum(when(col("pvalue") > 0.5, 1L).otherwise(0L)).as("n_hi"))
+      base
+        .withColumn("bin",
+          least(floor(col("pvalue") * lit(20.0)).cast("long"), lit(19L)))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_genes"))
+        .crossJoin(broadcast(n))
+        .select(col("bin"), col("n_genes"),
+          round(col("n_genes").cast("double") / col("n_tot").cast("double"), 6)
+            .as("frac"),
+          round(least(lit(1.0), col("n_hi").cast("double") /
+            (lit(0.5) * col("n_tot").cast("double"))), 6).as("pi0"))
+    },
+    Some(s"""WITH base AS (${wt1.oracle.get}),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+                  CAST(sum(CASE WHEN pvalue > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_hi
+                FROM base),
+          b AS (SELECT least(CAST(floor(pvalue * 20.0) AS BIGINT), 19) AS bin,
+                  CAST(count(*) AS BIGINT) AS n_genes
+                FROM base GROUP BY 1)
+          SELECT bin, n_genes,
+            round(CAST(n_genes AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS frac,
+            round(least(1.0, CAST(n_hi AS DOUBLE)
+              / (0.5 * CAST(n_tot AS DOUBLE))), 6) AS pi0
+          FROM b CROSS JOIN s"""))
+
   def all: Seq[Q] =
-    Seq(d1, d2, d5, d6, d6b, d7, d8, d9, e1, x8, ks1, sp1, wt1, wt2, ols1)
+    Seq(d1, d2, d5, d6, d6b, d7, d8, d9, e1, x8, ks1, sp1, wt1, wt2, ols1, pv1)
 }

@@ -216,6 +216,31 @@ class CurationSpec extends SparkSpec with Matchers {
     assert(meanAbs < 3.0, s"implausible noise magnitude: $meanAbs")
   }
 
+  test("cm1: confusion counts partition each source, ratios consistent") {
+    val out = QueryCatalog.byName("cm1_confusion_matrix").run(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docTotal = spark.read.parquet(s"$sf/documents.parquet").count()
+    val cells = out.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+      r.getAs[Long]("fn") + r.getAs[Long]("tn")).sum
+    assert(cells == docTotal, "every doc lands in exactly one confusion cell")
+    out.foreach { r =>
+      val (tp, fp, fn) =
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))
+      Seq("precision", "recall", "f1").foreach { c =>
+        Option(r.getAs[java.lang.Double](c)).foreach { v =>
+          assert(v >= 0.0 && v <= 1.0, s"$c out of range: $r")
+        }
+      }
+      // F1 recomputed from the harmonic-mean identity must agree with
+      // the count-identity form the query emits
+      if (tp + fp > 0 && tp + fn > 0 && tp > 0) {
+        val p = tp.toDouble / (tp + fp); val rc = tp.toDouble / (tp + fn)
+        assert(math.abs(r.getAs[Double]("f1") - 2 * p * rc / (p + rc)) < 1e-6,
+          s"f1 identity: $r")
+      }
+    }
+  }
+
   test("dm1: weights form a distribution, upweighting tracks excess loss") {
     val out = QueryCatalog.byName("dm1_doremi_weights").run(spark, sf).collect()
     assert(out.length > 1, "need several domains to reweight")

@@ -198,4 +198,24 @@ class StatsSpec extends SparkSpec {
       assert(p > 0.0 && p <= 1.0, s"pvalue: $row")
     }
   }
+
+  test("pv1: histogram partitions the wt1 screen, pi0 well-formed") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.QueryCatalog.byName("pv1_pvalue_qc")
+      .run(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nScreen = graft.queries.QueryCatalog.byName("wt1_welch_z")
+      .run(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_genes")).sum == nScreen,
+      "bins must partition the screened genes")
+    assert(math.abs(out.map(_.getAs[Double]("frac")).sum - 1.0) < 1e-4)
+    out.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin <= 19, s"bin range: $r")
+      val pi0 = r.getAs[Double]("pi0")
+      assert(pi0 >= 0.0 && pi0 <= 1.0, s"pi0 range: $r")
+    }
+    // pi0 is constant across rows (a corpus-level scalar)
+    assert(out.map(_.getAs[Double]("pi0")).distinct.length == 1)
+  }
 }
