@@ -484,7 +484,7 @@ class PlanSpec extends SparkSpec {
     // everything before the groupBy is narrow map work riding the scan,
     // everything after is closed-form column math on the group frame
     Seq("ols1_grouped_regression", "cal1_calibration_bins",
-      "dp1_noisy_counts").foreach { name =>
+      "cm1_confusion_matrix", "dp1_noisy_counts").foreach { name =>
       val df = QueryCatalog.byName(name).run(spark, dir)
       df.collect()
       val nodes = flatten(df.queryExecution.executedPlan)
