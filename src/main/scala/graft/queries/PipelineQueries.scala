@@ -35,6 +35,60 @@ object PipelineQueries {
              SELECT token, count(*) AS cnt FROM tok
              GROUP BY token ORDER BY cnt DESC, token LIMIT 100"""))
 
+  /** GC1 — vocabulary-concentration GINI per source: the Gini
+    * coefficient of the term-frequency mass, the standard one-number
+    * corpus-diversity check (a healthy Zipfian domain sits ~0.8+; a
+    * template-spam domain collapses toward a few tokens carrying all
+    * mass). Computed by the rank identity over ascending counts,
+    * G = 2·Σᵢ i·cᵢ / (n·Σc) − (n+1)/n, which is exact integer
+    * arithmetic up to the two final divisions: the ONE heavy pass is
+    * the (source, term) count agg (x4's map-side-combine shape); the
+    * rank window then runs over the VOCABULARY, not the corpus —
+    * term-type-sized partitions, the auc1-class documented trade (a
+    * domain whose vocab can't sort per-partition would move to a
+    * bucketed approximate Gini). Ties order by (count, term) so both
+    * engines rank identically; i·cᵢ promotes to DECIMAL(38,0) before
+    * the product (HUGEINT on the oracle side). */
+  private val gc1 = Q(
+    "gc1_vocab_gini",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val tc = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("k"))
+      val w = Window.partitionBy(col("source")).orderBy(col("k"), col("token"))
+      tc.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_terms"),
+          sum(col("k").cast(dec)).as("s1"),
+          sum(col("i").cast(dec) * col("k")).as("s2"))
+        .select(col("source"), col("n_terms"),
+          col("s1").cast("long").as("n_tokens"),
+          round(lit(2.0) * col("s2").cast("double") /
+            (col("n_terms").cast("double") * col("s1").cast("double")) -
+            (col("n_terms").cast("double") + lit(1.0)) /
+            col("n_terms").cast("double"), 6).as("gini"))
+    },
+    Some(s"""WITH t AS ($toksSql),
+             tok AS (SELECT source, unnest(toks) AS token FROM t),
+             tc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS k
+                    FROM tok GROUP BY 1, 2),
+             r AS (SELECT source, k,
+                     CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY k, token) AS BIGINT) AS i
+                   FROM tc),
+             a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                     CAST(sum(k) AS BIGINT) AS s1, sum(i * k) AS s2
+                   FROM r GROUP BY source)
+             SELECT source, n_terms, s1 AS n_tokens,
+               round(2.0 * CAST(s2 AS DOUBLE)
+                 / (CAST(n_terms AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 - (CAST(n_terms AS DOUBLE) + 1.0)
+                 / CAST(n_terms AS DOUBLE), 6) AS gini
+             FROM a"""))
+
   /** HL1 — approximate distinct-token cardinality per language through
     * Spark's HyperLogLog++ (`approx_count_distinct`, rsd 2%): THE
     * mergeable-sketch answer to "how big is each language's vocabulary"
@@ -392,5 +446,5 @@ object PipelineQueries {
                (cum_tokens - 1) // $packBudget AS pack_id
              FROM c"""))
 
-  def all: Seq[Q] = Seq(x4, hl1, hl2, x5, x6, ct1, bf1, sm1, qt1, aj1, aj2, pk1, pk2)
+  def all: Seq[Q] = Seq(x4, gc1, hl1, hl2, x5, x6, ct1, bf1, sm1, qt1, aj1, aj2, pk1, pk2)
 }

@@ -238,4 +238,32 @@ class AnalyticsSpec extends SparkSpec with Matchers {
       assert(hi - lo <= 7.9 * se, s"CI outside the n=32 range envelope: $r")
     }
   }
+
+  test("gc1: Gini matches an independent recomputation per source") {
+    import org.apache.spark.sql.functions._
+    val out = QueryCatalog.byName("gc1_vocab_gini").run(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("gini"))).toMap
+    assert(out.nonEmpty)
+    // independent route: collect the (source, term) counts and apply the
+    // rank identity directly in Scala
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .groupBy("source", "token").count().collect()
+      .groupBy(_.getAs[String]("source"))
+    counts.foreach { case (src, rows) =>
+      val ks = rows.map(_.getAs[Long]("count")).sorted
+      val n = ks.length.toLong
+      val s1 = ks.sum
+      val s2 = ks.zipWithIndex.map { case (k, i) => (i + 1L) * k }.sum
+      val gini = 2.0 * s2 / (n.toDouble * s1) - (n + 1.0) / n
+      val (qn, qs1, qg) = out(src)
+      assert(qn == n, s"$src n_terms: $qn vs $n")
+      assert(qs1 == s1, s"$src n_tokens: $qs1 vs $s1")
+      assert(math.abs(qg - gini) < 1e-6, s"$src gini: $qg vs $gini")
+      assert(qg >= 0.0 && qg < 1.0, s"$src gini range: $qg")
+    }
+  }
 }
