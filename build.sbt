@@ -23,6 +23,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// The driver's bench parse reads a bounded stdout TAIL and needs Bench's
+// summary JSON line BARE and LAST. With the default LoggedOutput the
+// forked run's stdout is re-logged as "[info] {...}" and followed by a
+// "[success] Total time" line — both r6 and r7 ended "parsed": null for
+// exactly this reason (BENCH_r07.json's tail shows the wrapped line).
+// StdoutOutput lets the forked JVM write the fd directly (no prefix);
+// showSuccess drops the trailing [success] line so the summary is the
+// final stdout line of the sbt invocation.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude it
+// from the unused-key lint so the warning doesn't pollute driver logs
+Global / excludeLintKeys += showSuccess
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

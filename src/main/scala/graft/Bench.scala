@@ -26,7 +26,10 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory) {
       qs.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        // silence is fine here (the same query runs timed below and its
+        // failure prints there), but fatal errors must propagate
+        try fn(spark, warmDir).count()
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       // drop the warmup pass's caches BEFORE timing starts: without this
       // the first heavy timed queries inherit the whole warmup's old-gen
@@ -43,9 +46,33 @@ object Bench {
     val layoutWriters = graft.queries.RelationalQueries.layoutWriterQueries
     qs.foreach { case (name, fn) =>
       if (layoutWriters.contains(name))
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        // NonFatal only: a swallowed OOM/linkage error here would silently
+        // reintroduce the ingest-cost-charged-to-scan skew this pass
+        // exists to eliminate (0.16 s -> 2.38 s on zo1), with no signal.
+        // The warning names the query so a skewed timing is explainable.
+        try fn(spark, sfDir).count() catch {
+          case scala.util.control.NonFatal(e) => System.err.println(
+            s"[bench] layout pre-warm for $name failed (its scan timing " +
+              s"may be skewed by the deferred write): ${e.getMessage}")
+        }
     }
     spark.catalog.clearCache()
+    // Sacrificial untimed heavy pass (r7 verdict #1a): the warmup above
+    // runs at sf0.001, so on a fresh boot the FIRST heavy timed query
+    // used to absorb the suite's cold page-cache/JIT constant for the
+    // TIMED sf dir — the driver's r7 bench charged 25.8 s to bf1
+    // (alphabetically first heavy query) vs its 3-7 s warm band, code
+    // unchanged. Run that same query once against the timed dir,
+    // untimed, so the cold constant lands outside every timed window.
+    qs.find(_._1.startsWith("bf1")).orElse(qs.headOption).foreach {
+      case (name, fn) =>
+        try fn(spark, sfDir).count() catch {
+          case scala.util.control.NonFatal(e) => System.err.println(
+            s"[bench] sacrificial warm pass $name failed: ${e.getMessage}")
+        }
+    }
+    spark.catalog.clearCache()
+    System.gc()
     val results = qs.map { case (name, fn) =>
       spark.catalog.clearCache() // queries persist() internally; keep runs isolated
       // settle the JVM between queries: without it, GC debt from one

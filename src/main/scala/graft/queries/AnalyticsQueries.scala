@@ -1295,7 +1295,10 @@ object AnalyticsQueries {
                    CASE $ladder ELSE 8 END AS w
                  FROM (SELECT *, $h AS h FROM reps)),
           m AS (SELECT source, b, CAST(sum(w) AS BIGINT) AS sw,
-                  CAST(sum(w * n_chars) AS BIGINT) AS swx
+                  -- no BIGINT cast: swx keeps DuckDB's HUGEINT sum so the
+                  -- oracle matches the engine's DECIMAL(38,0) headroom
+                  -- rather than being the first side to overflow
+                  sum(w * n_chars) AS swx
                 FROM hw GROUP BY 1, 2),
           mb AS (SELECT source, CAST(swx AS DOUBLE) / sw AS mean_b
                  FROM m WHERE sw > 0)

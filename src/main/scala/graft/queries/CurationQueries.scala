@@ -800,10 +800,15 @@ object CurationQueries {
                 FROM r0),
           a AS (SELECT source, CAST(sum(label) AS BIGINT) AS n_pos,
                   CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
-                  CAST(sum(CASE WHEN label = 1 THEN rx ELSE 0 END) AS BIGINT) AS srx
+                  -- no BIGINT cast: srx stays HUGEINT so the oracle keeps
+                  -- the same >2^63 headroom the engine's DECIMAL(38,0)
+                  -- accumulator has (a BIGINT cast here would make the
+                  -- oracle the first to overflow at ~2.1e9 rows/group,
+                  -- inverting the documented parity rationale)
+                  sum(CASE WHEN label = 1 THEN rx ELSE 0 END) AS srx
                 FROM r GROUP BY source)
           SELECT source, n_pos, n_neg,
-            round(CAST(srx - n_pos * (n_pos + 1) AS DOUBLE)
+            round(CAST(srx - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
               / (2.0 * n_pos * n_neg), 6) AS auc
           FROM a WHERE n_pos > 0 AND n_neg > 0"""
     })
@@ -1213,21 +1218,25 @@ object CurationQueries {
     s"CASE $ladder ELSE 0 END"
   }
 
-  /** DP1 — differentially-private corpus-composition release: per
-    * (source, lang) document counts with two-sided-geometric noise
-    * (noisy_n = n + G1 - G2), the integer analogue of the Laplace
-    * mechanism and the standard governance surface for publishing
-    * training-data composition stats without certifying any individual
-    * document's membership. eps = 1, sensitivity 1; the TRUE counts
-    * never leave the plan.
+  /** DP1 — two-sided-geometric noisy-count release mechanism, TEST-MODE
+    * ONLY: **the committed form is NOT differentially private and must
+    * not be used as a release mechanism as-is.** Its noise draws are
+    * deterministic 60-bit hashes of the PUBLIC group key (the bs1
+    * reproducible-replica convention, needed so the query is
+    * hash-oracleable), so anyone can recompute G1 − G2 and invert
+    * `noisy_n` back to the exact true count. What this query exercises —
+    * and what IS the eps-DP mechanism once the hash is swapped for a
+    * sealed RNG seed, with mechanism/ladder/arithmetic unchanged — is
+    * the integer analogue of the Laplace mechanism (Ghosh–Roughgarden–
+    * Sundararajan two-sided geometric, eps = 1, sensitivity 1 since each
+    * document lands in exactly one (source, lang) cell): per-group
+    * document counts released as noisy_n = n + G1 − G2, the governance
+    * surface for publishing training-data composition stats without
+    * certifying any individual document's membership.
     *
-    * The noise draws here are DETERMINISTIC 60-bit content hashes of the
-    * group key (the bs1 reproducible-replica convention) so the release
-    * is testable and hash-oracled; a production release would swap the
-    * hash for a sealed RNG seed — the mechanism, ladder and arithmetic
-    * are unchanged. Scale shape: one partial+final count agg (group
-    * cardinality = sources x langs), noise is per-GROUP map math on the
-    * tiny aggregated frame — free at any corpus size. */
+    * Scale shape: one partial+final count agg (group cardinality =
+    * sources x langs), noise is per-GROUP map math on the tiny
+    * aggregated frame — free at any corpus size. */
   private val dp1 = Q(
     "dp1_noisy_counts",
     (s, d) => {
@@ -1315,7 +1324,11 @@ object CurationQueries {
     * domain/corpus means are integer-sum ratios in identical op order;
     * exp's final ulp is absorbed by the same ·10⁶ integer scaling BEFORE
     * the normalizing sum, so the weight denominator is exact (the lr1b
-    * sigmoid precedent). Scale shape: the one heavy pass is the lm
+    * sigmoid precedent). NOTE both engines accumulate Σsmi in 64-bit
+    * (long / BIGINT) — deliberately matched bounds, good to ~9e18 of
+    * scaled NLL mass per domain (≈ 4e11 docs at 20 nats/token), unlike
+    * the DECIMAL/HUGEINT pairs (auc1/bs1) whose products overflow 64
+    * bits far sooner. Scale shape: the one heavy pass is the lm
     * chain itself; everything after is domain-cardinality (`persist`
     * bounds the chain to one execution — the cc1 lesson; both
     * normalizing scalars ride broadcast 1-row cross joins). */

@@ -43,23 +43,24 @@ object PipelineQueries {
     * G = 2·Σᵢ i·cᵢ / (n·Σc) − (n+1)/n, which is exact integer
     * arithmetic up to the two final divisions: the ONE heavy pass is
     * the (source, term) count agg (x4's map-side-combine shape); the
-    * rank window then runs over the VOCABULARY, not the corpus —
-    * term-type-sized partitions, the auc1-class documented trade (a
-    * domain whose vocab can't sort per-partition would move to a
-    * bucketed approximate Gini). Ties order by (count, term) so both
-    * engines rank identically; i·cᵢ promotes to DECIMAL(38,0) before
-    * the product (HUGEINT on the oracle side). */
+    * rank then runs over the VOCABULARY, not the corpus — and it is the
+    * two-phase [[Ranks.rowNumber]] (range-partition on (k, token), rank
+    * locally, stitch offsets — r7 verdict #3), so even a domain whose
+    * vocabulary outgrows one task's sort (web-scale shingle/ngram
+    * "vocabularies" at 100 TB) never funnels through a single-task
+    * window. Ties order by (count, term) so both engines rank
+    * identically; i·cᵢ promotes to DECIMAL(38,0) before the product
+    * (HUGEINT on the oracle side). */
   private val gc1 = Q(
     "gc1_vocab_gini",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val tc = Tables.documents(s, d)
         .select(col("source"),
           explode(TextFunctions.tokens(col("text"))).as("token"))
         .groupBy(col("source"), col("token")).agg(count(lit(1)).as("k"))
-      val w = Window.partitionBy(col("source")).orderBy(col("k"), col("token"))
-      tc.withColumn("i", row_number().over(w).cast("long"))
+      Ranks.rowNumber(tc, Seq(col("source")),
+          Seq(col("k"), col("token")), out = "i")
         .groupBy(col("source")).agg(
           count(lit(1)).as("n_terms"),
           sum(col("k").cast(dec)).as("s1"),

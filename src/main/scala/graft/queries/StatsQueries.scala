@@ -681,7 +681,23 @@ object StatsQueries {
     * can never diverge on what the p-values are. Everything downstream
     * of wt1 is integer bin counts and two scalar divisions (the n-frame
     * rides a broadcast 1-row cross join; the 2000-row p frame is
-    * persisted so the Welch chain runs once). */
+    * persisted so the Welch chain runs once).
+    *
+    * ONE-ACTION assumption: `releaseAfterAction` unpersists after the
+    * FIRST completed action on the session, so the persist saves the
+    * Welch recompute only for the internal multi-consumer fan-out inside
+    * a single action (the n-frame broadcast + the bin agg). A caller
+    * running TWO top-level actions on the returned frame (count then
+    * collect) recomputes the Welch chain on the second — results stay
+    * correct, only the cache win is forfeited; such a caller should
+    * persist/unpersist around its own actions instead. Verify (one
+    * parquet write) and Bench (one count) each run exactly one action.
+    * The re-run of the full wt1 chain when BOTH wt1 and pv1 execute in
+    * one session is likewise deliberate: catalog queries are
+    * self-contained by contract (no cross-query shared caches), and the
+    * 2000-gene screen is cheap relative to cache-coordination coupling;
+    * a caller auditing a truly expensive screen should pass its own
+    * persisted stat frame. */
   private val pv1 = Q(
     "pv1_pvalue_qc",
     (s, d) => {

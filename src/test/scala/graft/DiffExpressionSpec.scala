@@ -165,6 +165,83 @@ class DiffExpressionSpec extends SparkSpec {
     assert(out(30L).getAs[Double]("padj") > 0.1)
   }
 
+  // ---- planted-dispersion identity for the PRIOR fit (r7 verdict #5) ----
+  // d3b closed the apply stage against frozen checkpoints; this closes the
+  // last numerically-unverified FIT stage: the binned gamma-GLM dispersion
+  // trend must recover a KNOWN dispersion planted into genuinely
+  // NB-distributed synthetic counts (true gamma-Poisson draws, fixed seed),
+  // independent of any golden file produced by the code under test.
+
+  /** Marsaglia–Tsang gamma sampler (shape ≥ 1; boosted below 1). */
+  private def gammaDraw(rng: java.util.Random, shape: Double, scale: Double): Double =
+    if (shape < 1.0)
+      gammaDraw(rng, shape + 1.0, scale) * math.pow(rng.nextDouble(), 1.0 / shape)
+    else {
+      val d = shape - 1.0 / 3.0
+      val c = 1.0 / math.sqrt(9.0 * d)
+      var res = -1.0
+      while (res < 0) {
+        var x = 0.0; var v = 0.0
+        do { x = rng.nextGaussian(); v = 1.0 + c * x } while (v <= 0)
+        v = v * v * v
+        val u = rng.nextDouble()
+        if (u < 1 - 0.0331 * x * x * x * x ||
+            math.log(u) < 0.5 * x * x + d * (1 - v + math.log(v)))
+          res = d * v * scale
+      }
+      res
+    }
+
+  /** Knuth Poisson, chunked so exp(−λ) never underflows (λ ≤ 500/chunk). */
+  private def poissonDraw(rng: java.util.Random, lam: Double): Long =
+    if (lam > 500) poissonDraw(rng, 500) + poissonDraw(rng, lam - 500)
+    else {
+      val l = math.exp(-lam)
+      var k = 0L; var p = 1.0
+      do { k += 1; p *= rng.nextDouble() } while (p > l)
+      k - 1
+    }
+
+  /** NB(μ, α) via the gamma–Poisson mixture: λ ~ Gamma(1/α, αμ), X|λ ~ Poisson(λ)
+    * — mean μ, variance μ + αμ² by construction. */
+  private def nbDraw(rng: java.util.Random, mu: Double, alpha: Double): Double =
+    poissonDraw(rng, gammaDraw(rng, 1.0 / alpha, alpha * mu)).toDouble
+
+  test("dispersion prior recovers a planted constant NB dispersion") {
+    def fitted(alpha: Double): (graft.functions.DispersionPrior, Seq[Double]) = {
+      val rng = new java.util.Random(20260815L)
+      val genes = 2000; val nPer = 12
+      // μ log-spaced over 1.5 decades so the 1/μ trend term is exercised
+      val mus = (0 until genes)
+        .map(g => 20.0 * math.pow(10.0, 1.5 * g / (genes - 1.0)))
+      val cells = mus.zipWithIndex.flatMap { case (mu, g) =>
+        (0 until nPer).map(i =>
+          CountCell(g.toLong, i.toLong, nbDraw(rng, mu, alpha), "A", 1.0)) ++
+        (0 until nPer).map(i =>
+          CountCell(g.toLong, (nPer + i).toLong, nbDraw(rng, mu, alpha), "B", 1.0))
+      }
+      (DiffExpression.dispersionPrior(cells.toDS(), p = 2), mus)
+    }
+    Seq(0.1, 0.4).foreach { alpha =>
+      val (prior, mus) = fitted(alpha)
+      // the fitted trend evaluated at each planted gene's μ must sit near
+      // the planted α on average. Tolerance note: the pooled MoM the
+      // prior fits carries a ~(n−1)/n small-sample attenuation (0.96 at
+      // n = 24), so the ratio is expected slightly BELOW 1 — the band is
+      // wide enough for that plus 2000-gene sampling noise, narrow enough
+      // to catch a wrong trend slope/intercept or a mis-scaled estimator.
+      val ratios = mus.map(mu => (prior.a0 + prior.a1 / mu) / alpha)
+      val meanRatio = ratios.sum / ratios.size
+      assert(meanRatio > 0.75 && meanRatio < 1.3,
+        s"alpha=$alpha meanRatio=$meanRatio prior=$prior")
+      // constant planted dispersion → cross-gene residual spread is pure
+      // sampling noise, so the prior width must collapse to (or near)
+      // DESeq2's 0.25 floor — a wide width here would mean the trend
+      // missed and shrinkage is being disabled
+      assert(prior.sigmaSq <= 1.0, s"alpha=$alpha sigmaSq=${prior.sigmaSq}")
+    }
+  }
+
   test("d3b Wald apply: frozen-dispersion scoring invariants on sf0.001") {
     val out = graft.queries.QueryCatalog.byName("d3b_wald_apply")
       .run(spark, "/root/testdata/sf0.001").collect()
