@@ -97,6 +97,51 @@ object Sketches {
       .select((g :+ col("__used").as("n_buckets_used") :+ col("est")): _*)
   }
 
+  /** One Count-Min probe coordinate: h_r(key) = hash60("cm:" + r + ":" +
+    * key) mod `width` — the ONE copy of the row-hash idiom shared by
+    * register build and estimate so the two can never probe different
+    * cells. */
+  def cmColumnOf(r: Column, key: Column, width: Int): Column =
+    Dedup.hash60(concat(lit("cm:"), r.cast("string"), lit(":"), key)) %
+      width.toLong
+
+  /** Portable Count-Min sketch registers (Cormode & Muthukrishnan 2005):
+    * register(r, c) = Σ counts of keys with h_r(key) = c, for `depth`
+    * independent rows of `width` cells. Built from a KEY-COUNT frame
+    * (type-sized) rather than raw occurrences, so the depth-way fan-out
+    * touches the vocabulary, not the corpus, and the register table is
+    * depth·width cells REGARDLESS of data size — mergeable O(1) sketch
+    * state (registers of shards add cell-wise; the update is a sum, so
+    * pre-aggregated counts fold in exactly). All-integer arithmetic —
+    * fully replayable cross-engine, unlike a float sketch. */
+  def countMinRegisters(counts: DataFrame, keyCol: String, cntCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape: $depth x $width")
+    counts
+      .withColumn("__r",
+        explode(array((0 until depth).map(i => lit(i)): _*)))
+      .withColumn("__c", cmColumnOf(col("__r"), col(keyCol), width))
+      .groupBy(col("__r").as("r"), col("__c").as("c"))
+      .agg(sum(col(cntCol)).as("reg"))
+  }
+
+  /** Count-Min point estimates for the keys in `keys`: est(key) =
+    * min over rows r of register(r, h_r(key)) — an OVERestimate of the
+    * true count with P[err > εN] ≤ δ at width = e/ε, depth = ln(1/δ).
+    * The register table is depth·width rows, so it rides a broadcast
+    * join; output keeps every column of `keys` plus `est`. */
+  def countMinEstimate(keys: DataFrame, keyCol: String, regs: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    val kcols = keys.columns.toIndexedSeq
+    keys
+      .withColumn("__r",
+        explode(array((0 until depth).map(i => lit(i)): _*)))
+      .withColumn("__c", cmColumnOf(col("__r"), col(keyCol), width))
+      .join(broadcast(regs), col("__r") === col("r") && col("__c") === col("c"))
+      .groupBy(kcols.map(col): _*)
+      .agg(min(col("reg")).as("est"))
+  }
+
   /** The [[portableHllDistinct]] numerator literal for an oracle at the
     * same `p` — exposed so SQL embeds the IDENTICAL double. */
   def hllNumerator(p: Int): Double = {

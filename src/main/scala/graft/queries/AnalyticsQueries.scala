@@ -587,40 +587,100 @@ object AnalyticsQueries {
     * tokenizer split them on `\s+`); ranks chain as 30 nested folds,
     * evaluated once per DISTINCT word, then joined back positionally.
     * Spark side stays the broadcast-ranks narrow map of `bp2`. */
+  /** The frozen merge table as `Bpe.Merge` rows — shared by bp2b/tk1 so
+    * the two queries can never tokenize with different checkpoints. */
+  private def frozenBpeMerges: Seq[graft.operators.Bpe.Merge] =
+    FrozenModels.bpeMerges.zipWithIndex.map { case ((l, r), i) =>
+      graft.operators.Bpe.Merge(i, l, r)
+    }
+
+  /** Shared bp2b/tk1 oracle CTE chain: replays `Bpe.applyMerges` for the
+    * frozen checkpoint, ending in `x(doc_id, wi, ti, bpe_token)` — one
+    * row per emitted BPE token with its (word, within-word) order keys. */
+  private def bpeApplyCtes: String = {
+    def sqlStr(s0: String): String = "'" + s0.replace("'", "''") + "'"
+    // one rank's greedy fold: join r onto a trailing l, else append x
+    def rankFold(inner: String, l: String, r: String): String = {
+      val ls = sqlStr(l); val rs = sqlStr(r)
+      val lLen = l.codePointCount(0, l.length) + 1 // ' ' + l, in code points
+      s"""string_split(list_reduce($inner,
+           (acc, x) -> CASE WHEN x = $rs AND (acc = $ls OR right(acc, $lLen) = ' ' || $ls)
+                       THEN acc || $rs ELSE acc || ' ' || x END), ' ')"""
+    }
+    val folds = FrozenModels.bpeMerges.foldLeft("regexp_split_to_array(w, '')") {
+      case (inner, (l, r)) => rankFold(inner, l, r)
+    }
+    s"""t AS ($toksSql WHERE text IS NOT NULL),
+        g0 AS (SELECT doc_id, unnest(toks) AS w,
+                 unnest(range(1, len(toks) + 1)) AS wi FROM t),
+        g AS (SELECT doc_id, w, wi FROM g0 WHERE len(w) > 0),
+        tw AS (SELECT w, $folds AS tl FROM (SELECT DISTINCT w FROM g)),
+        x AS (SELECT g.doc_id, g.wi, unnest(tw.tl) AS bpe_token,
+                unnest(range(1, len(tw.tl) + 1)) AS ti
+              FROM g JOIN tw USING (w))"""
+  }
+
   private val bp2b = Q(
     "bp2b_bpe_apply",
     (s, d) =>
       graft.operators.Bpe.tokenize(Tables.documents(s, d), "doc_id", "text",
-        FrozenModels.bpeMerges.zipWithIndex.map { case ((l, r), i) =>
-          graft.operators.Bpe.Merge(i, l, r)
-        }),
-    Some {
-      def sqlStr(s0: String): String = "'" + s0.replace("'", "''") + "'"
-      // one rank's greedy fold: join r onto a trailing l, else append x
-      def rankFold(inner: String, l: String, r: String): String = {
-        val ls = sqlStr(l); val rs = sqlStr(r)
-        val lLen = l.codePointCount(0, l.length) + 1 // ' ' + l, in code points
-        s"""string_split(list_reduce($inner,
-             (acc, x) -> CASE WHEN x = $rs AND (acc = $ls OR right(acc, $lLen) = ' ' || $ls)
-                         THEN acc || $rs ELSE acc || ' ' || x END), ' ')"""
-      }
-      val folds = FrozenModels.bpeMerges.foldLeft("regexp_split_to_array(w, '')") {
-        case (inner, (l, r)) => rankFold(inner, l, r)
-      }
-      s"""WITH t AS ($toksSql WHERE text IS NOT NULL),
-          g0 AS (SELECT doc_id, unnest(toks) AS w,
-                   unnest(range(1, len(toks) + 1)) AS wi FROM t),
-          g AS (SELECT doc_id, w, wi FROM g0 WHERE len(w) > 0),
-          tw AS (SELECT w, $folds AS tl FROM (SELECT DISTINCT w FROM g)),
-          x AS (SELECT g.doc_id, g.wi, unnest(tw.tl) AS bpe_token,
-                  unnest(range(1, len(tw.tl) + 1)) AS ti
-                FROM g JOIN tw USING (w))
+        frozenBpeMerges),
+    Some(s"""WITH $bpeApplyCtes
           SELECT doc_id,
                  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti)
                    AS BIGINT) AS pos,
                  bpe_token
-          FROM x"""
-    })
+          FROM x"""))
+
+  /** TK1 — tokenizer FERTILITY audit per domain under the frozen BPE
+    * merges: docs, total chars, total BPE tokens, chars-per-token and
+    * tokens-per-doc. Fertility (how many tokens a tokenizer spends per
+    * unit of text) is the standard per-domain health check before
+    * training — a domain whose chars/token collapses is being shredded
+    * into bytes (cost blowup), one whose tokens/doc collapses is
+    * near-empty. Riding the SAME frozen checkpoint and oracle CTE chain
+    * as bp2b means the token counts here are exactly the hash-verified
+    * tokenization, aggregated.
+    *
+    * Scale shape: tokenize is bp2b's narrow map (broadcast merge
+    * table, per-row fold — no shuffle); then a per-doc hash agg, a
+    * doc-keyed join back to the (doc_id, source, n_chars) projection,
+    * and a domain-sized final agg. Left join + coalesce keeps
+    * zero-token docs in the denominator on both engines. */
+  private val tk1 = Q(
+    "tk1_bpe_fertility",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val perDoc = graft.operators.Bpe
+        .tokenize(docs, "doc_id", "text", frozenBpeMerges)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("nt", coalesce(col("n_tok"), lit(0L)))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .filter(col("n_tokens") > 0)
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6)
+            .as("chars_per_token"),
+          round(col("n_tokens").cast("double") / col("n_docs"), 6)
+            .as("tokens_per_doc"))
+    },
+    Some(s"""WITH $bpeApplyCtes,
+          pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+                 FROM x GROUP BY 1),
+          j AS (SELECT d.source, d.n_chars, COALESCE(pd.n_tok, 0) AS nt
+                FROM documents d LEFT JOIN pd USING (doc_id)),
+          a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(nt) AS BIGINT) AS n_tokens,
+                  CAST(sum(n_chars) AS BIGINT) AS n_chars
+                FROM j GROUP BY 1)
+          SELECT source, n_docs, n_tokens, n_chars,
+            round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token,
+            round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS tokens_per_doc
+          FROM a WHERE n_tokens > 0"""))
 
   // ------------------------------------------------------- lm2: KN bigram LM
 
@@ -1310,7 +1370,69 @@ object AnalyticsQueries {
           FROM mb GROUP BY source"""
     })
 
+  // ------------------------------------------------ cs1: Count-Min sketch
+
+  private val cmDepth = 4
+  private val cmWidth = 256
+
+  /** CS1 — portable Count-Min sketch (Cormode & Muthukrishnan 2005)
+    * frequency estimates, sketch-then-verify like hh1: build the
+    * [[graft.operators.Sketches.countMinRegisters]] table (4×256
+    * all-integer cells from the engine's md5-hash60, so every register
+    * replays in DuckDB), then report the top-50 tokens by TRUE count
+    * beside their CM estimate and the overcount est − true (≥ 0 by the
+    * sketch's one-sided error guarantee — asserted in SketchesSpec).
+    * Completes the mergeable-sketch family: Misra–Gries (hh1) answers
+    * "which keys are heavy", HLL (hl2) "how many distinct", DDSketch
+    * (qd1) "what quantile", CM "how often is THIS key" — each O(1)
+    * state, partial+final mergeable.
+    *
+    * Scale shape: one corpus pass to type-sized token counts (map-side
+    * combine); the depth-way fan-out and the register agg touch the
+    * VOCABULARY; the register table is 1024 cells at any corpus size
+    * and rides a broadcast join; top-k is TakeOrderedAndProject. The
+    * count frame is persisted — three consumers (registers, top-k,
+    * estimate probes), one materialization. */
+  private val cs1 = Q(
+    "cs1_countmin_est",
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(explode(graft.operators.TextFunctions.tokens(col("text")))
+          .as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .persist()
+      graft.Caches.releaseAfterAction(tc)
+      val regs = graft.operators.Sketches
+        .countMinRegisters(tc, "token", "cnt", cmDepth, cmWidth)
+      val top = tc.orderBy(col("cnt").desc, col("token")).limit(50)
+      graft.operators.Sketches
+        .countMinEstimate(top, "token", regs, cmDepth, cmWidth)
+        .select(col("token"), col("cnt").as("n_true"), col("est").as("n_est"),
+          (col("est") - col("cnt")).as("overcount"))
+    },
+    Some {
+      val h = OracleSql.hash60("'cm:'||CAST(r AS VARCHAR)||':'||token")
+      s"""WITH t AS ($toksSql),
+          tok AS (SELECT unnest(toks) AS token FROM t),
+          tc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                 FROM tok GROUP BY 1),
+          rows AS (SELECT unnest(range(0, $cmDepth)) AS r),
+          cells AS (SELECT r, $h % $cmWidth AS c, cnt
+                    FROM tc CROSS JOIN rows),
+          regs AS (SELECT r, c, CAST(sum(cnt) AS BIGINT) AS reg
+                   FROM cells GROUP BY 1, 2),
+          top AS (SELECT token, cnt FROM tc
+                  ORDER BY cnt DESC, token LIMIT 50),
+          pr AS (SELECT token, cnt, r, $h % $cmWidth AS c
+                 FROM top CROSS JOIN rows),
+          e AS (SELECT token, cnt, min(reg) AS est
+                FROM pr JOIN regs USING (r, c) GROUP BY 1, 2)
+          SELECT token, cnt AS n_true, est AS n_est,
+            est - cnt AS overcount
+          FROM e"""
+    })
+
   def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, gs1, wz1, rz1, fz1, w1, w2, ii1,
-    bp1, bp2, bp2b, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1, kc1, bfs1,
-    qd2, bs1)
+    bp1, bp2, bp2b, tk1, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1, kc1,
+    bfs1, qd2, bs1, cs1)
 }

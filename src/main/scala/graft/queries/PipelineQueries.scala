@@ -17,6 +17,25 @@ object PipelineQueries {
          string_split_regex(trim(lower(text)), '\s+') AS toks
        FROM documents"""
 
+  /** Shared oracle CTE: per-(source, token) counts — the one heavy
+    * corpus pass gc1/jd1/zf1 all start from (mirrors
+    * [[sourceTokenCounts]]). */
+  private val tcSql =
+    s"""t AS ($toksSql),
+        tok AS (SELECT source, unnest(toks) AS token FROM t),
+        tc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS k
+               FROM tok GROUP BY 1, 2)"""
+
+  /** Per-(source, token) occurrence counts — ONE corpus-sized explode +
+    * partial+final hash agg; every downstream diversity/divergence query
+    * (gc1, jd1, zf1) works on this vocabulary-sized frame. */
+  private def sourceTokenCounts(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("k"))
+
   /** X4 — corpus vocabulary top-k: token frequencies, highest 100 with a
     * deterministic tiebreak. The canonical map-side-combine demonstration:
     * partial hash aggs per partition, one shuffled final agg, then
@@ -55,11 +74,7 @@ object PipelineQueries {
     "gc1_vocab_gini",
     (s, d) => {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val tc = Tables.documents(s, d)
-        .select(col("source"),
-          explode(TextFunctions.tokens(col("text"))).as("token"))
-        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("k"))
-      Ranks.rowNumber(tc, Seq(col("source")),
+      Ranks.rowNumber(sourceTokenCounts(s, d), Seq(col("source")),
           Seq(col("k"), col("token")), out = "i")
         .groupBy(col("source")).agg(
           count(lit(1)).as("n_terms"),
@@ -72,10 +87,7 @@ object PipelineQueries {
             (col("n_terms").cast("double") + lit(1.0)) /
             col("n_terms").cast("double"), 6).as("gini"))
     },
-    Some(s"""WITH t AS ($toksSql),
-             tok AS (SELECT source, unnest(toks) AS token FROM t),
-             tc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS k
-                    FROM tok GROUP BY 1, 2),
+    Some(s"""WITH $tcSql,
              r AS (SELECT source, k,
                      CAST(row_number() OVER (PARTITION BY source
                        ORDER BY k, token) AS BIGINT) AS i
@@ -89,6 +101,228 @@ object PipelineQueries {
                  - (CAST(n_terms AS DOUBLE) + 1.0)
                  / CAST(n_terms AS DOUBLE), 6) AS gini
              FROM a"""))
+
+  /** JD1 — per-domain token ENTROPY and KL divergence against the corpus
+    * unigram distribution: the information-theoretic complement to gc1's
+    * Gini (entropy measures within-domain diversity; KL(P_s ‖ P_corpus)
+    * measures how far a domain's token mix drifts from the corpus — the
+    * one-number "is this domain template spam / is this domain
+    * off-distribution" pair a mixture scheduler reads). KL is
+    * well-defined because support(P_s) ⊆ support(P_corpus) by
+    * construction.
+    *
+    * Cross-engine exactness: each per-token information term is scaled
+    * to an exact integer BEFORE any cross-row sum (the dm1 ulp-absorb
+    * convention): e = round(ln(n_s/k)·10⁶), f = round(ln((k/n_s)/(k_t/N))
+    * ·10⁶), then Σk·e and Σk·f accumulate in DECIMAL(38,0) (HUGEINT on
+    * the oracle side — k·e alone reaches ~10¹⁹ at 10¹²-token domains, a
+    * LONG would wrap) and divide once at the end.
+    *
+    * Scale shape: ONE corpus pass (the shared (source, token) count
+    * agg); corpus token totals re-aggregate the vocabulary-sized frame;
+    * the (token)-keyed join is vocabulary-sized, the (source)-keyed
+    * totals broadcast, and the final agg is domain-cardinality. No
+    * windows, no per-domain sort. */
+  private val jd1 = Q(
+    "jd1_domain_divergence",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val tc = sourceTokenCounts(s, d).persist()
+      graft.Caches.releaseAfterAction(tc)
+      val ns = tc.groupBy(col("source")).agg(sum(col("k")).as("n_s"))
+      val ct = tc.groupBy(col("token")).agg(sum(col("k")).as("kt"))
+      val nn = ns.agg(sum(col("n_s")).as("nn"))
+      tc.join(ct, "token")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(nn))
+        .withColumn("e",
+          round(log(col("n_s").cast("double") / col("k")) * lit(1000000.0))
+            .cast("long"))
+        .withColumn("f",
+          round(log((col("k").cast("double") / col("n_s")) /
+            (col("kt").cast("double") / col("nn"))) * lit(1000000.0))
+            .cast("long"))
+        .groupBy(col("source"), col("n_s")).agg(
+          sum(col("k").cast(dec) * col("e")).as("se"),
+          sum(col("k").cast(dec) * col("f")).as("sf"))
+        .select(col("source"), col("n_s").as("n_tokens"),
+          round(col("se").cast("double") /
+            (col("n_s").cast("double") * lit(1000000.0)), 6).as("entropy"),
+          round(col("sf").cast("double") /
+            (col("n_s").cast("double") * lit(1000000.0)), 6).as("kl_corpus"))
+    },
+    Some(s"""WITH $tcSql,
+             ns AS (SELECT source, CAST(sum(k) AS BIGINT) AS n_s
+                    FROM tc GROUP BY 1),
+             ct AS (SELECT token, CAST(sum(k) AS BIGINT) AS kt
+                    FROM tc GROUP BY 1),
+             tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn FROM ns),
+             terms AS (SELECT tc.source, ns.n_s, tc.k,
+                 CAST(round(ln(CAST(ns.n_s AS DOUBLE) / tc.k) * 1000000.0)
+                   AS BIGINT) AS e,
+                 CAST(round(ln((CAST(tc.k AS DOUBLE) / ns.n_s)
+                   / (CAST(ct.kt AS DOUBLE) / tot.nn)) * 1000000.0)
+                   AS BIGINT) AS f
+               FROM tc JOIN ct USING (token) JOIN ns USING (source)
+               CROSS JOIN tot),
+             a AS (SELECT source, n_s, sum(k * e) AS se, sum(k * f) AS sf
+                   FROM terms GROUP BY 1, 2)
+             SELECT source, n_s AS n_tokens,
+               round(CAST(se AS DOUBLE)
+                 / (CAST(n_s AS DOUBLE) * 1000000.0), 6) AS entropy,
+               round(CAST(sf AS DOUBLE)
+                 / (CAST(n_s AS DOUBLE) * 1000000.0), 6) AS kl_corpus
+             FROM a"""))
+
+  /** Terms per domain entering zf1's Zipf fit — the rank cutoff that
+    * bounds the regression frame (shared literal, both engines). */
+  private val zipfTopK = 1000
+
+  /** ZF1 — Zipf-law slope per domain: OLS of ln(count) on ln(rank) over
+    * each domain's top-[[zipfTopK]] terms. Natural text sits near slope
+    * −1 (Zipf 1949); a near-flat slope flags synthetic/templated token
+    * mixes and a cliff flags boilerplate domination — the standard
+    * rank-frequency diagnostic beside gc1/jd1's mass-concentration
+    * numbers.
+    *
+    * Scale shape: ranks come from the two-phase [[Ranks.rowNumber]]
+    * over the VOCABULARY-sized count frame (descending count, token
+    * tiebreak — never a one-task-per-domain sort, the auc1/gc1 r7
+    * lesson baked in from birth); the rank≤k filter bounds the
+    * regression input to k rows per domain, and the OLS moments are the
+    * ols1 convention — ln values scaled to exact round(·10⁶) integers,
+    * DECIMAL(38,0)/HUGEINT moment sums, one closed-form combination at
+    * the end (identical op order both engines; slope is scale-free
+    * because x and y carry the same 10⁶ factor). Domains with fewer
+    * than 10 ranked terms are dropped (degenerate fit). */
+  private val zf1 = Q(
+    "zf1_zipf_slope",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val nD = col("n_terms").cast("double")
+      val slope = (nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (nD * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      Ranks.rowNumber(sourceTokenCounts(s, d), Seq(col("source")),
+          Seq(col("k").desc, col("token")), out = "r")
+        .filter(col("r") <= zipfTopK)
+        .withColumn("x",
+          round(log(col("r").cast("double")) * lit(1000000.0)).cast("long"))
+        .withColumn("y",
+          round(log(col("k").cast("double")) * lit(1000000.0)).cast("long"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_terms"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"))
+        .filter(col("n_terms") >= 10)
+        .select(col("source"), col("n_terms"),
+          round(slope, 6).as("zipf_slope"),
+          round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+            (nD * lit(1000000.0)), 6).as("intercept_ln"))
+    },
+    Some(s"""WITH $tcSql,
+             rk AS (SELECT source, k,
+                      CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY k DESC, token) AS BIGINT) AS r
+                    FROM tc),
+             xy AS (SELECT source,
+                      CAST(round(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+                      CAST(round(ln(CAST(k AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+                    FROM rk WHERE r <= $zipfTopK),
+             m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+                   FROM xy GROUP BY 1),
+             sl AS (SELECT source, n_terms, sx, sy,
+                      (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS s_raw
+                    FROM m WHERE n_terms >= 10)
+             SELECT source, n_terms,
+               round(s_raw, 6) AS zipf_slope,
+               round((CAST(sy AS DOUBLE) - s_raw * CAST(sx AS DOUBLE))
+                 / (CAST(n_terms AS DOUBLE) * 1000000.0), 6) AS intercept_ln
+             FROM sl"""))
+
+  /** Bigram support floor for pm1 — PMI is unstable below a handful of
+    * observations (Church & Hanks 1990 recommend ≥ 5). */
+  private val pmiMinCount = 5
+
+  /** PM1 — PMI bigram collocation mining (Church & Hanks 1990): the
+    * top-100 adjacent-token bigrams by pointwise mutual information
+    * among those seen ≥ [[pmiMinCount]] times — the classic phrase /
+    * multi-word-expression miner a tokenizer-prep or topic-audit
+    * pipeline runs over a corpus.
+    *
+    * Cross-engine exactness: PMI's argument is a quotient of exact
+    * integer counts evaluated in one fixed parenthesization
+    * ((c_xy/M) / (c_x/N)) / (c_y/N) — bit-identical IEEE division both
+    * sides; ln's last ulp is absorbed by round(·, 6), and the top-k
+    * orders by the ROUNDED pmi with the bigram string as tiebreak (the
+    * rounded-before-ranking rule) so both engines select the same 100.
+    *
+    * Scale shape: corpus touched twice (unigram + bigram explode, both
+    * map-side-combine hash aggs); everything after is vocabulary-sized —
+    * the support filter prunes the bigram frame BEFORE its two
+    * (token)-keyed joins against the unigram counts, scalar totals ride
+    * one broadcast row, and the top-k plans as TakeOrderedAndProject
+    * (per-partition heaps, no global sort). The bigram count frame is
+    * persisted because both the total and the filtered path consume it
+    * (vocabulary²-bounded, not corpus-sized). */
+  private val pm1 = Q(
+    "pm1_pmi_bigrams",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(TextFunctions.tokens(col("text")).as("toks"))
+      val uni = t.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val bi0 = t
+        .select(explode(TextFunctions.shingles(col("toks"), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cxy"))
+        .persist()
+      graft.Caches.releaseAfterAction(bi0)
+      val totals = uni.agg(sum(col("cw")).as("nn"))
+        .crossJoin(bi0.agg(sum(col("cxy")).as("mm")))
+      bi0.filter(col("cxy") >= pmiMinCount)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+        .join(uni.select(col("w").as("w1"), col("cw").as("cx")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cw").as("cy")), "w2")
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi", round(log(
+          col("cxy").cast("double") / col("mm") /
+            (col("cx").cast("double") / col("nn")) /
+            (col("cy").cast("double") / col("nn"))), 6))
+        .select(col("bg").as("bigram"), col("cxy").as("n_pair"),
+          col("cx").as("n_left"), col("cy").as("n_right"), col("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(100)
+    },
+    Some(s"""WITH t AS ($toksSql),
+             u0 AS (SELECT unnest(toks) AS w FROM t),
+             u AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+                   FROM u0 GROUP BY w),
+             b0 AS (SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t),
+             b AS (SELECT bg, CAST(count(*) AS BIGINT) AS cxy
+                   FROM b0 GROUP BY bg),
+             tot AS (SELECT (SELECT CAST(sum(cw) AS BIGINT) FROM u) AS nn,
+                       (SELECT CAST(sum(cxy) AS BIGINT) FROM b) AS mm)
+             SELECT bg AS bigram, cxy AS n_pair,
+               ul.cw AS n_left, ur.cw AS n_right,
+               round(ln(CAST(cxy AS DOUBLE) / mm
+                 / (CAST(ul.cw AS DOUBLE) / nn)
+                 / (CAST(ur.cw AS DOUBLE) / nn)), 6) AS pmi
+             FROM b
+             JOIN u ul ON ul.w = string_split(bg, ' ')[1]
+             JOIN u ur ON ur.w = string_split(bg, ' ')[2]
+             CROSS JOIN tot
+             WHERE cxy >= $pmiMinCount
+             ORDER BY pmi DESC, bigram LIMIT 100"""))
 
   /** HL1 — approximate distinct-token cardinality per language through
     * Spark's HyperLogLog++ (`approx_count_distinct`, rsd 2%): THE
@@ -447,5 +681,6 @@ object PipelineQueries {
                (cum_tokens - 1) // $packBudget AS pack_id
              FROM c"""))
 
-  def all: Seq[Q] = Seq(x4, gc1, hl1, hl2, x5, x6, ct1, bf1, sm1, qt1, aj1, aj2, pk1, pk2)
+  def all: Seq[Q] = Seq(x4, gc1, jd1, zf1, pm1, hl1, hl2, x5, x6, ct1, bf1, sm1,
+    qt1, aj1, aj2, pk1, pk2)
 }

@@ -668,6 +668,76 @@ object StatsQueries {
         "l_partkey, n, slope_usd, intercept_usd, r2, z_r AS z")
     })
 
+  /** Long-document threshold for ab1 — a fixed public cut near the
+    * corpus median length so both proportions are well-populated. */
+  private val abLongChars = 300
+
+  /** AB1 — two-proportion z-test per domain (the A/B-style composition
+    * screen): for each `source`, the share of long documents
+    * (n_chars ≥ [[abLongChars]]) tested against the REST of the corpus
+    * (leave-one-out), pooled-variance z and two-sided p — the standard
+    * "is this domain's composition different from everything else"
+    * gate a curation pipeline runs per ingest batch, complementing
+    * wt1's mean test with a rate test.
+    *
+    * Cross-engine exactness: all counts are exact integers from one
+    * partial+final hash agg; p1/p2/p̂ and z are fixed-parenthesization
+    * double arithmetic over those integers (bit-identical both
+    * engines), and the A&S tail consumes the shared-op-order z (the
+    * wt1/sp1 precedent). Degenerate rows (single-domain corpus, all-or-
+    * no long docs overall) are filtered identically on both sides.
+    *
+    * Scale shape: one corpus-scan hash agg to domain cardinality; the
+    * corpus totals ride a broadcast 1-row cross join; everything after
+    * is per-domain scalar math. */
+  private val ab1 = Q(
+    "ab1_proportion_ztest",
+    (s, d) => {
+      val per = Tables.documents(s, d)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars") >= abLongChars, 1L).otherwise(0L))
+            .as("n_long"))
+      val tot = per.agg(sum(col("n_docs")).as("nt"),
+        sum(col("n_long")).as("xt"))
+      val p1 = col("n_long").cast("double") / col("n_docs")
+      val p2 = (col("xt") - col("n_long")).cast("double") /
+        (col("nt") - col("n_docs"))
+      val pp = col("xt").cast("double") / col("nt")
+      val zv = (p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_docs") + lit(1.0) / (col("nt") - col("n_docs"))))
+      per.crossJoin(broadcast(tot))
+        .filter(col("nt") > col("n_docs") &&
+          col("xt") > 0 && col("xt") < col("nt"))
+        .select(col("source"), col("n_docs"), col("n_long"),
+          round(p1, 6).as("p_long"),
+          round(zv, 6).as("z"),
+          round(Stats.normalSfTwoSided(zv), 6).as("pvalue"))
+    },
+    Some {
+      val inner = s"""WITH per AS (SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN n_chars >= $abLongChars
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+               FROM documents GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+                    CAST(sum(n_long) AS BIGINT) AS xt FROM per),
+          g AS (SELECT source, n_docs, n_long, nt, xt,
+                  CAST(n_long AS DOUBLE) / n_docs AS p1,
+                  CAST(xt - n_long AS DOUBLE) / (nt - n_docs) AS p2,
+                  CAST(xt AS DOUBLE) / nt AS pp
+                FROM per CROSS JOIN tot
+                WHERE nt > n_docs AND xt > 0 AND xt < nt)
+          SELECT source, n_docs, n_long,
+            round(p1, 6) AS p_long,
+            (p1 - p2) / sqrt(pp * (1.0 - pp)
+              * (1.0 / n_docs + 1.0 / (nt - n_docs))) AS z,
+            round((p1 - p2) / sqrt(pp * (1.0 - pp)
+              * (1.0 / n_docs + 1.0 / (nt - n_docs))), 6) AS z_r
+          FROM g"""
+      withNormalSf(inner, "source, n_docs, n_long, p_long, z_r AS z")
+    })
+
   /** PV1 — p-value-distribution QC over the wt1 Welch screen: the
     * 20-bin p-value histogram plus Storey's π0 estimate at λ = 0.5
     * (Storey 2002, "A direct approach to false discovery rates":
@@ -731,5 +801,6 @@ object StatsQueries {
           FROM b CROSS JOIN s"""))
 
   def all: Seq[Q] =
-    Seq(d1, d2, d5, d6, d6b, d7, d8, d9, e1, x8, ks1, sp1, wt1, wt2, ols1, pv1)
+    Seq(d1, d2, d5, d6, d6b, d7, d8, d9, e1, x8, ks1, sp1, wt1, wt2, ols1, ab1,
+      pv1)
 }

@@ -162,6 +162,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r8 composition queries: two-phase/bounded windows, no cartesian fact join") {
+    // jd1/ab1/tk1 are window-free agg+broadcast shapes; zf1 rides the
+    // two-phase rank; pm1's only unbounded frames are hash aggs
+    Seq("jd1_domain_divergence", "zf1_zipf_slope", "pm1_pmi_bigrams",
+        "ab1_proportion_ztest", "tk1_bpe_fertility").foreach { q =>
+      val df = QueryCatalog.byName(q).run(spark, dir)
+      assertWindowsTwoPhaseOrBounded(df, q)
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("pm1 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val df = QueryCatalog.byName("pm1_pmi_bigrams").run(spark, dir)
+    df.collect()
+    assert(flatten(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("x4 vocabulary top-k plans as TakeOrderedAndProject, not a global sort") {
     val df = QueryCatalog.byName("x4_vocab_topk").run(spark, dir)
     df.collect()

@@ -126,4 +126,35 @@ class SketchesSpec extends SparkSpec with Matchers {
       .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
     re shouldBe got
   }
+
+  test("count-min: one-sided error, exact when width dwarfs keys, merge = add") {
+    val counts = (1 to 60).map(i => (s"k$i", i.toLong)).toDF("key", "cnt")
+    val n = (1 to 60).map(_.toLong).sum
+    // tight sketch: estimates overcount but never undercount, and the
+    // CM guarantee err ≤ e/width · N holds with depth 4 rows
+    val regs = Sketches.countMinRegisters(counts, "key", "cnt", 4, 16)
+    val est = Sketches.countMinEstimate(counts, "key", regs, 4, 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    est.foreach { case (k, (truth, e)) =>
+      assert(e >= truth, s"$k undercounts: $e < $truth")
+      assert(e - truth <= math.ceil(math.E / 16 * n).toLong * 4,
+        s"$k error beyond bound: $e vs $truth")
+    }
+    // wide sketch: 4096 cells for 60 keys — collisions vanishingly
+    // unlikely under the 60-bit hash, every estimate is exact
+    val wide = Sketches.countMinEstimate(counts, "key",
+      Sketches.countMinRegisters(counts, "key", "cnt", 4, 4096), 4, 4096)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    wide.foreach { case (truth, e) => assert(e == truth) }
+    // mergeability: registers built from two half-corpora ADD cell-wise
+    // to the registers of the union (the partial+final contract)
+    val (h1, h2) = (counts.filter(col("cnt") <= 30), counts.filter(col("cnt") > 30))
+    val merged = Sketches.countMinRegisters(h1, "key", "cnt", 4, 16)
+      .unionAll(Sketches.countMinRegisters(h2, "key", "cnt", 4, 16))
+      .groupBy("r", "c").agg(sum("reg").as("reg"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = regs.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    merged shouldBe whole
+  }
 }
