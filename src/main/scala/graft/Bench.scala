@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count}
 
 /** Driver-run benchmark: one JSON line with per-query seconds on
   * SPARK_GRAFT_SF_DIR. A warmup pass at sf0.001 first exercises every
@@ -57,19 +58,42 @@ object Bench {
         }
     }
     spark.catalog.clearCache()
-    // Sacrificial untimed heavy pass (r7 verdict #1a): the warmup above
-    // runs at sf0.001, so on a fresh boot the FIRST heavy timed query
-    // used to absorb the suite's cold page-cache/JIT constant for the
-    // TIMED sf dir — the driver's r7 bench charged 25.8 s to bf1
-    // (alphabetically first heavy query) vs its 3-7 s warm band, code
-    // unchanged. Run that same query once against the timed dir,
-    // untimed, so the cold constant lands outside every timed window.
-    qs.find(_._1.startsWith("bf1")).orElse(qs.headOption).foreach {
-      case (name, fn) =>
-        try fn(spark, sfDir).count() catch {
-          case scala.util.control.NonFatal(e) => System.err.println(
-            s"[bench] sacrificial warm pass $name failed: ${e.getMessage}")
-        }
+    // Sacrificial untimed warm pass (r7 verdict #1a, widened per r8 #2):
+    // the warmup above runs at sf0.001, so on a fresh boot the FIRST
+    // timed reader of each TIMED-dir table used to absorb that table's
+    // cold page-cache constant — the driver's r7 bench charged 25.8 s to
+    // bf1 (alphabetically first heavy documents reader) vs its 3-7 s
+    // warm band, and r8's single-bf1 fix only moved the constant: it
+    // warmed bf1's tables while d3 (first lineitem-fact heavy reader,
+    // 11.75->20.96 s) and ct1 (2.67->5.68 s) ate theirs. So warm EVERY
+    // table structurally: one count(col) per column forces the parquet
+    // column chunks through the scan (a bare count() would answer from
+    // footer metadata and touch no data pages). Cost is one linear read
+    // of the sf dir (~17 MB at sf0.1) — noise beside a 200 s suite.
+    // Each table is logged so a skewed timing is explainable (ADVICE r8:
+    // the old prefix-match pass was silent about what it warmed).
+    Tables.names.foreach { t =>
+      try {
+        val df = Tables.load(spark, sfDir, t)
+        df.select(df.columns.map(c => count(col(c))): _*).collect()
+        System.err.println(s"[bench] warmed table $t")
+      } catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[bench] table warm pass $t failed (its first reader's " +
+            s"timing may be skewed): ${e.getMessage}")
+      }
+    }
+    // One sacrificial heavy QUERY on top of the table scans: bf1 builds
+    // a bloom filter + dictionary persist whose codegen/broadcast paths
+    // the sf0.001 warmup compiled but whose sf0.1-sized buffers JIT
+    // differently; keep the belt with the suspenders. Logged by name
+    // (ADVICE r8) and harmless if bf1 is absent from a subset run.
+    qs.find(_._1.startsWith("bf1")).foreach { case (name, fn) =>
+      System.err.println(s"[bench] sacrificial warm query: $name")
+      try fn(spark, sfDir).count() catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[bench] sacrificial warm pass $name failed: ${e.getMessage}")
+      }
     }
     spark.catalog.clearCache()
     System.gc()
@@ -140,6 +164,23 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_LATEST.json")),
       line + "\n")
     catch { case _: Throwable => () }
+    // per-round archive (r8 verdict #3): LATEST is overwritten every run,
+    // so the per-query driver trend was only auditable via `git show`.
+    // The round number is inferred from the driver-committed
+    // BENCH_r0N.json files — when the driver benches round N, rounds
+    // 1..N-1 are on disk, so max+1 is N. Repeated local runs of the same
+    // round overwrite the same archive (last run wins — the driver's is
+    // last). Skipped for subset runs: a 3-query SPARK_GRAFT_ONLY map
+    // archived as the round's "full" file would poison the trend.
+    if (only.isEmpty) try {
+      val rx = "BENCH_r(\\d+)\\.json".r
+      val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      val round = String.format(java.util.Locale.ROOT, "%02d",
+        Int.box(prev.maxOption.getOrElse(0) + 1))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH_FULL_r$round.json"), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

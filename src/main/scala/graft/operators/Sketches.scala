@@ -128,8 +128,13 @@ object Sketches {
   /** Count-Min point estimates for the keys in `keys`: est(key) =
     * min over rows r of register(r, h_r(key)) — an OVERestimate of the
     * true count with P[err > εN] ≤ δ at width = e/ε, depth = ln(1/δ).
-    * The register table is depth·width rows, so it rides a broadcast
-    * join; output keeps every column of `keys` plus `est`. */
+    * A register cell no build-side key ever hashed to holds 0 (LEFT join
+    * + coalesce), so CM's any-key contract holds: a never-seen probe key
+    * whose cells are all unpopulated estimates 0, and a partially
+    * colliding one takes the true min including empty cells — an inner
+    * join would silently drop or inflate such keys. The register table
+    * is depth·width rows, so it rides a broadcast join; output keeps
+    * every column of `keys` plus `est`. */
   def countMinEstimate(keys: DataFrame, keyCol: String, regs: DataFrame,
       depth: Int, width: Int): DataFrame = {
     val kcols = keys.columns.toIndexedSeq
@@ -137,9 +142,10 @@ object Sketches {
       .withColumn("__r",
         explode(array((0 until depth).map(i => lit(i)): _*)))
       .withColumn("__c", cmColumnOf(col("__r"), col(keyCol), width))
-      .join(broadcast(regs), col("__r") === col("r") && col("__c") === col("c"))
+      .join(broadcast(regs),
+        col("__r") === col("r") && col("__c") === col("c"), "left")
       .groupBy(kcols.map(col): _*)
-      .agg(min(col("reg")).as("est"))
+      .agg(min(coalesce(col("reg"), lit(0L))).as("est"))
   }
 
   /** The [[portableHllDistinct]] numerator literal for an oracle at the

@@ -115,8 +115,10 @@ object PipelineQueries {
     * to an exact integer BEFORE any cross-row sum (the dm1 ulp-absorb
     * convention): e = round(ln(n_s/k)·10⁶), f = round(ln((k/n_s)/(k_t/N))
     * ·10⁶), then Σk·e and Σk·f accumulate in DECIMAL(38,0) (HUGEINT on
-    * the oracle side — k·e alone reaches ~10¹⁹ at 10¹²-token domains, a
-    * LONG would wrap) and divide once at the end.
+    * the oracle side, with k CAST to HUGEINT before the product — the
+    * per-term k·e alone reaches ~10¹⁹ at 10¹²-token domains, so a
+    * BIGINT product would overflow before any widened sum saw it) and
+    * divide once at the end.
     *
     * Scale shape: ONE corpus pass (the shared (source, token) count
     * agg); corpus token totals re-aggregate the vocabulary-sized frame;
@@ -165,7 +167,9 @@ object PipelineQueries {
                    AS BIGINT) AS f
                FROM tc JOIN ct USING (token) JOIN ns USING (source)
                CROSS JOIN tot),
-             a AS (SELECT source, n_s, sum(k * e) AS se, sum(k * f) AS sf
+             a AS (SELECT source, n_s,
+                     sum(CAST(k AS HUGEINT) * e) AS se,
+                     sum(CAST(k AS HUGEINT) * f) AS sf
                    FROM terms GROUP BY 1, 2)
              SELECT source, n_s AS n_tokens,
                round(CAST(se AS DOUBLE)
@@ -270,16 +274,24 @@ object PipelineQueries {
     * the support filter prunes the bigram frame BEFORE its two
     * (token)-keyed joins against the unigram counts, scalar totals ride
     * one broadcast row, and the top-k plans as TakeOrderedAndProject
-    * (per-partition heaps, no global sort). The bigram count frame is
-    * persisted because both the total and the filtered path consume it
-    * (vocabulary²-bounded, not corpus-sized). */
+    * (per-partition heaps, no global sort). Both count frames are
+    * persisted — the bigram frame feeds the total and the filtered
+    * path, the unigram frame the total and both w1/w2 joins — and both
+    * are vocabulary-bounded, not corpus-sized. */
   private val pm1 = Q(
     "pm1_pmi_bigrams",
     (s, d) => {
       val t = Tables.documents(s, d)
         .select(TextFunctions.tokens(col("text")).as("toks"))
+      // persisted: three plan subtrees consume uni (the nn total and the
+      // two w1/w2 joins); without the persist the corpus-sized
+      // explode+agg would re-execute per subtree unless exchange reuse
+      // happens to dedupe it — same reasoning as bi0 below, and uni is
+      // likewise vocabulary-bounded, not corpus-sized
       val uni = t.select(explode(col("toks")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        .persist()
+      graft.Caches.releaseAfterAction(uni)
       val bi0 = t
         .select(explode(TextFunctions.shingles(col("toks"), 2)).as("bg"))
         .groupBy(col("bg")).agg(count(lit(1)).as("cxy"))
