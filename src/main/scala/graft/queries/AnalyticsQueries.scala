@@ -223,6 +223,73 @@ object AnalyticsQueries {
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)"""))
 
+  /** SJ1 — flagship multi-table star join (the TPC-H Q5 shape): local
+    * supplier revenue by nation for one region and one order year, over
+    * customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region with the
+    * Q5 cross-condition c_nationkey = s_nationkey. This is the catalog's
+    * one 6-table warehouse query: every other join entry is 2-table, so
+    * this is where Catalyst's multi-join PLANNING (not just execution)
+    * is exercised and asserted.
+    *
+    * Deliberately written in comma-form FROM with all predicates as
+    * WHERE conjuncts: the parser hands Catalyst an undifferentiated
+    * cross-join bundle and the ReorderJoin/EliminateCrossJoin rules must
+    * recover a join tree in which every join carries an equi-condition —
+    * the join order in the executed plan is the OPTIMIZER's choice from
+    * relation sizes, not this query's syntax. PlanSpec asserts the
+    * outcome: zero cartesian/nested-loop joins, every dimension
+    * (region, nation, supplier, customer) on the build side of a
+    * BroadcastHashJoin, and the lineitem fact never broadcast.
+    *
+    * At 100 TB the same declarative form holds: region/nation prune to
+    * one region before touching anything big, the dims broadcast below
+    * the auto-broadcast threshold, and the only shuffle is
+    * orders ⋈ lineitem on the order key (AQE picks SMJ/shuffled-hash
+    * when the filtered orders side outgrows the broadcast threshold).
+    *
+    * Cross-engine exactness: revenue Σ price·(1−disc) follows the ru1
+    * convention — cast to DECIMAL(18,2)/(4,2) BEFORE the product (the
+    * discount grid is exact hundredths, so the product is an exact
+    * scale-4 decimal), sum in decimal (association-order-proof), one
+    * cast to double at the end. */
+  private val sj1 = Q(
+    "sj1_star_join",
+    (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""SELECT n_name AS nation,
+                 CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS revenue
+               FROM customer, orders, lineitem, supplier, nation, region
+               WHERE c_custkey = o_custkey
+                 AND l_orderkey = o_orderkey
+                 AND l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+                 AND s_nationkey = n_nationkey
+                 AND n_regionkey = r_regionkey
+                 AND r_name = 'ASIA'
+                 AND o_orderdate >= '1996-01-01'
+                 AND o_orderdate < '1997-01-01'
+               GROUP BY n_name""")
+    },
+    Some("""SELECT n_name AS nation,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name"""))
+
   /** GS1 — arbitrary GROUPING SETS (the general form ROLLUP/CUBE
     * specialize): the report mixes heterogeneous aggregation levels —
     * (segment, priority), (segment), (priority) — in ONE Expand pass +
@@ -1432,7 +1499,7 @@ object AnalyticsQueries {
           FROM e"""
     })
 
-  def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, gs1, wz1, rz1, fz1, w1, w2, ii1,
-    bp1, bp2, bp2b, tk1, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1, kc1,
-    bfs1, qd2, bs1, cs1)
+  def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, sj1, gs1, wz1, rz1, fz1, w1, w2,
+    ii1, bp1, bp2, bp2b, tk1, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1,
+    kc1, bfs1, qd2, bs1, cs1)
 }
