@@ -514,6 +514,105 @@ object Dedup {
         col("n_grams_in_span"))
   }
 
+  /** MAXIMAL cross-document exact matches via rolling-gram CHAIN
+    * EXTENSION — the true Lee et al. 2022 match semantics, upgrading
+    * [[duplicatedSpanList]]'s shingle stand-in (its one documented
+    * semantic gap): the stand-in merges token-ADJACENT duplicated
+    * windows even when their support comes from different partner
+    * documents, reporting a "span" that is contiguous nowhere else in
+    * the corpus. Here a span is built only from MAXIMAL PAIRWISE exact
+    * matches: occurrences of the same n-gram in two documents are
+    * grouped by (docA, docB, diagonal = posA − posB), and consecutive
+    * positions on one diagonal chain into a single run — a run
+    * [p0, p1] is an exact match of length p1 − p0 + n between the two
+    * documents, and it is maximal because grams are compared as exact
+    * token strings (no hash collisions), so a non-member position
+    * adjacent to the run means the underlying tokens genuinely differ.
+    * Per document, match intervals from all partners are then
+    * interval-merged — but only where they INTERSECT (touching spans
+    * with different partners stay separate rows, unlike the stand-in's
+    * adjacency merge).
+    *
+    * Scale shape: the gram dictionary is one partial+final agg; the
+    * pair space is bounded by `maxOccPerGram` — a gram occurring more
+    * than that many times corpus-wide is dropped from matching entirely
+    * (deterministically, mirrored by the oracle; the drop count is
+    * surfaced through the lazy `graft_capped_*` observe/log audit, the
+    * capBuckets convention), so the self-join emits ≤ cap² pairs per
+    * gram and the hot-gram quadratic blowup a raw suffix pass suffers on
+    * boilerplate is structurally excluded. Both windows are partitioned
+    * by (pair, diagonal) / document — state bounded by one document's
+    * length, never the corpus. All-integer arithmetic end to end, so the
+    * catalog query carries a full DuckDB hash oracle.
+    *
+    * @return `(doc_id, span_start, span_len, n_matches)` — one row per
+    *         merged span, `n_matches` the number of maximal pairwise
+    *         match intervals merged into it */
+  def maximalMatchSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxOccPerGram: Int = 64): DataFrame = {
+    val toked = spread(docs).select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val occ = toked.select(col("doc_id"),
+        posexplode(TextFunctions.shingles(col("toks"), n)).as(Seq("pos", "gram")))
+      .persist()
+    graft.Caches.releaseAfterAction(occ)
+    DropAudit.ensure(docs.sparkSession)
+    val name = s"graft_capped_maximal_match_${auditSeq.getAndIncrement()}"
+    val dict = occ.groupBy("gram")
+      .agg(count_distinct(col("doc_id")).as("nd"), count(lit(1)).as("occs"))
+      .observe(name,
+        sum(when(col("nd") >= 2 && col("occs") > maxOccPerGram, 1L)
+          .otherwise(0L)).as("dropped_rows"))
+      .filter(col("nd") >= 2 && col("occs") <= maxOccPerGram)
+      .select("gram")
+    val dup = occ.join(dict, Seq("gram"), "leftsemi")
+    val pairs = dup.select(col("gram"), col("doc_id").as("da"),
+        col("pos").cast("long").as("pa"))
+      .join(dup.select(col("gram"), col("doc_id").as("db"),
+        col("pos").cast("long").as("pb")), Seq("gram"))
+      .filter(col("da") < col("db"))
+      .withColumn("diag", col("pa") - col("pb"))
+    // chain extension: consecutive pa on one (da, db, diag) diagonal are
+    // one exact match; pa is unique within a diagonal, so the lag order
+    // is total and the islands deterministic
+    val wLag = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    val runs = pairs
+      .withColumn("prev_pa", lag(col("pa"), 1).over(wLag))
+      .withColumn("new_run",
+        when(col("prev_pa").isNull || col("pa") > col("prev_pa") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("new_run")).over(
+        wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("da", "db", "diag", "run")
+      .agg(min(col("pa")).as("pa0"), max(col("pa")).as("pa1"))
+    val iv = runs.select(col("da").as("doc_id"), col("pa0").as("sp"),
+        (col("pa1") + (n - 1)).as("ep"))
+      .unionByName(runs.select(col("db").as("doc_id"),
+        (col("pa0") - col("diag")).as("sp"),
+        (col("pa1") - col("diag") + (n - 1)).as("ep")))
+    // per-doc merge of INTERSECTING intervals only (sp <= prev_end):
+    // token-adjacent matches with different partners stay separate —
+    // the semantic upgrade over duplicatedSpanList's adjacency merge.
+    // (sp, ep) ties are genuine duplicate intervals (same match seen via
+    // two partners): island assignment is order-independent for them,
+    // so the window order below is deterministic where it matters.
+    val wPrev = Window.partitionBy("doc_id").orderBy(col("sp"), col("ep"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy(col("sp"), col("ep"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.withColumn("prev_end", max(col("ep")).over(wPrev))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("sp") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_span")).over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min(col("sp")).cast("long").as("span_start"),
+        (max(col("ep")) - min(col("sp")) + 1).cast("long").as("span_len"),
+        count(lit(1)).as("n_matches"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        col("n_matches"))
+  }
+
   /** The APPLY step of span-level dedup: rebuild each document with every
     * maximal duplicated span ([[duplicatedSpanList]]) excised.
     * `keepFirst = false` is the aggressive C4-style variant dropping ALL

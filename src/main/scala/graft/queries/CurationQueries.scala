@@ -577,6 +577,102 @@ object CurationQueries {
                coalesce(agg.trimmed_text, '') AS trimmed_text
              FROM b LEFT JOIN agg USING (doc_id)"""))
 
+  /** Occurrence cap for ng5's pair space — a gram seen more than this
+    * many times corpus-wide is dropped from matching (shared literal,
+    * both engines; the drop is surfaced by the capBuckets observe/log
+    * audit on the engine side). */
+  private val ng5Cap = 64
+
+  /** NG5 — maximal exact-substring matches via rolling-gram CHAIN
+    * EXTENSION (Dedup.maximalMatchSpans): the real Lee et al. 2022 span
+    * semantics, closing the ng1–ng4 shingle stand-in's documented gap.
+    * Where ng2 merges token-ADJACENT duplicated windows regardless of
+    * which partner document supports them (reporting "spans" contiguous
+    * nowhere else), ng5 chains same-diagonal gram matches per document
+    * PAIR into provably maximal exact matches (grams compared as exact
+    * token strings — a position adjacent to a run means the tokens
+    * differ), then merges only INTERSECTING intervals per doc. Same
+    * injected twin excerpts as ng1–ng4, so every excerpt yields one
+    * full-coverage match row and its source the partial one; organic
+    * cross-doc repeats join them. Pair space capped at [[ng5Cap]]
+    * occurrences per gram on both engines. */
+  private val ng5 = Q(
+    "ng5_maximal_matches",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val toks = TextFunctions.tokens(col("text"))
+      val excerpts = docs
+        .filter(col("doc_id") % 9 === 0 && size(toks) >= 30)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, 6, 20)).as("text"))
+      Dedup.maximalMatchSpans(docs.unionByName(excerpts), "doc_id", "text",
+        ngN, maxOccPerGram = ng5Cap)
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, text FROM documents),
+             ex AS (SELECT doc_id + 20000000 AS doc_id,
+                      array_to_string(list_slice(
+                        string_split_regex(trim(lower(text)), '\\s+'), 6, 25),
+                        ' ') AS text
+                    FROM t0
+                    WHERE doc_id % 9 = 0
+                      AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 30),
+             u AS (SELECT * FROM t0 UNION ALL SELECT * FROM ex),
+             b AS (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                     CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS BIGINT) AS n_tok
+                   FROM u),
+             occ AS (SELECT doc_id, n_tok, toks,
+                       unnest(range(0, n_tok - ${ngN - 1})) AS pos
+                     FROM b WHERE n_tok >= $ngN),
+             g AS (SELECT doc_id, pos,
+                     array_to_string(list_slice(toks,
+                       CAST(pos + 1 AS INT), CAST(pos + $ngN AS INT)), ' ') AS gram
+                   FROM occ),
+             dict AS (SELECT gram FROM g GROUP BY gram
+                      HAVING count(DISTINCT doc_id) >= 2
+                         AND count(*) <= $ng5Cap),
+             dup AS (SELECT doc_id, pos, gram FROM g
+                     WHERE gram IN (SELECT gram FROM dict)),
+             pr AS (SELECT a.doc_id AS da, CAST(a.pos AS BIGINT) AS pa,
+                      b2.doc_id AS db, CAST(b2.pos AS BIGINT) AS pb
+                    FROM dup a JOIN dup b2
+                      ON a.gram = b2.gram AND a.doc_id < b2.doc_id),
+             dg AS (SELECT da, db, pa - pb AS diag, pa,
+                      lag(pa) OVER (PARTITION BY da, db, pa - pb
+                        ORDER BY pa) AS prev_pa
+                    FROM pr),
+             rn AS (SELECT da, db, diag, pa,
+                      sum(CASE WHEN prev_pa IS NULL OR pa > prev_pa + 1
+                               THEN 1 ELSE 0 END) OVER (
+                        PARTITION BY da, db, diag ORDER BY pa
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS run
+                    FROM dg),
+             runs AS (SELECT da, db, diag, run,
+                        min(pa) AS pa0, max(pa) AS pa1
+                      FROM rn GROUP BY 1, 2, 3, 4),
+             iv AS (SELECT da AS doc_id, pa0 AS sp,
+                      pa1 + ${ngN - 1} AS ep FROM runs
+                    UNION ALL
+                    SELECT db, pa0 - diag, pa1 - diag + ${ngN - 1} FROM runs),
+             m0 AS (SELECT doc_id, sp, ep,
+                      max(ep) OVER (PARTITION BY doc_id ORDER BY sp, ep
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+                    FROM iv),
+             m1 AS (SELECT doc_id, sp, ep,
+                      sum(CASE WHEN prev_end IS NULL OR sp > prev_end
+                               THEN 1 ELSE 0 END) OVER (
+                        PARTITION BY doc_id ORDER BY sp, ep
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS island
+                    FROM m0)
+             SELECT doc_id, CAST(min(sp) AS BIGINT) AS span_start,
+               CAST(max(ep) - min(sp) + 1 AS BIGINT) AS span_len,
+               CAST(count(*) AS BIGINT) AS n_matches
+             FROM m1 GROUP BY doc_id, island"""))
+
   // ------------------------------------------------------- cu1: mixture cube
 
   /** CU1 — training-mixture report: doc and token counts by
@@ -1385,6 +1481,6 @@ object CurationQueries {
             round(CAST(em AS DOUBLE) / CAST(zt AS DOUBLE), 6) AS weight
           FROM w CROSS JOIN z"""))
 
-  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, ng3, ng4, cu1, lr1, lr1b, auc1,
+  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, ng3, ng4, ng5, cu1, lr1, lr1b, auc1,
     cal1, cm1, sd1, scd1, dr1, ds1, qs1, dq1, dc1, dp1, dm1)
 }

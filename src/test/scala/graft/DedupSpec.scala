@@ -195,4 +195,77 @@ class DedupSpec extends SparkSpec {
     assert(r(5L) === ((8L, 8L, 12L, 1.0)))
     assert(r(6L) === ((0L, 0L, 0L, 0.0)))
   }
+
+  /** Token positions covered by a span frame (doc_id, span_start, span_len). */
+  private def coverage(spans: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+    spans.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.flatMap { r =>
+      val s = r.getAs[Long]("span_start")
+      s until (s + r.getAs[Long]("span_len"))
+    }.toSet).toMap.withDefaultValue(Set.empty)
+
+  test("maximalMatchSpans: exact match found with its true maximal extent") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"), // shares the 6-token run "a b c d e f" with 2
+      (2L, "a b c d e f z1 z2 z3 z4"),
+      (3L, "q r s t u v w x y yy")) // no shared grams
+      .toDF("doc_id", "text")
+    val r = Dedup.maximalMatchSpans(corpus, "doc_id", "text", 5).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("span_start"),
+        x.getAs[Long]("span_len"), x.getAs[Long]("n_matches"))).toSet
+    // two dup grams chain into ONE maximal 6-token match per doc
+    assert(r === Set((1L, 0L, 6L, 1L), (2L, 0L, 6L, 1L)))
+  }
+
+  test("maximalMatchSpans: adjacent matches with DIFFERENT partners stay " +
+      "separate spans where the shingle stand-in over-merges") {
+    val corpus = Seq(
+      (1L, "a1 a2 a3 a4 a5 x1 x2 x3 x4 x5"), // partner for docX's first half
+      (2L, "b1 b2 b3 b4 b5 y1 y2 y3 y4 y5"), // partner for docX's second half
+      (3L, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5")) // A-half || B-half, token-adjacent
+      .toDF("doc_id", "text")
+    val chained = Dedup.maximalMatchSpans(corpus, "doc_id", "text", 5).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("span_start"),
+        x.getAs[Long]("span_len"))).toSet
+    // doc 3: two maximal matches [0,4] (with doc 1) and [5,9] (with doc 2)
+    // that touch but do not intersect -> two rows, NOT one [0,9] span
+    // (the "a2..b1" boundary grams occur nowhere else, so no single
+    // partner supports a contiguous 10-token match)
+    assert(chained === Set((1L, 0L, 5L), (2L, 0L, 5L),
+      (3L, 0L, 5L), (3L, 5L, 5L)))
+    val standIn = Dedup.duplicatedSpanList(corpus, "doc_id", "text", 5).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("span_start"),
+        x.getAs[Long]("span_len"))).toSet
+    // the stand-in's adjacency merge reports ONE 10-token doc-3 "span"
+    // that is contiguous nowhere else in the corpus — the documented gap
+    assert(standIn.contains((3L, 0L, 10L)))
+  }
+
+  test("maximalMatchSpans coverage equals the shingle stand-in's (uncapped)") {
+    // Uncapped, the two operators flag the SAME token positions — every
+    // duplicated-gram occurrence sits inside >=1 pairwise match and vice
+    // versa; they differ only in how positions group into spans. Run on
+    // the ng-family corpus: sf0.001 documents plus the injected twin
+    // excerpts, so the property is exercised on real data, not a toy.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val toks = graft.operators.TextFunctions.tokens(
+      org.apache.spark.sql.functions.col("text"))
+    val excerpts = docs
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 9 === 0 &&
+        org.apache.spark.sql.functions.size(toks) >= 30)
+      .select((org.apache.spark.sql.functions.col("doc_id") + 20000000L).as("doc_id"),
+        org.apache.spark.sql.functions.concat_ws(" ",
+          org.apache.spark.sql.functions.slice(toks, 6, 20)).as("text"))
+    val corpus = docs.unionByName(excerpts)
+    val chainCov = coverage(Dedup.maximalMatchSpans(corpus, "doc_id", "text", 5,
+      maxOccPerGram = Int.MaxValue).collect())
+    val standCov = coverage(Dedup.duplicatedSpanList(corpus, "doc_id", "text", 5)
+      .collect())
+    assert(chainCov.keySet == standCov.keySet)
+    chainCov.keySet.foreach { id =>
+      assert(chainCov(id) == standCov(id), s"coverage diverges for doc $id")
+    }
+    assert(chainCov.nonEmpty) // non-vacuous: the injected twins guarantee spans
+  }
 }
