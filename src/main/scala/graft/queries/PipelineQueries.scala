@@ -28,8 +28,20 @@ object PipelineQueries {
 
   /** Per-(source, token) occurrence counts — ONE corpus-sized explode +
     * partial+final hash agg; every downstream diversity/divergence query
-    * (gc1, jd1, zf1) works on this vocabulary-sized frame. */
-  private def sourceTokenCounts(s: org.apache.spark.sql.SparkSession,
+    * (x4, gc1, jd1, zf1, pm1's unigram leg) works on this
+    * vocabulary-sized frame.
+    *
+    * Deliberately re-derived PER CATALOG QUERY, not session-shared: the
+    * catalog's contract is that every query is self-contained (the pv1/
+    * wt1 rationale — no cross-query cache coupling, so Verify/Bench
+    * isolation and per-query plan audits stay meaningful), and each
+    * re-derivation is one corpus pass that the queries' own persists
+    * already amortize within their single action. A library caller
+    * auditing SEVERAL token metrics in one session should instead call
+    * this once (it is public for exactly that), persist the returned
+    * frame, and build gc1/jd1/zf1-style metrics on the persisted handle —
+    * that cuts the audit family to one corpus pass total. */
+  def sourceTokenCounts(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, d)
       .select(col("source"),

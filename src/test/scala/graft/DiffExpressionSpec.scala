@@ -242,6 +242,63 @@ class DiffExpressionSpec extends SparkSpec {
     }
   }
 
+  test("Wald fit recovers a planted effect size (log2FC, SE, p) at fixed dispersion") {
+    // The last rung of the d3/d4 verification ladder: the planted-alpha
+    // test above validates the dispersion PRIOR, the closed-form
+    // identities validate the scoring algebra — this one validates the
+    // fitted COEFFICIENTS against ground truth. NB counts are simulated
+    // with known log2FC at fixed dispersion; the full d3 chain (prior
+    // fit from the data, then per-gene IRLS Wald) must recover it.
+    val rng = new java.util.Random(20260816L)
+    val alpha = 0.2; val nPer = 16; val muRef = 100.0
+    val planted = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
+    val genesPerFc = 100
+    val cells = planted.zipWithIndex.flatMap { case (fc, b) =>
+      (0 until genesPerFc).flatMap { i =>
+        val g = (b * genesPerFc + i).toLong
+        val muB = muRef * math.pow(2.0, fc)
+        (0 until nPer).map(s =>
+          CountCell(g, s.toLong, nbDraw(rng, muRef, alpha), "A", 1.0)) ++
+        (0 until nPer).map(s =>
+          CountCell(g, (nPer + s).toLong, nbDraw(rng, muB, alpha), "B", 1.0))
+      }
+    }.toDS()
+    val prior = DiffExpression.dispersionPrior(cells, p = 2)
+    val fit = DiffExpression.waldTest(cells, Seq("A", "B"), Some(prior))
+      .collect().map(r => r.gene -> r).toMap
+    assert(fit.size >= planted.size * genesPerFc - 5,
+      s"fit dropped too many genes: ${fit.size}")
+    planted.zipWithIndex.foreach { case (fc, b) =>
+      val fits = (0 until genesPerFc)
+        .flatMap(i => fit.get((b * genesPerFc + i).toLong))
+      // per-gene sd(log2fc) ~ sqrt(2/n*(1/mu+alpha))/ln2 ~ 0.23, so the
+      // 100-gene mean has se ~ 0.023 — +-0.12 catches a biased fit
+      // (e.g. a dropped size-factor offset or a sign flip) while riding
+      // out sampling noise
+      val meanFc = fits.map(_.log2fc).sum / fits.size
+      assert(math.abs(meanFc - fc) < 0.12,
+        s"planted $fc recovered $meanFc over ${fits.size} genes")
+      if (fc == 0.0) {
+        // null genes: reported SE must match the empirical spread of the
+        // estimates (calibration, not just positivity)
+        val sd = math.sqrt(fits.map(f => f.log2fc * f.log2fc).sum / fits.size)
+        val meanSe = fits.map(_.lfc_se).sum / fits.size
+        assert(meanSe > 0.5 * sd && meanSe < 2.0 * sd,
+          s"SE $meanSe vs empirical sd $sd")
+        // ... and the test must be near-level: ~5% of nulls below 0.05
+        val rej = fits.count(f => f.pvalue < 0.05)
+        assert(rej <= genesPerFc / 5, s"null rejections $rej/100")
+      }
+      if (math.abs(fc) == 2.0) {
+        // |log2FC|=2 at mu=100, n=16/group is a ~8-sigma effect: the
+        // overwhelming majority must be decisively detected
+        val strong = fits.count(f => f.pvalue < 1e-6)
+        assert(strong >= (fits.size * 9) / 10,
+          s"only $strong/${fits.size} planted |fc|=2 genes at p<1e-6")
+      }
+    }
+  }
+
   test("d3b Wald apply: frozen-dispersion scoring invariants on sf0.001") {
     val out = graft.queries.QueryCatalog.byName("d3b_wald_apply")
       .run(spark, "/root/testdata/sf0.001").collect()
