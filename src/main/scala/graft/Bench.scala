@@ -137,7 +137,21 @@ object Bench {
     // both claiming metric=total would make any "find the total line"
     // consumer ambiguous — exactly ONE line (the summary below) carries
     // "metric":"total"
-    val line = s"""{"metric":"total_full","unit":"sec","queries":$qjson,""" +
+    // the producing commit, so an archived per-round map is tied to the
+    // code state that generated it (a post-round local rerun inferring
+    // round N+1 is then self-identifying as round-N code rather than
+    // silently poisoning the trend). Read from .git directly — no
+    // subprocess, and absent gracefully outside a checkout.
+    val gitHead: String = try {
+      val head = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(".git/HEAD")).trim
+      if (head.startsWith("ref: "))
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(".git", head.drop(5))).trim.take(12)
+      else head.take(12)
+    } catch { case _: Throwable => "unknown" }
+    val line = s"""{"metric":"total_full","unit":"sec","git":"$gitHead",""" +
+      s""""queries":$qjson,""" +
       s""""sf":"$sfDir","count":${results.size},"top20":$top,"value":${fmt(total)}}"""
     println(line)
     // The driver retains only a ~2 KB stdout tail, so the full line above

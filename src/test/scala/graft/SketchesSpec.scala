@@ -157,4 +157,35 @@ class SketchesSpec extends SparkSpec with Matchers {
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     merged shouldBe whole
   }
+
+  test("count-min: a probe key absent from the build still gets an estimate " +
+      "(left-join contract), 0 when its cells are empty") {
+    // the any-key CM contract: an unseen key must yield a row (not be
+    // dropped by an inner register join) whose estimate is the min over
+    // its cells COUNTING unpopulated cells as 0 — computed here
+    // independently from the register table + the shared cmColumnOf
+    // coordinates, so the assertion holds whatever the hash does
+    val depth = 3; val width = 512
+    val counts = (1 to 8).map(i => (s"built_$i", 10L * i)).toDF("key", "cnt")
+    val regs = Sketches.countMinRegisters(counts, "key", "cnt", depth, width)
+    val regMap = regs.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val probes = Seq("built_3", "never_seen_a", "never_seen_b").toDF("key")
+    val est = Sketches.countMinEstimate(probes, "key", regs, depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cells = probes
+      .select(col("key"), explode(array((0 until depth).map(lit): _*)).as("r"))
+      .withColumn("c", Sketches.cmColumnOf(col("r"), col("key"), width))
+      .collect().map(r => (r.getString(0), (r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    Seq("built_3", "never_seen_a", "never_seen_b").foreach { k =>
+      val expected = cells(k).map(regMap.getOrElse(_, 0L)).min
+      assert(est.get(k).contains(expected), s"$k: ${est.get(k)} vs $expected")
+    }
+    assert(est("built_3") == 30L)
+    // 3 cells over 512 per row for 8 built keys: at least one unseen
+    // probe's cells are all unpopulated, exercising the est=0 path
+    // (deterministic hash, verified at authoring time for both)
+    assert(est("never_seen_a") == 0L && est("never_seen_b") == 0L)
+  }
 }
