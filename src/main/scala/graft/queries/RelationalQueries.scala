@@ -84,7 +84,8 @@ object RelationalQueries {
     * /tmp/graft_*, and an unwarmed layout write would otherwise be
     * charged to the scan query: observed 0.16 s → 2.38 s on zo1). */
   val layoutWriterQueries: Set[String] =
-    Set("zo1_zorder_prune", "or1_orc_interchange")
+    Set("zo1_zorder_prune", "or1_orc_interchange",
+      "pp1_partition_prune", "pp2_dpp_join")
 
   private val zo1 = Q(
     "zo1_zorder_prune",
@@ -136,6 +137,103 @@ object RelationalQueries {
               round(l_extendedprice, 6) AS price
             FROM lineitem
             WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'"""))
+
+  /** Write-once month-partitioned layout shared by pp1/pp2: orders
+    * rewritten under `o_month=yyyy-MM/` Hive-style directories (the
+    * standard lake table shape at 100 TB — Tables.scala's "partition
+    * pruning for free" claim, finally demonstrated rather than asserted),
+    * plus a tiny `calendar` parquet dim (distinct months + quarter)
+    * derived from the same data so pp2's dynamic-pruning probe is
+    * deterministic and oracle-replayable. Write-if-missing, the zo1
+    * stance: re-verification and bench measure the pruned SCAN, the
+    * one-off partitioned write is the ingest-time price any partitioned
+    * table pays. */
+  private def ppLayout(s: SparkSession, d: String): String = {
+    val key = cacheKey(d, "orders.parquet")
+    val path = s"/tmp/graft_pp/$key"
+    if (!new java.io.File(s"$path/orders/_SUCCESS").exists() ||
+        !new java.io.File(s"$path/calendar/_SUCCESS").exists()) {
+      gcStaleLayouts("/tmp/graft_pp", key)
+      val om = Tables.orders(s, d)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      om.write.mode("overwrite").partitionBy("o_month")
+        .parquet(s"$path/orders")
+      om.select(col("o_month").as("m")).distinct()
+        .withColumn("q",
+          expr("((cast(substring(m, 6, 2) as int) - 1) div 3) + 1"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/calendar")
+    }
+    path
+  }
+
+  /** PP1 — STATIC directory-partition pruning: monthly revenue for one
+    * year off the month-partitioned layout. The o_month bounds are
+    * partition-DIRECTORY predicates — Spark's file index resolves them
+    * against directory names alone, so only the 12 matching partitions'
+    * files are ever listed into the scan (PartitionFilters + the pruned
+    * numFiles are asserted in PlanSpec). At 100 TB this is the
+    * difference between reading a year and reading the table. The
+    * result is layout-independent, so the oracle replays the predicate
+    * on the original orders table; revenue follows the ru1 decimal-sum
+    * convention. */
+  private val pp1 = Q(
+    "pp1_partition_prune",
+    (s, d) => {
+      val p = ppLayout(s, d)
+      s.read.parquet(s"$p/orders")
+        .filter(col("o_month") >= "1996-01" && col("o_month") <= "1996-12")
+        .groupBy(col("o_month").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+    },
+    Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue
+            FROM orders
+            WHERE strftime(o_orderdate, '%Y-%m')
+              BETWEEN '1996-01' AND '1996-12'
+            GROUP BY 1"""))
+
+  /** PP2 — DYNAMIC partition pruning: quarterly-probe revenue where the
+    * months to read are known only AFTER filtering the calendar dim
+    * (q = 2), so no static predicate on the fact exists — the case
+    * where, without DPP, a 100 TB partitioned fact is read in full to
+    * join against a handful of dim rows. With the dim broadcast,
+    * Catalyst injects the dim's surviving months as a dynamic partition
+    * filter into the fact scan (`dynamicpruningexpression` in
+    * PartitionFilters, asserted in PlanSpec along with the pruned
+    * partition count): only Q2 directories are listed. The calendar is
+    * derived deterministically from orders itself, so the oracle
+    * replays the whole derivation relationally. */
+  private val pp2 = Q(
+    "pp2_dpp_join",
+    (s, d) => {
+      val p = ppLayout(s, d)
+      val cal = s.read.parquet(s"$p/calendar").filter(col("q") === 2)
+      s.read.parquet(s"$p/orders")
+        .join(broadcast(cal), col("o_month") === col("m"))
+        .groupBy(col("o_month").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+    },
+    Some("""WITH cal AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m,
+                ((CAST(substr(strftime(o_orderdate, '%Y-%m'), 6, 2) AS INT)
+                  - 1) // 3) + 1 AS q
+              FROM orders)
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue
+            FROM orders JOIN cal
+              ON strftime(o_orderdate, '%Y-%m') = cal.m
+            WHERE cal.q = 2
+            GROUP BY 1"""))
 
   /** B1 — NULL-drop row filter (vital_status_DESeq.R:29). The driver data has
     * no NULLs, so nulls are manufactured deterministically first (nullif),
@@ -619,7 +717,7 @@ object RelationalQueries {
                   FROM events)
             GROUP BY event_type"""))
 
-  def all: Seq[Q] = Seq(a2, zo1, or1, b1, b2, b3, b4, b5, b6, b7, b8, b9,
-    c1, c2, c3, c4, c5, c6, an1, sq1, rj1, fo1, so1, js1,
+  def all: Seq[Q] = Seq(a2, zo1, or1, pp1, pp2, b1, b2, b3, b4, b5, b6, b7,
+    b8, b9, c1, c2, c3, c4, c5, c6, an1, sq1, rj1, fo1, so1, js1,
     fScalars, f5, f6, f7, f10, g1, g3)
 }
