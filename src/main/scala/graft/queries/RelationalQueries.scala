@@ -85,7 +85,7 @@ object RelationalQueries {
     * charged to the scan query: observed 0.16 s → 2.38 s on zo1). */
   val layoutWriterQueries: Set[String] =
     Set("zo1_zorder_prune", "or1_orc_interchange",
-      "pp1_partition_prune", "pp2_dpp_join")
+      "pp1_partition_prune", "pp2_dpp_join", "bk1_bucketed_join")
 
   private val zo1 = Q(
     "zo1_zorder_prune",
@@ -234,6 +234,65 @@ object RelationalQueries {
               ON strftime(o_orderdate, '%Y-%m') = cal.m
             WHERE cal.q = 2
             GROUP BY 1"""))
+
+  /** Write-once co-bucketed layout for bk1: orders and lineitem bucketed
+    * by the order key into the same bucket count, as EXTERNAL tables
+    * under /tmp/graft_bk (data outlives the writing JVM; a later session
+    * re-attaches via DDL instead of re-bucketing). Table names embed the
+    * layout cache key, so a regenerated testdata dir can never serve
+    * stale buckets through a cached catalog entry.
+    * @return (ordersTable, lineitemTable) catalog names, registered in
+    *         the calling session */
+  private def bkLayout(s: SparkSession, d: String): (String, String) = {
+    val key = cacheKey(d, "lineitem.parquet")
+    val root = s"/tmp/graft_bk/$key"
+    val (to, tl) = (s"bk_orders_$key", s"bk_lineitem_$key")
+    val buckets = 8
+    def ready(p: String) = new java.io.File(p, "_SUCCESS").exists()
+    if (!ready(s"$root/orders") || !ready(s"$root/lineitem")) {
+      gcStaleLayouts("/tmp/graft_bk", key)
+      s.sql(s"DROP TABLE IF EXISTS $to")
+      s.sql(s"DROP TABLE IF EXISTS $tl")
+      graft.sources.Bucketing.writeBucketedExternal(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        to, "o_orderkey", buckets, s"$root/orders")
+      graft.sources.Bucketing.writeBucketedExternal(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        tl, "o_orderkey", buckets, s"$root/lineitem")
+    } else {
+      graft.sources.Bucketing.registerBucketed(s, to,
+        "o_orderkey BIGINT, o_orderpriority STRING",
+        "o_orderkey", buckets, s"$root/orders")
+      graft.sources.Bucketing.registerBucketed(s, tl,
+        "o_orderkey BIGINT, l_quantity DOUBLE",
+        "o_orderkey", buckets, s"$root/lineitem")
+    }
+    (to, tl)
+  }
+
+  /** BK1 — co-bucketed fact⋈fact join (X-R2's bucketed-table half made a
+    * first-class catalog entry): orders and lineitem pre-bucketed by the
+    * order key join with NO exchange on either side — each task reads
+    * its matching bucket files directly, the shuffle paid ONCE at write
+    * time instead of on every join. THE layout answer for a 100 TB fact
+    * repeatedly joined on one key (c6 covers the skew answer; zo1/pp1
+    * the pruning answers). Same aggregate as c6, so the oracle is the
+    * plain two-table replay; the exchange-free plan shape is asserted
+    * structurally in PlanSpec (no ShuffleExchange below the join under
+    * the forced-SMJ regime; at small local sf the un-forced query may
+    * legitimately broadcast instead — both plans produce these rows). */
+  private val bk1 = Q(
+    "bk1_bucketed_join",
+    (s, d) => {
+      val (to, tl) = bkLayout(s, d)
+      s.table(tl).join(s.table(to), "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("total_qty"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS total_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority"""))
 
   /** B1 — NULL-drop row filter (vital_status_DESeq.R:29). The driver data has
     * no NULLs, so nulls are manufactured deterministically first (nullif),
@@ -717,7 +776,7 @@ object RelationalQueries {
                   FROM events)
             GROUP BY event_type"""))
 
-  def all: Seq[Q] = Seq(a2, zo1, or1, pp1, pp2, b1, b2, b3, b4, b5, b6, b7,
+  def all: Seq[Q] = Seq(a2, zo1, or1, pp1, pp2, bk1, b1, b2, b3, b4, b5, b6, b7,
     b8, b9, c1, c2, c3, c4, c5, c6, an1, sq1, rj1, fo1, so1, js1,
     fScalars, f5, f6, f7, f10, g1, g3)
 }

@@ -363,6 +363,36 @@ class PlanSpec extends SparkSpec {
     assert(plan("cc1_ccnet_buckets").contains("BroadcastHashJoin"))
   }
 
+  test("bk1 co-bucketed join: no exchange below the join under forced SMJ") {
+    // -1 threshold simulates the 100 TB regime where neither fact
+    // broadcasts: the join must ride the bucket layout, not a shuffle
+    val prev = "spark.sql.autoBroadcastJoinThreshold" ->
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = QueryCatalog.byName("bk1_bucketed_join").run(spark, dir)
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val smj = nodes.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.getOrElse(fail("no SortMergeJoin in bk1 plan:\n" +
+        df.queryExecution.executedPlan))
+      val below = smj.children.flatMap(flatten)
+      assert(!below.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+        s"bucketed join still shuffled:\n$smj")
+      // and both inputs really are bucket scans, not plain file scans
+      val scans = below.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.size == 2 && scans.forall(_.bucketedScan),
+        s"expected 2 bucketed scans: ${scans.map(_.bucketedScan)}")
+    } finally prev match {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("pp1 static partition pruning: month predicate resolves against " +
       "directories, only the year's partitions are scanned") {
     val df = QueryCatalog.byName("pp1_partition_prune").run(spark, dir)
