@@ -586,19 +586,30 @@ object Dedup {
       .groupBy("da", "db", "diag", "run")
       .agg(min(col("pa")).as("pa0"), max(col("pa")).as("pa1"))
     val iv = runs.select(col("da").as("doc_id"), col("pa0").as("sp"),
-        (col("pa1") + (n - 1)).as("ep"))
+        (col("pa1") + (n - 1)).as("ep"),
+        col("db").as("partner"), col("diag"))
       .unionByName(runs.select(col("db").as("doc_id"),
         (col("pa0") - col("diag")).as("sp"),
-        (col("pa1") - col("diag") + (n - 1)).as("ep")))
+        (col("pa1") - col("diag") + (n - 1)).as("ep"),
+        col("da").as("partner"), col("diag")))
     // per-doc merge of INTERSECTING intervals only (sp <= prev_end):
     // token-adjacent matches with different partners stay separate —
     // the semantic upgrade over duplicatedSpanList's adjacency merge.
-    // (sp, ep) ties are genuine duplicate intervals (same match seen via
-    // two partners): island assignment is order-independent for them,
-    // so the window order below is deterministic where it matters.
-    val wPrev = Window.partitionBy("doc_id").orderBy(col("sp"), col("ep"))
+    // The window order MUST be a TOTAL order, hence the (partner, diag)
+    // tiebreaks: duplicate (sp, ep) intervals (same span matched via two
+    // partners) are peers under (sp, ep) alone, and while any ONE
+    // consistent order yields identical islands, the island flag is
+    // computed by one window (prev_end) and consumed by another (the
+    // running sum) — an engine that sorts the two passes' peers
+    // differently splits a tie group across islands (observed: DuckDB
+    // returned 164 or 165 rows run-to-run on the sf0.01 corpus before
+    // the tiebreak; Spark was immune only because both functions share
+    // one WindowExec sort). (doc_id, sp, partner, diag) is unique by
+    // construction — one interval per diagonal run per side.
+    val ivOrd = Seq(col("sp"), col("ep"), col("partner"), col("diag"))
+    val wPrev = Window.partitionBy("doc_id").orderBy(ivOrd: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wRun = Window.partitionBy("doc_id").orderBy(col("sp"), col("ep"))
+    val wRun = Window.partitionBy("doc_id").orderBy(ivOrd: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     iv.withColumn("prev_end", max(col("ep")).over(wPrev))
       .withColumn("new_span",

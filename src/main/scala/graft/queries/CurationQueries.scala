@@ -653,18 +653,20 @@ object CurationQueries {
                         min(pa) AS pa0, max(pa) AS pa1
                       FROM rn GROUP BY 1, 2, 3, 4),
              iv AS (SELECT da AS doc_id, pa0 AS sp,
-                      pa1 + ${ngN - 1} AS ep FROM runs
+                      pa1 + ${ngN - 1} AS ep, db AS partner, diag FROM runs
                     UNION ALL
-                    SELECT db, pa0 - diag, pa1 - diag + ${ngN - 1} FROM runs),
-             m0 AS (SELECT doc_id, sp, ep,
-                      max(ep) OVER (PARTITION BY doc_id ORDER BY sp, ep
+                    SELECT db, pa0 - diag, pa1 - diag + ${ngN - 1}, da, diag
+                    FROM runs),
+             m0 AS (SELECT doc_id, sp, ep, partner, diag,
+                      max(ep) OVER (PARTITION BY doc_id
+                        ORDER BY sp, ep, partner, diag
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                         AS prev_end
                     FROM iv),
              m1 AS (SELECT doc_id, sp, ep,
                       sum(CASE WHEN prev_end IS NULL OR sp > prev_end
                                THEN 1 ELSE 0 END) OVER (
-                        PARTITION BY doc_id ORDER BY sp, ep
+                        PARTITION BY doc_id ORDER BY sp, ep, partner, diag
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS island
                     FROM m0)
