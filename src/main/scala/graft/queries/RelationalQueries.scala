@@ -244,10 +244,26 @@ object RelationalQueries {
     * @return (ordersTable, lineitemTable) catalog names, registered in
     *         the calling session */
   private def bkLayout(s: SparkSession, d: String): (String, String) = {
-    val key = cacheKey(d, "lineitem.parquet")
+    // the layout derives from BOTH tables and the bucket-count constant,
+    // so the key must cover all three — a key on lineitem alone would
+    // silently re-attach stale orders buckets after an orders-only
+    // testdata regen, or read 8-bucket files as 16-bucket after a
+    // constant bump (wrong rows on an exchange-free SMJ, no error).
+    // Format stays md5_mtime_len (gcStaleLayouts' contract): the extra
+    // inputs fold into the md5, lineitem's mtime/len keep the suffix.
+    val buckets = 8
+    val key = {
+      val or = new java.io.File(d, "orders.parquet")
+      require(or.exists, s"bkLayout: missing source ${or.getPath}")
+      val li = new java.io.File(d, "lineitem.parquet")
+      require(li.exists, s"bkLayout: missing source ${li.getPath}")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d|${or.lastModified}|${or.length}|buckets=$buckets"
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s"${md}_${li.lastModified}_${li.length}"
+    }
     val root = s"/tmp/graft_bk/$key"
     val (to, tl) = (s"bk_orders_$key", s"bk_lineitem_$key")
-    val buckets = 8
     def ready(p: String) = new java.io.File(p, "_SUCCESS").exists()
     if (!ready(s"$root/orders") || !ready(s"$root/lineitem")) {
       gcStaleLayouts("/tmp/graft_bk", key)
@@ -286,7 +302,7 @@ object RelationalQueries {
     "bk1_bucketed_join",
     (s, d) => {
       val (to, tl) = bkLayout(s, d)
-      s.table(tl).join(s.table(to), "o_orderkey")
+      graft.sources.Bucketing.cocolocatedJoin(s, tl, to, "o_orderkey")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("total_qty"))
     },

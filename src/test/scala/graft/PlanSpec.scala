@@ -393,6 +393,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  /** Month-partition directory names of the pp layout for `dir` — the
+    * one listing both pruning tests derive their counts from. */
+  private def ppMonthDirs(): Seq[String] = {
+    val key = graft.queries.RelationalQueries.cacheKey(dir, "orders.parquet")
+    Option(new java.io.File(s"/tmp/graft_pp/$key/orders").listFiles())
+      .getOrElse(Array.empty).toSeq.map(_.getName)
+      .filter(_.startsWith("o_month="))
+  }
+
   test("pp1 static partition pruning: month predicate resolves against " +
       "directories, only the year's partitions are scanned") {
     val df = QueryCatalog.byName("pp1_partition_prune").run(spark, dir)
@@ -402,15 +411,14 @@ class PlanSpec extends SparkSpec {
     }.getOrElse(fail("no FileSourceScanExec in pp1 plan"))
     val pf = scan.metadata.getOrElse("PartitionFilters", "")
     assert(pf.contains("o_month"), s"month bounds not partition filters: $pf")
-    // directory-level witness: the scan's file list holds ONLY the 12
-    // matching partitions, out of the layout's full month range
-    val key = graft.queries.RelationalQueries.cacheKey(dir, "orders.parquet")
-    val totalParts = Option(
-      new java.io.File(s"/tmp/graft_pp/$key/orders").listFiles())
-      .getOrElse(Array.empty).count(_.getName.startsWith("o_month="))
+    // directory-level witness on the scan's OWN partitions-read metric
+    // (a file count would be write-layout-dependent — nothing guarantees
+    // one file per month — while partitions read is exactly what the
+    // pruning cuts)
+    val totalParts = ppMonthDirs().size
     assert(totalParts > 12, s"layout should span years, got $totalParts months")
-    assert(scan.metrics("numFiles").value <= 12,
-      s"read ${scan.metrics("numFiles").value} files from $totalParts partitions")
+    assert(scan.metrics("numPartitions").value <= 12,
+      s"read ${scan.metrics("numPartitions").value} of $totalParts partitions")
   }
 
   test("pp2 dynamic partition pruning: the broadcast calendar probe is " +
@@ -426,20 +434,13 @@ class PlanSpec extends SparkSpec {
     assert(pf.toLowerCase.contains("dynamicpruning"),
       s"DPP did not fire on the fact scan: $pf")
     // runtime witness: only the Q2 month directories were actually read
-    val key = graft.queries.RelationalQueries.cacheKey(dir, "orders.parquet")
-    val totalParts = Option(
-      new java.io.File(s"/tmp/graft_pp/$key/orders").listFiles())
-      .getOrElse(Array.empty).count(_.getName.startsWith("o_month="))
-    val q2Parts = Option(
-      new java.io.File(s"/tmp/graft_pp/$key/orders").listFiles())
-      .getOrElse(Array.empty).count { f =>
-        val n = f.getName
-        n.startsWith("o_month=") &&
-          Set("04", "05", "06").contains(n.takeRight(2))
-      }
-    assert(q2Parts > 0 && q2Parts < totalParts)
-    assert(fact.metrics("numFiles").value <= q2Parts,
-      s"read ${fact.metrics("numFiles").value} files, Q2 has $q2Parts partitions")
+    val months = ppMonthDirs()
+    val q2Parts = months.count(n =>
+      Set("04", "05", "06").contains(n.takeRight(2)))
+    assert(q2Parts > 0 && q2Parts < months.size)
+    assert(fact.metrics("numPartitions").value <= q2Parts,
+      s"read ${fact.metrics("numPartitions").value} partitions, " +
+        s"Q2 has $q2Parts of ${months.size}")
   }
 
   test("sj1 star join: optimizer recovers the join tree — dims broadcast, " +
