@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // external bucketed tables (bk1) touch the warehouse root even
+      // though their data lives under /tmp — pin it so no spark-warehouse
+      // dir is minted in whatever cwd the driver launches from
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
