@@ -549,7 +549,8 @@ object Dedup {
     *         merged span, `n_matches` the number of maximal pairwise
     *         match intervals merged into it */
   def maximalMatchSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, maxOccPerGram: Int = 64): DataFrame = {
+      n: Int, maxOccPerGram: Int = 64,
+      keepLowestId: Boolean = false): DataFrame = {
     val toked = spread(docs).select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
     val occ = toked.select(col("doc_id"),
@@ -585,13 +586,20 @@ object Dedup {
         wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("da", "db", "diag", "run")
       .agg(min(col("pa")).as("pa0"), max(col("pa")).as("pa1"))
-    val iv = runs.select(col("da").as("doc_id"), col("pa0").as("sp"),
-        (col("pa1") + (n - 1)).as("ep"),
-        col("db").as("partner"), col("diag"))
-      .unionByName(runs.select(col("db").as("doc_id"),
-        (col("pa0") - col("diag")).as("sp"),
-        (col("pa1") - col("diag") + (n - 1)).as("ep"),
-        col("da").as("partner"), col("diag")))
+    // keepLowestId: only the HIGHER-id side of each match is reported
+    // (the lower-id document's copy is the surviving exemplar) — the
+    // faithful keep-one removal at MATCH granularity, vs the gram-keeper
+    // rule of duplicatedSpanList(keepFirst). Default reports both sides.
+    val ivB = runs.select(col("db").as("doc_id"),
+      (col("pa0") - col("diag")).as("sp"),
+      (col("pa1") - col("diag") + (n - 1)).as("ep"),
+      col("da").as("partner"), col("diag"))
+    val iv =
+      if (keepLowestId) ivB
+      else runs.select(col("da").as("doc_id"), col("pa0").as("sp"),
+          (col("pa1") + (n - 1)).as("ep"),
+          col("db").as("partner"), col("diag"))
+        .unionByName(ivB)
     // per-doc merge of INTERSECTING intervals only (sp <= prev_end):
     // token-adjacent matches with different partners stay separate —
     // the semantic upgrade over duplicatedSpanList's adjacency merge.
@@ -637,9 +645,38 @@ object Dedup {
     * @return `(doc_id, n_tok, n_kept, trimmed_text)` — one row per doc,
     *         `trimmed_text` the space-joined surviving tokens */
   def trimDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, keepFirst: Boolean = false): DataFrame = {
-    val spanArr = duplicatedSpanList(docs, idCol, textCol, n, keepFirst)
-      .groupBy("doc_id")
+      n: Int, keepFirst: Boolean = false): DataFrame =
+    applySpanTrim(docs, idCol, textCol,
+      duplicatedSpanList(docs, idCol, textCol, n, keepFirst))
+
+  /** The APPLY step over [[maximalMatchSpans]]' chain-extension spans.
+    * With `keepLowestId = false` this removes ALL matched text — whose
+    * covered positions provably equal [[trimDuplicatedSpans]]' (the
+    * DedupSpec coverage property), so the interesting variant is
+    * `keepLowestId = true`: keep-one-exemplar at MATCH granularity — for
+    * every maximal pairwise match only the higher-id document loses the
+    * span; the lower-id copy survives. This differs from
+    * `trimDuplicatedSpans(keepFirst = true)`'s per-GRAM keeper rule,
+    * which can excise from every document when no single document is
+    * the min-id holder of all grams of a passage; the match-granular
+    * rule guarantees each removed span's text survives verbatim in the
+    * partner document it matched. Output and scale shape identical to
+    * [[trimDuplicatedSpans]]. */
+  def trimMaximalMatches(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxOccPerGram: Int = 64,
+      keepLowestId: Boolean = false): DataFrame =
+    applySpanTrim(docs, idCol, textCol,
+      maximalMatchSpans(docs, idCol, textCol, n, maxOccPerGram, keepLowestId))
+
+  /** Rebuild each document with the given `spans` excised — the shared
+    * APPLY step of [[trimDuplicatedSpans]] and [[trimMaximalMatches]].
+    * `spans` carries (doc_id, span_start, span_len); extra columns are
+    * ignored. One narrow filter-with-index lambda per doc against its
+    * own collect_list-bounded span set — no shuffle beyond the span
+    * join, state bounded by a document. */
+  private def applySpanTrim(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val spanArr = spans.groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_len"))).as("spans"))
     spread(docs).select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))

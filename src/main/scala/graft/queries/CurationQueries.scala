@@ -675,6 +675,109 @@ object CurationQueries {
                CAST(count(*) AS BIGINT) AS n_matches
              FROM m1 GROUP BY doc_id, island"""))
 
+  /** NG6 — keep-one span trim at MATCH granularity over the ng5
+    * chain-extension spans (Dedup.trimMaximalMatches with keepLowestId):
+    * for every maximal pairwise exact match, only the HIGHER-id document
+    * loses the span — the lower-id copy is the surviving exemplar, so
+    * each removed span's text is guaranteed to survive verbatim in the
+    * specific partner it matched. The faithful Lee-et-al removal one
+    * rung above ng4's per-GRAM keeper rule (which can excise a passage
+    * from every document when no single doc holds the min id for all
+    * its grams); the C4-style both-sides variant is NOT a separate
+    * query because its covered positions provably equal ng3's (the
+    * DedupSpec coverage property). Same injected twin excerpts as
+    * ng1-ng5 (sources keep their text; excerpts trim to empty); same
+    * [[ng5Cap]] on the pair space. */
+  private val ng6 = Q(
+    "ng6_chain_trim_keep_one",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val toks = TextFunctions.tokens(col("text"))
+      val excerpts = docs
+        .filter(col("doc_id") % 9 === 0 && size(toks) >= 30)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, 6, 20)).as("text"))
+      Dedup.trimMaximalMatches(docs.unionByName(excerpts), "doc_id", "text",
+        ngN, maxOccPerGram = ng5Cap, keepLowestId = true)
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, text FROM documents),
+             ex AS (SELECT doc_id + 20000000 AS doc_id,
+                      array_to_string(list_slice(
+                        string_split_regex(trim(lower(text)), '\\s+'), 6, 25),
+                        ' ') AS text
+                    FROM t0
+                    WHERE doc_id % 9 = 0
+                      AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 30),
+             u AS (SELECT * FROM t0 UNION ALL SELECT * FROM ex),
+             b AS (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                     CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS BIGINT) AS n_tok
+                   FROM u),
+             occ AS (SELECT doc_id, n_tok, toks,
+                       unnest(range(0, n_tok - ${ngN - 1})) AS pos
+                     FROM b WHERE n_tok >= $ngN),
+             g AS (SELECT doc_id, pos,
+                     array_to_string(list_slice(toks,
+                       CAST(pos + 1 AS INT), CAST(pos + $ngN AS INT)), ' ') AS gram
+                   FROM occ),
+             dict AS (SELECT gram FROM g GROUP BY gram
+                      HAVING count(DISTINCT doc_id) >= 2
+                         AND count(*) <= $ng5Cap),
+             dup AS (SELECT doc_id, pos, gram FROM g
+                     WHERE gram IN (SELECT gram FROM dict)),
+             pr AS (SELECT a.doc_id AS da, CAST(a.pos AS BIGINT) AS pa,
+                      b2.doc_id AS db, CAST(b2.pos AS BIGINT) AS pb
+                    FROM dup a JOIN dup b2
+                      ON a.gram = b2.gram AND a.doc_id < b2.doc_id),
+             dg AS (SELECT da, db, pa - pb AS diag, pa,
+                      lag(pa) OVER (PARTITION BY da, db, pa - pb
+                        ORDER BY pa) AS prev_pa
+                    FROM pr),
+             rn AS (SELECT da, db, diag, pa,
+                      sum(CASE WHEN prev_pa IS NULL OR pa > prev_pa + 1
+                               THEN 1 ELSE 0 END) OVER (
+                        PARTITION BY da, db, diag ORDER BY pa
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS run
+                    FROM dg),
+             runs AS (SELECT da, db, diag, run,
+                        min(pa) AS pa0, max(pa) AS pa1
+                      FROM rn GROUP BY 1, 2, 3, 4),
+             iv AS (SELECT db AS doc_id, pa0 - diag AS sp,
+                      pa1 - diag + ${ngN - 1} AS ep, da AS partner, diag
+                    FROM runs),
+             m0 AS (SELECT doc_id, sp, ep, partner, diag,
+                      max(ep) OVER (PARTITION BY doc_id
+                        ORDER BY sp, ep, partner, diag
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+                    FROM iv),
+             m1 AS (SELECT doc_id, sp, ep,
+                      sum(CASE WHEN prev_end IS NULL OR sp > prev_end
+                               THEN 1 ELSE 0 END) OVER (
+                        PARTITION BY doc_id ORDER BY sp, ep, partner, diag
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS island
+                    FROM m0),
+             spans AS (SELECT doc_id, min(sp) AS s0, max(ep) AS e0
+                       FROM m1 GROUP BY doc_id, island),
+             tok AS (SELECT doc_id, n_tok, unnest(range(0, n_tok)) AS pos, toks
+                     FROM b),
+             kept AS (SELECT t.doc_id, t.n_tok, t.pos,
+                        toks[CAST(t.pos + 1 AS INT)] AS tok
+                      FROM tok t
+                      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = t.doc_id
+                          AND t.pos >= s.s0 AND t.pos <= s.e0)),
+             agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY pos) AS trimmed_text
+                     FROM kept GROUP BY doc_id)
+             SELECT b.doc_id, b.n_tok,
+               coalesce(agg.n_kept, 0) AS n_kept,
+               coalesce(agg.trimmed_text, '') AS trimmed_text
+             FROM b LEFT JOIN agg USING (doc_id)"""))
+
   // ------------------------------------------------------- cu1: mixture cube
 
   /** CU1 — training-mixture report: doc and token counts by
@@ -1483,6 +1586,6 @@ object CurationQueries {
             round(CAST(em AS DOUBLE) / CAST(zt AS DOUBLE), 6) AS weight
           FROM w CROSS JOIN z"""))
 
-  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, ng3, ng4, ng5, cu1, lr1, lr1b, auc1,
+  def all: Seq[Q] = Seq(sh1, x7, ch1, sm2, tm1, dd7, rs1, ng1, ng2, ng3, ng4, ng5, ng6, cu1, lr1, lr1b, auc1,
     cal1, cm1, sd1, scd1, dr1, ds1, qs1, dq1, dc1, dp1, dm1)
 }

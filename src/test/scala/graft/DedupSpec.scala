@@ -240,6 +240,25 @@ class DedupSpec extends SparkSpec {
     assert(standIn.contains((3L, 0L, 10L)))
   }
 
+  test("trimMaximalMatches keep-one: lower-id copy survives, higher-id side " +
+      "trimmed; match-granular keeper differs from the gram keeper") {
+    val corpus = Seq(
+      (1L, "a1 a2 a3 a4 a5 x1 x2 x3 x4 x5"),
+      (2L, "b1 b2 b3 b4 b5 y1 y2 y3 y4 y5"),
+      (3L, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5")) // matches 1 (A-half) and 2 (B-half)
+      .toDF("doc_id", "text")
+    val r = Dedup.trimMaximalMatches(corpus, "doc_id", "text", 5,
+        keepLowestId = true).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_kept"), x.getAs[String]("trimmed_text")))).toMap
+    // docs 1 and 2 are the lower-id exemplars of their matches: intact
+    assert(r(1L) === ((10L, "a1 a2 a3 a4 a5 x1 x2 x3 x4 x5")))
+    assert(r(2L) === ((10L, "b1 b2 b3 b4 b5 y1 y2 y3 y4 y5")))
+    // doc 3 is the higher-id side of BOTH matches: fully excised — and
+    // every removed token survives verbatim in the partner it matched
+    assert(r(3L) === ((0L, "")))
+  }
+
   test("maximalMatchSpans coverage equals the shingle stand-in's (uncapped)") {
     // Uncapped, the two operators flag the SAME token positions — every
     // duplicated-gram occurrence sits inside >=1 pairwise match and vice
