@@ -928,6 +928,54 @@ object AnalyticsQueries {
     * joins — every shuffle is on user_id, state is one row per user, no
     * window over event history. The per-user frame IS the funnel report;
     * stage counts are one more tiny agg away. */
+  /** MO1 — month-over-month revenue growth via a SELF-JOIN of one
+    * aggregate frame: the deliberately naive report shape (current month
+    * ⋈ previous month on a shifted key) that Catalyst's ReuseExchange
+    * rescues — both join inputs canonicalize to the SAME scan → partial
+    * agg → shuffle subplan, so the second side plans as a
+    * ReusedExchange over the first's shuffle files and the orders fact
+    * is scanned and aggregated ONCE, not twice (asserted in PlanSpec).
+    * At 100 TB that reuse is the difference between one fact pass and
+    * two. (A window `lag` expresses the same report in one pass; this
+    * entry exists precisely to pin the optimizer's rescue of the
+    * join-form, which real report SQL writes all the time.)
+    *
+    * Cross-engine exactness: revenue follows the ru1 decimal-sum
+    * convention, and growth is one double division of two
+    * exact-decimal-derived doubles, rounded at 6 dp on both engines. */
+  private val mo1 = Q(
+    "mo1_month_over_month",
+    (s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mi"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+      // prev_n_orders is in the output deliberately: without it, column
+      // pruning narrows the b-side aggregate to sum-only, the two agg
+      // subplans no longer canonicalize equal, and ReuseExchange cannot
+      // fire (observed: two full scans+aggs). With it both sides are the
+      // identical subplan and the second plans as a ReusedExchange.
+      rev.as("a").join(rev.as("b"), col("a.mi") === col("b.mi") + 1)
+        .select(col("a.mi").as("mi"), col("a.n_orders").as("n_orders"),
+          col("a.revenue").as("revenue"),
+          col("b.n_orders").as("prev_n_orders"),
+          col("b.revenue").as("prev_revenue"),
+          round(col("a.revenue") / col("b.revenue") - 1.0, 6).as("growth"))
+    },
+    Some("""WITH rev AS (SELECT
+                CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+              FROM orders GROUP BY 1)
+            SELECT a.mi AS mi, a.n_orders AS n_orders, a.revenue AS revenue,
+              b.n_orders AS prev_n_orders, b.revenue AS prev_revenue,
+              round(a.revenue / b.revenue - 1.0, 6) AS growth
+            FROM rev a JOIN rev b ON a.mi = b.mi + 1"""))
+
   private val fn1 = Q(
     "fn1_funnel",
     (s, d) => {
@@ -1499,7 +1547,7 @@ object AnalyticsQueries {
           FROM e"""
     })
 
-  def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, sj1, gs1, wz1, rz1, fz1, w1, w2,
+  def all: Seq[Q] = Seq(tf1, lm1, cc1, se1, ru1, sj1, mo1, gs1, wz1, rz1, fz1, w1, w2,
     ii1, bp1, bp2, bp2b, tk1, lm2, gf1, lf1, hh1, fn1, co1, bm1, pr1, tc1, qd1,
     kc1, bfs1, qd2, bs1, cs1)
 }

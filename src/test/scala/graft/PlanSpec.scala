@@ -671,4 +671,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assertNoPartitionWindowsBounded(df, "dm1_doremi_weights")
   }
+
+  test("mo1 self-joined aggregate: ReuseExchange computes the fact agg ONCE") {
+    // The report is written as rev JOIN rev (shifted key) — the naive
+    // two-pass shape. Catalyst must canonicalize both join inputs to the
+    // same scan+partial-agg+shuffle subplan and plan the second side as a
+    // ReusedExchange over the first's shuffle files; at 100 TB that is one
+    // fact pass instead of two. Strongest witness: exactly ONE parquet
+    // scan in the whole executed plan (ReusedExchangeExec is a leaf, so
+    // the reused subtree is not double-walked).
+    val df = QueryCatalog.byName("mo1_month_over_month").run(spark, dir)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ReusedExchangeExec]),
+      "no ReusedExchange — fact aggregated twice:\n" +
+        df.queryExecution.executedPlan)
+    val scans = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"expected 1 fact scan, got $scans\n" +
+      df.queryExecution.executedPlan)
+    // and the month-frame join itself broadcasts (months are tiny)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
 }
