@@ -53,7 +53,12 @@ object GraftSession {
   }
 
   /** Local session with the engine settings — the one-liner for notebooks
-    * and tests outside the driver harness. */
+    * and tests outside the driver harness. Pins the warehouse under /tmp
+    * (bk1's external bucketed tables touch the warehouse root) so no
+    * spark-warehouse dir is minted in the launch cwd; cluster callers
+    * going through [[apply]] keep their own warehouse setting. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
-    apply(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+    apply(SparkSession.builder().master(s"local[$cores]"), cores)
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .getOrCreate()
 }

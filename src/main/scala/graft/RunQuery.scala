@@ -15,6 +15,9 @@ object RunQuery {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // bk1's external bucketed tables touch the warehouse root — pin it
+      // so no spark-warehouse dir is minted in the launch cwd
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

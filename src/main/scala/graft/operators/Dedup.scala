@@ -659,9 +659,12 @@ object Dedup {
     * `trimDuplicatedSpans(keepFirst = true)`'s per-GRAM keeper rule,
     * which can excise from every document when no single document is
     * the min-id holder of all grams of a passage; the match-granular
-    * rule guarantees each removed span's text survives verbatim in the
-    * partner document it matched. Output and scale shape identical to
-    * [[trimDuplicatedSpans]]. */
+    * rule guarantees each removed span's text survives verbatim in its
+    * matched partner's ORIGINAL text. (Post-trim survival is guaranteed
+    * only for a match component's minimum-id document — in a chain
+    * a<b<c of overlapping matches, b keeps a's span but may itself be
+    * trimmed for the (a,b) match, so c's partner b can shrink.) Output
+    * and scale shape identical to [[trimDuplicatedSpans]]. */
   def trimMaximalMatches(docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxOccPerGram: Int = 64,
       keepLowestId: Boolean = false): DataFrame =

@@ -921,13 +921,6 @@ object AnalyticsQueries {
              FROM c CROSS JOIN n
              WHERE c.cnt > CAST($hhPhi AS DOUBLE) * n.n_total"""))
 
-  /** FN1 — ordered-funnel analysis (signup → click → purchase, each stage
-    * strictly at-or-after the previous): per user, the first signup, the
-    * first click after it, the first purchase after that, and the stage
-    * reached. Three conditional-min hash aggs chained by user-keyed
-    * joins — every shuffle is on user_id, state is one row per user, no
-    * window over event history. The per-user frame IS the funnel report;
-    * stage counts are one more tiny agg away. */
   /** MO1 — month-over-month revenue growth via a SELF-JOIN of one
     * aggregate frame: the deliberately naive report shape (current month
     * ⋈ previous month on a shifted key) that Catalyst's ReuseExchange
@@ -976,6 +969,13 @@ object AnalyticsQueries {
               round(a.revenue / b.revenue - 1.0, 6) AS growth
             FROM rev a JOIN rev b ON a.mi = b.mi + 1"""))
 
+  /** FN1 — ordered-funnel analysis (signup → click → purchase, each stage
+    * strictly at-or-after the previous): per user, the first signup, the
+    * first click after it, the first purchase after that, and the stage
+    * reached. Three conditional-min hash aggs chained by user-keyed
+    * joins — every shuffle is on user_id, state is one row per user, no
+    * window over event history. The per-user frame IS the funnel report;
+    * stage counts are one more tiny agg away. */
   private val fn1 = Q(
     "fn1_funnel",
     (s, d) => {

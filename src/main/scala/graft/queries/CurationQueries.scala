@@ -679,8 +679,10 @@ object CurationQueries {
     * chain-extension spans (Dedup.trimMaximalMatches with keepLowestId):
     * for every maximal pairwise exact match, only the HIGHER-id document
     * loses the span — the lower-id copy is the surviving exemplar, so
-    * each removed span's text is guaranteed to survive verbatim in the
-    * specific partner it matched. The faithful Lee-et-al removal one
+    * each removed span's text survives verbatim in its matched partner's
+    * ORIGINAL text (post-trim, the guarantee holds for a component's
+    * minimum-id document; see Dedup.trimMaximalMatches on overlapping
+    * chains). The faithful Lee-et-al removal one
     * rung above ng4's per-GRAM keeper rule (which can excise a passage
     * from every document when no single doc holds the min id for all
     * its grams); the C4-style both-sides variant is NOT a separate

@@ -692,6 +692,8 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 fact scan, got $scans\n" +
       df.queryExecution.executedPlan)
     // and the month-frame join itself broadcasts (months are tiny)
-    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "month self-join did not broadcast:\n" + df.queryExecution.executedPlan)
   }
 }
