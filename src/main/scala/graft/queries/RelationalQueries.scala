@@ -648,6 +648,38 @@ object RelationalQueries {
                               WHERE o_custkey = c_custkey
                                 AND year(o_orderdate) = 1995)"""))
 
+  /** NA1 — NOT IN (subquery) through the SQL surface: customers with no
+    * high-value 1996 order. Distinct from an1's NOT EXISTS: NOT IN has
+    * tri-state NULL semantics (any NULL in the subquery empties the
+    * result; a NULL probe key is dropped), so Catalyst cannot plan a
+    * plain anti join — the rewritten condition is `key = k OR
+    * isnull(key = k)`, whose naive physical shape is a
+    * BroadcastNestedLoopJoin (disastrous at 100 TB: probe x build with
+    * no hash). Spark's single-column rescue
+    * (`spark.sql.optimizeNullAwareAntiJoin`) plans a BroadcastHashJoin
+    * with isNullAwareAntiJoin=true instead — hash probe + one
+    * build-side null flag; PlanSpec asserts that shape and the absence
+    * of any nested-loop join. The high-value filter keeps the build
+    * side bounded (NAAJ requires a broadcastable build; an unbounded
+    * key set would fall back to the nested loop — at warehouse scale
+    * you keep the subquery selective or rewrite to NOT EXISTS, whose
+    * two-valued semantics shuffle-anti-join fine). Keys are non-null in
+    * this data so NOT IN and NOT EXISTS agree on VALUES; the tri-state
+    * edge itself is pinned by a constructed-frame test in JoinsSpec. */
+  private val na1 = Q(
+    "na1_notin_nullaware",
+    (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""SELECT c_custkey, c_name, c_nationkey FROM customer
+               WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                       WHERE year(o_orderdate) = 1996
+                                         AND o_totalprice > 150000)""")
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE year(o_orderdate) = 1996
+                                      AND o_totalprice > 150000)"""))
+
   /** SQ1 — correlated scalar subquery through the SQL surface: orders
     * costing more than 2x their customer's average. Catalyst DECORRELATES
     * this into an aggregate + join (RewriteCorrelatedScalarSubquery) —
@@ -793,6 +825,6 @@ object RelationalQueries {
             GROUP BY event_type"""))
 
   def all: Seq[Q] = Seq(a2, zo1, or1, pp1, pp2, bk1, b1, b2, b3, b4, b5, b6, b7,
-    b8, b9, c1, c2, c3, c4, c5, c6, an1, sq1, rj1, fo1, so1, js1,
+    b8, b9, c1, c2, c3, c4, c5, c6, an1, na1, sq1, rj1, fo1, so1, js1,
     fScalars, f5, f6, f7, f10, g1, g3)
 }

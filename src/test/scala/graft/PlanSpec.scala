@@ -696,4 +696,21 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
       "month self-join did not broadcast:\n" + df.queryExecution.executedPlan)
   }
+
+  test("na1 NOT IN plans as a null-aware anti HASH join, never a nested loop") {
+    // The rewritten `key = k OR isnull(key = k)` condition would naively
+    // be a BroadcastNestedLoopJoin (probe x build); the single-column
+    // NAAJ optimization must rescue it into a hash join.
+    val df = QueryCatalog.byName("na1_notin_nullaware").run(spark, dir)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val naaj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(naaj.exists(_.isNullAwareAntiJoin),
+      "no null-aware anti hash join:\n" + df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "NOT IN fell back to a nested loop:\n" + df.queryExecution.executedPlan)
+  }
 }
