@@ -1,8 +1,10 @@
 package graft.expressions
 
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
@@ -22,6 +24,13 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * The filter bytes must be foldable (a literal): the sketch is
   * deserialized ONCE per executor (transient lazy), not per row.
+  *
+  * SCOPE: the literal form is for SMALL, oracle-sized sketches only — the
+  * bytes ride the serialized plan, so every stage that references the
+  * expression ships them in its task binary. A production-sized dictionary
+  * sketch (10⁹ keys at 1% fpp ≈ 1.2 GB) must ride a torrent broadcast
+  * instead: [[BloomMightContainBc]], which carries only the broadcast
+  * HANDLE in the plan. `Dedup.contaminationBloom` uses the Bc form.
   */
 case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -63,4 +72,75 @@ case class BloomMightContain(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(left = newLeft, right = newRight)
+}
+
+/** [[BloomMightContain]] re-plumbed for production-sized sketches: the
+  * serialized filter rides a `sparkContext.broadcast` and the plan carries
+  * only the HANDLE (the same pattern as the IVF centroid matrix,
+  * `Ann.assignWithBroadcast`). The bitset ships once per executor over the
+  * torrent protocol instead of once per task binary per stage — at a real
+  * train-dictionary scale (10⁹ keys @ 1% fpp ≈ 1.2 GB) the literal form
+  * would serialize that into EVERY task of every stage referencing it.
+  *
+  * Deserialization is once per EXECUTOR, not per task: task
+  * deserialization creates a fresh expression instance per task, so the
+  * instance-level lazy val alone would re-parse the bitset per task; the
+  * companion's broadcast-id-keyed cache shares the parsed
+  * [[BloomFilter]] JVM-wide (entries live for the executor's lifetime —
+  * one filter per distinct broadcast, bounded by the filters the app
+  * actually builds).
+  *
+  * Not SQL-registrable (a broadcast handle cannot be a function argument);
+  * construct via [[BloomMightContain.probe]]. Codegen-friendly like the
+  * literal form: `doGenCode` references this instance, so the probe stays
+  * inside whole-stage codegen.
+  */
+case class BloomMightContainBc(bc: Broadcast[Array[Byte]], child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain_bc expects a STRING value, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_bc"
+
+  @transient private lazy val filter: BloomFilter =
+    BloomMightContainBc.filterFor(bc)
+
+  /** Probe with the UTF-8 bytes — the same bytes `BloomFilter.putString`
+    * hashes on the build side, with no String materialization per row. */
+  def mightContain(v: UTF8String): Boolean = filter.mightContainBinary(v.getBytes)
+
+  override def nullSafeEval(v: Any): Any =
+    mightContain(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bloomMightContainBc", this,
+      classOf[BloomMightContainBc].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.mightContain($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContainBc = copy(child = newChild)
+}
+
+object BloomMightContainBc {
+  /** Executor-wide parsed-filter cache, keyed by broadcast id: every task's
+    * deserialized expression instance resolves to the SAME BloomFilter. */
+  private val parsed =
+    new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
+
+  private[expressions] def filterFor(bc: Broadcast[Array[Byte]]): BloomFilter =
+    parsed.computeIfAbsent(bc.id, _ => BloomFilter.readFrom(bc.value))
+}
+
+object BloomMightContain {
+  /** DataFrame-side constructor for the broadcast-handle probe:
+    * `df.filter(BloomMightContain.probe(bc, col("sh")))`. */
+  def probe(bc: Broadcast[Array[Byte]], value: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      BloomMightContainBc(bc, org.apache.spark.sql.GraftSqlBridge.expression(value)))
 }

@@ -341,26 +341,52 @@ object Dedup {
     * shingle dictionary is typically orders of magnitude smaller than the
     * test/held-out side's shingle stream, so instead of shuffling EVERY
     * test shingle into the dictionary join, a Bloom sketch of the (capped)
-    * dictionary rides the scan as a narrow `bloom_might_contain` filter —
-    * only probe-passing shingles (true hits + fpp·|clean|) reach the
-    * exact verify join. Per-doc totals come from a separate partial+final
-    * distinct-count over the unfiltered stream (cheap: no join, map-side
-    * partial aggregation). Output and semantics are IDENTICAL to
-    * `contamination` — the sketch only prunes the join input, false
-    * positives are removed by the exact semi join.
+    * dictionary prunes the join input to probe-passing shingles (true
+    * hits + fpp·|clean|). Output and semantics are IDENTICAL to
+    * `contamination` — false positives are removed exactly, see below.
     *
-    * Deliberately NOTHING fact-sized is persisted — the test-side shingle
-    * stream is scanned twice (totals, probe) instead. Caching the full
-    * (doc, shingle) pair frame would be impossible at the 100 TB scale
-    * this variant exists for, and benching showed the cache
-    * write+read even LOSES to the second scan at small scale. Only the
+    * Plan shape — ONE pass over the test corpus. The tokenize + shingle +
+    * explode (the dominant CPU cost at scale) and the full-stream shuffle
+    * happen exactly once, in a shared `(doc_id, sh)` aggregate whose
+    * exchange both consumers reuse:
+    *
+    *  - `byPair` groups the exploded test stream by `(doc_id, sh)` and
+    *    carries the Bloom verdict as an AGGREGATE output
+    *    (`max(probe) AS cand`). That placement is load-bearing twice
+    *    over: a filter on an aggregate OUTPUT cannot be pushed below the
+    *    aggregation (so the candidate branch keeps the same exchange
+    *    subtree as the totals branch instead of diverging into its own
+    *    pushed-down scan), and both consumers referencing `cand` keeps
+    *    column pruning from rewriting one side's aggregate. Net effect:
+    *    Catalyst plans the second consumer as a ReusedExchange over the
+    *    first's shuffle files — one scan, one explode, one wide shuffle
+    *    (plan-asserted in PlanSpec).
+    *  - `perDoc` counts per-doc distinct shingles (`n_sh`) and distinct
+    *    CANDIDATE shingles (`n_cand`) in one hash aggregate.
+    *  - the false-positive sliver is counted exactly with an ANTI join of
+    *    the candidates against the dictionary — only probe-passers
+    *    (true hits + fpp·|clean|) ever shuffle on `sh`. Since a Bloom
+    *    filter has no false negatives, every dictionary shingle passes
+    *    the probe, so `n_shared = n_cand − n_false_positive` is the exact
+    *    per-doc count of dictionary shingles.
+    *
+    * Deliberately NOTHING fact-sized is persisted — the shared shuffle
+    * files ARE the reuse mechanism (disk-backed, partition-granular),
+    * which is the only cache shape that survives a 100 TB run. Only the
     * dictionary (bounded by the train corpus vocabulary, further capped)
-    * is cached, for the sketch build + verify join. */
+    * is cached, for the sketch build + verify join.
+    *
+    * The sketch itself rides a `sparkContext.broadcast` handle
+    * ([[graft.expressions.BloomMightContainBc]]), NOT a plan literal: a
+    * production-sized dictionary sketch (10⁹ keys @ 1% fpp ≈ 1.2 GB)
+    * embedded as a literal would serialize into every task binary of
+    * every stage referencing it; the broadcast ships it once per executor
+    * and the plan carries only the handle (plan-asserted: no binary
+    * literal above 1 KB survives in the executed plan). */
   def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
       trainFlag: Column, n: Int, maxShingleTrainDocs: Int = 1000,
       expectedItems: Long = 0L, fpp: Double = 0.03): DataFrame = {
     val spark = docs.sparkSession
-    graft.expressions.GraftFunctions.register(spark)
     val pairs = spread(docs).select(col(idCol).as("doc_id"), trainFlag.as("is_train"),
       explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
     DropAudit.ensure(spark)
@@ -374,29 +400,53 @@ object Dedup {
       .filter(col("__ndocs") <= maxShingleTrainDocs)
       .select("sh")
       .persist()
-    graft.Caches.releaseAfterAction(trainSh)
     // Size the sketch from the REAL dictionary cardinality (expectedItems
     // <= 0 = auto): an oversized filter costs build allocation, task
     // serialization, and probe cache locality for nothing. The count is
     // an RDD job on the persisted frame — it materializes the cache the
-    // treeAggregate reads next, and (deliberately) does NOT fire the
-    // QueryExecutionListener that releaseAfterAction registered, so the
-    // cache stays live for the caller's consuming action.
+    // treeAggregate reads next. Cost of auto vs an explicit size: exactly
+    // that one extra job over the CACHED dictionary (dictionary-sized,
+    // never corpus-sized); callers who know the magnitude should still
+    // pass it.
     val sized =
       if (expectedItems > 0) expectedItems
       else math.max(trainSh.rdd.count(), 1L << 10)
     val bytes = bloomOf(trainSh, "sh", sized, fpp)
     log.info(s"contaminationBloom: sketch of ${bytes.length} bytes " +
       s"(expectedItems=$sized, fpp=$fpp)")
-    val test = pairs.filter(!col("is_train")).select("doc_id", "sh")
-    val totals = test.groupBy("doc_id")
-      .agg(count_distinct(col("sh")).as("n_sh"))
-    val hits = test
-      .filter(call_function("bloom_might_contain", lit(bytes), col("sh")))
-      .distinct()
-      .join(trainSh, Seq("sh"), "leftsemi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    totals.join(hits, Seq("doc_id"))
+    // Release registration AFTER the construction-time sketch jobs: the
+    // Dataset→RDD conversions above run SQL-tracked executions, so a
+    // listener registered before them would release the dictionary cache
+    // during CONSTRUCTION — the verify anti join below would then replan
+    // the whole dictionary build inline (a second train-side corpus scan)
+    // instead of reading the cache. Registered here, the one-shot release
+    // fires on the CALLER's consuming action, as intended.
+    graft.Caches.releaseAfterAction(trainSh)
+    val bc = spark.sparkContext.broadcast(bytes)
+    val probe = graft.expressions.BloomMightContain.probe(bc, col("sh"))
+    // doc_id IS NOT NULL is explicit, not inferred: a NULL doc never
+    // survives `contamination`'s inner join (NULL never equi-joins), so
+    // dropping it up front is semantics-preserving — and load-bearing for
+    // the plan: the perDoc⟕falsePos join infers isnotnull(doc_id) on the
+    // falsePos branch only, and an INFERRED filter pushed into one
+    // branch's scan would make the two exchange subtrees canonicalize
+    // differently, defeating the ReuseExchange this whole shape exists
+    // for. With the filter in the SHARED subtree both branches stay
+    // bit-identical below the exchange.
+    val byPair = pairs.filter(!col("is_train"))
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("sh"))
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(max(probe).as("cand"))
+    val perDoc = byPair.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("cand"), 1L).otherwise(0L)).as("n_cand"))
+    val falsePos = byPair.filter(col("cand"))
+      .join(trainSh, Seq("sh"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    perDoc.join(falsePos, Seq("doc_id"), "left")
+      .withColumn("n_shared", col("n_cand") - coalesce(col("n_fp"), lit(0L)))
+      .filter(col("n_shared") > 0)
       .withColumn("contamination", round(col("n_shared") / col("n_sh"), 6))
       .select("doc_id", "n_sh", "n_shared", "contamination")
   }

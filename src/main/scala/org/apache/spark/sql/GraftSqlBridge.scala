@@ -21,4 +21,16 @@ object GraftSqlBridge {
     * node can reference directly. */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Column over a custom catalyst Expression — the constructor every
+    * non-SQL-registrable expression needs (e.g. one holding a Broadcast
+    * handle, which cannot ride the function registry's `Seq[Expression]`
+    * signature). Wraps `private[sql]` ExpressionUtils. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The catalyst Expression behind a classic Column (inverse of
+    * [[column]]). */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
