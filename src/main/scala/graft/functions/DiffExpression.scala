@@ -320,6 +320,20 @@ object DiffExpression {
     }
   }
 
+  /** Per-gene fitted MAP dispersions for an arbitrary K-level design —
+    * the checkpoint extractor behind the fit/apply split (FreezeModels
+    * freezes these as literals; the apply stages d3b/d4b score against
+    * them closed-form). Same per-gene grouped fit as waldTest/contrasts,
+    * emitting only `(gene, alpha)`. */
+  def dispersions(cells: Dataset[CountCell], levels: Seq[String],
+      prior: Option[DispersionPrior] = None): Dataset[(Long, Double)] = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells.groupByKey(_.gene).flatMapGroups { (gene, it) =>
+      fitGene(gene, it, levels, prior).map(f => (gene, f.dispersion)).iterator
+    }
+  }
+
   private final case class Fit(beta: Array[Double], cov: Array[Array[Double]],
       baseMean: Double, levelIndex: Map[String, Int], cooksOutlier: Boolean,
       dispersion: Double)

@@ -338,7 +338,13 @@ object DomainQueries {
 
   // ---- NB-GLM (custom per-gene grouped fit; no SQL oracle)
 
-  private val stageLevels = Seq("Stage_0", "Stage_I", "Stage_II", "Stage_III", "Stage_IV")
+  // Level ORDER == lexicographic order (Stage_0 < Stage_I < Stage_II <
+  // Stage_III < Stage_IV in ASCII), so a `cond_a < cond_b` string
+  // comparison reproduces exactly the i<j index pairs on BOTH engines —
+  // d4b's oracle leans on this. private[graft]: FreezeModels re-fits the
+  // 5-level design to freeze its dispersions.
+  private[graft] val stageLevels =
+    Seq("Stage_0", "Stage_I", "Stage_II", "Stage_III", "Stage_IV")
 
   /** Profiling access to the NB-GLM input builder (used by graft.ProfileD3). */
   private[graft] def profileNbInput(s: SparkSession, d: String, levels: Int): DataFrame =
@@ -531,5 +537,99 @@ object DomainQueries {
     },
     None)
 
-  def all: Seq[Q] = Seq(de1, km1, km2, fan1, d3, d3b, d4)
+  /** D4B — the contrast-extraction stage of d4 behind a FROZEN 5-level
+    * dispersion model ([[FrozenModels.nb5Alphas]], the real d4 fit on
+    * sf0.001) — the last rung of the fit/apply verification ladder
+    * (lr1b/pc1b/bp2b/pq1b/d3b got theirs in rounds 6–9). Same one-step
+    * closed-form scoring as d3b, generalized from one treatment column to
+    * all 10 level pairs:
+    *
+    *  - per (gene, level): q_gl = Σcnt/Σsf (the offset estimator) and
+    *    Fisher information I_gl = Σ_i sf_i·q/(1+α·sf_i·q)
+    *  - per pair (a, b), a < b in level order: lfc = ln q_a − ln q_b
+    *    (matching `DiffExpression.contrasts`' b(la) − b(lb) direction and
+    *    its `la_vs_lb` label), se = √(1/I_a + 1/I_b), z = lfc/se rounded
+    *    to 6 dp on BOTH engines before the shared A&S tail polynomial
+    *  - the independence approximation (cov(β_a, β_b) ≈ 0 given the
+    *    per-group means) is the same documented deviation from d4's full
+    *    IRLS covariance as d3b's — the oracle pins THIS closed form
+    *
+    * Scale shape: two bounded hash aggs over the fact with the gene-level
+    * stats broadcast back, then the 10-pair fan-out is a self-join of the
+    * (gene × 5)-row aggregate — fan1's shape, dim-sized, broadcastable.
+    * `a.cond < b.cond` reproduces the i<j index pairs exactly because the
+    * level names are lexicographically ordered (see [[stageLevels]]). */
+  private val d4b = Q(
+    "d4b_contrast_apply",
+    (s, d) => {
+      val ln2 = math.log(2.0)
+      val fz = s.createDataFrame(
+        FrozenModels.nb5Genes.zip(FrozenModels.nb5Alphas).toSeq)
+        .toDF("gene", "alpha")
+      val kc = keptCells(s, d).persist()
+      val sf = Normalization.sizeFactors(kc, "gene", "smp", "cnt").persist()
+      val c = kc.join(broadcast(sf), "smp")
+        .join(broadcast(fz), "gene")
+        .select(col("gene"), col("smp"), col("cnt"),
+          element_at(lit(stageLevels.toArray),
+            (col("smp") % 5).cast("int") + 1).as("cond"),
+          col("size_factor").as("sf"), col("alpha"))
+      val grp = c.groupBy(col("gene"), col("cond")).agg(
+          sum(col("cnt")).as("sy"), sum(col("sf")).as("ssf"),
+          count(lit(1)).as("n"))
+        .withColumn("q", col("sy") / col("ssf"))
+        .select(col("gene"), col("cond"), col("q"), col("n"))
+      val info = c.join(broadcast(grp), Seq("gene", "cond"))
+        .withColumn("w",
+          col("sf") * col("q") / (lit(1.0) + col("alpha") * col("sf") * col("q")))
+        .groupBy(col("gene"), col("cond")).agg(
+          max(col("q")).as("q"), max(col("n")).as("n"), sum(col("w")).as("i"))
+        .filter(col("n") >= 2 && col("q") > 0 && col("i") > 0)
+      val out = info.as("a").join(info.as("b"),
+          col("a.gene") === col("b.gene") && col("a.cond") < col("b.cond"))
+        .withColumn("lfc", log(col("a.q")) - log(col("b.q")))
+        .withColumn("se", sqrt(lit(1.0) / col("a.i") + lit(1.0) / col("b.i")))
+        .withColumn("zr", round(col("lfc") / col("se"), 6))
+        .select(col("a.gene").as("gene"),
+          concat_ws("_vs_", col("a.cond"), col("b.cond")).as("contrast"),
+          round(col("lfc") / lit(ln2), 6).as("log2fc"),
+          round(col("se") / lit(ln2), 6).as("lfc_se"),
+          col("zr").as("stat"),
+          round(Stats.normalSfTwoSided(col("zr")), 6).as("pvalue"))
+      graft.Caches.releaseAfterAction(kc, sf)
+      out
+    },
+    Some {
+      val ln2 = math.log(2.0).toString
+      val fzRows = FrozenModels.nb5Genes.zip(FrozenModels.nb5Alphas)
+        .map { case (g, a) => s"($g, $a)" }.mkString(", ")
+      val condCase = "CASE CAST(smp % 5 AS INT) " + stageLevels.zipWithIndex
+        .map { case (l, i) => s"WHEN $i THEN '$l'" }.mkString(" ") + " END"
+      val zInner =
+        s"""WITH $keptSfSql,
+            fz(gene, alpha) AS (VALUES $fzRows),
+            c AS (SELECT gene, smp, cnt, $condCase AS cond,
+                    size_factor AS sf, alpha
+                  FROM cellk JOIN sfac USING (smp) JOIN fz USING (gene)),
+            g AS (SELECT gene, cond, sum(cnt) AS sy, sum(sf) AS ssf,
+                    CAST(count(*) AS BIGINT) AS n
+                  FROM c GROUP BY 1, 2),
+            gq AS (SELECT gene, cond, sy / ssf AS q, n FROM g),
+            w AS (SELECT c.gene, c.cond, max(gq.q) AS q, max(gq.n) AS n,
+                    sum(c.sf * gq.q / (1.0 + c.alpha * c.sf * gq.q)) AS i
+                  FROM c JOIN gq ON c.gene = gq.gene AND c.cond = gq.cond
+                  GROUP BY 1, 2),
+            k AS (SELECT * FROM w WHERE n >= 2 AND q > 0 AND i > 0)
+            SELECT a.gene AS gene, a.cond || '_vs_' || b.cond AS contrast,
+              round((ln(a.q) - ln(b.q)) / $ln2, 6) AS log2fc,
+              round(sqrt(1.0 / a.i + 1.0 / b.i) / $ln2, 6) AS lfc_se,
+              round((ln(a.q) - ln(b.q)) / sqrt(1.0 / a.i + 1.0 / b.i), 6) AS z
+            FROM k a JOIN k b ON a.gene = b.gene AND a.cond < b.cond"""
+      val withP = withNormalSf(zInner, "gene, contrast, log2fc, lfc_se, z AS stat")
+      s"""SELECT gene, contrast, log2fc, lfc_se, stat,
+            round(pvalue, 6) AS pvalue
+          FROM ($withP)"""
+    })
+
+  def all: Seq[Q] = Seq(de1, km1, km2, fan1, d3, d3b, d4, d4b)
 }
