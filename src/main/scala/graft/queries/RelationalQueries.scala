@@ -243,25 +243,37 @@ object RelationalQueries {
     * stale buckets through a cached catalog entry.
     * @return (ordersTable, lineitemTable) catalog names, registered in
     *         the calling session */
+  /** The bk1 layout cache key: `md5(sfDir)_h(orders,buckets)_h(lineitem)`.
+    * gcStaleLayouts' contract constrains the SHAPE (ADVICE r9): the md5
+    * prefix identifies the sf dir ALONE (gc reaps same-prefix siblings, so
+    * a key whose prefix also folded freshness inputs would give a
+    * regenerated layout a new prefix that never matches its stale
+    * sibling, which then survives forever), and everything volatile —
+    * both tables' mtime/len and the bucket-count constant — rides the two
+    * numeric suffix fields: any regen or constant bump changes the suffix
+    * under the SAME prefix and the old layout is reaped on the next
+    * build. */
+  private[graft] def bkKey(d: String, buckets: Int): String = {
+    val or = new java.io.File(d, "orders.parquet")
+    require(or.exists, s"bkLayout: missing source ${or.getPath}")
+    val li = new java.io.File(d, "lineitem.parquet")
+    require(li.exists, s"bkLayout: missing source ${li.getPath}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def field(s: String): String = java.lang.Integer.toUnsignedString(
+      scala.util.hashing.MurmurHash3.stringHash(s))
+    s"${md}_${field(s"${or.lastModified}|${or.length}|buckets=$buckets")}" +
+      s"_${field(s"${li.lastModified}|${li.length}")}"
+  }
+
   private def bkLayout(s: SparkSession, d: String): (String, String) = {
     // the layout derives from BOTH tables and the bucket-count constant,
-    // so the key must cover all three — a key on lineitem alone would
+    // so the key covers all three (bkKey) — a key on lineitem alone would
     // silently re-attach stale orders buckets after an orders-only
     // testdata regen, or read 8-bucket files as 16-bucket after a
     // constant bump (wrong rows on an exchange-free SMJ, no error).
-    // Format stays md5_mtime_len (gcStaleLayouts' contract): the extra
-    // inputs fold into the md5, lineitem's mtime/len keep the suffix.
     val buckets = 8
-    val key = {
-      val or = new java.io.File(d, "orders.parquet")
-      require(or.exists, s"bkLayout: missing source ${or.getPath}")
-      val li = new java.io.File(d, "lineitem.parquet")
-      require(li.exists, s"bkLayout: missing source ${li.getPath}")
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$d|${or.lastModified}|${or.length}|buckets=$buckets"
-          .getBytes("UTF-8")).map("%02x".format(_)).mkString
-      s"${md}_${li.lastModified}_${li.length}"
-    }
+    val key = bkKey(d, buckets)
     val root = s"/tmp/graft_bk/$key"
     val (to, tl) = (s"bk_orders_$key", s"bk_lineitem_$key")
     def ready(p: String) = new java.io.File(p, "_SUCCESS").exists()

@@ -41,6 +41,30 @@ class SourcesSpec extends SparkSpec {
     assert(new java.io.File(root, other).exists, "other sf dir's layout must survive")
   }
 
+  test("bk layout key: volatile inputs ride the suffix so GC reaps a bucket bump") {
+    // ADVICE r9: the old bk key folded orders mtime/len + bucket count
+    // into the md5 PREFIX, so after a regen or a constant bump the stale
+    // layout had a different prefix, matched the valid key format, and
+    // was kept forever. The invariant now: same sf dir -> same prefix;
+    // any volatile change -> different SUFFIX under that prefix -> the
+    // old layout is exactly what gcStaleLayouts reaps.
+    import graft.queries.RelationalQueries.{bkKey, gcStaleLayouts}
+    val sfDir = "/root/testdata/sf0.001"
+    val k8 = bkKey(sfDir, 8)
+    val k16 = bkKey(sfDir, 16)
+    assert(k8.take(32) == k16.take(32), "same sf dir must share the md5 prefix")
+    assert(k8 != k16, "bucket count must change the key")
+    assert("^[0-9a-f]{32}_\\d+_\\d+$".r.findFirstIn(k8).isDefined,
+      s"key must keep gcStaleLayouts' md5_digits_digits format: $k8")
+    val root = Files.createTempDirectory("graft_bkgc").toFile
+    new java.io.File(root, k8).mkdirs()  // the pre-bump layout
+    new java.io.File(root, k16).mkdirs() // the current layout
+    gcStaleLayouts(root.getAbsolutePath, k16)
+    assert(new java.io.File(root, k16).exists, "current bk layout must survive")
+    assert(!new java.io.File(root, k8).exists,
+      "pre-bump bk layout must be reaped (same prefix, different suffix)")
+  }
+
   test("A2-A4: loadOrBuild probes, materializes once, then reuses") {
     val path = Files.createTempDirectory("graft_stage").toFile.getAbsolutePath + "/stage1"
     var builds = 0
