@@ -575,13 +575,30 @@ class PlanSpec extends SparkSpec {
       // anyway; the force flag removes the rule's conservatism so the
       // assertion targets the SPLIT mechanism, not the cost model
       spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // the same planted-hot-key shape as c6's fixture (Skew.saltedJoin's
+      // catalog demo): one key carrying ~95% of the fact side. c6 is the
+      // explicit-salt answer; this is its optimizer twin — AQE detecting
+      // the hot reducer partition at runtime and splitting it.
       val facts = (1 to 60000).map(i => (if (i % 20 == 0) i.toLong % 7 else 1L, i))
         .toDF("k", "v")
       val dim = (0L to 7L).map(k => (k, s"name$k")).toDF("k", "name")
       val joined = facts.join(dim, "k").select("k", "v", "name")
       assert(joined.collect().length == 60000) // executes THIS plan (AQE finalizes)
+      val nodes = flatten(joined.queryExecution.executedPlan)
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"), p.take(4000))
+      // the mechanism itself, not just the flag: the hot key's reducer
+      // partition must be SPLIT into >1 partial-reducer reads on the fact
+      // side (each a separate task), with the dim side replicated to match
+      val splits = nodes.collect {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+            if r.hasSkewedPartition =>
+          r.partitionSpecs.count(
+            _.isInstanceOf[org.apache.spark.sql.execution.PartialReducerPartitionSpec])
+      }
+      assert(splits.nonEmpty && splits.max > 1,
+        s"hot partition not split (partial-reducer specs per read: $splits)\n" +
+          p.take(4000))
     } finally prev.foreach { case (k, v) =>
       v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
     }

@@ -118,6 +118,58 @@ class PlotsSpec extends SparkSpec {
     assert(pixels(starred).count(_ == black) > pixels(plain).count(_ == black))
   }
 
+  test("golden byte hashes: boxplot/KM/volcano renders are pinned") {
+    // Presentation-edge pin (r9 verdict #6): the sinks are deterministic
+    // JDK-only java2d, and the structural tests above can't see a moved
+    // axis, a palette swap, or a broken bracket that keeps ink counts
+    // similar. A byte hash per plot kind makes ANY render change visible.
+    // Regenerate with `GOLDEN_REGEN=1 sbt "testOnly graft.PlotsSpec"`
+    // (same protocol as GoldenSpec) after an INTENDED presentation change
+    // — and expect a legitimate regen if the JDK/font stack changes,
+    // since text rasterization is pinned by the container's JDK 17.
+    val box = Plots.writeBoxplotPng(
+      (for {
+        g <- Seq("TP53", "BRCA1"); c <- Seq("Alive", "Dead"); i <- 1 to 40
+      } yield (g, c, (i % 13).toDouble + (if (c == "Dead") 5 else 0)))
+        .toDF("gene", "cond", "counts"),
+      tmp("gold_box.png"), signif = Map("TP53" -> "***", "BRCA1" -> "ns"))
+    val km = Plots.writeKmPng(
+      Survival.kmCurve(
+        (for (i <- 1 to 120) yield {
+          val strat = if (i % 2 == 0) "HIGH" else "LOW"
+          (strat, (i % 17 + 1).toDouble * (if (strat == "HIGH") 1.5 else 1.0),
+            i % 3 min 1)
+        }).toDF("strat", "time", "event"),
+        "strat", "time", "event"),
+      "strat", tmp("gold_km.png"), pValue = Some(0.023),
+      counts = Map("HIGH" -> 60L, "LOW" -> 60L))
+    val volcano = Plots.writeVolcanoPng(
+      (1 to 500).map { i =>
+        val fc = (i % 21 - 10) / 2.0
+        (s"g$i", fc, if (math.abs(fc) > 2 && i % 3 == 0) 1e-8 else 0.5)
+      }.toDF("gene", "log2fc", "padj"),
+      "log2fc", "padj", tmp("gold_volcano.png"))
+    def md5(f: java.io.File): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(Files.readAllBytes(f.toPath)).map("%02x".format(_)).mkString
+    val got = Seq("boxplot" -> md5(box), "km" -> md5(km),
+      "volcano" -> md5(volcano))
+    val path = java.nio.file.Paths.get("src/test/resources/golden/plots.md5")
+    if (sys.env.contains("GOLDEN_REGEN")) {
+      Files.createDirectories(path.getParent)
+      Files.writeString(path,
+        got.map { case (k, v) => s"$k $v" }.mkString("", "\n", "\n"))
+    } else {
+      val want = Files.readString(path).linesIterator
+        .filter(_.nonEmpty).map(_.split(" ")).map(a => a(0) -> a(1)).toMap
+      got.foreach { case (kind, h) =>
+        assert(want(kind) == h,
+          s"$kind PNG bytes changed (got $h, pinned ${want(kind)}) — if the " +
+            "presentation change is intended, regenerate with GOLDEN_REGEN=1")
+      }
+    }
+  }
+
   test("boxplot stats stay distributed: one row per (gene, cond)") {
     val frame = Seq(("g1", "a", 1.0), ("g1", "a", 2.0), ("g1", "b", 3.0))
       .toDF("gene", "cond", "counts")
