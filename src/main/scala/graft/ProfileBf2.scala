@@ -22,6 +22,13 @@ object ProfileBf2 {
       time("bf1 total")(graft.operators.Dedup.contaminationBloom(
         Tables.documents(spark, d), "doc_id", "text", tf, 3, 1000,
         expectedItems = 1L << 17, fpp = 0.01).count())
+      spark.catalog.clearCache(); System.gc()
+      // the auto-size path: one extra rdd.count() job over the persisted
+      // dictionary — its cost vs the explicit-size call above is the
+      // number the contaminationBloom scaladoc quotes
+      time("bf1 auto-size")(graft.operators.Dedup.contaminationBloom(
+        Tables.documents(spark, d), "doc_id", "text", tf, 3, 1000,
+        fpp = 0.01).count())
     }
     spark.stop()
   }
