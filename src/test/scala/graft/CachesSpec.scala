@@ -55,6 +55,60 @@ class CachesSpec extends SparkSpec {
     }
   }
 
+  test("which construction-time operations fire the one-shot release") {
+    // Pins the trigger surface discovered in the r10 bf1 fix: the old
+    // contaminationBloom registered releaseAfterAction BEFORE its
+    // sketch-build jobs and lost the dictionary cache during
+    // CONSTRUCTION, so the verify join silently replanned the dictionary
+    // build inline. The rule for operator authors: register the release
+    // LAST, after every construction-time job — this test documents
+    // exactly which job kinds consume the one-shot listener.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def fresh() = {
+      val df = (1 to 100).toDF("v")
+        .groupBy((col("v") % 10).as("k")).agg(count(lit(1)).as("n"))
+        .persist()
+      df.count() // materialize; the listener is registered AFTER this
+      df
+    }
+    def cached(df: org.apache.spark.sql.DataFrame): Boolean =
+      spark.sparkContext.getPersistentRDDs.nonEmpty
+    def settle(): Unit = { Thread.sleep(400) } // async listener delivery
+    def probe(label: String, fire: org.apache.spark.sql.DataFrame => Unit): Boolean = {
+      spark.catalog.clearCache()
+      val df = fresh()
+      Caches.releaseAfterAction(df)
+      fire(df)
+      settle()
+      val alive = cached(df)
+      spark.catalog.clearCache()
+      // drain the listener if the probe did NOT fire it, so probes stay
+      // independent (a later unrelated action would otherwise release a
+      // later probe's frame early)
+      if (alive) { spark.range(1).count(); settle() }
+      alive
+    }
+    // SQL actions fire it: collect/count on any frame in the session
+    assert(!probe("sql count", _.sparkSession.range(5).count()),
+      "a SQL action must fire the one-shot release")
+    assert(!probe("collect", _.collect().length: Unit),
+      "collect must fire the one-shot release")
+    // Dataset->RDD jobs (the bloomOf/treeAggregate shape) fire it too —
+    // THE bf1 bug: registering before a .rdd job loses the cache
+    assert(!probe("rdd count", df => { df.rdd.count(); () }),
+      "a Dataset->RDD job must fire the one-shot release (bf1's root " +
+        "cause — if this flips on a Spark upgrade, revisit the " +
+        "register-last rule)")
+    // localCheckpoint does NOT fire it (measured on Spark 4.1): the
+    // iterative graph/component loops may checkpoint per round after
+    // registering their input caches without losing them
+    assert(probe("localCheckpoint", df => { df.localCheckpoint(); () }),
+      "localCheckpoint unexpectedly fired the one-shot release — the " +
+        "iterative loops registering caches before their per-round " +
+        "checkpoints (Graphs, Components) would now lose them mid-build")
+  }
+
   test("corpus near-dup + search session releases its caches too") {
     import spark.implicits._
     val docs = (1L to 60L)
