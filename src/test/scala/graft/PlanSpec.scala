@@ -604,6 +604,51 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter injection prunes the fact side of a shuffle join") {
+    // The engine-native sibling of bf1's hand-built sketch: Catalyst's
+    // InjectRuntimeFilter plants a bloom-filter aggregate over the
+    // SELECTIVE dim side and probes it in a filter ABOVE the fact scan,
+    // so fact rows that cannot join never reach the shuffle — at 100 TB
+    // this is the difference between shuffling the corpus and shuffling
+    // the matching sliver. Thresholds lowered so local-scale bytes trip
+    // the same rule that fires at warehouse scale (the application-side
+    // default is 10 GB); broadcast disabled because a broadcast join
+    // already prunes at the probe and the rule correctly stays out.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    import org.apache.spark.sql.functions.{col, sum}
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+      val sel = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_totalprice")
+      val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(sum(col("l_quantity")).as("qty"))
+      val rows = joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n${p.take(4000)}")
+      // and injection must not change RESULTS: replay without the rule
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "10GB")
+      val plain = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(sum(col("l_quantity")).as("qty"))
+      assert(rows.sortBy(_.getLong(0)).toSeq ==
+        plain.collect().sortBy(_.getLong(0)).toSeq)
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("s8 freq-sketch window: one typed-imperative agg, no WindowExec") {
     val df = QueryCatalog.byName("s8_stream_freq_sketch").run(spark, dir)
     df.collect()
