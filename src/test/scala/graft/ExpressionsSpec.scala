@@ -230,4 +230,39 @@ class ExpressionsSpec extends SparkSpec {
       .collect()
     assert(nul(0).getBoolean(0) && nul(1).isNullAt(0))
   }
+
+  test("BloomMightContainBc: broadcast probe ≡ literal probe, NULL-safe, plan-clean") {
+    // the broadcast-handle form must be bit-for-bit the same PROBE as the
+    // literal form (same BloomFilter bytes, same UTF-8 hashing) — only the
+    // transport differs
+    GraftFunctions.register(spark)
+    val members = (1 to 500).map(i => s"m_$i")
+    val bytes = graft.operators.Dedup.bloomOf(
+      members.toDF("v"), "v", expectedItems = 1000, fpp = 0.01)
+    val bc = spark.sparkContext.broadcast(bytes)
+    val frame = ((1 to 500).map(i => s"m_$i") ++ (1 to 500).map(i => s"s_$i"))
+      .toDF("v")
+    val both = frame.select(col("v"),
+        graft.expressions.BloomMightContain.probe(bc, col("v")).as("viaBc"),
+        call_function("bloom_might_contain", lit(bytes), col("v")).as("viaLit"))
+      .collect()
+    assert(both.forall(r => r.getBoolean(1) == r.getBoolean(2)),
+      "broadcast and literal probes disagree")
+    // NULL in -> NULL out, matching the literal form's BinaryExpression
+    // null-intolerance
+    val nul = Seq((Some("m_1"), 1), (None, 2)).toDF("v", "i")
+      .select(graft.expressions.BloomMightContain.probe(bc, col("v")))
+      .collect()
+    assert(nul(0).getBoolean(0) && nul(1).isNullAt(0))
+    // the plan must carry the HANDLE, not the bitset: a filter built from
+    // the Bc form embeds no BinaryType literal at all
+    val filtered = frame.filter(
+      graft.expressions.BloomMightContain.probe(bc, col("v")))
+    assert(filtered.count() >= 500)
+    val lits = filtered.queryExecution.executedPlan.expressions.flatMap(_.collect {
+      case l @ org.apache.spark.sql.catalyst.expressions.Literal(
+          v: Array[Byte], org.apache.spark.sql.types.BinaryType) => l
+    })
+    assert(lits.isEmpty, s"bitset leaked into the plan: $lits")
+  }
 }
