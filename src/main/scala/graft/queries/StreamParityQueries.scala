@@ -294,6 +294,39 @@ object StreamParityQueries {
           FROM cum GROUP BY w"""
     })
 
+  /** S10 — dictionary-prefiltered stream (EventStreams.bloomSemiStatic),
+    * batch-replayed: keep only events of BUILDING-segment customers — the
+    * allowlist-firehose shape. The dictionary's Bloom sketch rides a
+    * broadcast handle as a narrow probe INSIDE the stream's scan stage
+    * (non-members never reach a shuffle), and the exact stream-static
+    * LEFT SEMI join removes the fpp sliver, so the output is exactly the
+    * semi join the oracle states. Decimal-exact value sums: only 5
+    * event-type groups over the whole table, so a double fold's
+    * association order could flip the 6th decimal between engines
+    * (fan1's rule). Streaming-mode parity (the probe + semi join over
+    * micro-batches) is spec-tested in EventStreamsSpec. */
+  private val s10 = Q(
+    "s10_stream_bloom_filter",
+    (s, d) => {
+      val dict = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("user_id"))
+      EventStreams.bloomSemiStatic(
+          Tables.events(s, d).select("user_id", "event_type", "value"),
+          dict, "user_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+            .as("total_value"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                AS total_value
+            FROM events
+            WHERE user_id IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING')
+            GROUP BY 1"""))
+
   /** A5 — delimited parameter-list scan steering a plan
     * (read.delim("genes.txt")[,1] + toupper, BRCA_path_stage_DESeq.R:7-9):
     * the Spark side reads a real tab-delimited file through CsvIO; the
@@ -313,5 +346,5 @@ object StreamParityQueries {
     Some("""SELECT p_partkey, p_type FROM part
             WHERE p_type IN ('ECONOMY','STANDARD')"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, a5)
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, a5)
 }

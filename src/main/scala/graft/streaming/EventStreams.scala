@@ -283,6 +283,38 @@ object EventStreams extends Serializable {
   def enrichStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Dictionary prefilter for a stream — the allowlist-firehose shape: keep
+    * only events whose key is in a (large) static dictionary, without
+    * shuffling the firehose. A Bloom sketch of the dictionary is built ONCE
+    * at query construction and rides a broadcast handle
+    * ([[graft.expressions.BloomMightContainBc]]) as a NARROW per-row probe,
+    * so non-members drop inside the stream's scan stage; the exact
+    * stream-static LEFT SEMI join (stateless — no watermark needed) then
+    * sees only true members plus the fpp sliver and removes the false
+    * positives. Semantics are exactly `stream SEMI JOIN dict` — the probe
+    * only prunes, Bloom has no false negatives.
+    *
+    * At warehouse scale this is the difference between semi-joining every
+    * micro-batch row against the dictionary (a per-batch shuffle or a
+    * dictionary-sized broadcast hash relation) and probing a bitset that
+    * ships once per executor. The same call runs in batch (the catalog's
+    * `s10_stream_bloom_filter` replays it under a DuckDB oracle); the
+    * probe keys are compared in the STRING domain on both build and probe
+    * sides (`bloomOf` casts the build side; the probe casts here). */
+  def bloomSemiStatic(stream: DataFrame, dict: DataFrame, key: String,
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val keys = dict.select(col(key)).distinct()
+    val sized =
+      if (expectedItems > 0) expectedItems
+      else math.max(keys.count(), 1L << 10)
+    val bytes = graft.operators.Dedup.bloomOf(keys, key, sized, fpp)
+    val bc = keys.sparkSession.sparkContext.broadcast(bytes)
+    stream
+      .filter(graft.expressions.BloomMightContain.probe(
+        bc, col(key).cast("string")))
+      .join(keys, Seq(key), "leftsemi")
+  }
+
   /** Watermarked stream-stream interval join — the attribution shape
     * (click → purchases of the same user within `maxLag` AFTER the
     * click). Both sides carry a watermark and the join predicate bounds
