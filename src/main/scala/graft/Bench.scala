@@ -144,7 +144,10 @@ object Bench {
     // noise (rerun falls back into band) — the warm number is the one
     // comparable across rounds. Same isolation discipline as the timed
     // loop; failures surface as the timed pass's own failure did.
-    val rerun = sorted.take(3).map { case (name, _) =>
+    // Full runs only: a SPARK_GRAFT_ONLY local iteration would pay up to
+    // three extra heavy executions for a diagnostic that only matters on
+    // driver rounds (the same guard the per-round archive below applies).
+    val rerun = (if (only.isEmpty) sorted.take(3) else Nil).map { case (name, _) =>
       val fn = SparkEntry.queries(name)
       spark.catalog.clearCache()
       System.gc()

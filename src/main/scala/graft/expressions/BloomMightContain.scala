@@ -129,12 +129,32 @@ case class BloomMightContainBc(bc: Broadcast[Array[Byte]], child: Expression)
 
 object BloomMightContainBc {
   /** Executor-wide parsed-filter cache, keyed by broadcast id: every task's
-    * deserialized expression instance resolves to the SAME BloomFilter. */
+    * deserialized expression instance resolves to the SAME BloomFilter.
+    * BOUNDED (LRU, access-order): a long-lived session building many
+    * dictionary sketches would otherwise accumulate one parsed filter per
+    * broadcast forever — at the advertised production size (~1.2 GB) that
+    * is an executor OOM, not a leak. Concurrent queries rarely reference
+    * more than a couple of distinct sketches at once; an evicted entry
+    * only costs a re-parse from the (still block-managed) broadcast
+    * bytes. */
+  private val MaxParsed = 4
   private val parsed =
-    new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
+    new java.util.LinkedHashMap[Long, BloomFilter](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, BloomFilter]): Boolean =
+        size() > MaxParsed
+    }
 
   private[expressions] def filterFor(bc: Broadcast[Array[Byte]]): BloomFilter =
-    parsed.computeIfAbsent(bc.id, _ => BloomFilter.readFrom(bc.value))
+    parsed.synchronized {
+      val hit = parsed.get(bc.id)
+      if (hit != null) hit
+      else {
+        val f = BloomFilter.readFrom(bc.value)
+        parsed.put(bc.id, f)
+        f
+      }
+    }
 }
 
 object BloomMightContain {

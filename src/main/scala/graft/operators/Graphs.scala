@@ -73,11 +73,13 @@ object Graphs {
       i += 1
       // values are materialized EXACTLY as computed, so checkpointing
       // never changes a bit of the result — only the plan shape. LAZY
-      // (eager = false): the logical plan truncates immediately either
-      // way, but an eager checkpoint is a full Spark ACTION during plan
-      // CONSTRUCTION — it would fire QueryExecutionListeners and release
-      // any frame an enclosing computation registered through
-      // Caches.releaseAfterAction before the caller's real action runs
+      // (eager = false): the plan truncates immediately either way, but
+      // an eager checkpoint runs the full job during plan CONSTRUCTION.
+      // NOTE (measured, CachesSpec r10): BOTH forms route through
+      // Dataset.withAction and fire QueryExecutionListeners, so neither
+      // is safe BEFORE a releaseAfterAction registration — this function
+      // registers its releases AFTER the loop, which is the actual
+      // guarantee; lazy-ness here only avoids paying the job eagerly.
       if (i % checkpointEvery == 0 && i < iters)
         rank = rank.localCheckpoint(eager = false)
     }

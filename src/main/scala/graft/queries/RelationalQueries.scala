@@ -260,8 +260,15 @@ object RelationalQueries {
     require(li.exists, s"bkLayout: missing source ${li.getPath}")
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def field(s: String): String = java.lang.Integer.toUnsignedString(
-      scala.util.hashing.MurmurHash3.stringHash(s))
+    // 64-bit fields (md5-derived), not a 32-bit hash: a suffix collision
+    // across a regen would silently re-attach the STALE layout under the
+    // same key — the wrong-rows failure mode this key exists to prevent.
+    // 2^-64 is negligible; 2^-32 over many regens/machines is not.
+    def field(s: String): String = java.lang.Long.toUnsignedString(
+      java.lang.Long.parseUnsignedLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString,
+        16))
     s"${md}_${field(s"${or.lastModified}|${or.length}|buckets=$buckets")}" +
       s"_${field(s"${li.lastModified}|${li.length}")}"
   }

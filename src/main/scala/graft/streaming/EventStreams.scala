@@ -303,12 +303,21 @@ object EventStreams extends Serializable {
     * sides (`bloomOf` casts the build side; the probe casts here). */
   def bloomSemiStatic(stream: DataFrame, dict: DataFrame, key: String,
       expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
-    val keys = dict.select(col(key)).distinct()
+    // persisted: the sizing count, the sketch treeAggregate, and the
+    // verify join's first resolution all read the distinct dictionary —
+    // uncached it would recompute (scan + distinct shuffle) per consumer.
+    // Release registered AFTER the construction jobs (the r10 rule: a
+    // Dataset->RDD job fires the one-shot listener, see CachesSpec). A
+    // long-running STREAM re-resolves the dictionary per micro-batch once
+    // the release fires — deliberate, the same slowly-changing-dimension
+    // re-resolution enrichStatic documents.
+    val keys = dict.select(col(key)).distinct().persist()
     val sized =
       if (expectedItems > 0) expectedItems
       else math.max(keys.count(), 1L << 10)
     val bytes = graft.operators.Dedup.bloomOf(keys, key, sized, fpp)
     val bc = keys.sparkSession.sparkContext.broadcast(bytes)
+    graft.Caches.releaseAfterAction(keys)
     stream
       .filter(graft.expressions.BloomMightContain.probe(
         bc, col(key).cast("string")))

@@ -72,8 +72,13 @@ class CachesSpec extends SparkSpec {
       df.count() // materialize; the listener is registered AFTER this
       df
     }
+    // ask the cache manager about THIS df — a global getPersistentRDDs
+    // check would be satisfied by unrelated RDDs (localCheckpoint itself
+    // persists a checkpoint RDD, which would make that probe vacuous)
     def cached(df: org.apache.spark.sql.DataFrame): Boolean =
-      spark.sparkContext.getPersistentRDDs.nonEmpty
+      spark.sharedState.cacheManager.lookupCachedData(
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+          org.apache.spark.sql.Row]]).isDefined
     def settle(): Unit = { Thread.sleep(400) } // async listener delivery
     def probe(label: String, fire: org.apache.spark.sql.DataFrame => Unit): Boolean = {
       spark.catalog.clearCache()
@@ -83,6 +88,11 @@ class CachesSpec extends SparkSpec {
       settle()
       val alive = cached(df)
       spark.catalog.clearCache()
+      // drop any raw RDD persists the probe itself created (the
+      // localCheckpoint RDD survives catalog.clearCache) so later tests
+      // count a clean slate
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       // drain the listener if the probe did NOT fire it, so probes stay
       // independent (a later unrelated action would otherwise release a
       // later probe's frame early)
@@ -100,13 +110,19 @@ class CachesSpec extends SparkSpec {
       "a Dataset->RDD job must fire the one-shot release (bf1's root " +
         "cause — if this flips on a Spark upgrade, revisit the " +
         "register-last rule)")
-    // localCheckpoint does NOT fire it (measured on Spark 4.1): the
-    // iterative graph/component loops may checkpoint per round after
-    // registering their input caches without losing them
-    assert(probe("localCheckpoint", df => { df.localCheckpoint(); () }),
-      "localCheckpoint unexpectedly fired the one-shot release — the " +
-        "iterative loops registering caches before their per-round " +
-        "checkpoints (Graphs, Components) would now lose them mid-build")
+    // localCheckpoint fires it in BOTH forms — even the lazy one runs no
+    // job but still routes through Dataset.withAction, which notifies
+    // QueryExecutionListeners. So registration order is the ONLY safety:
+    // every iterative loop in the repo (Graphs.pageRank/kCore/bfs,
+    // Components) checkpoints/counts INSIDE the loop and registers its
+    // releases AFTER it — audited r10.
+    assert(!probe("localCheckpoint", df => { df.localCheckpoint(); () }),
+      "eager localCheckpoint no longer fires the one-shot release — " +
+        "the register-last rule could be relaxed for it")
+    assert(!probe("lazy localCheckpoint",
+        df => { df.localCheckpoint(eager = false); () }),
+      "lazy localCheckpoint no longer fires the one-shot release — " +
+        "the register-last rule could be relaxed for it")
   }
 
   test("corpus near-dup + search session releases its caches too") {

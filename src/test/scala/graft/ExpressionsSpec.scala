@@ -255,11 +255,35 @@ class ExpressionsSpec extends SparkSpec {
       .collect()
     assert(nul(0).getBoolean(0) && nul(1).isNullAt(0))
     // the plan must carry the HANDLE, not the bitset: a filter built from
-    // the Bc form embeds no BinaryType literal at all
-    val filtered = frame.filter(
+    // the Bc form embeds no BinaryType literal at all. Walk EVERY node
+    // (executedPlan.expressions alone is only the root's — vacuous) and
+    // descend through AQE wrappers/stages, whose subtrees are not
+    // `children`.
+    // parquet-backed input: over a LocalRelation the optimizer's
+    // ConvertToLocalRelation EVALUATES the deterministic filter at
+    // planning time and the executed plan holds neither probe nor
+    // literal — silently vacuous either way
+    val pq = java.nio.file.Files.createTempDirectory("graft_bcprobe")
+      .resolve("v").toString
+    frame.write.parquet(pq)
+    val filtered = spark.read.parquet(pq).filter(
       graft.expressions.BloomMightContain.probe(bc, col("v")))
     assert(filtered.count() >= 500)
-    val lits = filtered.queryExecution.executedPlan.expressions.flatMap(_.collect {
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val all = nodes(filtered.queryExecution.executedPlan)
+    // the probe must actually be IN the walked plan (guards the walk
+    // itself against going vacuous)
+    assert(all.exists(_.expressions.exists(
+      _.exists(_.isInstanceOf[graft.expressions.BloomMightContainBc]))),
+      "probe expression not found in the walked plan")
+    val lits = all.flatMap(_.expressions).flatMap(_.collect {
       case l @ org.apache.spark.sql.catalyst.expressions.Literal(
           v: Array[Byte], org.apache.spark.sql.types.BinaryType) => l
     })
