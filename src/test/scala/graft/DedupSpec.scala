@@ -146,6 +146,60 @@ class DedupSpec extends SparkSpec {
     assert(uncapped === Set(100L))
   }
 
+  test("cap drop AUDIT: the observe metric reports the exact dropped-dictionary count") {
+    // The 100 TB degrade-measurably claim is the METRIC, not just the
+    // filter: a hot bucket must leave the dictionary COUNTED. Capture the
+    // CollectMetrics rows the way DropAudit's listener does and assert the
+    // boilerplate shingle is reported as exactly 1 dropped dictionary row,
+    // on BOTH contamination variants.
+    val captured = scala.collection.concurrent.TrieMap[String, Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_capped_contamination"))
+            captured.put(name, row.getAs[Long]("dropped_rows")): Unit
+        }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // 5 train docs share ONE boilerplate 3-gram (cap 3 -> dropped);
+      // a 6th contributes one genuine shingle the test doc also has
+      val train = (1L to 5L).map(i => (i, "common header line", true)) :+
+        ((6L, "alpha beta gamma", true))
+      val testDoc = Seq((100L, "common header line alpha beta gamma", false))
+      val corpus = (train ++ testDoc).toDF("doc_id", "text", "is_train")
+      def check(df: org.apache.spark.sql.DataFrame): Unit = {
+        val out = df.collect()
+        assert(out.length == 1)
+        val r = out.head
+        // 4 distinct test shingles; only "alpha beta gamma" counts as
+        // shared — the boilerplate gram is capped OUT of the dictionary
+        assert(r.getAs[Long]("doc_id") == 100L && r.getAs[Long]("n_sh") == 4L &&
+          r.getAs[Long]("n_shared") == 1L, r.toString)
+      }
+      captured.clear()
+      check(Dedup.contamination(corpus, "doc_id", "text", $"is_train", 3,
+        maxShingleTrainDocs = 3))
+      // listener delivery is async
+      val deadline = System.currentTimeMillis() + 10000
+      while (captured.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(captured.values.toSeq == Seq(1L),
+        s"expected exactly one audit of 1 dropped row, got $captured")
+      captured.clear()
+      check(Dedup.contaminationBloom(corpus, "doc_id", "text", $"is_train", 3,
+        maxShingleTrainDocs = 3, expectedItems = 64, fpp = 0.01))
+      val deadline2 = System.currentTimeMillis() + 10000
+      while (captured.isEmpty && System.currentTimeMillis() < deadline2)
+        Thread.sleep(100)
+      assert(captured.values.toSeq == Seq(1L),
+        s"expected exactly one audit of 1 dropped row, got $captured")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("jaccardPairs: exact dup scores 1.0, blocking excludes cross-block pairs") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 2, 0.0)
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
