@@ -604,6 +604,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("nested-schema pruning: reading struct metadata never drags the binary payload") {
+    // The multimodal layout at 100 TB: an opaque binary payload column
+    // beside a typed metadata STRUCT (the mm1/mm2 shape, written to
+    // parquet). A metadata-only query must prune the scan to the struct
+    // LEAVES it touches — a plan that reads the whole struct (or worse,
+    // the payload) turns a KB-per-row metadata sweep into a full-corpus
+    // byte read. Catalyst's nested-schema pruning (on by default) is the
+    // surface under pin.
+    import org.apache.spark.sql.functions.{col, lit, struct, avg}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nested").toString + "/media"
+    (1 to 200).map(i => (i.toLong, i % 5))
+      .toDF("media_id", "m")
+      .select(col("media_id"),
+        struct((col("m") * 100 + 640).as("width"), lit(480).as("height"),
+          lit("h264").as("codec")).as("meta"),
+        lit(Array.fill[Byte](256)(7)).as("payload"))
+      .write.parquet(dir)
+    val q = spark.read.parquet(dir)
+      .groupBy(col("meta.codec").as("codec"))
+      .agg(avg(col("meta.width")).as("avg_w"))
+    q.collect()
+    val scans = flatten(q.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1)
+    val read = scans.head.requiredSchema.catalogString
+    assert(read.contains("width") && read.contains("codec"),
+      s"touched struct leaves missing from ReadSchema: $read")
+    assert(!read.contains("payload"), s"payload read for a metadata query: $read")
+    assert(!read.contains("height"), s"untouched struct leaf not pruned: $read")
+  }
+
   test("runtime bloom-filter injection prunes the fact side of a shuffle join") {
     // The engine-native sibling of bf1's hand-built sketch: Catalyst's
     // InjectRuntimeFilter plants a bloom-filter aggregate over the
