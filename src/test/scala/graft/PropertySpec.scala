@@ -525,4 +525,39 @@ class PropertySpec extends SparkSpec {
       .head().getDouble(0)
     assert(chi == 0.0)
   }
+
+  test("contaminationBloom ≡ contamination on generated corpora, at any fpp") {
+    // The r10 single-scan rewrite's strongest net: for ARBITRARY corpora
+    // the probe-pruned plan must reproduce the exact scan bit-for-bit —
+    // including a SATURATING sketch (expectedItems=4 against tens of
+    // shingles -> probe≈always true -> the false-positive anti join does
+    // all the work) and a low-fpp one (the anti join sees ~nothing).
+    // Tiny 3-word vocabulary maximizes shingle collisions across docs.
+    val word = Gen.oneOf("ga", "ta", "ca")
+    val doc = Gen.chooseNum(3, 9).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val corpusGen = for {
+      nTrain <- Gen.chooseNum(1, 6)
+      nTest <- Gen.chooseNum(1, 6)
+      docs <- Gen.listOfN(nTrain + nTest, doc)
+    } yield docs.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, i < nTrain)
+    }
+    samples(corpusGen, 5).foreach { rows =>
+      val corpus = rows.toDF("doc_id", "text", "is_train")
+      val exact = graft.operators.Dedup
+        .contamination(corpus, "doc_id", "text", $"is_train", 2,
+          maxShingleTrainDocs = 3)
+        .collect().map(_.toSeq).toSet
+      for (cfg <- Seq((4L, 0.5), (1024L, 0.01))) {
+        val bloomed = graft.operators.Dedup
+          .contaminationBloom(corpus, "doc_id", "text", $"is_train", 2,
+            maxShingleTrainDocs = 3,
+            expectedItems = cfg._1, fpp = cfg._2)
+          .collect().map(_.toSeq).toSet
+        assert(bloomed == exact,
+          s"cfg=$cfg corpus=${rows.take(4)}... bloom=$bloomed exact=$exact")
+      }
+    }
+  }
 }
