@@ -359,8 +359,14 @@ object Dedup {
     *    pushed-down scan), and both consumers referencing `cand` keeps
     *    column pruning from rewriting one side's aggregate. Net effect:
     *    Catalyst plans the second consumer as a ReusedExchange over the
-    *    first's shuffle files — one scan, one explode, one wide shuffle
-    *    (plan-asserted in PlanSpec).
+    *    first's shuffle files — one scan, one explode, one wide shuffle.
+    *    (When the sketch yields ZERO false positives — the usual case
+    *    for an amply-sized filter — AQE's empty-relation propagation
+    *    deletes the n_fp join from the final plan outright, strictly
+    *    better. PlanSpec pins both outcomes: the catalog-sized run must
+    *    show one scan + one Generate and either the reuse or the
+    *    empty-propagated join; a saturated-sketch run pins the
+    *    ReusedExchange itself.)
     *  - `perDoc` counts per-doc distinct shingles (`n_sh`) and distinct
     *    CANDIDATE shingles (`n_cand`) in one hash aggregate.
     *  - the false-positive sliver is counted exactly with an ANTI join of
