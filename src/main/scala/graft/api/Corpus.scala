@@ -33,7 +33,7 @@ object Corpus {
         TextFunctions.regexTokenCount(col(textCol)).cast("long"))
       .withColumn("punct_ratio", TextFunctions.punctRatio(col(textCol)))
       .withColumn("stop_ratio",
-        TextFunctions.stopwordRatio(col("toks"), stopwords))
+        TextFunctions.stopwordRatio(col(textCol), stopwords))
       .withColumn("band", TextFunctions.qualityBand(
         col("n_tokens"), col("punct_ratio"), col("stop_ratio")))
       .drop("toks")
@@ -428,15 +428,22 @@ object Corpus {
       stopList: Seq[String] = Seq("a", "the", "fast", "slow", "key"),
       carry: Seq[String] = Nil): DataFrame =
     docs
-      .select(col(idCol) +: carry.map(col) :+
+      .select(col(idCol) +: carry.map(col) :+ col(textCol) :+
         TextFunctions.tokens(col(textCol)).as("toks"): _*)
       .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("mwl", TextFunctions.meanWordLen(col("toks")))
+      .withColumn("mwl", TextFunctions.meanWordLen(col(textCol)))
       .withColumn("dr",
         size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+      // distinct-presence count as a sum of codegen `contains` probes —
+      // bit-identical to size(array_intersect(array_distinct(toks),
+      // stopList)) but without the interpreted array machinery. The
+      // isNull guard preserves the array form's NULL-in -> NULL-out
+      // (when(null).otherwise(0) would silently count 0)
       .withColumn("n_stop",
-        size(array_intersect(array_distinct(col("toks")),
-          array(stopList.map(lit): _*))).cast("long"))
+        when(col(textCol).isNull, lit(null).cast("long")).otherwise(
+          stopList.map(w =>
+              when(TextFunctions.hasToken(col(textCol), w), 1L).otherwise(0L))
+            .reduce(_ + _)))
       .select(col(idCol) +: carry.map(col) :+ col("n_tok") :+
         round(col("mwl"), 6).as("mean_word_len") :+
         round(col("dr"), 6).as("distinct_ratio") :+

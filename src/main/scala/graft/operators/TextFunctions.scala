@@ -5,9 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis column builders for large-scale training-data pipelines:
   * tokenization, shingling, n-gram language ID, quality scoring, token
-  * counting, and document fingerprinting. All pure built-in expressions —
-  * codegen'd, no UDFs, so they stay inside whole-stage codegen on the
-  * 100 TB scan path.
+  * counting, and document fingerprinting. All pure built-in expressions,
+  * no UDFs — and the scalar-gate trio (token matching, mean word length,
+  * stopword ratio) is written WITHOUT higher-order functions, which are
+  * CodegenFallback and would row-ify the scan stage, so those paths stay
+  * inside one whole-stage codegen span (PlanSpec-asserted). The
+  * array-PRODUCING builders (shingles, min-shingle fingerprints) do use
+  * `transform` — inherently array-shaped, and their consumers (explode,
+  * array_min) end the codegen span regardless.
   */
 object TextFunctions {
 
@@ -38,11 +43,46 @@ object TextFunctions {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0)))
 
+  /** Text with every whitespace run doubled and a sentinel space at both
+    * ends: every token is flanked by spaces no neighbouring match can
+    * consume, so a ` (w1|w2) ` regex counts full-token matches WITH
+    * multiplicity. This is the codegen'd twin of
+    * `size(filter(toks, isin(words)))` — higher-order functions are
+    * CodegenFallback in Spark and row-ify the scan stage (found by the
+    * r10 PlanSpec codegen-span audit); regexps stay fused. */
+  private def padded(text: Column): Column =
+    concat(lit(" "), regexp_replace(lower(trim(text)), "\\s+", "  "), lit(" "))
+
+  /** Count of tokens equal to any of `words` (with multiplicity) — pure
+    * codegen, bit-identical to `size(filter(tokens(text), isin(words)))`:
+    * the pattern can only match a COMPLETE token (space-delimited on the
+    * padded form), and the doubled separators make adjacent matches
+    * non-competing. `words` must be literal tokens, not regexes. */
+  def tokenMatchCount(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty && words.forall(_.matches("[\\p{L}\\p{N}_'-]+")),
+      s"tokenMatchCount wants literal word tokens, got $words")
+    size(regexp_extract_all(padded(text),
+      lit(words.mkString(" (", "|", ") ")), lit(0)))
+  }
+
+  /** TRUE iff any token equals `word` — a codegen `contains` probe on the
+    * padded form (the distinct-presence twin of [[tokenMatchCount]]). */
+  def hasToken(text: Column, word: String): Column = {
+    require(word.matches("[\\p{L}\\p{N}_'-]+"), s"hasToken wants a literal token: $word")
+    padded(text).contains(s" $word ")
+  }
+
   /** Quality heuristics: mean word length, non-alnum (punct) ratio,
     * stopword ratio — the length/punct/stopword trio the reference-scale
-    * data pipelines gate on. */
-  def meanWordLen(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+    * data pipelines gate on. Mean word length rides the identity
+    * Σ len(token) = len(text with all whitespace stripped) — bit-identical
+    * to the `aggregate(toks, acc + length)` fold it replaces (same
+    * `lower(trim(...))` preprocessing on both paths, so even
+    * length-changing lowercasings agree), and pure codegen where the
+    * higher-order fold was CodegenFallback. */
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(lower(trim(text)), "\\s+", ""))
+      .cast("double") / size(tokens(text))
 
   /** Unicode-aware: letters/digits in ANY script plus whitespace count
     * as signal (the ASCII-only class banded clean CJK/accented text as
@@ -52,9 +92,8 @@ object TextFunctions {
     length(regexp_replace(lower(text), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
       length(text)
 
-  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
-    size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
-      .cast("double") / size(toks)
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    tokenMatchCount(text, stopwords).cast("double") / size(tokens(text))
 
   /** Quality band from the heuristics (analogous to F5's significance
     * banding — a when-chain with NULL propagation). */

@@ -62,9 +62,12 @@ object ScaleOpsQueries {
   private val x1 = Q(
     "x1_lang_id",
     (s, d) => {
+      // tokenMatchCount, not size(filter(toks, isin)): bit-identical
+      // counts, but the HOF filter is CodegenFallback and split the scan
+      // into interpreted row-at-a-time projects (r10 codegen-span audit)
       val base = langMarkers.foldLeft(docsWithTokens(s, d)) { case (df, (lang, ws)) =>
         df.withColumn(s"s_$lang",
-          size(filter(col("toks"), t => t.isin(ws.map(lit): _*))).cast("long"))
+          TextFunctions.tokenMatchCount(col("text"), ws).cast("long"))
       }
       val best = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
       val guess = langMarkers.foldRight(lit(null: String): Column) {
@@ -101,10 +104,10 @@ object ScaleOpsQueries {
       docsWithTokens(s, d)
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("n_regex_tokens", TextFunctions.regexTokenCount(col("text")).cast("long"))
-        .withColumn("mean_word_len", round(TextFunctions.meanWordLen(col("toks")), 6))
+        .withColumn("mean_word_len", round(TextFunctions.meanWordLen(col("text")), 6))
         .withColumn("punct_ratio", round(TextFunctions.punctRatio(col("text")), 6))
         .withColumn("stop_ratio",
-          round(TextFunctions.stopwordRatio(col("toks"), stopwords), 6))
+          round(TextFunctions.stopwordRatio(col("text"), stopwords), 6))
         .withColumn("band",
           TextFunctions.qualityBand(col("n_tokens"), col("punct_ratio"), col("stop_ratio")))
         .select("doc_id", "n_tokens", "n_regex_tokens", "mean_word_len",
@@ -563,7 +566,7 @@ object ScaleOpsQueries {
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("punct_ratio", round(TextFunctions.punctRatio(col("text")), 6))
         .withColumn("stop_ratio",
-          round(TextFunctions.stopwordRatio(col("toks"), stopwords), 6))
+          round(TextFunctions.stopwordRatio(col("text"), stopwords), 6))
         .withColumn("band",
           TextFunctions.qualityBand(col("n_tokens"), col("punct_ratio"), col("stop_ratio")))
         .withColumn("text_hash", md5(col("text")))

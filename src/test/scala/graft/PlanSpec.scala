@@ -604,6 +604,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text-analysis scalars run in ONE WholeStageCodegen span — no interpreted breaks") {
+    // The functions-not-UDFs claim, asserted: the narrow text family
+    // (lang-id, quality scoring, fingerprints, PII scrub, rule filters)
+    // is pure column expressions, so the whole scan→project/filter
+    // pipeline must fuse into a single codegen span. An interpreted
+    // Project/Filter outside codegen (a Scala UDF, a non-codegen custom
+    // expression) would break the span and row-ify the 100 TB hot path.
+    import org.apache.spark.sql.execution.{FilterExec, ProjectExec, InputAdapter, WholeStageCodegenExec}
+    def interpreted(p: SparkPlan, under: Boolean): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => interpreted(a.executedPlan, under)
+      case q: QueryStageExec        => interpreted(q.plan, under)
+      case w: WholeStageCodegenExec => w.children.flatMap(interpreted(_, true))
+      case i: InputAdapter          => i.children.flatMap(interpreted(_, false))
+      case other =>
+        val self =
+          if (!under && (other.isInstanceOf[ProjectExec] ||
+            other.isInstanceOf[FilterExec])) Seq(other)
+          else Nil
+        self ++ other.children.flatMap(interpreted(_, under))
+    }
+    // x3_fingerprint is deliberately absent: its min-shingle fingerprint
+    // is array-PRODUCING (shingles ride a `transform` lambda), which is
+    // CodegenFallback by Spark design — the documented exception in
+    // TextFunctions' scaladoc, not a regression this test should mask.
+    for (name <- Seq("x1_lang_id", "x2_quality_score",
+        "x6_pii_scrub", "x7_rule_filters")) {
+      val df = QueryCatalog.byName(name).run(spark, dir)
+      df.collect()
+      val exec = df.queryExecution.executedPlan
+      val bad = interpreted(exec, under = false)
+      assert(bad.isEmpty,
+        s"$name: interpreted (non-codegen) nodes in the hot path:\n" +
+          bad.map(_.nodeName).mkString(", ") + s"\n$exec")
+      val spans = flatten(exec).count(_.isInstanceOf[WholeStageCodegenExec])
+      assert(spans == 1, s"$name: expected 1 codegen span, got $spans\n$exec")
+    }
+  }
+
   test("nested-schema pruning: reading struct metadata never drags the binary payload") {
     // The multimodal layout at 100 TB: an opaque binary payload column
     // beside a typed metadata STRUCT (the mm1/mm2 shape, written to

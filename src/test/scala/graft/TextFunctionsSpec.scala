@@ -24,16 +24,43 @@ class TextFunctionsSpec extends SparkSpec {
 
   test("quality heuristics on a known sentence") {
     val df = Seq("the cat sat on the mat!!").toDF("text")
-      .withColumn("toks", TextFunctions.tokens(col("text")))
       .select(
-        TextFunctions.meanWordLen(col("toks")).as("mwl"),
+        TextFunctions.meanWordLen(col("text")).as("mwl"),
         TextFunctions.punctRatio(col("text")).as("pr"),
-        TextFunctions.stopwordRatio(col("toks"), Seq("the", "on")).as("sr"))
+        TextFunctions.stopwordRatio(col("text"), Seq("the", "on")).as("sr"))
     val r = df.collect().head
     // tokens: the cat sat on the mat!! -> lengths 3,3,3,2,3,5 = 19/6
     assert(math.abs(r.getAs[Double]("mwl") - 19.0 / 6) < 1e-12)
     assert(math.abs(r.getAs[Double]("pr") - 2.0 / 24) < 1e-12)
     assert(math.abs(r.getAs[Double]("sr") - 3.0 / 6) < 1e-12)
+  }
+
+  test("codegen scalar gates equal the HOF forms they replaced, on nasty inputs") {
+    // tokenMatchCount / meanWordLen went regex-arithmetic in r10 so the
+    // scan stage stays in ONE codegen span (HOF lambdas are
+    // CodegenFallback). Equality with the lambda forms must hold on every
+    // shape that ever bit a tokenizer: adjacent stopwords, leading tabs
+    // (tokens() yields a leading "" there), repeated runs of whitespace,
+    // empty / whitespace-only text (the documented [""] quirk), words as
+    // substrings of bigger words, and the stopword at both ends.
+    val texts = Seq(
+      "the the the", "a a", "\tthe cat", "the  cat \n the", "", "   ",
+      "theater a cathedral", "a", "to the to", "x to", "to x",
+      "mixed CASE The tHe the")
+    val words = Seq("the", "a", "to")
+    val df = texts.toDF("text")
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(
+        TextFunctions.tokenMatchCount(col("text"), words).as("fast"),
+        size(filter(col("toks"), t => t.isin(words.map(lit): _*))).as("hof"),
+        TextFunctions.meanWordLen(col("text")).as("mwl_fast"),
+        (aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size(col("toks"))).as("mwl_hof"))
+    df.collect().foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"tokenMatchCount mismatch: $r")
+      val (a, b) = (r.getDouble(2), r.getDouble(3))
+      assert(a == b || (a.isNaN && b.isNaN), s"meanWordLen mismatch: $r")
+    }
   }
 
   test("quality band thresholds and NULL propagation") {
