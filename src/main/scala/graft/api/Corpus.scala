@@ -188,8 +188,11 @@ object Corpus {
   def repetitionScores(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 2): DataFrame =
     graft.operators.Dedup.spread(docs)
+      // toks projected below the explode — see Dedup.shingleRows' scaladoc
       .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("__toks"), n)).as("sh"))
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_total"), count(lit(1)).as("n_distinct"),

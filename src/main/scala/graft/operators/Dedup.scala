@@ -58,10 +58,21 @@ object Dedup {
     if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
   }
 
-  /** Distinct (id, n-shingle) rows — the unit of MinHash and Jaccard. */
+  /** Distinct (id, n-shingle) rows — the unit of MinHash and Jaccard.
+    *
+    * The tokenization is projected ONCE below the explode, never inlined
+    * into the generator (here and at every shingle-explode site in this
+    * file): a Project survives under Generate, so the regex split runs
+    * once per row inside codegen and the generator's transform sees a
+    * plain array attribute. Inlined, the interpreted lambda re-evaluates
+    * `split(lower(trim(text)))` for EVERY element_at of every emitted
+    * shingle — O(tokens²) regex splits per document (r10 plan audit). */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    spread(docs).select(col(idCol).as("doc_id"),
-        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+    spread(docs)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("__toks"), n)).as("sh"))
       .distinct()
 
   /** MinHash signatures: K min-hashes over the shingle set, one row per
@@ -243,9 +254,12 @@ object Dedup {
     // the capped train-shingle DICTIONARY is cached; the test-side
     // shingle stream is recomputed per consumer — a narrow re-scan, vs a
     // corpus-sized cache that a 100 TB run cannot hold
-    val pairs = spread(docs).select(col(idCol).as("doc_id"),
-      trainFlag.as("is_train"),
-      explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+    // toks projected below the explode — see shingleRows' scaladoc
+    val pairs = spread(docs)
+      .select(col(idCol).as("doc_id"), trainFlag.as("is_train"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("is_train"),
+        explode(TextFunctions.shingles(col("__toks"), n)).as("sh"))
     DropAudit.ensure(docs.sparkSession)
     val trainSh = pairs.filter(col("is_train")).select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("__ndocs"))
@@ -293,8 +307,12 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, threshold: Double,
       maxShingleDocs: Int = Int.MaxValue): DataFrame = {
-    val sh = spread(docs).select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-        explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+    // toks projected below the explode — see shingleRows' scaladoc
+    val sh = spread(docs)
+      .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("blk"),
+        explode(TextFunctions.shingles(col("__toks"), n)).as("sh"))
       .distinct()
       .persist()
     graft.Caches.releaseAfterAction(sh)
@@ -393,8 +411,12 @@ object Dedup {
       trainFlag: Column, n: Int, maxShingleTrainDocs: Int = 1000,
       expectedItems: Long = 0L, fpp: Double = 0.03): DataFrame = {
     val spark = docs.sparkSession
-    val pairs = spread(docs).select(col(idCol).as("doc_id"), trainFlag.as("is_train"),
-      explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).as("sh"))
+    // toks projected below the explode — see shingleRows' scaladoc
+    val pairs = spread(docs)
+      .select(col(idCol).as("doc_id"), trainFlag.as("is_train"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("is_train"),
+        explode(TextFunctions.shingles(col("__toks"), n)).as("sh"))
     DropAudit.ensure(spark)
     val trainSh = pairs.filter(col("is_train")).select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("__ndocs"))
