@@ -33,7 +33,7 @@ object Corpus {
         TextFunctions.regexTokenCount(col(textCol)).cast("long"))
       .withColumn("punct_ratio", TextFunctions.punctRatio(col(textCol)))
       .withColumn("stop_ratio",
-        TextFunctions.stopwordRatio(col(textCol), stopwords))
+        TextFunctions.stopwordRatio(col(textCol), col("toks"), stopwords))
       .withColumn("band", TextFunctions.qualityBand(
         col("n_tokens"), col("punct_ratio"), col("stop_ratio")))
       .drop("toks")
@@ -187,12 +187,8 @@ object Corpus {
     * scan only when the input has fewer partitions than the cluster. */
   def repetitionScores(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 2): DataFrame =
-    graft.operators.Dedup.spread(docs)
-      // toks projected below the explode — see Dedup.shingleRows' scaladoc
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"),
-        explode(TextFunctions.shingles(col("__toks"), n)).as("sh"))
+    graft.operators.Dedup
+      .shingleExplode(docs, Seq("doc_id" -> col(idCol)), textCol, n)
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_total"), count(lit(1)).as("n_distinct"),
@@ -431,20 +427,25 @@ object Corpus {
       stopList: Seq[String] = Seq("a", "the", "fast", "slow", "key"),
       carry: Seq[String] = Nil): DataFrame =
     docs
-      .select(col(idCol) +: carry.map(col) :+ col(textCol) :+
+      // textCol added only when carry does not already bring it — a
+      // duplicate column would make every col(textCol) below ambiguous
+      .select(col(idCol) +: carry.map(col) ++:
+        (if (carry.contains(textCol)) Nil else Seq(col(textCol))) :+
         TextFunctions.tokens(col(textCol)).as("toks"): _*)
       .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("mwl", TextFunctions.meanWordLen(col(textCol)))
+      .withColumn("mwl", TextFunctions.meanWordLen(col(textCol), col("toks")))
       .withColumn("dr",
         size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
       // distinct-presence count as a sum of codegen `contains` probes —
       // bit-identical to size(array_intersect(array_distinct(toks),
       // stopList)) but without the interpreted array machinery. The
       // isNull guard preserves the array form's NULL-in -> NULL-out
-      // (when(null).otherwise(0) would silently count 0)
+      // (when(null).otherwise(0) would silently count 0); .distinct keeps
+      // parity for a stopList with repeated entries (the array form
+      // counts a present word once, never once per list entry)
       .withColumn("n_stop",
         when(col(textCol).isNull, lit(null).cast("long")).otherwise(
-          stopList.map(w =>
+          stopList.distinct.map(w =>
               when(TextFunctions.hasToken(col(textCol), w), 1L).otherwise(0L))
             .reduce(_ + _)))
       .select(col(idCol) +: carry.map(col) :+ col("n_tok") :+

@@ -58,21 +58,26 @@ object Dedup {
     if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
   }
 
-  /** Distinct (id, n-shingle) rows — the unit of MinHash and Jaccard.
-    *
-    * The tokenization is projected ONCE below the explode, never inlined
-    * into the generator (here and at every shingle-explode site in this
-    * file): a Project survives under Generate, so the regex split runs
-    * once per row inside codegen and the generator's transform sees a
-    * plain array attribute. Inlined, the interpreted lambda re-evaluates
+  /** Exploded `(extra..., sh)` shingle rows with the tokenization
+    * projected ONCE below the explode — THE shape every shingle-explode
+    * in the engine must use (plan-pinned in PlanSpec): a Project survives
+    * under Generate, so the regex split runs once per row inside codegen
+    * and the generator's transform sees a plain array attribute. Inlined
+    * into the generator instead, the interpreted lambda re-evaluates
     * `split(lower(trim(text)))` for EVERY element_at of every emitted
-    * shingle — O(tokens²) regex splits per document (r10 plan audit). */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    * shingle — O(tokens²) regex splits per document (found by the r10
+    * plan audit; fixing it cut ct1 35% / bf1 51% warm at sf0.1). */
+  private[graft] def shingleExplode(docs: DataFrame,
+      extra: Seq[(String, Column)], textCol: String, n: Int): DataFrame =
     spread(docs)
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"),
-        explode(TextFunctions.shingles(col("__toks"), n)).as("sh"))
+      .select(extra.map { case (nm, c) => c.as(nm) } :+
+        TextFunctions.tokens(col(textCol)).as("__toks"): _*)
+      .select(extra.map { case (nm, _) => col(nm) } :+
+        explode(TextFunctions.shingles(col("__toks"), n)).as("sh"): _*)
+
+  /** Distinct (id, n-shingle) rows — the unit of MinHash and Jaccard. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleExplode(docs, Seq("doc_id" -> col(idCol)), textCol, n)
       .distinct()
 
   /** MinHash signatures: K min-hashes over the shingle set, one row per
@@ -254,12 +259,8 @@ object Dedup {
     // the capped train-shingle DICTIONARY is cached; the test-side
     // shingle stream is recomputed per consumer — a narrow re-scan, vs a
     // corpus-sized cache that a 100 TB run cannot hold
-    // toks projected below the explode — see shingleRows' scaladoc
-    val pairs = spread(docs)
-      .select(col(idCol).as("doc_id"), trainFlag.as("is_train"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), col("is_train"),
-        explode(TextFunctions.shingles(col("__toks"), n)).as("sh"))
+    val pairs = shingleExplode(docs,
+      Seq("doc_id" -> col(idCol), "is_train" -> trainFlag), textCol, n)
     DropAudit.ensure(docs.sparkSession)
     val trainSh = pairs.filter(col("is_train")).select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("__ndocs"))
@@ -307,12 +308,8 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, threshold: Double,
       maxShingleDocs: Int = Int.MaxValue): DataFrame = {
-    // toks projected below the explode — see shingleRows' scaladoc
-    val sh = spread(docs)
-      .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), col("blk"),
-        explode(TextFunctions.shingles(col("__toks"), n)).as("sh"))
+    val sh = shingleExplode(docs,
+        Seq("doc_id" -> col(idCol), "blk" -> col(blockCol)), textCol, n)
       .distinct()
       .persist()
     graft.Caches.releaseAfterAction(sh)
@@ -411,12 +408,8 @@ object Dedup {
       trainFlag: Column, n: Int, maxShingleTrainDocs: Int = 1000,
       expectedItems: Long = 0L, fpp: Double = 0.03): DataFrame = {
     val spark = docs.sparkSession
-    // toks projected below the explode — see shingleRows' scaladoc
-    val pairs = spread(docs)
-      .select(col(idCol).as("doc_id"), trainFlag.as("is_train"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), col("is_train"),
-        explode(TextFunctions.shingles(col("__toks"), n)).as("sh"))
+    val pairs = shingleExplode(docs,
+      Seq("doc_id" -> col(idCol), "is_train" -> trainFlag), textCol, n)
     DropAudit.ensure(spark)
     val trainSh = pairs.filter(col("is_train")).select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("__ndocs"))

@@ -72,6 +72,9 @@ object TextFunctions {
     padded(text).contains(s" $word ")
   }
 
+  private def literalTokens(words: Seq[String]): Boolean =
+    words.nonEmpty && words.forall(_.matches("[\\p{L}\\p{N}_'-]+"))
+
   /** Quality heuristics: mean word length, non-alnum (punct) ratio,
     * stopword ratio — the length/punct/stopword trio the reference-scale
     * data pipelines gate on. Mean word length rides the identity
@@ -80,9 +83,16 @@ object TextFunctions {
     * `lower(trim(...))` preprocessing on both paths, so even
     * length-changing lowercasings agree), and pure codegen where the
     * higher-order fold was CodegenFallback. */
-  def meanWordLen(text: Column): Column =
+  def meanWordLen(text: Column): Column = meanWordLen(text, tokens(text))
+
+  /** [[meanWordLen]] with a caller-precomputed token array for the
+    * denominator: a plan that already projects `toks` (x2, Corpus.scored,
+    * ruleFiltered) should not pay a second regex split just to count
+    * them — codegen subexpression elimination dedupes within one
+    * projection but never against an attribute from the one below. */
+  def meanWordLen(text: Column, toks: Column): Column =
     length(regexp_replace(lower(trim(text)), "\\s+", ""))
-      .cast("double") / size(tokens(text))
+      .cast("double") / size(toks)
 
   /** Unicode-aware: letters/digits in ANY script plus whitespace count
     * as signal (the ASCII-only class banded clean CJK/accented text as
@@ -93,7 +103,20 @@ object TextFunctions {
       length(text)
 
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
-    tokenMatchCount(text, stopwords).cast("double") / size(tokens(text))
+    stopwordRatio(text, tokens(text), stopwords)
+
+  /** [[stopwordRatio]] with a caller-precomputed token-array denominator
+    * (see [[meanWordLen]]'s two-argument form). TOTAL over any stopword
+    * list: plain word tokens take the codegen regex-count path; anything
+    * the padded-regex trick cannot express verbatim (punctuation in a
+    * word, an empty list — the old `isin` handled both) falls back to the
+    * HOF filter, which is interpreted but never wrong. */
+  def stopwordRatio(text: Column, toks: Column, stopwords: Seq[String]): Column = {
+    val n =
+      if (literalTokens(stopwords)) tokenMatchCount(text, stopwords)
+      else size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    n.cast("double") / size(toks)
+  }
 
   /** Quality band from the heuristics (analogous to F5's significance
     * banding — a when-chain with NULL propagation). */

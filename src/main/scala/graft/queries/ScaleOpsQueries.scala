@@ -104,10 +104,11 @@ object ScaleOpsQueries {
       docsWithTokens(s, d)
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("n_regex_tokens", TextFunctions.regexTokenCount(col("text")).cast("long"))
-        .withColumn("mean_word_len", round(TextFunctions.meanWordLen(col("text")), 6))
+        .withColumn("mean_word_len",
+          round(TextFunctions.meanWordLen(col("text"), col("toks")), 6))
         .withColumn("punct_ratio", round(TextFunctions.punctRatio(col("text")), 6))
         .withColumn("stop_ratio",
-          round(TextFunctions.stopwordRatio(col("text"), stopwords), 6))
+          round(TextFunctions.stopwordRatio(col("text"), col("toks"), stopwords), 6))
         .withColumn("band",
           TextFunctions.qualityBand(col("n_tokens"), col("punct_ratio"), col("stop_ratio")))
         .select("doc_id", "n_tokens", "n_regex_tokens", "mean_word_len",
@@ -566,7 +567,7 @@ object ScaleOpsQueries {
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("punct_ratio", round(TextFunctions.punctRatio(col("text")), 6))
         .withColumn("stop_ratio",
-          round(TextFunctions.stopwordRatio(col("text"), stopwords), 6))
+          round(TextFunctions.stopwordRatio(col("text"), col("toks"), stopwords), 6))
         .withColumn("band",
           TextFunctions.qualityBand(col("n_tokens"), col("punct_ratio"), col("stop_ratio")))
         .withColumn("text_hash", md5(col("text")))

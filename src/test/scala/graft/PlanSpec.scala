@@ -642,6 +642,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shingle explodes never inline the tokenizer into the generator") {
+    // The r10 O(tokens²) fix, pinned: a generator's interpreted transform
+    // re-evaluates its expression tree per element, so a `split(...)`
+    // INSIDE the generator means one regex split per element_at of every
+    // emitted shingle. The tokenization must arrive as a plain array
+    // attribute from the Project below (Dedup.shingleExplode's shape) —
+    // if a future optimizer rule or refactor inlines it, this fails
+    // instead of the bench silently drifting +12s.
+    import org.apache.spark.sql.catalyst.expressions.StringSplit
+    // several shingle frames are persisted, hiding their Generate inside
+    // the cache-build plan — descend through InMemoryTableScan too
+    def deep(p: SparkPlan): Seq[SparkPlan] = flatten(p).flatMap {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        i +: deep(i.relation.cachedPlan)
+      case other => Seq(other)
+    }
+    for (name <- Seq("ct1_contamination", "bf1_bloom_contamination",
+        "dd4_ngram_jaccard", "x5_repetition", "ng1_dup_spans")) {
+      val df = QueryCatalog.byName(name).run(spark, dir)
+      df.collect()
+      val gens = deep(df.queryExecution.executedPlan).collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(gens.nonEmpty, s"$name: expected a Generate in the plan")
+      gens.foreach { g =>
+        val splits = g.boundGenerator.collect { case s: StringSplit => s }
+        assert(splits.isEmpty,
+          s"$name: tokenizer inlined into the generator (O(tokens²) regex " +
+            s"splits per document):\n${g.boundGenerator}")
+      }
+    }
+  }
+
   test("nested-schema pruning: reading struct metadata never drags the binary payload") {
     // The multimodal layout at 100 TB: an opaque binary payload column
     // beside a typed metadata STRUCT (the mm1/mm2 shape, written to
