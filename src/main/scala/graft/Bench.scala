@@ -87,14 +87,23 @@ object Bench {
             s"timing may be skewed): ${e.getMessage}")
       }
     }
-    // One sacrificial heavy QUERY on top of the table scans: bf1 builds
-    // a bloom filter + dictionary persist whose codegen/broadcast paths
-    // the sf0.001 warmup compiled but whose sf0.1-sized buffers JIT
-    // differently; keep the belt with the suspenders. Logged by name
-    // (ADVICE r8) and harmless if bf1 is absent from a subset run.
-    qs.find(_._1.startsWith("bf1")).foreach { case (name, fn) =>
+    // Sacrificial heavy QUERIES on top of the table scans (r10 verdict #1b,
+    // generalizing the r8 bf1 pattern): the cold constant has moved from
+    // parquet pages to the first heavy codegen+persist EXECUTION (r10
+    // charged d3/d4 +47 s first-run vs their same-process reruns), so warm
+    // the PREVIOUS round's top-3 heaviest queries — whichever they are —
+    // untimed before the window opens. Falls back to bf1 when no archive
+    // exists (fresh checkout). Logged by name; harmless on subset runs.
+    val prevTimes = prevRoundTimes()
+    val warmNames: Seq[String] = {
+      val fromArchive = prevTimes.toSeq.sortBy(-_._2).take(3).map(_._1)
+        .filter(n => qs.exists(_._1 == n))
+      if (fromArchive.nonEmpty) fromArchive
+      else qs.map(_._1).filter(_.startsWith("bf1")).take(1)
+    }
+    warmNames.foreach { name =>
       System.err.println(s"[bench] sacrificial warm query: $name")
-      try fn(spark, sfDir).count() catch {
+      try SparkEntry.queries(name)(spark, sfDir).count() catch {
         case scala.util.control.NonFatal(e) => System.err.println(
           s"[bench] sacrificial warm pass $name failed: ${e.getMessage}")
       }
@@ -136,29 +145,47 @@ object Bench {
     val top = sorted.take(20)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // Same-boot warm RERUN of the top-3 (r9 verdict #4): bf1's r9 driver
-    // number swung 2.4× while every in-gate run held its band, and the
-    // A/B that settled it cost a round-trip. A second timed run of the
-    // heaviest queries inside the SAME bench process separates plan
-    // regressions (rerun stays slow) from first-reader/GC environment
-    // noise (rerun falls back into band) — the warm number is the one
-    // comparable across rounds. Same isolation discipline as the timed
-    // loop; failures surface as the timed pass's own failure did.
-    // Full runs only: a SPARK_GRAFT_ONLY local iteration would pay up to
-    // three extra heavy executions for a diagnostic that only matters on
-    // driver rounds (the same guard the per-round archive below applies).
-    val rerun = (if (only.isEmpty) sorted.take(3) else Nil).map { case (name, _) =>
+    // Same-boot warm RERUN (r9 verdict #4, net widened per r10 verdict #1a):
+    // a second timed run of suspect queries inside the SAME bench process
+    // separates plan regressions (rerun stays slow) from first-reader/GC
+    // environment noise (rerun falls back into band) — the warm number is
+    // the one comparable across rounds. The rerun set is the top-3 of this
+    // run PLUS every query that timed ≥ 2× its committed previous-round
+    // value (r10 had five such inflations outside the top-3, each needing
+    // a judge-side A/B to adjudicate), capped at 8 total, heaviest first.
+    // The archive reference is min(first-run, archived rerun) — the warm
+    // band — and a 0.3 s floor keeps sub-noise queries (0.05 → 0.12 s)
+    // out of the net. Full runs only: a SPARK_GRAFT_ONLY local iteration
+    // would pay extra heavy executions for a driver-round diagnostic.
+    val rerunNames: Seq[String] =
+      if (only.nonEmpty) Nil
+      else {
+        val top3 = sorted.take(3).map(_._1)
+        val inflated = results
+          .filter { case (n, v) =>
+            prevTimes.get(n).exists(p => p >= 0.3 && v >= 2.0 * p)
+          }
+          .map(_._1)
+        (top3 ++ inflated).distinct
+          .sortBy(n => -results.find(_._1 == n).map(_._2).getOrElse(0.0))
+          .take(8)
+      }
+    val rerun = rerunNames.map { name =>
       val fn = SparkEntry.queries(name)
       spark.catalog.clearCache()
       System.gc()
       Thread.sleep(250)
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] rerun $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      // failed reruns carry the -1 sentinel, never a time-to-fail that a
+      // cross-round consumer would read as a warm-band recovery (ADVICE r10)
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] rerun $name failed: ${e.getMessage}")
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val rerunJson = rerun
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -246,4 +273,44 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.stop()
   }
+
+  /** Per-query seconds from the newest git-TRACKED `BENCH_FULL_r*.json` —
+    * the committed previous-round archive the warm pass and the rerun net
+    * compare against. Where the archive carries a rerun entry the WARM
+    * value wins (min of first-run and rerun ≥ 0): r10's d3 archived 35.4 s
+    * first-run but 10.7 s warm, and the band that matters across rounds is
+    * the warm one. Tracked-ness matters for the same reason as the round
+    * inference below: the driver drops the CURRENT round's file untracked
+    * mid-round. Empty map (no git, no archive, parse failure) degrades to
+    * the pre-r11 behavior — bf1 warm + top-3 rerun — never an error. */
+  private def prevRoundTimes(): Map[String, Double] = try {
+    val pr = new ProcessBuilder("git", "ls-files", "BENCH_FULL_r*.json").start()
+    val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+    if (pr.waitFor() != 0) return Map.empty
+    val rx = "BENCH_FULL_r(\\d+)\\.json".r
+    val newest = out.split("\n").map(_.trim).filter(_.nonEmpty)
+      .flatMap(n => rx.findFirstMatchIn(n).map(m => (m.group(1).toInt, n)))
+      .sortBy(-_._1).headOption.map(_._2)
+    newest match {
+      case None => Map.empty
+      case Some(f) =>
+        val line = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
+        // the line is flat JSON with two per-query maps ("queries", then
+        // "rerun"); both hold only name:number pairs, so a brace-bounded
+        // regex scan is exact — no JSON library needed
+        def objOf(key: String): Map[String, Double] = {
+          val start = line.indexOf(s""""$key":{""")
+          if (start < 0) Map.empty
+          else {
+            val body = line.substring(start + key.length + 4)
+            val obj = body.substring(0, math.max(body.indexOf('}'), 0))
+            "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(obj)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        }
+        val first = objOf("queries")
+        val warm = objOf("rerun").filter(_._2 >= 0)
+        first.map { case (k, v) => k -> math.min(v, warm.getOrElse(k, v)) }
+    }
+  } catch { case _: Throwable => Map.empty }
 }

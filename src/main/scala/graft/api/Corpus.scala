@@ -436,18 +436,13 @@ object Corpus {
       .withColumn("mwl", TextFunctions.meanWordLen(col(textCol), col("toks")))
       .withColumn("dr",
         size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
-      // distinct-presence count as a sum of codegen `contains` probes —
-      // bit-identical to size(array_intersect(array_distinct(toks),
-      // stopList)) but without the interpreted array machinery. The
-      // isNull guard preserves the array form's NULL-in -> NULL-out
-      // (when(null).otherwise(0) would silently count 0); .distinct keeps
-      // parity for a stopList with repeated entries (the array form
-      // counts a present word once, never once per list entry)
+      // distinct-presence count via the shared guarded helper: codegen
+      // `contains` probes for literal word lists, the interpreted
+      // array_intersect fallback for empty / punctuated stop lists the
+      // probes cannot express (ADVICE r10 — the bare probe reduce threw
+      // on both of those edge inputs)
       .withColumn("n_stop",
-        when(col(textCol).isNull, lit(null).cast("long")).otherwise(
-          stopList.distinct.map(w =>
-              when(TextFunctions.hasToken(col(textCol), w), 1L).otherwise(0L))
-            .reduce(_ + _)))
+        TextFunctions.tokenPresenceCount(col(textCol), col("toks"), stopList))
       .select(col(idCol) +: carry.map(col) :+ col("n_tok") :+
         round(col("mwl"), 6).as("mean_word_len") :+
         round(col("dr"), 6).as("distinct_ratio") :+

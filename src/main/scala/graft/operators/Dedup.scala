@@ -55,7 +55,18 @@ object Dedup {
     * cluster (the small-file case it exists for). */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+    // width probe from the LEAF SCAN's file listing, not
+    // df.rdd.getNumPartitions: materializing the RDD lineage forced a
+    // second physical planning of the input subtree at plan-construction
+    // time for every shingle caller (r10 verdict #3 — a hidden plan-time
+    // tax on every composed corpus pipeline). File count under-reads true
+    // scan parallelism only when single files split into many partitions
+    // (a big-file layout that is already wide enough not to need the
+    // spread at cluster scale, where files outnumber cores); sources with
+    // no file listing (in-memory test frames) conservatively spread —
+    // a tiny shuffle exactly in the small-input case this exists for.
+    val nFiles = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (nFiles >= par) df else df.repartition(par)
   }
 
   /** Exploded `(extra..., sh)` shingle rows with the tokenization
@@ -274,8 +285,15 @@ object Dedup {
     // ONE pass over the test side: distinct (doc, sh) — the same
     // partial-dedup shuffle a count_distinct pays internally, paid once
     // instead of once per aggregate — then totals AND hits off a single
-    // dictionary left join (count of non-null marks = shared shingles)
-    pairs.filter(!col("is_train")).select("doc_id", "sh").distinct()
+    // dictionary left join (count of non-null marks = shared shingles).
+    // doc_id IS NOT NULL mirrors contaminationBloom's explicit filter so
+    // the two paths' 'output IDENTICAL' contract holds for NULL-id rows
+    // too (ADVICE r10: the dictionary join here is on sh, not doc_id, so
+    // a NULL-id test doc with shared shingles WOULD otherwise emit a row
+    // that the Bloom path drops)
+    pairs.filter(!col("is_train"))
+      .filter(col("doc_id").isNotNull)
+      .select("doc_id", "sh").distinct()
       .join(trainSh.withColumn("__hit", lit(1)), Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_shared"))
@@ -448,15 +466,15 @@ object Dedup {
     graft.Caches.releaseAfterAction(trainSh)
     val bc = spark.sparkContext.broadcast(bytes)
     val probe = graft.expressions.BloomMightContain.probe(bc, col("sh"))
-    // doc_id IS NOT NULL is explicit, not inferred: a NULL doc never
-    // survives `contamination`'s inner join (NULL never equi-joins), so
-    // dropping it up front is semantics-preserving — and load-bearing for
-    // the plan: the perDoc⟕falsePos join infers isnotnull(doc_id) on the
-    // falsePos branch only, and an INFERRED filter pushed into one
-    // branch's scan would make the two exchange subtrees canonicalize
-    // differently, defeating the ReuseExchange this whole shape exists
-    // for. With the filter in the SHARED subtree both branches stay
-    // bit-identical below the exchange.
+    // doc_id IS NOT NULL is explicit, not inferred — and MIRRORED in
+    // `contamination` so the two paths stay output-identical on NULL-id
+    // rows (ADVICE r10). It is also load-bearing for the plan: the
+    // perDoc⟕falsePos join infers isnotnull(doc_id) on the falsePos
+    // branch only, and an INFERRED filter pushed into one branch's scan
+    // would make the two exchange subtrees canonicalize differently,
+    // defeating the ReuseExchange this whole shape exists for. With the
+    // filter in the SHARED subtree both branches stay bit-identical
+    // below the exchange.
     val byPair = pairs.filter(!col("is_train"))
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("sh"))

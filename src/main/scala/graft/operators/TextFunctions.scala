@@ -75,6 +75,29 @@ object TextFunctions {
   private def literalTokens(words: Seq[String]): Boolean =
     words.nonEmpty && words.forall(_.matches("[\\p{L}\\p{N}_'-]+"))
 
+  /** Distinct-PRESENCE count of `words` among the tokens (each present
+    * word counted once, NULL text → NULL): the codegen [[hasToken]]-probe
+    * sum for literal word tokens, with [[stopwordRatio]]'s guard rail for
+    * the inputs the padded-regex trick cannot express — an empty list
+    * (count is 0 by definition) and entries with punctuation (e.g.
+    * "e.g."), which fall back to the interpreted `array_intersect` form
+    * the probes replaced (slower, never wrong). One shared gate for every
+    * presence-count caller so the r10 ruleFiltered regression (probes
+    * without the guard: empty list threw at reduce, punctuation threw
+    * hasToken's require at plan construction) cannot recur per call site. */
+  def tokenPresenceCount(text: Column, toks: Column, words: Seq[String]): Column = {
+    val distinctWords = words.distinct
+    if (distinctWords.isEmpty)
+      when(text.isNull, lit(null).cast("long")).otherwise(lit(0L))
+    else if (literalTokens(distinctWords))
+      when(text.isNull, lit(null).cast("long")).otherwise(
+        distinctWords.map(w => when(hasToken(text, w), 1L).otherwise(0L))
+          .reduce(_ + _))
+    else
+      size(array_intersect(array_distinct(toks),
+        array(distinctWords.map(lit): _*))).cast("long")
+  }
+
   /** Quality heuristics: mean word length, non-alnum (punct) ratio,
     * stopword ratio — the length/punct/stopword trio the reference-scale
     * data pipelines gate on. Mean word length rides the identity

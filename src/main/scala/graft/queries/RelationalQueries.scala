@@ -33,19 +33,30 @@ object RelationalQueries {
 
   /** Reap stale scratch layouts under `root` before writing `key`: any
     * sibling for the SAME source dir (same MD5 prefix, different
-    * mtime/size — a testdata regen) and any key not in the current
-    * md5_mtime_size format (legacy hashCode keys no code can read) is
-    * deleted. Layouts for OTHER sf dirs (different MD5) are kept, so the
-    * invariant is one layout per (scratch root, sf dir). Idempotent and
-    * cheap — a listFiles over a root holding a handful of layouts. */
+    * mtime/size — a testdata regen), any key not in the current
+    * md5_digits_digits format (legacy hashCode keys no code can read),
+    * and any DIFFERENT-prefix valid-format dir untouched for 14+ days.
+    * The age clause (ADVICE r10) reaps layouts stranded by a key-FORMAT
+    * migration — e.g. pre-r10 bkKeys folded mtime/len/buckets into the
+    * md5 prefix, so their prefix matches no sf dir's md5 and neither
+    * other clause ever fires; by construction nothing can enumerate
+    * every sf dir to tell "stranded" from "other live sf dir", but a
+    * live layout that goes unused for two weeks is safe to reap anyway —
+    * the write-if-missing build rebuilds it on next use. Layouts for
+    * OTHER sf dirs (different MD5, recent) are kept, so the steady-state
+    * invariant stays one layout per (scratch root, sf dir). Idempotent
+    * and cheap — a listFiles over a root holding a handful of layouts. */
   private[graft] def gcStaleLayouts(root: String, key: String): Unit = {
     val keyRe = "^[0-9a-f]{32}_\\d+_\\d+$".r
     val md5 = key.take(32)
+    val maxAgeMs = 14L * 24 * 3600 * 1000
+    val now = System.currentTimeMillis()
     val dir = new java.io.File(root)
     Option(dir.listFiles()).getOrElse(Array.empty).foreach { child =>
       val n = child.getName
-      val stale =
-        n != key && (n.startsWith(md5) || keyRe.findFirstIn(n).isEmpty)
+      val stale = n != key &&
+        (n.startsWith(md5) || keyRe.findFirstIn(n).isEmpty ||
+          now - child.lastModified() > maxAgeMs)
       if (stale) deleteRecursively(child)
     }
   }

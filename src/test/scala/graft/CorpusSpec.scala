@@ -61,6 +61,30 @@ class CorpusSpec extends SparkSpec {
     assert(strat.filter($"src" === "web").count() > 0)
   }
 
+  test("ruleFiltered: edge stop lists — empty list counts 0, punctuated entries " +
+      "fall back to the array form (ADVICE r10)") {
+    // empty stopList: n_stop must be 0 (r_stop false), not a plan-time throw
+    val empty = Corpus.ruleFiltered(docs, stopList = Nil)
+      .select("doc_id", "n_stop").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_stop")).toMap
+    assert(empty.values.forall(_ == 0L))
+    // punctuated entry ("e.g.") cannot ride the padded-regex probe —
+    // the interpreted array_intersect fallback must count it correctly
+    val punct = Corpus.ruleFiltered(
+        Seq((1L, "we use e.g. the short form"), (2L, "no markers here")).toDF("doc_id", "text"),
+        stopList = Seq("e.g.", "the"))
+      .select("doc_id", "n_stop").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_stop")).toMap
+    assert(punct(1L) == 2L && punct(2L) == 0L)
+    // NULL text propagates NULL through the literal-token probe path
+    val withNull = docs.withColumn("text",
+      when($"doc_id" === 5L, lit(null: String)).otherwise($"text"))
+    val ns = Corpus.ruleFiltered(withNull)
+      .select("doc_id", "n_stop").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(ns(5L).isEmpty && ns(1L).nonEmpty)
+  }
+
   test("contamination: flags only test docs overlapping the train split") {
     val corpus = Seq(
       (1L, good, true),

@@ -229,6 +229,30 @@ class DedupSpec extends SparkSpec {
     assert(exact.map(_._1) === Set(100L, 102L))
   }
 
+  test("contamination ≡ contaminationBloom on NULL-id test docs (both drop them)") {
+    // ADVICE r10: the exact path joins on sh and groups by doc_id, so a
+    // NULL-id test doc with shared shingles emitted a row the Bloom path
+    // (which filters doc_id IS NOT NULL) did not — the IDENTICAL contract
+    // broke exactly there. Both paths must now drop the NULL-id doc.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", true),
+      (100L, "alpha beta gamma delta unrelated words", false),
+      (999L, "alpha beta gamma delta leaked via null id", false))
+      .toDF("doc_id", "text", "is_train")
+      .withColumn("doc_id",
+        org.apache.spark.sql.functions.when($"doc_id" === 999L,
+          org.apache.spark.sql.functions.lit(null).cast("long"))
+          .otherwise($"doc_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.get(0)), r.getAs[Long]("n_shared"))).toSet
+    val exact = rows(Dedup.contamination(corpus, "doc_id", "text", $"is_train", 3))
+    val bloomed = rows(Dedup.contaminationBloom(corpus, "doc_id", "text",
+      $"is_train", 3, expectedItems = 100, fpp = 0.01))
+    assert(exact === bloomed)
+    assert(exact.forall(_._1.nonEmpty), "NULL-id docs must not emit rows")
+    assert(exact.map(_._1).flatten === Set(100L))
+  }
+
   test("duplicatedSpans: shared prefix covers exactly its span; full dups merge to 1.0") {
     val corpus = Seq(
       (1L, "a b c d e f g h i j"), // shares 5-gram "a b c d e" with doc 2

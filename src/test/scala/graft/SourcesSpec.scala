@@ -34,11 +34,20 @@ class SourcesSpec extends SparkSpec {
     val regen = mk(key.take(32) + "_1_2") // same source dir, pre-regen mtime/size
     val legacy = mk("d178f9eb") // pre-rename hashCode-format key
     val other = mk("0123456789abcdef0123456789abcdef_5_6") // another sf dir
+    // a key-format migration strands layouts whose prefix matches no sf
+    // dir's md5 (ADVICE r10: pre-r10 bk keys) — the age clause reaps any
+    // foreign-prefix dir untouched for 14+ days, while a RECENT foreign
+    // prefix (a live other-sf-dir layout) survives
+    val stranded = mk("fedcba9876543210fedcba9876543210_7_8")
+    new java.io.File(root, stranded)
+      .setLastModified(System.currentTimeMillis() - 15L * 24 * 3600 * 1000)
     gcStaleLayouts(root.getAbsolutePath, key)
     assert(new java.io.File(root, current).exists, "current layout must survive")
     assert(!new java.io.File(root, regen).exists, "regen sibling must be reaped")
     assert(!new java.io.File(root, legacy).exists, "legacy key must be reaped")
     assert(new java.io.File(root, other).exists, "other sf dir's layout must survive")
+    assert(!new java.io.File(root, stranded).exists,
+      "14-day-old foreign-prefix layout must be reaped (format-migration strandees)")
   }
 
   test("bk layout key: volatile inputs ride the suffix so GC reaps a bucket bump") {
