@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * dispersions, the wt2 variance prior) once on the sf0.001 tables and
   * prints `queries/FrozenModels.scala` — the frozen checkpoint literals
   * behind the APPLY-stage catalog queries (`pc1b`, `pq1b`, `bp2b`,
-  * `lr1b`, `d3b`, `d4b`, `wt2`).
+  * `lr1b`, `d3b`, `d4b`, `wt2`, `d6c`).
   *
   * Splitting fit from apply is the round-6 correctness play: the FIT
   * stages are iterative (Jacobi / Lloyd / merge loop) and can only be
@@ -49,8 +49,10 @@ object FreezeModels {
       graft.operators.Bpe.wordCounts(docs, "text"), 30)
     System.err.println("fitting nb-glm dispersions ...")
     // the d3 fit itself (two-level design, EB-shrunk dispersions): the
-    // per-gene MAP alpha is the frozen model behind d3b's Wald apply
-    val nb = {
+    // per-gene MAP alpha is the frozen model behind d3b's Wald apply;
+    // the prior's gamma-GLM trend (a0 + a1/mu) doubles as the frozen
+    // dispersion trend behind d6c's exact closed-form VST
+    val (nb, vstA0, vstA1) = {
       import spark.implicits._
       val (cellsDf, handles) =
         graft.queries.DomainQueries.nbInput(spark, sfDir, 2)
@@ -62,7 +64,7 @@ object FreezeModels {
         .orderBy(col("gene")).collect()
         .map(r => (r.getLong(0), r.getDouble(1)))
       handles.foreach(_.unpersist()) // nbInput's contract: caller releases
-      rows
+      (rows, prior.a0, prior.a1)
     }
     System.err.println("fitting 5-level nb-glm dispersions ...")
     // the d4 fit (5-level stage design, EB-shrunk dispersions): the
@@ -108,7 +110,7 @@ object FreezeModels {
        |
        |/** GENERATED by `graft.FreezeModels` on the sf0.001 tables -- frozen
        |  * fitted-model checkpoints for the APPLY-stage catalog queries
-       |  * (`pc1b` / `pq1b` / `bp2b` / `lr1b` / `d3b` / `d4b` / `wt2`). Regenerate with
+       |  * (`pc1b` / `pq1b` / `bp2b` / `lr1b` / `d3b` / `d4b` / `wt2` / `d6c`). Regenerate with
        |  * `sbt "runMain graft.FreezeModels" > src/main/scala/graft/queries/FrozenModels.scala`
        |  * if the fit algorithms or the sf0.001 data change. Do not edit by
        |  * hand. Every value is a plain double/string literal so the SAME
@@ -147,6 +149,14 @@ object FreezeModels {
        |
        |  val nbAlphas: Array[Double] = Array(
        |    ${fmtArr(nb.map(_._2))})
+       |
+       |  /** Fitted dispersion-trend checkpoint (the d3 prior's gamma-GLM
+       |    * trend alpha(mu) = a0 + a1/mu on sf0.001): a0 = asymptotic
+       |    * dispersion, a1 = extra-Poisson term -- the frozen model behind
+       |    * the d6c exact closed-form VST apply stage. */
+       |  val vstTrendA0: Double = $vstA0
+       |
+       |  val vstTrendA1: Double = $vstA1
        |
        |  /** 5-level NB-GLM dispersion checkpoint (the d4 fit on sf0.001:
        |    * stage design, same Cox-Reid + trend + EB pipeline): per-gene

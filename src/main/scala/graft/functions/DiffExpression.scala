@@ -258,14 +258,23 @@ object DiffExpression {
     out
   }
 
+  /** DESeq2's default `minReplicatesForReplace`: Cook's-flagged counts in
+    * condition groups with at least this many replicates are REPLACED
+    * (trimmed-mean imputation) and the gene refit, instead of the whole
+    * gene being NA-banded — with large-n designs (BRCA ~600+/level) the
+    * refit path is the one DESeq2 actually takes. Pass `Int.MaxValue` to
+    * disable (the pre-refit cooksCutoff-only behavior). */
+  val MinReplicatesForReplace = 7
+
   /** Two-group Wald test, `levels = Seq(reference, treatment)`. */
   def waldTest(cells: Dataset[CountCell], levels: Seq[String],
-      prior: Option[DispersionPrior] = None): Dataset[DEResult] = {
+      prior: Option[DispersionPrior] = None,
+      minReplicatesForReplace: Int = MinReplicatesForReplace): Dataset[DEResult] = {
     require(levels.size == 2, s"waldTest needs 2 levels, got $levels")
     val spark = cells.sparkSession
     import spark.implicits._
     cells.groupByKey(_.gene).flatMapGroups { (gene, it) =>
-      fitGene(gene, it, levels, prior) match {
+      fitGene(gene, it, levels, prior, minReplicatesForReplace) match {
         case Some(f) =>
           val k = f.levelIndex.getOrElse(levels(1), -1)
           // the same non-positive-variance drop as contrasts(): an
@@ -290,11 +299,12 @@ object DiffExpression {
     * the fitted coefficients (log2FC of A over B). */
   def contrasts(cells: Dataset[CountCell], levels: Seq[String],
       pairs: Seq[(String, String)],
-      prior: Option[DispersionPrior] = None): Dataset[DEContrast] = {
+      prior: Option[DispersionPrior] = None,
+      minReplicatesForReplace: Int = MinReplicatesForReplace): Dataset[DEContrast] = {
     val spark = cells.sparkSession
     import spark.implicits._
     cells.groupByKey(_.gene).flatMapGroups { (gene, it) =>
-      fitGene(gene, it, levels, prior) match {
+      fitGene(gene, it, levels, prior, minReplicatesForReplace) match {
         case Some(f) =>
           pairs.iterator.flatMap { case (la, lb) =>
             (f.levelIndex.get(la), f.levelIndex.get(lb)) match {
@@ -326,11 +336,13 @@ object DiffExpression {
     * them closed-form). Same per-gene grouped fit as waldTest/contrasts,
     * emitting only `(gene, alpha)`. */
   def dispersions(cells: Dataset[CountCell], levels: Seq[String],
-      prior: Option[DispersionPrior] = None): Dataset[(Long, Double)] = {
+      prior: Option[DispersionPrior] = None,
+      minReplicatesForReplace: Int = MinReplicatesForReplace): Dataset[(Long, Double)] = {
     val spark = cells.sparkSession
     import spark.implicits._
     cells.groupByKey(_.gene).flatMapGroups { (gene, it) =>
-      fitGene(gene, it, levels, prior).map(f => (gene, f.dispersion)).iterator
+      fitGene(gene, it, levels, prior, minReplicatesForReplace)
+        .map(f => (gene, f.dispersion)).iterator
     }
   }
 
@@ -339,9 +351,23 @@ object DiffExpression {
       dispersion: Double)
 
   /** IRLS NB-GLM for one gene: log mu = log sf + X beta, X = intercept +
-    * one-hot of non-reference levels actually present in the data. */
+    * one-hot of non-reference levels actually present in the data.
+    *
+    * Cook's-outlier handling follows DESeq2's two-sided rule: groups with
+    * < `minRepForReplace` replicates can only FLAG the gene (`results()`
+    * then NA-bands its p-values, the cooksCutoff half), while a flagged
+    * observation in a group with ≥ `minRepForReplace` replicates is
+    * REPLACED — trimmed-mean (trim = 0.2) of the gene's normalized counts
+    * scaled by the sample's size factor, integer-truncated like DESeq2's
+    * `as.integer` — and the gene is refit from scratch on the repaired
+    * counts (`replaceOutliers` + refit). Replaced samples' Cook's are
+    * zeroed on the refit (DESeq2's rule), so the repaired gene normally
+    * unflags and its Wald p-values survive `results()` — but a DIFFERENT
+    * still-outlying sample keeps the flag. One replacement round only,
+    * as in DESeq2. */
   private def fitGene(gene: Long, it: Iterator[CountCell],
-      levels: Seq[String], prior: Option[DispersionPrior]): Option[Fit] = {
+      levels: Seq[String], prior: Option[DispersionPrior],
+      minRepForReplace: Int = MinReplicatesForReplace): Option[Fit] = {
     // deterministic accumulation order, robust to surrogate-id collisions
     val rows = it.toArray.sortBy(r => (r.smp, r.cond, r.cnt))
     if (rows.length < 2) return None
@@ -354,10 +380,18 @@ object DiffExpression {
     val x = rows.map(r => levelIndex.getOrElse(r.cond, -1))
     val keep = x.indices.filter(i => x(i) >= 0).toArray
     if (keep.length < 2) return None
-    val y = keep.map(i => rows(i).cnt)
+    val y0 = keep.map(i => rows(i).cnt)
     val off = keep.map(i => math.log(math.max(rows(i).sf, MinMu)))
     val lvl = keep.map(i => x(i))
 
+    // the whole fit as a function of the count vector, so the outlier-
+    // replacement path can rerun it once on the repaired counts
+    // (allowReplace = false on the recursion — DESeq2 replaces once).
+    // `zeroCooks` marks replaced observations: DESeq2 zeroes their
+    // Cook's after the refit, so they cannot re-flag the gene — but a
+    // DIFFERENT still-outlying sample can.
+    def core(y: Array[Double], allowReplace: Boolean,
+        zeroCooks: Set[Int]): Option[Fit] = {
     val q = y.indices.map(i => y(i) / math.exp(off(i))).toArray
     val baseMean = q.sum / q.length
     // method-of-moments dispersion over normalized counts, pooled by level
@@ -587,41 +621,68 @@ object DiffExpression {
       if (!runIrls(disp, beta)) return None
       alphaUsed = disp
     }
-    invert(xtwx).map { cov =>
-      // Cook's-distance outlier flag (DESeq2's results() rule, consumed at
-      // vital_status_DESeq.R:89-97): per observation, squared Pearson
-      // residual / p × leverage/(1−leverage)², leverage h_ii = wᵢ·xᵢ'
-      // (X'WX)⁻¹ xᵢ from the CONVERGED weights. The residual's variance
-      // uses a ROBUST dispersion, NOT the fitted one — a spiked count
-      // inflates the gene's own MoM/MLE dispersion and would mask itself
-      // (DESeq2 guards Cook's the same way via robustMethodOfMomentsDisp).
-      // Only observations whose condition group has ≥ 3 replicates count
-      // (no outlier detection without replication); the gene is flagged
-      // when any such observation exceeds the F(0.99, p, m−p) quantile.
-      val gn = new Array[Int](p)
-      lvl.foreach(g => gn(g) += 1)
-      val alphaRob = robustDispForCooks(q, lvl, p, gn)
-      var maxCooks = 0.0
-      var i = 0
-      while (i < y.length) {
-        val g = lvl(i)
-        if (gn(g) >= 3) {
-          val eta = beta(0) + (if (g > 0) beta(g) else 0.0)
-          val mu = math.min(1e12, math.max(MinMu, math.exp(eta + off(i))))
-          val w = mu / (1.0 + disp * mu)
-          val vRob = mu + alphaRob * mu * mu
-          val r2 = (y(i) - mu) * (y(i) - mu) / vRob
-          val xcx = cov(0)(0) + (if (g > 0) 2.0 * cov(0)(g) + cov(g)(g) else 0.0)
-          val h = math.min(0.9999, math.max(0.0, w * xcx))
-          val d = r2 / p * h / ((1.0 - h) * (1.0 - h))
-          if (d > maxCooks) maxCooks = d
+    invert(xtwx) match {
+      case None => None
+      case Some(cov) =>
+        // Cook's-distance outlier flag (DESeq2's results() rule, consumed at
+        // vital_status_DESeq.R:89-97): per observation, squared Pearson
+        // residual / p × leverage/(1−leverage)², leverage h_ii = wᵢ·xᵢ'
+        // (X'WX)⁻¹ xᵢ from the CONVERGED weights. The residual's variance
+        // uses a ROBUST dispersion, NOT the fitted one — a spiked count
+        // inflates the gene's own MoM/MLE dispersion and would mask itself
+        // (DESeq2 guards Cook's the same way via robustMethodOfMomentsDisp).
+        // Only observations whose condition group has ≥ 3 replicates count
+        // (no outlier detection without replication); the gene is flagged
+        // when any such observation exceeds the F(0.99, p, m−p) quantile.
+        val gn = new Array[Int](p)
+        lvl.foreach(g => gn(g) += 1)
+        val alphaRob = robustDispForCooks(q, lvl, p, gn)
+        val cutoff =
+          if (y.length > p) fQuantile(0.99, p.toDouble, (y.length - p).toDouble)
+          else Double.PositiveInfinity
+        var maxCooks = 0.0
+        val replaceIdx = Array.newBuilder[Int]
+        var i = 0
+        while (i < y.length) {
+          val g = lvl(i)
+          if (gn(g) >= 3 && !zeroCooks.contains(i)) {
+            val eta = beta(0) + (if (g > 0) beta(g) else 0.0)
+            val mu = math.min(1e12, math.max(MinMu, math.exp(eta + off(i))))
+            val w = mu / (1.0 + disp * mu)
+            val vRob = mu + alphaRob * mu * mu
+            val r2 = (y(i) - mu) * (y(i) - mu) / vRob
+            val xcx = cov(0)(0) + (if (g > 0) 2.0 * cov(0)(g) + cov(g)(g) else 0.0)
+            val h = math.min(0.9999, math.max(0.0, w * xcx))
+            val d = r2 / p * h / ((1.0 - h) * (1.0 - h))
+            if (d > maxCooks) maxCooks = d
+            if (d > cutoff && gn(g) >= minRepForReplace) replaceIdx += i
+          }
+          i += 1
         }
-        i += 1
-      }
-      val outlier = y.length > p &&
-        maxCooks > fQuantile(0.99, p.toDouble, (y.length - p).toDouble)
-      Fit(beta, cov, baseMean, levelIndex, outlier, alphaUsed)
+        val outlier = y.length > p && maxCooks > cutoff
+        val toReplace = replaceIdx.result()
+        if (allowReplace && outlier && toReplace.nonEmpty) {
+          // DESeq2's replaceOutliers: replacement = trimmed mean (trim 0.2)
+          // of the gene's normalized counts across ALL samples, scaled by
+          // the sample's own size factor, truncated to an integer count
+          val sortedQ = q.sorted
+          val k = (sortedQ.length * 0.2).toInt
+          val mid = sortedQ.slice(k, sortedQ.length - k)
+          val trimmed = mid.sum / mid.length
+          val y2 = y.clone()
+          toReplace.foreach(i => y2(i) = math.floor(trimmed * math.exp(off(i))))
+          // refit on the repaired counts with the replaced samples'
+          // Cook's zeroed (DESeq2's rule) — the repaired gene usually
+          // unflags, but a DIFFERENT still-outlying sample keeps its
+          // flag. A refit that fails to converge falls back to the
+          // original (flagged) fit rather than dropping the gene.
+          core(y2, allowReplace = false, zeroCooks = toReplace.toSet)
+            .orElse(Some(Fit(beta, cov, baseMean, levelIndex, outlier, alphaUsed)))
+        } else Some(Fit(beta, cov, baseMean, levelIndex, outlier, alphaUsed))
     }
+    } // end core
+
+    core(y0, allowReplace = minRepForReplace < Int.MaxValue, zeroCooks = Set.empty)
   }
 
   /** Robust dispersion for the Cook's-distance variance (the same role as

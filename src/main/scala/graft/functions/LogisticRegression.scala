@@ -103,7 +103,9 @@ object LogisticRegression {
       var converged = false
       var lastLl = Double.NaN
       var nSeen = 0L
+      val t0 = System.nanoTime()
       while (iter < maxIter && !converged) {
+        val iterT0 = System.nanoTime()
         val wB = w // stable capture for the closure
         val acc = rows.rdd
           .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
@@ -134,11 +136,16 @@ object LogisticRegression {
         nSeen = acc.n
         converged = maxStep < tol
         iter += 1
-        if (iter == 1 || converged || iter == maxIter)
-          log.info(s"logreg iter=$iter ll=${acc.ll} maxStep=$maxStep")
+        // every iteration logs its wall time (r10 verdict #6: lr1's one
+        // out-of-band driver number could not be decomposed into
+        // iteration count × per-pass cost without this)
+        log.info(s"logreg iter=$iter ll=${acc.ll} maxStep=$maxStep " +
+          f"iterSec=${(System.nanoTime() - iterT0) / 1e9}%.3f")
         if (!converged && iter == maxIter)
           log.warn(s"logreg hit maxIter=$maxIter (maxStep=$maxStep)")
       }
+      log.info(f"logreg done: iters=$iter converged=$converged " +
+        f"totalSec=${(System.nanoTime() - t0) / 1e9}%.3f")
       Fit(w, iter, converged, lastLl, nSeen)
     } finally rows.unpersist(blocking = false)
   }

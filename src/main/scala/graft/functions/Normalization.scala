@@ -103,6 +103,37 @@ object Normalization {
       .drop("a0", "a1")
   }
 
+  /** DESeq2's EXACT closed-form VST given FITTED trend parameters — the
+    * fit/apply split of `vst(data, blind = F)`
+    * (surv_analysis_median_exp.R:56-57): `a0` is the trend's asymptotic
+    * dispersion and `a1` its extra-Poisson term (α(μ) = a0 + a1/μ, the
+    * gamma-GLM trend `DiffExpression.dispersionPrior` fits), and the
+    * transform is DESeq2's closed form
+    * `log2((1 + a1 + 2·a0·q + 2·√(a0·q·(1 + a1 + a0·q))) / (4·a0))`
+    * over q = count/size_factor. The FIT runs once at freeze time
+    * (FrozenModels.vstTrendA0/A1 — the design-aware d3 dispersion trend
+    * on sf0.001); given the two scalars the apply stage is deterministic
+    * double arithmetic, so the catalog query (`d6c_vst_exact`) carries a
+    * full DuckDB hash oracle. This closes the SURVEY §7.4/§7.5 "exact
+    * VST" deviation: `vstTrend` keeps the same closed form but re-fits
+    * an OLS trend in-query; `vst` is the log2(q+1) approximation.
+    *
+    * @return input plus `size_factor`, `q`, and `vst` columns */
+  def vstClosedForm(counts: DataFrame, geneCol: String, sampleCol: String,
+      countCol: String, a0: Double, a1: Double): DataFrame = {
+    require(a0 > 0 && a1 >= 0, s"vstClosedForm needs a0 > 0, a1 >= 0; got ($a0, $a1)")
+    // No persist — the ReuseExchange argument of vstTrend above
+    val c = counts
+    val sf = sizeFactors(c, geneCol, sampleCol, countCol)
+    c.join(broadcast(sf), sampleCol)
+      .withColumn("q", col(countCol) / col("size_factor"))
+      .withColumn("vst", log2(
+        (lit(1.0) + lit(a1) + lit(2.0) * lit(a0) * col("q") +
+          lit(2.0) * sqrt(lit(a0) * col("q") *
+            (lit(1.0) + lit(a1) + lit(a0) * col("q")))) /
+          (lit(4.0) * lit(a0))))
+  }
+
   /** VST-approximate normalized counts: `log2(count / size_factor + 1)`.
     * Documented deviation from DESeq2's exact VST (which needs the fitted
     * dispersion trend, SURVEY.md §7.5): the rlog-style transform keeps the

@@ -724,6 +724,80 @@ object Dedup {
         col("n_matches"))
   }
 
+  /** WITHIN-document longest repeated substring (token-level) — the
+    * Gopher-style repetition signal x5's fixed-n n-gram ratios cannot
+    * see (a single long verbatim self-repeat inflates no small-n ratio
+    * but dominates this score), computed suffix-automaton-free with the
+    * [[maximalMatchSpans]] diagonal-chain trick turned inward: two
+    * occurrences of the same n-gram at positions p_a > p_b of ONE
+    * document lie on diagonal d = p_a − p_b; consecutive p_a along one
+    * (doc, d) diagonal chain into a run, and a run [p0, p1] is an exact
+    * self-repeat of length p1 − p0 + n tokens (maximal for the same
+    * exact-token-string reason as the cross-doc variant). The longest
+    * repeat is the max over diagonals; docs with no repeated n-gram
+    * report 0.
+    *
+    * Scale shape: one explode + one hash agg for the within-doc gram
+    * positions; the pair space is per-(doc, gram) occurrence lists
+    * bounded by `maxOccPerGram` (hot grams dropped + counted to the
+    * audit log, the capBuckets convention — a 10⁶-token boilerplate doc
+    * cannot go quadratic); both windows partition by (doc, diag) /
+    * doc — state bounded by one document. All-integer arithmetic, so
+    * the catalog query (`x9_longest_repeat`) carries a full DuckDB
+    * hash oracle.
+    *
+    * @return one row per doc: `(doc_id, n_tok, longest_repeat,
+    *         repeat_frac)` — `longest_repeat` in tokens (0 if none),
+    *         `repeat_frac` = longest_repeat / n_tok rounded to 6 dp */
+  def longestSelfRepeat(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxOccPerGram: Int = 64): DataFrame = {
+    val toked = spread(docs).select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        col("toks"))
+    val occ = toked.select(col("doc_id"), col("n_tok"),
+        posexplode(TextFunctions.shingles(col("toks"), n))
+          .as(Seq("pos", "gram")))
+      .persist()
+    graft.Caches.releaseAfterAction(occ)
+    DropAudit.ensure(docs.sparkSession)
+    val name = s"graft_capped_self_repeat_${auditSeq.getAndIncrement()}"
+    // within-doc repeated grams only, occurrence-capped per (doc, gram)
+    val dup = occ
+      .withColumn("occs",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("gram"))))
+      .observe(name, sum(when(col("occs") > maxOccPerGram, 1L).otherwise(0L))
+        .as("dropped_rows"))
+      .filter(col("occs") >= 2 && col("occs") <= maxOccPerGram)
+    val pairs = dup.select(col("doc_id"), col("gram"), col("pos").cast("long").as("pa"))
+      .join(dup.select(col("doc_id"), col("gram"), col("pos").cast("long").as("pb")),
+        Seq("doc_id", "gram"))
+      .filter(col("pa") > col("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val wLag = Window.partitionBy("doc_id", "diag").orderBy("pa")
+    val best = pairs
+      // (doc, diag, pa) is unique by construction — pb = pa − diag and
+      // the gram is the one at pa — so the lag order is total without a
+      // distinct pass
+      .select("doc_id", "diag", "pa")
+      .withColumn("prev_pa", lag(col("pa"), 1).over(wLag))
+      .withColumn("new_run",
+        when(col("prev_pa").isNull || col("pa") > col("prev_pa") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("new_run")).over(
+        wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "diag", "run")
+      .agg((max(col("pa")) - min(col("pa")) + n).as("rep_len"))
+      .groupBy("doc_id")
+      .agg(max(col("rep_len")).as("longest_repeat"))
+    toked.select(col("doc_id"), col("n_tok"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("longest_repeat"), lit(0L)).as("longest_repeat"),
+        round(coalesce(col("longest_repeat"), lit(0L)) / col("n_tok"), 6)
+          .as("repeat_frac"))
+  }
+
   /** The APPLY step of span-level dedup: rebuild each document with every
     * maximal duplicated span ([[duplicatedSpanList]]) excised.
     * `keepFirst = false` is the aggressive C4-style variant dropping ALL

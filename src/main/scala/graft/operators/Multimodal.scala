@@ -277,6 +277,146 @@ object Multimodal {
     spark.createDataFrame(rdd, wavFeatureSchema)
   }
 
+  private val aHashSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("ahash", LongType)))
+
+  /** 60-bit byte-domain AVERAGE hash — the oracle-able perceptual-hash
+    * twin (the mm1 stub-decoder convention): the payload is cut into 60
+    * contiguous byte windows (window w spans [⌊w·n/60⌋, ⌊(w+1)·n/60⌋));
+    * bit w is set iff the window's mean byte exceeds the payload's global
+    * mean byte. Exactly the classic aHash shape with byte windows in
+    * place of pixel blocks, so every step is integer arithmetic DuckDB
+    * replays verbatim (mm3's oracle recovers the bytes from the hex dump
+    * like mm1). The mean comparison cross-multiplies integers
+    * (sumW·n > sumT·len — exact; bounded for payloads < ~1.4 GB, the
+    * JVM byte[] ceiling anyway). 60 bits, not 64, keeps the hash a
+    * positive long on both engines (the hash60 convention — bit 63
+    * would sign-flip BIGINT comparisons). Payloads shorter than 60
+    * bytes hash NULL (no window structure to compare) — filter or
+    * quarantine downstream. Partition-local batches, no shuffle. */
+  def byteAHash(media: DataFrame): DataFrame = {
+    val windows = 60
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          if (bytes == null || bytes.length < windows) Row(id, null)
+          else {
+            val n = bytes.length.toLong
+            var total = 0L
+            var i = 0
+            while (i < bytes.length) { total += bytes(i) & 0xff; i += 1 }
+            var bits = 0L
+            var w = 0
+            while (w < windows) {
+              val s = (w.toLong * n / windows).toInt
+              val e = ((w + 1).toLong * n / windows).toInt
+              var sw = 0L
+              var j = s
+              while (j < e) { sw += bytes(j) & 0xff; j += 1 }
+              // sw/(e−s) > total/n ⇔ sw·n > total·(e−s), exactly
+              if (sw * n > total * (e - s)) bits |= 1L << w
+              w += 1
+            }
+            Row(id, bits)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, aHashSchema)
+  }
+
+  private val phashSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("decode_ok", BooleanType),
+    StructField("phash", LongType)))
+
+  /** REAL perceptual hash — the classic DCT pHash (Zauner 2010) through
+    * the JDK codecs: decode (`javax.imageio`), bilinear-resize to 32×32,
+    * BT.601 luma, 2-D DCT-II, keep the top-left 8×8 low-frequency block,
+    * bit(u,v) = coefficient > median of the 63 AC coefficients (the DC
+    * bit stays 0 — overall brightness must not vote). Hamming distance
+    * ≲ 10 of the 64 bits ≈ perceptually near-identical; band the hash
+    * like [[graft.operators.Dedup.simhashNearPairs]] for the pair scan.
+    * Undecodable payloads keep `decode_ok = false` with a NULL hash —
+    * the quarantine pattern. Partition-local; pixels never leave the
+    * task. (The catalog exercises the byte-domain twin [[byteAHash]]
+    * instead — a DCT over decoded pixels has no relational oracle; this
+    * real path is spec-pinned on rendered PNGs in MultimodalSpec.) */
+  def phash64(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd
+      .mapPartitions { it =>
+        // DCT basis for N=32, built once per task: cos((2x+1)·u·π/64)
+        val N = 32
+        val cosT = Array.tabulate(N, N)((u, x) =>
+          math.cos((2 * x + 1) * u * math.Pi / (2.0 * N)))
+        it.map { r =>
+          val id = r.getLong(0)
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            catch { case _: Throwable => null }
+          if (img == null) Row(id, false, null)
+          else {
+            val small = new java.awt.image.BufferedImage(N, N,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = small.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, N, N, null)
+            g.dispose()
+            val luma = Array.ofDim[Double](N, N)
+            val rowBuf = new Array[Int](N)
+            var y = 0
+            while (y < N) {
+              small.getRGB(0, y, N, 1, rowBuf, 0, N)
+              var x = 0
+              while (x < N) {
+                val p = rowBuf(x)
+                luma(y)(x) = 0.299 * ((p >> 16) & 0xff) +
+                  0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            // separable 2-D DCT-II of the low-frequency 8×8 block only:
+            // 64 coefficients × O(N²) each — trivial beside the decode
+            val coef = new Array[Double](64)
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                var s = 0.0
+                var yy = 0
+                while (yy < N) {
+                  var xx = 0
+                  val cu = cosT(u)(yy)
+                  while (xx < N) { s += cu * cosT(v)(xx) * luma(yy)(xx); xx += 1 }
+                  yy += 1
+                }
+                coef(u * 8 + v) = s
+                v += 1
+              }
+              u += 1
+            }
+            val ac = coef.drop(1).sorted
+            val median = ac(31) // lower median of the 63 AC coefficients
+            var bits = 0L
+            var k = 1
+            while (k < 64) {
+              if (coef(k) > median) bits |= 1L << k
+              k += 1
+            }
+            Row(id, true, bits)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, phashSchema)
+  }
+
   /** Frame-sample: every `stride`-th fixed-size byte window of the payload
     * as its own row (video → frames). Pure built-ins (posexplode over a
     * computed slice index) — stays in codegen, no UDF. */

@@ -442,6 +442,56 @@ object PipelineQueries {
                round(max_rep / n_total, 6) AS top_frac
              FROM tot JOIN dis USING (doc_id)"""))
 
+  /** X9 — WITHIN-document longest repeated substring (token-level), the
+    * Gopher repetition signal x5's fixed-n ratios cannot see: a single
+    * long verbatim self-repeat barely moves any small-n duplicate
+    * fraction but dominates this score. Suffix-automaton-free: the ng5
+    * diagonal-chain trick turned inward (Dedup.longestSelfRepeat) —
+    * within-doc 2-gram position pairs grouped by diagonal, consecutive
+    * positions chained into maximal runs, longest run + n − 1 tokens =
+    * the longest exact self-repeat (overlapping repeats included, the
+    * classic LRS convention). Pair space occurrence-capped per
+    * (doc, gram) at 64 with the standard drop audit; all-integer
+    * arithmetic → full DuckDB hash oracle. */
+  private val x9 = Q(
+    "x9_longest_repeat",
+    (s, d) => Dedup.longestSelfRepeat(Tables.documents(s, d), "doc_id", "text",
+      n = 2, maxOccPerGram = 64),
+    Some(s"""WITH t AS ($toksSql),
+             b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t),
+             occ AS (SELECT doc_id, n_tok, toks, unnest(range(0, n_tok - 1)) AS pos
+                     FROM b WHERE n_tok >= 2),
+             g AS (SELECT doc_id, n_tok, pos,
+                     toks[CAST(pos + 1 AS INT)] || ' ' ||
+                       toks[CAST(pos + 2 AS INT)] AS gram
+                   FROM occ),
+             c AS (SELECT doc_id, gram, count(*) AS occs FROM g GROUP BY 1, 2),
+             dup AS (SELECT g.doc_id, g.pos, g.gram
+                     FROM g JOIN c ON g.doc_id = c.doc_id AND g.gram = c.gram
+                     WHERE occs BETWEEN 2 AND 64),
+             pairs AS (SELECT a.doc_id, a.pos AS pa, a.pos - b2.pos AS diag
+                       FROM dup a JOIN dup b2
+                         ON a.doc_id = b2.doc_id AND a.gram = b2.gram
+                           AND a.pos > b2.pos),
+             r AS (SELECT doc_id, diag, pa,
+                     lag(pa) OVER (PARTITION BY doc_id, diag ORDER BY pa) AS prev_pa
+                   FROM pairs),
+             runs AS (SELECT doc_id, diag, pa,
+                        sum(CASE WHEN prev_pa IS NULL OR pa > prev_pa + 1
+                                 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id, diag ORDER BY pa
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS run
+                      FROM r),
+             rl AS (SELECT doc_id, diag, run, max(pa) - min(pa) + 2 AS rep_len
+                    FROM runs GROUP BY 1, 2, 3),
+             best AS (SELECT doc_id, max(rep_len) AS longest_repeat
+                      FROM rl GROUP BY 1)
+             SELECT b.doc_id, b.n_tok,
+               CAST(coalesce(longest_repeat, 0) AS BIGINT) AS longest_repeat,
+               round(coalesce(longest_repeat, 0) / b.n_tok, 6) AS repeat_frac
+             FROM b LEFT JOIN best USING (doc_id)"""))
+
   /** CT1 — train→test contamination scan (Dedup.contamination): sources
     * src0–src9 are the training split, src10–src19 the held-out split;
     * report every test doc sharing a verbatim 3-gram with training data.
@@ -705,6 +755,6 @@ object PipelineQueries {
                (cum_tokens - 1) // $packBudget AS pack_id
              FROM c"""))
 
-  def all: Seq[Q] = Seq(x4, gc1, jd1, zf1, pm1, hl1, hl2, x5, x6, ct1, bf1, sm1,
+  def all: Seq[Q] = Seq(x4, gc1, jd1, zf1, pm1, hl1, hl2, x5, x9, x6, ct1, bf1, sm1,
     qt1, aj1, aj2, pk1, pk2)
 }

@@ -530,6 +530,67 @@ object ScaleOpsQueries {
                 + 0.114 * (doc_id * 13 % 256), 6) AS mean_luma
             FROM documents"""))
 
+  /** MM3 — perceptual-hash near-duplicate pairs: the image-level dedup
+    * family text dedup doesn't cover. The REAL operator is the DCT pHash
+    * (`Multimodal.phash64`, ImageIO decode → 32×32 luma → DCT → 64-bit
+    * sign-of-median hash, spec-pinned on rendered PNGs); the catalog
+    * exercises its byte-domain twin (`Multimodal.byteAHash`, the mm1
+    * stub-decoder convention) so the whole banding + cap + verify pair
+    * scan runs under a full DuckDB hash oracle — the oracle recovers the
+    * payload bytes from the hex dump exactly like mm1's.
+    *
+    * Banding is [[Dedup.simhashNearPairs]] reused verbatim: radius 12 of
+    * 60 bits needs ≥ 13 bands by pigeonhole, hence 15 × 4-bit bands —
+    * the multi-index-Hamming trade (narrow bands buy a large radius at
+    * the cost of denser buckets), held safe at scale by the standard
+    * bucket cap + drop audit. A production corpus wanting radius ≤ 5
+    * would band 6 × 10 bits like dd3 and get sparse buckets back. */
+  private val mm3 = Q(
+    "mm3_phash_neardup",
+    (s, d) => {
+      import graft.operators.{Dedup, Multimodal}
+      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      val hashes = Multimodal.byteAHash(media)
+        .filter(col("ahash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
+      Dedup.simhashNearPairs(hashes, bits = 60, bandBits = 4,
+          maxHamming = 12, maxBucket = 1000)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+    },
+    Some("""WITH h AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     octet_length(encode(text)) AS nb
+              FROM documents),
+            b AS (SELECT doc_id, nb,
+                    list_transform(regexp_extract_all(hx, '..'),
+                      c -> (strpos('0123456789ABCDEF', c[1])-1)*16
+                         + (strpos('0123456789ABCDEF', c[2])-1)) AS bl
+                  FROM h WHERE nb >= 60),
+            t AS (SELECT doc_id, nb, bl,
+                    CAST(list_aggregate(bl, 'sum') AS BIGINT) AS total FROM b),
+            bits AS (SELECT doc_id, i AS w,
+                       CASE WHEN CAST(list_aggregate(
+                                bl[(i*nb)//60 + 1 : ((i+1)*nb)//60], 'sum') AS BIGINT) * nb
+                               > total * (((i+1)*nb)//60 - (i*nb)//60)
+                            THEN 1 ELSE 0 END AS bit
+                     FROM t, range(0, 60) r(i)),
+            ah AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN bit = 1
+                       THEN CAST(1 AS BIGINT) << CAST(w AS INT) ELSE 0 END) AS BIGINT) AS ahash
+                   FROM bits GROUP BY doc_id),
+            bands AS (SELECT doc_id, ahash, b AS band,
+                        (ahash >> CAST(b*4 AS INT)) & 15 AS bkey
+                      FROM ah, range(0, 15) t2(b)),
+            cb AS (SELECT doc_id, ahash, band, bkey FROM
+                    (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands)
+                   WHERE bsz <= 1000)
+            SELECT doc_a, doc_b, hamming FROM (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
+              FROM cb x JOIN cb y
+                ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+            WHERE hamming <= 12"""))
+
   /** DD5 — embedding-cosine near-duplicate pairs, blocked by `label`
     * (stand-in for an IVF/coarse-quantizer cell at scale): exact cosine
     * inside the block, threshold 0.35. The block self-join is capped
@@ -641,5 +702,5 @@ object ScaleOpsQueries {
                round(avg(x), 6) AS mean_val
              FROM x GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, dd5, dd6, ss1, ss2, ss3, cl1, p1, mm1, mm2)
+  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, dd5, dd6, ss1, ss2, ss3, cl1, p1, mm1, mm2, mm3)
 }

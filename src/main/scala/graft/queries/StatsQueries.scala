@@ -130,6 +130,36 @@ object StatsQueries {
                  2.0 * sqrt(a0 * q * (1.0 + a1 + a0 * q))) / (4.0 * a0)), 6) AS vst
              FROM qt CROSS JOIN ab"""))
 
+  /** D6c — the EXACT DESeq2 closed-form VST behind a FROZEN fitted trend
+    * (the d3b/d4b fit/apply pattern closing the SURVEY §7.4 "exact VST"
+    * deviation): the design-aware gamma-GLM dispersion trend
+    * α(μ) = a0 + a1/μ fitted ONCE on sf0.001 (`DiffExpression
+    * .dispersionPrior`, frozen as `FrozenModels.vstTrendA0/A1`) ships as
+    * two plan literals; size factors are recomputed in-query via the d2
+    * median-of-ratios chain. Given (a0, a1) the transform is DESeq2's
+    * closed form — deterministic scalar double arithmetic with identical
+    * textual op order on both engines, so the query is fully
+    * hash-oracled. (d6b keeps the in-query OLS-trend variant; d6 the
+    * log2(q+1) approximation.) Scale shape identical to d6: one gene-dim
+    * agg + one sample-dim agg broadcast back, then a scalar map. */
+  private val d6c = Q(
+    "d6c_vst_exact",
+    (s, d) =>
+      Normalization.vstClosedForm(cells(s, d), "gene", "smp", "cnt",
+          FrozenModels.vstTrendA0, FrozenModels.vstTrendA1)
+        .select(col("gene"), col("smp"), round(col("vst"), 6).as("vst")),
+    Some {
+      val a0 = FrozenModels.vstTrendA0.toString
+      val a1 = FrozenModels.vstTrendA1.toString
+      s"""WITH $sfSql,
+             qt AS (SELECT gene, smp, cnt / size_factor AS q
+                    FROM cell JOIN sf USING (smp))
+          SELECT gene, smp,
+            round(log2((1.0 + $a1 + 2.0 * $a0 * q +
+              2.0 * sqrt($a0 * q * (1.0 + $a1 + $a0 * q))) / (4.0 * $a0)), 6) AS vst
+          FROM qt"""
+    })
+
   /** D5 — Benjamini–Hochberg FDR over a deterministic pseudo p-value
     * (padj consumed at vital_status_DESeq.R:93). */
   private val d5 = Q(
@@ -801,6 +831,6 @@ object StatsQueries {
           FROM b CROSS JOIN s"""))
 
   def all: Seq[Q] =
-    Seq(d1, d2, d5, d6, d6b, d7, d8, d9, e1, x8, ks1, sp1, wt1, wt2, ols1, ab1,
+    Seq(d1, d2, d5, d6, d6b, d6c, d7, d8, d9, e1, x8, ks1, sp1, wt1, wt2, ols1, ab1,
       pv1)
 }

@@ -200,6 +200,24 @@ class DedupSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("longestSelfRepeat: overlapping periodic repeat measured exactly; clean doc 0") {
+    val corpus = Seq(
+      // "a b c a b c a b": grams repeat at distance 3 -> diagonal-3 chain
+      // pa = 3,4,5,6 -> run length 4 -> repeat of 4 - 1 + 2 = 5 tokens
+      // ("a b c a b" at positions 0 and 3, overlapping — classic LRS)
+      (1L, "a b c a b c a b"),
+      (2L, "all these tokens appear exactly once here"),
+      // disjoint repeat: "x y z" at 0 and 4 -> diagonal-4 run pa=4,5 -> 3
+      (3L, "x y z q x y z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.longestSelfRepeat(corpus, "doc_id", "text", 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("longest_repeat")))).toMap
+    assert(got(1L) == ((8L, 5L)), s"periodic: ${got(1L)}")
+    assert(got(2L) == ((7L, 0L)), s"clean: ${got(2L)}")
+    assert(got(3L) == ((7L, 3L)), s"disjoint: ${got(3L)}")
+  }
+
   test("jaccardPairs: exact dup scores 1.0, blocking excludes cross-block pairs") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 2, 0.0)
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),

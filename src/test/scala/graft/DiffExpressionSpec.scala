@@ -120,14 +120,47 @@ class DiffExpressionSpec extends SparkSpec {
 
   test("planted Cook's outlier flags its gene; clean twin unflagged") {
     // gene 11: one A-sample count blown up 30x — a single-observation
-    // artifact, exactly what Cook's distance exists to catch
+    // artifact, exactly what Cook's distance exists to catch. Replacement
+    // disabled: this pins the FLAG half of DESeq2's rule (the refit half
+    // has its own test below).
     val clean = cellsFor(10L, 20, 22, 15)
     val spiked = cellsFor(11L, 20, 22, 15)
       .map(c => if (c.cond == "A" && c.smp == 0L) c.copy(cnt = 600.0) else c)
-    val res = DiffExpression.waldTest((clean ++ spiked).toDS(), Seq("A", "B"))
+    val res = DiffExpression.waldTest((clean ++ spiked).toDS(), Seq("A", "B"),
+        minReplicatesForReplace = Int.MaxValue)
       .collect().map(r => r.gene -> r).toMap
     assert(!res(10L).cooks_outlier, "clean gene must not be flagged")
     assert(res(11L).cooks_outlier, "spiked gene must be flagged")
+  }
+
+  test("Cook's outlier in a ≥7-replicate group is replaced and refit " +
+      "(DESeq2 minReplicatesForReplace); small groups still flag-only") {
+    // DESeq2's two-sided rule: with ≥ 7 replicates in the flagged group
+    // the spiked count is REPLACED (trimmed-mean imputation) and the gene
+    // refit — estimate repaired, flag cleared — instead of NA-banding.
+    val clean = cellsFor(20L, 20, 22, 15)
+    val spiked = cellsFor(21L, 20, 22, 15)
+      .map(c => if (c.cond == "A" && c.smp == 0L) c.copy(cnt = 600.0) else c)
+    val res = DiffExpression.waldTest((clean ++ spiked).toDS(), Seq("A", "B"))
+      .collect().map(r => r.gene -> r).toMap
+    assert(!res(21L).cooks_outlier,
+      "replaced+refit gene must not carry the outlier flag")
+    // the refit undoes the spike: estimate moves back toward the clean
+    // twin's, and the imputed count pulls base_mean off the inflated value
+    val noReplace = DiffExpression.waldTest(spiked.toDS(), Seq("A", "B"),
+      minReplicatesForReplace = Int.MaxValue).collect().head
+    assert(math.abs(res(21L).log2fc - res(20L).log2fc) <
+      math.abs(noReplace.log2fc - res(20L).log2fc),
+      s"refit ${res(21L).log2fc} should sit nearer clean ${res(20L).log2fc} " +
+        s"than unrepaired ${noReplace.log2fc}")
+    assert(res(21L).base_mean < noReplace.base_mean)
+    // a 5-replicate group is below minReplicatesForReplace: flag, no refit
+    val small = cellsFor(22L, 20, 22, 5)
+      .map(c => if (c.cond == "A" && c.smp == 0L) c.copy(cnt = 600.0) else c)
+    val smallRes = DiffExpression.waldTest(small.toDS(), Seq("A", "B"))
+      .collect().head
+    assert(smallRes.cooks_outlier,
+      "below minReplicatesForReplace the gene must stay flagged, not refit")
   }
 
   test("results(): outlier NAs pvalue+padj, low-mean genes padj-only NA") {

@@ -115,4 +115,77 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(got(0).getDouble(6) - 1.0) < 1e-3)
     assert(!got(1).getBoolean(1)) // not a RIFF stream -> quarantined
   }
+
+  /** Deterministic 64×64 tiled PNG (8×8 grid of solid tiles, brightness
+    * (3·tx + 5·ty) mod 16 × 17) — a frequency-RICH fixture whose 8×8
+    * low-frequency DCT coefficients are well separated (a plain gradient
+    * concentrates all energy on one axis, leaving most coefficients ≈ 0
+    * and the sign bits noise-dominated — the degenerate pHash input).
+    * `flip` inverts brightness; `noise` XOR-perturbs a sparse pixel
+    * subset (a mild re-encode-style change a perceptual hash must shrug
+    * off). */
+  private def tilePng(flip: Boolean, noise: Boolean): Array[Byte] = {
+    val n = 64
+    val img = new java.awt.image.BufferedImage(n, n,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until n).foreach { y =>
+      (0 until n).foreach { x =>
+        val v0 = ((3 * (x / 8) + 5 * (y / 8)) % 16) * 17
+        val v = if (flip) 255 - v0 else v0
+        val vv = if (noise && (x * 31 + y * 17) % 97 == 0) v ^ 0x18 else v
+        img.setRGB(x, y, (vv << 16) | (vv << 8) | vv)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("phash64: identical images hash equal, noise is near, inversion is far") {
+    val df = Seq(
+      (1L, tilePng(flip = false, noise = false)),
+      (2L, tilePng(flip = false, noise = false)), // identical twin
+      (3L, tilePng(flip = false, noise = true)),  // perceptually same
+      (4L, tilePng(flip = true, noise = false)),  // inverted: different
+      (5L, Array[Byte](1, 2, 3)))                 // undecodable
+      .toDF("media_id", "payload")
+    val h = Multimodal.phash64(df).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L)._2.get == h(2L)._2.get, "identical images must hash equal")
+    assert(ham(h(1L)._2.get, h(3L)._2.get) <= 10,
+      s"sparse noise must stay near: ${ham(h(1L)._2.get, h(3L)._2.get)}")
+    assert(ham(h(1L)._2.get, h(4L)._2.get) >= 16,
+      s"inverted gradient must land far: ${ham(h(1L)._2.get, h(4L)._2.get)}")
+    assert(!h(5L)._1 && h(5L)._2.isEmpty, "undecodable payload quarantined")
+    // determinism across partitionings
+    val h2 = Multimodal.phash64(df.repartition(4)).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(h.forall { case (k, (_, v)) => h2(k) == v })
+  }
+
+  test("byteAHash: 60-bit positive hash; equal payloads equal, short payloads NULL") {
+    val base = "the quick brown fox jumps over the lazy dog " * 4 // 180 bytes
+    val df = Seq(
+      (1L, base), (2L, base),
+      (3L, base.dropRight(9) + "WOLF PACK"), // tail perturbation: near
+      (4L, "short"))                          // < 60 bytes -> NULL
+      .toDF("id", "text")
+    val h = Multimodal.byteAHash(Multimodal.asMedia(df, "id", "text"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(h(1L) == h(2L) && h(1L).nonEmpty)
+    assert(h(1L).get >= 0L, "bit 60-63 never set: hash stays a positive long")
+    assert(h(4L).isEmpty, "payloads under 60 bytes hash NULL")
+    val hm = java.lang.Long.bitCount(h(1L).get ^ h(3L).get)
+    assert(hm <= 12, s"tail edit should move few windows: hamming $hm")
+    // hand-check one window against the definition: bit 0 is window
+    // [0, n/60) vs global mean, integer cross-multiplied
+    val bytes = base.getBytes("UTF-8")
+    val n = bytes.length.toLong
+    val total = bytes.map(_ & 0xff).map(_.toLong).sum
+    val e = (n / 60).toInt
+    val sw = bytes.take(e).map(_ & 0xff).map(_.toLong).sum
+    val expectBit0 = sw * n > total * e
+    assert(((h(1L).get & 1L) == 1L) == expectBit0)
+  }
 }

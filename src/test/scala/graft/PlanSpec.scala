@@ -789,6 +789,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("mm3 pHash pair join is band-bucket capped, equi-joined, never cartesian") {
+    // simhashNearPairs' shape reused on the byte-aHash: the bucket cap
+    // window (band, bkey) sits ABOVE the self-join, the join itself is a
+    // keyed equi-join on the band bucket — a degenerate bucket (constant
+    // payloads) drops out instead of emitting m² pairs in one task.
+    val p = plan("mm3_phash_neardup")
+    assert(p.contains("windowspecdefinition(band"), p)
+    assert(p.contains("bsz"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("tc1 triangle joins are all equi-joins — no cartesian, no nested loop") {
     // degree orientation only pays off if every pair stage is a keyed
     // join: apex for wedges, (v, w) for closure. A nested-loop anywhere
