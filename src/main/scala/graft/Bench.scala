@@ -92,11 +92,15 @@ object Bench {
     // parquet pages to the first heavy codegen+persist EXECUTION (r10
     // charged d3/d4 +47 s first-run vs their same-process reruns), so warm
     // the PREVIOUS round's top-3 heaviest queries — whichever they are —
-    // untimed before the window opens. Falls back to bf1 when no archive
-    // exists (fresh checkout). Logged by name; harmless on subset runs.
-    val prevTimes = prevRoundTimes()
+    // untimed before the window opens. Ranked by archived FIRST-RUN time
+    // (the cold cost this pass absorbs), NOT the warm band: a query with
+    // a 35 s first-run / 10 s rerun is the one most in need of warming
+    // even when its warm band sits below other queries'. Falls back to
+    // bf1 when no archive exists (fresh checkout). Logged by name;
+    // harmless on subset runs.
+    val (prevFirst, prevWarm) = prevRoundTimes()
     val warmNames: Seq[String] = {
-      val fromArchive = prevTimes.toSeq.sortBy(-_._2).take(3).map(_._1)
+      val fromArchive = prevFirst.toSeq.sortBy(-_._2).take(3).map(_._1)
         .filter(n => qs.exists(_._1 == n))
       if (fromArchive.nonEmpty) fromArchive
       else qs.map(_._1).filter(_.startsWith("bf1")).take(1)
@@ -124,11 +128,17 @@ object Bench {
       Thread.sleep(250)
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      // -1 sentinel on failure, matching the rerun map (ADVICE r10): a
+      // time-to-fail archived as a real value poisons every cross-round
+      // consumer — prevRoundTimes would treat it as a warm band and the
+      // inflation net would spend a spurious rerun on the fixed query
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma-decimal locale (de_DE et al.) would render 0,123 — invalid JSON
@@ -136,7 +146,9 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failures excluded: a -1 would DEDUCT from the total a consumer
+    // compares across rounds (count still reflects every attempt)
+    val total = results.map(_._2).filter(_ >= 0).sum
     // summary fields LAST: the driver retains only a bounded TAIL of this
     // line, so total/count/top20 must sit at the end to survive truncation
     // (r5 lost the totals, which led the line). Key order is irrelevant to
@@ -163,7 +175,7 @@ object Bench {
         val top3 = sorted.take(3).map(_._1)
         val inflated = results
           .filter { case (n, v) =>
-            prevTimes.get(n).exists(p => p >= 0.3 && v >= 2.0 * p)
+            prevWarm.get(n).exists(p => p >= 0.3 && v >= 2.0 * p)
           }
           .map(_._1)
         (top3 ++ inflated).distinct
@@ -276,23 +288,25 @@ object Bench {
 
   /** Per-query seconds from the newest git-TRACKED `BENCH_FULL_r*.json` —
     * the committed previous-round archive the warm pass and the rerun net
-    * compare against. Where the archive carries a rerun entry the WARM
-    * value wins (min of first-run and rerun ≥ 0): r10's d3 archived 35.4 s
-    * first-run but 10.7 s warm, and the band that matters across rounds is
-    * the warm one. Tracked-ness matters for the same reason as the round
-    * inference below: the driver drops the CURRENT round's file untracked
-    * mid-round. Empty map (no git, no archive, parse failure) degrades to
-    * the pre-r11 behavior — bf1 warm + top-3 rerun — never an error. */
-  private def prevRoundTimes(): Map[String, Double] = try {
+    * compare against. Returns (first-run map, warm-band map): the warm
+    * band is min(first-run, archived rerun ≥ 0) — r10's d3 archived
+    * 35.4 s first-run but 10.7 s warm — and serves the INFLATION net,
+    * while the sacrificial warm pass ranks by the raw first-run (the
+    * cold cost it absorbs). -1 failure sentinels are dropped from both.
+    * Tracked-ness matters for the same reason as the round inference
+    * below: the driver drops the CURRENT round's file untracked
+    * mid-round. Empty maps (no git, no archive, parse failure) degrade
+    * to the pre-r11 behavior — bf1 warm + top-3 rerun — never an error. */
+  private def prevRoundTimes(): (Map[String, Double], Map[String, Double]) = try {
     val pr = new ProcessBuilder("git", "ls-files", "BENCH_FULL_r*.json").start()
     val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
-    if (pr.waitFor() != 0) return Map.empty
+    if (pr.waitFor() != 0) return (Map.empty, Map.empty)
     val rx = "BENCH_FULL_r(\\d+)\\.json".r
     val newest = out.split("\n").map(_.trim).filter(_.nonEmpty)
       .flatMap(n => rx.findFirstMatchIn(n).map(m => (m.group(1).toInt, n)))
       .sortBy(-_._1).headOption.map(_._2)
     newest match {
-      case None => Map.empty
+      case None => (Map.empty, Map.empty)
       case Some(f) =>
         val line = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
         // the line is flat JSON with two per-query maps ("queries", then
@@ -308,9 +322,10 @@ object Bench {
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           }
         }
-        val first = objOf("queries")
+        val first = objOf("queries").filter(_._2 >= 0)
         val warm = objOf("rerun").filter(_._2 >= 0)
-        first.map { case (k, v) => k -> math.min(v, warm.getOrElse(k, v)) }
+        (first,
+          first.map { case (k, v) => k -> math.min(v, warm.getOrElse(k, v)) })
     }
-  } catch { case _: Throwable => Map.empty }
+  } catch { case _: Throwable => (Map.empty, Map.empty) }
 }

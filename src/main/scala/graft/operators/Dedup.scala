@@ -54,19 +54,28 @@ object Dedup {
     * round-robin shuffle only fires when the input is narrower than the
     * cluster (the small-file case it exists for). */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    // width probe from the LEAF SCAN's file listing, not
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    // width probe from the optimized plan's SIZE statistics, not
     // df.rdd.getNumPartitions: materializing the RDD lineage forced a
     // second physical planning of the input subtree at plan-construction
     // time for every shingle caller (r10 verdict #3 — a hidden plan-time
-    // tax on every composed corpus pipeline). File count under-reads true
-    // scan parallelism only when single files split into many partitions
-    // (a big-file layout that is already wide enough not to need the
-    // spread at cluster scale, where files outnumber cores); sources with
-    // no file listing (in-memory test frames) conservatively spread —
-    // a tiny shuffle exactly in the small-input case this exists for.
-    val nFiles = try df.inputFiles.length catch { case _: Throwable => 0 }
-    if (nFiles >= par) df else df.repartition(par)
+    // tax on every composed corpus pipeline; stats run only the
+    // analyzer/optimizer, which the plan pays anyway). Spark's file scan
+    // packs splits into ~maxPartitionBytes bins, so estimated scan
+    // partitions ≈ ceil(bytes / maxPartitionBytes) in BOTH directions a
+    // file count gets wrong: one huge file splits wide (skip the spread),
+    // many tiny files coalesce narrow (spread even though files ≥ cores).
+    // Unknown/huge stats (Long.Max sentinels) skip the spread; tiny
+    // in-memory test frames estimate ~1 partition and spread — the
+    // small-input case this exists for.
+    val est = try {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+      if (bytes <= 0 || !bytes.isValidLong) Long.MaxValue
+      else (bytes.toLong + maxPart - 1) / maxPart
+    } catch { case _: Throwable => Long.MaxValue }
+    if (est >= par) df else df.repartition(par)
   }
 
   /** Exploded `(extra..., sh)` shingle rows with the tokenization
@@ -751,15 +760,20 @@ object Dedup {
     *         `repeat_frac` = longest_repeat / n_tok rounded to 6 dp */
   def longestSelfRepeat(docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxOccPerGram: Int = 64): DataFrame = {
+    // toked is persisted too (narrow: id + count + token array): the doc
+    // totals join at the bottom would otherwise re-scan and re-tokenize
+    // the whole corpus — the cached copy is read twice (occ build +
+    // totals) for one materialization
     val toked = spread(docs).select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
         col("toks"))
+      .persist()
     val occ = toked.select(col("doc_id"), col("n_tok"),
         posexplode(TextFunctions.shingles(col("toks"), n))
           .as(Seq("pos", "gram")))
       .persist()
-    graft.Caches.releaseAfterAction(occ)
+    graft.Caches.releaseAfterAction(toked, occ)
     DropAudit.ensure(docs.sparkSession)
     val name = s"graft_capped_self_repeat_${auditSeq.getAndIncrement()}"
     // within-doc repeated grams only, occurrence-capped per (doc, gram)

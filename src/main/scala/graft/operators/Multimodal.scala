@@ -383,7 +383,13 @@ object Multimodal {
               y += 1
             }
             // separable 2-D DCT-II of the low-frequency 8×8 block only:
-            // 64 coefficients × O(N²) each — trivial beside the decode
+            // 64 coefficients × O(N²) each — trivial beside the decode.
+            // Orthonormal form (the 1/√2 factors on u=0 / v=0): without
+            // them row/column-0 coefficients run √2 hot relative to the
+            // rest and the cross-coefficient median threshold diverges
+            // from canonical pHash implementations — the hashes here are
+            // comparable against externally computed pHashes
+            val inv2 = 1.0 / math.sqrt(2.0)
             val coef = new Array[Double](64)
             var u = 0
             while (u < 8) {
@@ -397,7 +403,8 @@ object Multimodal {
                   while (xx < N) { s += cu * cosT(v)(xx) * luma(yy)(xx); xx += 1 }
                   yy += 1
                 }
-                coef(u * 8 + v) = s
+                coef(u * 8 + v) = s * (2.0 / N) *
+                  (if (u == 0) inv2 else 1.0) * (if (v == 0) inv2 else 1.0)
                 v += 1
               }
               u += 1

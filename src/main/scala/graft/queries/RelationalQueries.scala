@@ -45,7 +45,13 @@ object RelationalQueries {
     * the write-if-missing build rebuilds it on next use. Layouts for
     * OTHER sf dirs (different MD5, recent) are kept, so the steady-state
     * invariant stays one layout per (scratch root, sf dir). Idempotent
-    * and cheap — a listFiles over a root holding a handful of layouts. */
+    * and cheap — a listFiles over a root holding a handful of layouts.
+    *
+    * Age is measured by dir mtime, which parquet/ORC READS never bump —
+    * so every layout USE must call [[touchLayout]] (all four layout
+    * queries do, on both the build and reuse paths): without the touch,
+    * a live other-sf-dir layout that is only ever read would hit the 14-
+    * day clause and be reaped mid-lifetime by the next cross-sf build. */
   private[graft] def gcStaleLayouts(root: String, key: String): Unit = {
     val keyRe = "^[0-9a-f]{32}_\\d+_\\d+$".r
     val md5 = key.take(32)
@@ -65,6 +71,14 @@ object RelationalQueries {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
+  }
+
+  /** Mark a scratch layout as in-use: bump its key-dir mtime so
+    * gcStaleLayouts' 14-day disuse clause never reaps a layout that is
+    * actively read (reads alone never update a directory's mtime).
+    * Called on every use — build and cached — by all layout queries. */
+  private def touchLayout(path: String): Unit = {
+    new java.io.File(path).setLastModified(System.currentTimeMillis()): Unit
   }
 
   /** A2 — parquet scan of a cached/staged table (vital_status_DESeq.R:25-26). */
@@ -109,6 +123,7 @@ object RelationalQueries {
           Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
           path, Seq("o_totalprice", "o_custkey"), files = 16)
       }
+      touchLayout(path)
       s.read.parquet(path)
         .filter(col("o_totalprice").between(100000.0, 150000.0) &&
           col("o_custkey").between(100L, 2000L))
@@ -139,6 +154,7 @@ object RelationalQueries {
           .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
           .write.mode("overwrite").orc(path)
       }
+      touchLayout(path)
       s.read.orc(path)
         .filter(col("l_shipdate").between("1996-01-01", "1996-12-31"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
@@ -175,6 +191,7 @@ object RelationalQueries {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/calendar")
     }
+    touchLayout(path)
     path
   }
 
@@ -314,6 +331,7 @@ object RelationalQueries {
         "o_orderkey BIGINT, l_quantity DOUBLE",
         "o_orderkey", buckets, s"$root/lineitem")
     }
+    touchLayout(root)
     (to, tl)
   }
 
