@@ -327,6 +327,63 @@ object StreamParityQueries {
                               WHERE c_mktsegment = 'BUILDING')
             GROUP BY 1"""))
 
+  /** S11 — stream-side duplicated-span coverage against a static train
+    * dictionary (`EventStreams.spanCoverageStatic`): ng1's per-doc
+    * contamination-span measurement as a STATELESS per-row projection —
+    * exact broadcast-set gram probes inside array lambdas + an
+    * interval-merge fold — so the same call runs append-mode on a doc
+    * stream (EventStreamsSpec pins micro-batch parity) and in batch
+    * here, where the oracle replays it with the ct1 dictionary CTE and
+    * ng1's window-based interval merge. The equality of the per-row fold
+    * and the windowed gaps-and-islands is itself the interesting claim
+    * this oracle pins. */
+  private val s11 = Q(
+    "s11_stream_span_coverage",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isTrain = substring(col("source"), 4, 10).cast("int") < 10
+      graft.streaming.EventStreams.spanCoverageStatic(
+        docs.filter(!isTrain), docs.filter(isTrain), "doc_id", "text", 3, 1000)
+    },
+    Some(s"""WITH bt AS (SELECT doc_id,
+                      CAST(substring(source, 4) AS INT) < 10 AS is_train,
+                      string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                      CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                        AS BIGINT) AS n_tok
+                    FROM documents),
+             tr AS (SELECT sh FROM (
+                      SELECT sh, count(DISTINCT doc_id) AS c FROM (
+                        SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                        FROM bt WHERE is_train) GROUP BY sh)
+                    WHERE c <= 1000),
+             occ AS (SELECT doc_id, n_tok, toks, unnest(range(0, n_tok - 2)) AS pos
+                     FROM bt WHERE NOT is_train AND n_tok >= 3),
+             g AS (SELECT doc_id, n_tok, pos,
+                     array_to_string(list_slice(toks,
+                       CAST(pos + 1 AS INT), CAST(pos + 3 AS INT)), ' ') AS gram
+                   FROM occ),
+             dup AS (SELECT doc_id, n_tok, pos FROM g
+                     WHERE gram IN (SELECT sh FROM tr)),
+             sp AS (SELECT doc_id, pos, least(pos + 2, n_tok - 1) AS e,
+                      max(least(pos + 2, n_tok - 1)) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+                    FROM dup),
+             cv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+                      CAST(sum(greatest(0, e - greatest(pos,
+                        coalesce(prev_end + 1, pos)) + 1)) AS BIGINT)
+                        AS n_cov_tokens
+                    FROM sp GROUP BY doc_id)
+             SELECT bt.doc_id, bt.n_tok,
+               CAST(greatest(0, bt.n_tok - 2) AS BIGINT) AS n_grams,
+               coalesce(cv.n_dup_grams, 0) AS n_dup_grams,
+               coalesce(cv.n_cov_tokens, 0) AS n_cov_tokens,
+               round(coalesce(cv.n_cov_tokens, 0) / bt.n_tok, 6) AS dup_frac
+             FROM bt LEFT JOIN cv USING (doc_id)
+             WHERE NOT bt.is_train"""))
+
   /** A5 — delimited parameter-list scan steering a plan
     * (read.delim("genes.txt")[,1] + toupper, BRCA_path_stage_DESeq.R:7-9):
     * the Spark side reads a real tab-delimited file through CsvIO; the
@@ -346,5 +403,5 @@ object StreamParityQueries {
     Some("""SELECT p_partkey, p_type FROM part
             WHERE p_type IN ('ECONOMY','STANDARD')"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, a5)
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, a5)
 }

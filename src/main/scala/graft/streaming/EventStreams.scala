@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -322,6 +322,80 @@ object EventStreams extends Serializable {
       .filter(graft.expressions.BloomMightContain.probe(
         bc, col(key).cast("string")))
       .join(keys, Seq(key), "leftsemi")
+  }
+
+  /** Stream-side duplicated-span COVERAGE against a static gram
+    * dictionary — ng1's per-doc contamination-span measurement
+    * (Lee et al. 2022 / ct1 dictionary semantics) re-planned so a
+    * document stream can score ITSELF statelessly: the batch form needs
+    * an explode → dictionary join → per-doc window re-aggregation, which
+    * on a stream means stateful update-mode aggregation; here the whole
+    * computation is per-ROW narrow expressions, so the SAME call runs as
+    * an append-mode streaming projection or a batch query (the catalog's
+    * `s11_stream_span_coverage` replays it in batch under a DuckDB
+    * oracle; EventStreamsSpec pins micro-batch parity).
+    *
+    *  - dictionary: distinct train grams with the ct1 hot-gram cap
+    *    (grams in more than `maxShingleTrainDocs` train docs are dropped
+    *    + logged), built ONCE batch-side and broadcast as an EXACT set —
+    *    the [[graft.expressions.SetContainsBc]] scope note applies: this
+    *    is the dictionary-fits-memory regime (benchmark/eval suites);
+    *    an unbounded dictionary takes the batch join path
+    *    (`Dedup.contamination` / `duplicatedSpans`).
+    *  - per doc: tokenize → n-gram array → per-ELEMENT exact membership
+    *    probes (a join can test a row, not an array element — this is
+    *    what the set expression exists for) → interval-merge fold over
+    *    the (position-ordered) hits: covered-anew = span end minus
+    *    max(previous ends)+1 clamped, the same gaps-and-islands formula
+    *    as `Dedup.duplicatedSpans`, folded per row instead of windowed.
+    *
+    * @return one row per doc:
+    *         `(doc_id, n_tok, n_grams, n_dup_grams, n_cov_tokens, dup_frac)` */
+  def spanCoverageStatic(docs: DataFrame, trainDocs: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      maxShingleTrainDocs: Int = 1000): DataFrame = {
+    import graft.operators.{Dedup, TextFunctions}
+    val spark = trainDocs.sparkSession
+    // dictionary-sized collect (vocabulary-bounded, further capped): the
+    // exact-set broadcast is the point — see the scope note above
+    val gramRows = Dedup.shingleRows(trainDocs, idCol, textCol, n)
+      .groupBy("sh").agg(count(lit(1)).as("nd"))
+      .collect()
+    val kept = gramRows.filter(_.getAs[Long]("nd") <= maxShingleTrainDocs)
+    if (kept.length < gramRows.length)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"spanCoverageStatic: dropped ${gramRows.length - kept.length} " +
+          s"hot gram(s) over the $maxShingleTrainDocs-train-doc cap")
+    val set = new java.util.HashSet[String](kept.length * 2)
+    kept.foreach(r => set.add(r.getAs[String]("sh")))
+    val bc = spark.sparkContext.broadcast(set)
+    def member(g: Column) = graft.expressions.SetContains.probe(bc, g)
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        TextFunctions.shingles(col("toks"), n).as("grams"))
+      .withColumn("hits", filter(
+        transform(col("grams"),
+          (g, i) => struct(i.cast("long").as("i"), member(g).as("hit"))),
+        s => s.getField("hit")))
+      // interval merge as a left fold over position-ordered hits: state =
+      // (max end seen, covered tokens); transform/filter preserve order
+      .withColumn("st", aggregate(col("hits"),
+        struct(lit(-1L).as("prev_end"), lit(0L).as("cov")),
+        (st, x) => {
+          val e = least(x.getField("i") + (n - 1), col("n_tok") - 1)
+          struct(
+            greatest(st.getField("prev_end"), e).as("prev_end"),
+            (st.getField("cov") + greatest(lit(0L),
+              e - greatest(x.getField("i"), st.getField("prev_end") + 1) + 1))
+              .as("cov"))
+        }))
+      .select(col("doc_id"), col("n_tok"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(col("hits")).cast("long").as("n_dup_grams"),
+        col("st").getField("cov").as("n_cov_tokens"),
+        round(col("st").getField("cov") / col("n_tok"), 6).as("dup_frac"))
   }
 
   /** Watermarked stream-stream interval join — the attribution shape

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, expr, lit, timestamp_micros, window}
+import org.apache.spark.sql.functions.{col, count, expr, lit, substring, timestamp_micros, window}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{Event, EventStreams}
 
@@ -136,6 +136,35 @@ class EventStreamsSpec extends SparkSpec {
       assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
       // and the prune is real: strictly fewer rows than the unfiltered feed
       assert(expect.count() < Tables.events(spark, sf).count())
+    } finally q.stop()
+  }
+
+  test("spanCoverageStatic: append-mode stream matches the batch run row for row") {
+    // the whole computation is per-row narrow expressions (exact
+    // broadcast-set gram probes + an interval-merge fold), so the stream
+    // needs NO state and NO watermark — micro-batch output must equal
+    // the batch projection exactly
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val isTrain = substring(col("source"), 4, 10).cast("int") < 10
+    val train = docs.filter(isTrain)
+    val expect = EventStreams.spanCoverageStatic(
+      docs.filter(!isTrain), train, "doc_id", "text", 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_s11_in")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = spark.readStream.schema(docs.schema).parquet(dir.toString)
+      .filter(!isTrain)
+    val q = EventStreams.spanCoverageStatic(stream, train, "doc_id", "text", 3)
+      .writeStream.format("memory").queryName("s11_parity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("s11_parity")
+      assert(got.count() == expect.count())
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+      // the signal is real: some doc has nonzero covered tokens
+      assert(expect.filter(col("n_cov_tokens") > 0).count() > 0)
     } finally q.stop()
   }
 

@@ -231,6 +231,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(nul(0).getBoolean(0) && nul(1).isNullAt(0))
   }
 
+  test("SetContainsBc: exact membership (no fp), NULL-safe, element-wise in lambdas") {
+    // the EXACT companion of the Bloom probe: members hit, non-members
+    // NEVER hit (a Bloom filter cannot make that claim)
+    val set = new java.util.HashSet[String]()
+    (1 to 500).foreach(i => set.add(s"m_$i"))
+    val bc = spark.sparkContext.broadcast(set)
+    val frame = ((1 to 500).map(i => s"m_$i") ++ (1 to 500).map(i => s"s_$i"))
+      .toDF("v")
+    val got = frame.select(col("v"),
+        graft.expressions.SetContains.probe(bc, col("v")).as("hit"))
+      .collect()
+    assert(got.forall(r => r.getBoolean(1) == r.getString(0).startsWith("m_")))
+    // NULL in -> NULL out
+    val nul = Seq((Some("m_1"), 1), (None, 2)).toDF("v", "i")
+      .select(graft.expressions.SetContains.probe(bc, col("v")))
+      .collect()
+    assert(nul(0).getBoolean(0) && nul(1).isNullAt(0))
+    // per-ELEMENT probes inside array lambdas — the case a semi join
+    // cannot express and the reason this expression exists
+    val arr = Seq((1L, Seq("m_1", "s_9", "m_2"))).toDF("id", "xs")
+      .select(org.apache.spark.sql.functions.filter(col("xs"),
+        x => graft.expressions.SetContains.probe(bc, x)).as("kept"))
+      .head().getSeq[String](0)
+    assert(arr == Seq("m_1", "m_2"))
+  }
+
   test("BloomMightContainBc: broadcast probe ≡ literal probe, NULL-safe, plan-clean") {
     // the broadcast-handle form must be bit-for-bit the same PROBE as the
     // literal form (same BloomFilter bytes, same UTF-8 hashing) — only the

@@ -789,6 +789,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("x9 self-repeat pair join is occurrence-capped, equi-joined, doc-bounded windows") {
+    // the within-doc pair space is bounded by the per-(doc, gram)
+    // occurrence window + cap filter ABOVE the self-join; the chain walk
+    // partitions by (doc, diag) — state bounded by one document, and no
+    // global (unpartitioned) window anywhere near the fact
+    val p = plan("x9_longest_repeat")
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("d6c exact VST: sample-dim size factors broadcast back, no window on the fact") {
+    // the frozen (a0, a1) ride as fold-able literals; the only joins are
+    // the size-factor broadcast — the fact is scanned, aggregated by
+    // sample, and mapped, never windowed or range-shuffled
+    val df = QueryCatalog.byName("d6c_vst_exact").run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("mm3 pHash pair join is band-bucket capped, equi-joined, never cartesian") {
     // simhashNearPairs' shape reused on the byte-aHash: the bucket cap
     // window (band, bkey) sits ABOVE the self-join, the join itself is a
