@@ -168,6 +168,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("spanCoverageStatic fold: overlap merges, touch merges, end clamps, full cover") {
+    // hand-computed fixtures for the per-row interval-merge fold (n = 3):
+    // the gaps-and-islands invariants ng1 pins with windows, pinned here
+    // against absolute token positions
+    val train = Seq((100L, "a b c x1 x2 c d e x3 x4 g h i")).toDF("doc_id", "text")
+    // dictionary grams: every 3-gram of the train doc, incl. "a b c",
+    // "c d e", "g h i"
+    val tests = Seq(
+      // [0..2] and [2..4] overlap at token 2 -> merged cover 5 of 6
+      (1L, "a b c d e z"),
+      // grams at [0..2] and [3..5]: ADJACENT spans (end 2, next start 3)
+      // stay separate intervals but cover 6 of 7 tokens total
+      (2L, "a b c g h i z"),
+      // dup gram at the very end: span clamps at n_tok-1 -> cover 3 of 5
+      (3L, "z1 z2 g h i"),
+      // every token under some dup gram -> full cover, dup_frac 1.0
+      (4L, "a b c d e"),
+      // no dictionary grams at all -> zero row, not a dropped row
+      (5L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val got = EventStreams.spanCoverageStatic(tests, train, "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_dup_grams"),
+          r.getAs[Long]("n_cov_tokens"), r.getAs[Double]("dup_frac")))).toMap
+    assert(got(1L) == ((6L, 2L, 5L, 0.833333)), s"overlap: ${got(1L)}")
+    assert(got(2L) == ((7L, 2L, 6L, 0.857143)), s"touch: ${got(2L)}")
+    assert(got(3L) == ((5L, 1L, 3L, 0.6)), s"clamp: ${got(3L)}")
+    assert(got(4L) == ((5L, 2L, 5L, 1.0)), s"full: ${got(4L)}")
+    assert(got(5L) == ((6L, 0L, 0L, 0.0)), s"clean: ${got(5L)}")
+  }
+
   test("freq_sketch state merges across micro-batches; stream matches batch") {
     val sf = "/root/testdata/sf0.001"
     val batchEv = Tables.events(spark, sf).select(
