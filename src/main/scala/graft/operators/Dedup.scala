@@ -188,6 +188,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Signature-based Jaccard ESTIMATE for candidate pairs: the fraction
+    * of the K minhash components two documents agree on is an unbiased
+    * estimator of their shingle-set Jaccard (the classic MinHash
+    * property, Broder 1997) with granularity 1/K. This is the 100 TB
+    * shortcut: the signatures are ALREADY in hand from candidate
+    * generation, so scoring a pair costs K integer comparisons on
+    * doc-sized frames — no second shingle explode, no shingle-keyed
+    * shuffle — where the exact verify ([[jaccardPairs]]) re-joins the
+    * corpus-sized shingle stream. Production flow: estimate everything,
+    * exact-verify only the band near the decision threshold (±2/K).
+    *
+    * @param signatures `(doc_id, h0..h{k-1})` from [[minhashSignatures]]
+    * @param pairs `(doc_a, doc_b)` candidate pairs (any generator)
+    * @return pairs plus `est_jaccard` (matching fraction, 6 dp) */
+  def minhashJaccardEstimate(signatures: DataFrame, pairs: DataFrame,
+      k: Int): DataFrame = {
+    val a = signatures.select(col("doc_id").as("doc_a") +:
+      (0 until k).map(i => col(s"h$i").as(s"a$i")): _*)
+    val b = signatures.select(col("doc_id").as("doc_b") +:
+      (0 until k).map(i => col(s"h$i").as(s"b$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(matches.cast("double") / k, 6).as("est_jaccard"))
+  }
+
   /** Bipartite (incremental) LSH candidates: NEW docs sharing any band
     * bucket with a REFERENCE doc. This is the daily-increment shape of
     * dedup at 100 TB — the new batch never self-pairs, the reference

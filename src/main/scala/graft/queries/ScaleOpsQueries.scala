@@ -226,6 +226,37 @@ object ScaleOpsQueries {
     (s, d) => minhashPairs(s, d),
     Some(s"WITH $minhashPairCtes\n$minhashPairSelect"))
 
+  /** DD8 — signature-based Jaccard ESTIMATE over the dd2 candidate pairs
+    * (Dedup.minhashJaccardEstimate, Broder 1997): matching-component
+    * fraction of the K = 6 minhashes, the production shortcut that
+    * scores pairs from signatures already in hand — doc-sized joins
+    * only, where the exact dd4 verify re-shuffles the corpus-sized
+    * shingle stream. Granularity 1/K; the estimate-vs-exact contract is
+    * property-tested in DedupSpec (exact dup ⇒ 1.0, disjoint ⇒ low). */
+  private val dd8 = Q(
+    "dd8_minhash_estimate",
+    (s, d) => {
+      // no persist here: minhashCandidates persists the SAME signature
+      // plan internally, and cache lookup is by logical plan, so the
+      // estimate joins below read that one cached copy
+      val sigs = Dedup.minhashSignatures(
+        Dedup.shingleRows(Tables.documents(s, d), "doc_id", "text", 3), numHashes)
+      Dedup.minhashJaccardEstimate(sigs,
+        Dedup.minhashCandidates(sigs, numHashes, bandsOf, maxBucket), numHashes)
+    },
+    Some {
+      val matches = (0 until numHashes)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $minhashPairCtes,
+          pairs AS ($minhashPairSelect)
+          SELECT doc_a, doc_b,
+            round(($matches) / ${numHashes}.0, 6) AS est_jaccard
+          FROM pairs
+          JOIN mh a ON doc_a = a.doc_id
+          JOIN mh b ON doc_b = b.doc_id"""
+    })
+
   /** DD6 — near-dup CLUSTERS from the candidate pairs: connected
     * components by min-label propagation (operators.Components), keeper =
     * the component minimum. Duplicate relations are transitive in effect —
@@ -702,5 +733,5 @@ object ScaleOpsQueries {
                round(avg(x), 6) AS mean_val
              FROM x GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd3, dd4, dd5, dd6, ss1, ss2, ss3, cl1, p1, mm1, mm2, mm3)
+  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd8, dd3, dd4, dd5, dd6, ss1, ss2, ss3, cl1, p1, mm1, mm2, mm3)
 }

@@ -200,6 +200,32 @@ class DedupSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("minhashJaccardEstimate: exact dup estimates 1.0; estimate tracks exact Jaccard") {
+    val k = 6
+    val sigs = Dedup.minhashSignatures(
+      Dedup.shingleRows(docs, "doc_id", "text", 2), k)
+    val pairs = Dedup.minhashCandidates(sigs, k, bandsOf = 2)
+    val est = Dedup.minhashJaccardEstimate(sigs, pairs, k)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("est_jaccard"))).toMap
+    // docs 1 and 2 are verbatim dups: every minhash component matches
+    assert(est((1L, 2L)) == 1.0)
+    // the estimator is bounded and quantized to 1/K
+    assert(est.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(est.values.forall(v => (v * k).round.toDouble / k == v ||
+      math.abs((v * k) - (v * k).round) < 1e-9))
+    // near-dup (1, 3) must estimate ABOVE any unrelated pair the bands
+    // happened to surface — the ordering, not the value, is the contract
+    // a 1/K-granular estimator can make at K = 6
+    val nearDup = est.get((1L, 3L))
+    nearDup.foreach { nd =>
+      est.foreach { case ((a, b), v) =>
+        if (Set(a, b).intersect(Set(1L, 2L, 3L)).isEmpty)
+          assert(v <= nd, s"unrelated ($a,$b)=$v above near-dup $nd")
+      }
+    }
+  }
+
   test("longestSelfRepeat: overlapping periodic repeat measured exactly; clean doc 0") {
     val corpus = Seq(
       // "a b c a b c a b": grams repeat at distance 3 -> diagonal-3 chain
