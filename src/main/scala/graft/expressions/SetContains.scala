@@ -22,14 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * exists, so no executor-side cache is needed.
   *
   * SCOPE: exactness costs memory — the dictionary must fit an executor
-  * (a string `HashSet` runs ~60–100 bytes/entry). That bounds this
-  * expression to vocabulary-sized dictionaries (benchmark/eval-suite
-  * contamination sets, stop lists, id allowlists); an unbounded
-  * dictionary takes the Bloom-prefilter + exact-join path
-  * (`Dedup.contaminationBloom`). Not SQL-registrable (a broadcast handle
+  * (a `HashSet` runs ~60–100 bytes/entry). That bounds this expression
+  * to vocabulary-sized dictionaries (benchmark/eval-suite contamination
+  * sets, stop lists, id allowlists); an unbounded dictionary takes the
+  * Bloom-prefilter + exact-join path (`Dedup.contaminationBloom`).
+  *
+  * The set is keyed by [[UTF8String]] (stable equals/hashCode,
+  * Externalizable), so the per-element hot-loop probe is
+  * allocation-free — the same no-String-materialization stance as
+  * `BloomMightContainBc.mightContain`; build it with
+  * [[SetContains.setOf]]. Not SQL-registrable (a broadcast handle
   * cannot be a function argument); construct via [[SetContains.probe]].
   */
-case class SetContainsBc(bc: Broadcast[java.util.HashSet[String]],
+case class SetContainsBc(bc: Broadcast[java.util.HashSet[UTF8String]],
     child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -41,7 +46,7 @@ case class SetContainsBc(bc: Broadcast[java.util.HashSet[String]],
   override def dataType: DataType = BooleanType
   override def prettyName: String = "set_contains_bc"
 
-  def containsValue(v: UTF8String): Boolean = bc.value.contains(v.toString)
+  def containsValue(v: UTF8String): Boolean = bc.value.contains(v)
 
   override def nullSafeEval(v: Any): Any =
     containsValue(v.asInstanceOf[UTF8String])
@@ -59,7 +64,14 @@ case class SetContainsBc(bc: Broadcast[java.util.HashSet[String]],
 object SetContains {
   /** DataFrame-side constructor:
     * `transform(col("grams"), g => SetContains.probe(bc, g))`. */
-  def probe(bc: Broadcast[java.util.HashSet[String]], value: Column): Column =
+  def probe(bc: Broadcast[java.util.HashSet[UTF8String]], value: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       SetContainsBc(bc, org.apache.spark.sql.GraftSqlBridge.expression(value)))
+
+  /** Build the broadcastable probe set from plain strings. */
+  def setOf(members: IterableOnce[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    members.iterator.foreach(m => s.add(UTF8String.fromString(m)))
+    s
+  }
 }

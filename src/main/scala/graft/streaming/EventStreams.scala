@@ -357,20 +357,33 @@ object EventStreams extends Serializable {
     import graft.operators.{Dedup, TextFunctions}
     val spark = trainDocs.sparkSession
     // dictionary-sized collect (vocabulary-bounded, further capped): the
-    // exact-set broadcast is the point — see the scope note above
-    val gramRows = Dedup.shingleRows(trainDocs, idCol, textCol, n)
+    // exact-set broadcast is the point — see the scope note above. The
+    // cap filters SPARK-side so hot boilerplate grams never ship to the
+    // driver; the gram frame is persisted so the drop audit and the kept
+    // collect share one corpus scan (it is vocabulary-sized, not
+    // corpus-sized).
+    val dict = Dedup.shingleRows(trainDocs, idCol, textCol, n)
       .groupBy("sh").agg(count(lit(1)).as("nd"))
-      .collect()
-    val kept = gramRows.filter(_.getAs[Long]("nd") <= maxShingleTrainDocs)
-    if (kept.length < gramRows.length)
+      .persist()
+    val dropped = dict.filter(col("nd") > maxShingleTrainDocs).count()
+    if (dropped > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"spanCoverageStatic: dropped ${gramRows.length - kept.length} " +
-          s"hot gram(s) over the $maxShingleTrainDocs-train-doc cap")
-    val set = new java.util.HashSet[String](kept.length * 2)
-    kept.foreach(r => set.add(r.getAs[String]("sh")))
-    val bc = spark.sparkContext.broadcast(set)
+        s"spanCoverageStatic: dropped $dropped hot gram(s) over the " +
+          s"$maxShingleTrainDocs-train-doc cap")
+    val kept = dict.filter(col("nd") <= maxShingleTrainDocs)
+      .select("sh").collect()
+    dict.unpersist()
+    val bc = spark.sparkContext.broadcast(
+      graft.expressions.SetContains.setOf(kept.iterator.map(_.getString(0))))
     def member(g: Column) = graft.expressions.SetContains.probe(bc, g)
-    docs
+    // batch replays get the standard explode-path widening; a streaming
+    // source keeps its micro-batch partitioning (spread's plan-time stats
+    // probe is a batch concept)
+    val spreadDocs = if (docs.isStreaming) docs else Dedup.spread(docs)
+    spreadDocs
+      // NULL-id docs are dropped, mirroring Dedup.contamination's r10
+      // contract (and the oracle's USING-join NULL semantics)
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),

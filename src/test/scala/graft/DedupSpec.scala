@@ -210,10 +210,13 @@ class DedupSpec extends SparkSpec {
         r.getAs[Double]("est_jaccard"))).toMap
     // docs 1 and 2 are verbatim dups: every minhash component matches
     assert(est((1L, 2L)) == 1.0)
-    // the estimator is bounded and quantized to 1/K
+    // the estimator is bounded and quantized to 1/K — compared at the
+    // 6-dp rounding's own scale (est is round(m/K, 6), so v*K sits up to
+    // K·5e-7 off the integer m; a 1e-9 tolerance would falsely fail any
+    // m ∉ {0, 3, 6})
     assert(est.values.forall(v => v >= 0.0 && v <= 1.0))
-    assert(est.values.forall(v => (v * k).round.toDouble / k == v ||
-      math.abs((v * k) - (v * k).round) < 1e-9))
+    assert(est.values.forall(v =>
+      math.abs(v - (v * k).round.toDouble / k) < 5e-7), est)
     // near-dup (1, 3) must estimate ABOVE any unrelated pair the bands
     // happened to surface — the ordering, not the value, is the contract
     // a 1/K-granular estimator can make at K = 6

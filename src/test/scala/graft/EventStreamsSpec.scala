@@ -150,10 +150,23 @@ class EventStreamsSpec extends SparkSpec {
     val train = docs.filter(isTrain)
     val expect = EventStreams.spanCoverageStatic(
       docs.filter(!isTrain), train, "doc_id", "text", 3)
+    // TWO disjoint input files + one file per trigger = two real
+    // micro-batches: a single-file feed would be indistinguishable from
+    // the batch run by construction, so cross-batch statelessness — the
+    // claim under test — would never be exercised
     val dir = java.nio.file.Files.createTempDirectory("graft_s11_in")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
-      dir.resolve("part-0.parquet"))
-    val stream = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    Seq(0, 1).foreach { half =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_s11_w$half")
+      docs.filter(col("doc_id") % 2 === half).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        dir.resolve(s"half-$half.parquet"))
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
       .filter(!isTrain)
     val q = EventStreams.spanCoverageStatic(stream, train, "doc_id", "text", 3)
       .writeStream.format("memory").queryName("s11_parity")

@@ -234,9 +234,8 @@ class ExpressionsSpec extends SparkSpec {
   test("SetContainsBc: exact membership (no fp), NULL-safe, element-wise in lambdas") {
     // the EXACT companion of the Bloom probe: members hit, non-members
     // NEVER hit (a Bloom filter cannot make that claim)
-    val set = new java.util.HashSet[String]()
-    (1 to 500).foreach(i => set.add(s"m_$i"))
-    val bc = spark.sparkContext.broadcast(set)
+    val bc = spark.sparkContext.broadcast(
+      graft.expressions.SetContains.setOf((1 to 500).map(i => s"m_$i")))
     val frame = ((1 to 500).map(i => s"m_$i") ++ (1 to 500).map(i => s"s_$i"))
       .toDF("v")
     val got = frame.select(col("v"),
