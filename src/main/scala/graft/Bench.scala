@@ -100,8 +100,11 @@ object Bench {
     // harmless on subset runs.
     val (prevFirst, prevWarm) = prevRoundTimes()
     val warmNames: Seq[String] = {
-      val fromArchive = prevFirst.toSeq.sortBy(-_._2).take(3).map(_._1)
-        .filter(n => qs.exists(_._1 == n))
+      // filter to the CURRENT catalog first, then take 3 (ADVICE r11): a
+      // renamed/removed heavy query must promote the next-heaviest still-
+      // present query, not silently shrink the warm set below 3
+      val fromArchive = prevFirst.toSeq.sortBy(-_._2)
+        .filter { case (n, _) => qs.exists(_._1 == n) }.take(3).map(_._1)
       if (fromArchive.nonEmpty) fromArchive
       else qs.map(_._1).filter(_.startsWith("bf1")).take(1)
     }
@@ -324,6 +327,12 @@ object Bench {
         }
         val first = objOf("queries").filter(_._2 >= 0)
         val warm = objOf("rerun").filter(_._2 >= 0)
+        // a tracked archive that parses to an empty queries map means the
+        // format drifted under the regex scan (ADVICE r11) — the warm and
+        // inflation logic silently reverts to pre-r11 behavior; say so
+        if (first.isEmpty) System.err.println(
+          s"[bench] archive $f parsed to an empty queries map — format " +
+            "drift? warm/inflation nets degrade to defaults this run")
         (first,
           first.map { case (k, v) => k -> math.min(v, warm.getOrElse(k, v)) })
     }

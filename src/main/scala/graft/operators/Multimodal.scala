@@ -424,6 +424,135 @@ object Multimodal {
     spark.createDataFrame(rdd, phashSchema)
   }
 
+  private val wavFpSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("decode_ok", BooleanType),
+    StructField("fingerprint", LongType)))
+
+  /** REAL audio fingerprint over WAV/PCM through `javax.sound.sampled`
+    * (the decode path of [[decodeWavFeatures]]): the signed-16-bit sample
+    * stream is cut into 60 contiguous windows (window w spans
+    * [⌊w·n/60⌋, ⌊(w+1)·n/60⌋) samples); bit w is set iff the window's
+    * mean ABSOLUTE amplitude exceeds the clip's global mean absolute
+    * amplitude — the energy-envelope analogue of [[byteAHash]], and the
+    * shape of classic audio fingerprints (per-band energy bits, Haitsma
+    * & Kalker 2002) reduced to the one band the JDK decodes. The mean
+    * comparison cross-multiplies integer sums (sw·n > total·wlen —
+    * exact; bounded for clips < ~1.3×10⁸ samples, where
+    * 2¹⁵·n²/60 < 2⁶³). 60 bits keeps the print a positive long (the
+    * hash60 convention); band with [[graft.operators.Dedup
+    * .simhashNearPairs]] exactly like the image pHash for the near-dup
+    * pair scan. Non-16-bit/undecodable payloads and clips shorter than
+    * 60 samples keep `decode_ok = false` with a NULL print — quarantine,
+    * never a silent drop. Partition-local; samples never leave the task.
+    * (The catalog exercises the byte-domain twin [[bytePcmFingerprint]] —
+    * a codec decode has no relational oracle; this real path is
+    * spec-pinned on synthesized WAVs in MultimodalSpec, the mm3
+    * convention.) */
+  def wavFingerprint(media: DataFrame): DataFrame = {
+    val windows = 60
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val fmt = in.getFormat
+            val data = in.readAllBytes()
+            in.close()
+            val signed16 = fmt.getSampleSizeInBits == 16 &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val n = data.length / 2
+            if (!signed16 || n < windows) Row(id, false, null)
+            else {
+              val le = !fmt.isBigEndian
+              val abs = new Array[Int](n)
+              var total = 0L
+              var i = 0
+              while (i < n) {
+                val s =
+                  if (le) ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+                  else ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
+                val a = math.abs(s.toInt)
+                abs(i) = a
+                total += a
+                i += 1
+              }
+              var bits = 0L
+              var w = 0
+              while (w < windows) {
+                val st = (w.toLong * n / windows).toInt
+                val en = ((w + 1).toLong * n / windows).toInt
+                var sw = 0L
+                var j = st
+                while (j < en) { sw += abs(j); j += 1 }
+                if (sw * n > total * (en - st)) bits |= 1L << w
+                w += 1
+              }
+              Row(id, true, bits)
+            }
+          } catch {
+            case _: Throwable => Row(id, false, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, wavFpSchema)
+  }
+
+  private val pcmFpSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("fingerprint", LongType)))
+
+  /** 60-bit byte-domain PCM fingerprint — the oracle-able twin of
+    * [[wavFingerprint]] (the byteAHash/mm3 convention): the raw payload
+    * bytes are read as signed-16-bit LITTLE-ENDIAN samples (a headerless
+    * PCM view; a trailing odd byte is ignored), then the identical
+    * 60-window energy-envelope bits are computed — window mean |sample|
+    * vs global mean |sample|, cross-multiplied exactly. Every step is
+    * integer arithmetic a DuckDB oracle replays verbatim from the hex
+    * dump. Payloads with fewer than 60 samples (120 bytes) print NULL.
+    * Same overflow bound as the real path (< ~1.3×10⁸ samples). */
+  def bytePcmFingerprint(media: DataFrame): DataFrame = {
+    val windows = 60
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val n = if (bytes == null) 0 else bytes.length / 2
+          if (n < windows) Row(id, null)
+          else {
+            val abs = new Array[Int](n)
+            var total = 0L
+            var i = 0
+            while (i < n) {
+              val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+              val a = math.abs(s.toInt)
+              abs(i) = a
+              total += a
+              i += 1
+            }
+            var bits = 0L
+            var w = 0
+            while (w < windows) {
+              val st = (w.toLong * n / windows).toInt
+              val en = ((w + 1).toLong * n / windows).toInt
+              var sw = 0L
+              var j = st
+              while (j < en) { sw += abs(j); j += 1 }
+              if (sw * n > total * (en - st)) bits |= 1L << w
+              w += 1
+            }
+            Row(id, bits)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, pcmFpSchema)
+  }
+
   /** Frame-sample: every `stride`-th fixed-size byte window of the payload
     * as its own row (video → frames). Pure built-ins (posexplode over a
     * computed slice index) — stays in codegen, no UDF. */

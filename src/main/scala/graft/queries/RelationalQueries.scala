@@ -78,7 +78,14 @@ object RelationalQueries {
     * actively read (reads alone never update a directory's mtime).
     * Called on every use — build and cached — by all layout queries. */
   private def touchLayout(path: String): Unit = {
-    new java.io.File(path).setLastModified(System.currentTimeMillis()): Unit
+    // setLastModified can fail (permissions, some mounts); when it does,
+    // gcStaleLayouts' 14-day disuse clause may later reap a layout that is
+    // actively read by a concurrent JVM (read error, self-healing via the
+    // write-if-missing rebuild). Warn so such a reap is diagnosable.
+    if (!new java.io.File(path).setLastModified(System.currentTimeMillis()))
+      System.err.println(
+        s"[graft] touchLayout: setLastModified failed for $path — the " +
+          "14-day gc clause may reap this layout while in use")
   }
 
   /** A2 — parquet scan of a cached/staged table (vital_status_DESeq.R:25-26). */

@@ -382,7 +382,7 @@ object StreamParityQueries {
                coalesce(cv.n_cov_tokens, 0) AS n_cov_tokens,
                round(coalesce(cv.n_cov_tokens, 0) / bt.n_tok, 6) AS dup_frac
              FROM bt LEFT JOIN cv USING (doc_id)
-             WHERE NOT bt.is_train"""))
+             WHERE NOT bt.is_train AND bt.doc_id IS NOT NULL"""))
 
   /** A5 — delimited parameter-list scan steering a plan
     * (read.delim("genes.txt")[,1] + toupper, BRCA_path_stage_DESeq.R:7-9):
