@@ -166,7 +166,7 @@ object Dedup {
     *   generate m² pairs in a single task */
   /** (band, bkey) rows from a signature frame — shared by the symmetric
     * and bipartite candidate joins. */
-  private def bandRows(sigs: DataFrame, k: Int, bandsOf: Int): DataFrame =
+  private[graft] def bandRows(sigs: DataFrame, k: Int, bandsOf: Int): DataFrame =
     (0 until k / bandsOf).map { b =>
       val cols = (0 until bandsOf).map(j => col(s"h${b * bandsOf + j}"))
       sigs.select(col("doc_id"), lit(b).as("band"),

