@@ -451,10 +451,14 @@ object StatsQueries {
                        + count(*) OVER (PARTITION BY flag, y) - 1 AS ry
                    FROM ry0),
             m AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
-                    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-                    CAST(sum(rx * rx) AS BIGINT) AS sxx,
-                    CAST(sum(ry * ry) AS BIGINT) AS syy,
-                    CAST(sum(rx * ry) AS BIGINT) AS sxy
+                    -- moments stay HUGEINT: the combination n*sxy - sx*sy is
+                    -- ~1.3n^4 (1.6e21 at per-flag n ~ 2e5, the sf0.1 regime)
+                    -- and overflows a BIGINT product — the same bound the
+                    -- Spark side's DECIMAL(38,0) accumulators exist for
+                    CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+                    CAST(sum(rx * rx) AS HUGEINT) AS sxx,
+                    CAST(sum(ry * ry) AS HUGEINT) AS syy,
+                    CAST(sum(rx * ry) AS HUGEINT) AS sxy
                   FROM rr GROUP BY flag)
             SELECT flag, n,
               round(CAST(n * sxy - sx * sy AS DOUBLE) /

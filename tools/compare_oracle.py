@@ -4,8 +4,16 @@ DuckDB over the same sf parquet tables, load the Spark result parquet, and
 compare (columns sorted by name, rows sorted, values normalized).
 
 Usage: compare_oracle.py <sfDir> <verifyOutDir>
+
+Env filters (comma-separated query names, mirroring SPARK_GRAFT_ONLY on
+the Scala mains):
+  GRAFT_COMPARE_ONLY  — compare only these queries
+  GRAFT_COMPARE_SKIP  — skip these (reported as SKIP, not counted as fail).
+    Exists for oracles whose DuckDB replay is super-linear at large SF
+    (dd6's transitive-closure walk is quadratic in component size) — the
+    ENGINE side stays scale-sane; only the declarative checker isn't.
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 import pandas as pd
 
@@ -41,8 +49,14 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = {s for s in os.environ.get("GRAFT_COMPARE_ONLY", "").split(",") if s}
+    skip = {s for s in os.environ.get("GRAFT_COMPARE_SKIP", "").split(",") if s}
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        if name in skip:
+            print(f"SKIP  {name} (GRAFT_COMPARE_SKIP)"); continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"MISS  {name}: no spark output"); n_fail += 1; continue
