@@ -329,18 +329,27 @@ object Corpus {
     * `greatest(band_a, band_b)`. Parallelism scales with blocks × bands,
     * not the block count; the threshold-bounded Levenshtein runs the
     * banded DP. Docs longer than `maxChars` are excluded by contract —
-    * edit distance on long texts belongs to the shingle family. */
+    * edit distance on long texts belongs to the shingle family.
+    *
+    * `maxBucket` caps a (block, band) bucket like every other pair
+    * generator in the engine (drop-audited): the block/band key space is
+    * FIXED (blocks × ~maxChars/maxDist bands), so without the cap the
+    * per-bucket pair count grows quadratically with corpus size — the
+    * r12 scale ramp measured 14.7× wall at 5× docs on the uncapped
+    * join, the one super-linear pair path left in the catalog. */
   def fuzzyDuplicates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", blockCol: String = "source",
-      maxChars: Int = 200, maxDist: Int = 20): DataFrame = {
+      maxChars: Int = 200, maxDist: Int = 20,
+      maxBucket: Int = 1000): DataFrame = {
     val bandW = maxDist + 1
     val short = docs
       .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
         col(textCol).as("text"), length(col(textCol)).as("len"))
       .filter(col("len") <= maxChars)
       .withColumn("band0", (col("len") / bandW).cast("long"))
-    val banded = short
-      .withColumn("bkey", explode(array(col("band0"), col("band0") + 1)))
+    val banded = Dedup.capBuckets(
+      short.withColumn("bkey", explode(array(col("band0"), col("band0") + 1))),
+      Seq(col("blk"), col("bkey")), maxBucket, "fuzzyDuplicates")
     banded.as("a").join(banded.as("b"),
         col("a.blk") === col("b.blk") &&
           col("a.bkey") === col("b.bkey") &&
@@ -348,7 +357,12 @@ object Corpus {
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
       .withColumn("dist",
-        levenshtein(col("a.text"), col("b.text"), maxDist).cast("long"))
+        // threshold levenshtein behind the lossless char-bag + bigram
+        // lower-bound cascade — ~90% of the blocked candidates are FAR
+        // and never reach the O(n·maxDist) DP (bit-identical output,
+        // so the oracle replays plain levenshtein unchanged)
+        graft.expressions.EditDistanceCapped.of(
+          col("a.text"), col("b.text"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
       .select(col("a.blk").as(blockCol), col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"), col("dist"))

@@ -104,6 +104,19 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_sketch",
       args => FreqSketch(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "edit_distance_capped",
+      args => EditDistanceCapped(args(0), args(1), foldableInt(args(2))),
+      "built-in")
+  }
+
+  /** Fold a literal int argument at registration time (the threshold of
+    * edit_distance_capped is part of the expression, not a child). */
+  private def foldableInt(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected a foldable integer literal, got $other")
   }
 }
 

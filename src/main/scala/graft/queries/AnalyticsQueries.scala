@@ -429,6 +429,7 @@ object AnalyticsQueries {
 
   private val fzMaxChars = 200L
   private val fzMaxDist = 20L
+  private val fzMaxBucket = 1000L
 
   /** FZ1 — fuzzy near-duplicate pairs by edit distance — the
     * character-level complement to the token-level dedup family (dd2–dd4):
@@ -465,19 +466,34 @@ object AnalyticsQueries {
           concat(col("text"), lit(" abc")).as("text"),
           (col("n_chars") + 4).as("n_chars"))
       graft.api.Corpus.fuzzyDuplicates(docs.unionByName(twins),
-        maxChars = fzMaxChars.toInt, maxDist = fzMaxDist.toInt)
+        maxChars = fzMaxChars.toInt, maxDist = fzMaxDist.toInt,
+        maxBucket = fzMaxBucket.toInt)
     },
+    // the oracle replays the banded join + bucket cap literally (the
+    // mm3/mm4 convention): band0 = len // (maxDist+1), each doc in its
+    // own and the next band, pair met once in greatest(band_a, band_b),
+    // buckets over the cap dropped on both engines
     Some(s"""WITH base AS (SELECT doc_id, source, text, n_chars FROM documents),
              twins AS (SELECT doc_id + 10000000 AS doc_id, source,
                          text || ' abc' AS text, n_chars + 4 AS n_chars
                        FROM base
                        WHERE doc_id % 7 = 0 AND n_chars <= ${fzMaxChars - 4}),
              u AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
-             s AS (SELECT * FROM u WHERE n_chars <= $fzMaxChars)
+             s AS (SELECT *, n_chars // ${fzMaxDist + 1} AS band0 FROM u
+                   WHERE n_chars <= $fzMaxChars),
+             bd AS (SELECT *, band0 AS bkey FROM s
+                    UNION ALL
+                    SELECT *, band0 + 1 AS bkey FROM s),
+             cb AS (SELECT * FROM
+                     (SELECT *, count(*) OVER (PARTITION BY source, bkey) AS bsz
+                      FROM bd)
+                    WHERE bsz <= $fzMaxBucket)
              SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-             FROM s a JOIN s b
-               ON a.source = b.source AND a.doc_id < b.doc_id
+             FROM cb a JOIN cb b
+               ON a.source = b.source AND a.bkey = b.bkey
+               AND a.bkey = greatest(a.band0, b.band0)
+               AND a.doc_id < b.doc_id
                AND abs(a.n_chars - b.n_chars) <= $fzMaxDist
              WHERE levenshtein(a.text, b.text) <= $fzMaxDist"""))
 

@@ -49,6 +49,59 @@ class ExpressionsSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
   }
 
+  test("edit_distance_capped ≡ threshold levenshtein on random, near and far pairs") {
+    GraftFunctions.register(spark)
+    // planted mix: identical, 1-3 edit near pairs, far pairs, length-gap
+    // pairs — the cascade's prune branches AND the DP branch all fire;
+    // equality with the built-in 3-arg levenshtein must be exact
+    val rng = new scala.util.Random(11)
+    val vocab = "the quick brown fox jumps over lazy dog data spark".split(" ")
+    def doc(n: Int) = Seq.fill(n)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    val rows = (1 to 200).map { i =>
+      val a = doc(3 + rng.nextInt(25))
+      val b = i % 4 match {
+        case 0 => a                                       // identical
+        case 1 => a.patch(rng.nextInt(a.length), "zq", 1) // 1-2 edits
+        case 2 => doc(3 + rng.nextInt(25))                // far
+        case _ => a + " " + doc(10)                       // length gap
+      }
+      (a, b)
+    }
+    for (k <- Seq(0, 3, 20)) {
+      val got = rows.toDF("a", "b")
+        .select(expr(s"edit_distance_capped(a, b, $k)").as("fast"),
+          levenshtein(col("a"), col("b"), k).as("ref"))
+        .collect()
+      got.foreach(r => assert(r.getInt(0) == r.getInt(1), s"k=$k: $r"))
+    }
+  }
+
+  test("edit_distance_capped: non-ASCII skips the cascade but stays exact; NULL in -> NULL out") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      ("héllo wörld", "hëllo world"),   // multi-byte chars: DP-only path
+      ("héllo", "héllo"),
+      ("日本語テキスト", "日本語テクスト"),
+      (null, "x"), ("x", null)).toDF("a", "b")
+    val got = df.select(
+      expr("edit_distance_capped(a, b, 10)").as("fast"),
+      levenshtein(col("a"), col("b"), 10).as("ref")).collect()
+    got.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0), r)
+      else assert(r.getInt(0) == r.getInt(1), r)
+    }
+  }
+
+  test("edit_distance_capped runs inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = spark.range(64)
+      .select(expr("repeat('ab', CAST(id % 9 AS INT))").as("a"),
+        expr("repeat('ba', CAST(id % 7 AS INT))").as("b"))
+      .select(expr("edit_distance_capped(a, b, 6)").as("d"))
+    assert(df.collect().forall(r => r.getInt(0) >= -1))
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+
   test("GraftExtensions injects without error (plug-in path)") {
     // `spark.sql.extensions` is a STATIC conf — it binds when the FIRST
     // session on a context is built, so an end-to-end test inside the

@@ -822,6 +822,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("mm4 audio-fingerprint pair join is band-bucket capped, equi-joined, never cartesian") {
+    // the audio rung rides simhashNearPairs verbatim (60-bit print, 4-bit
+    // bands): same cap-above-join contract as mm3 — a degenerate bucket
+    // (constant payloads) drops out instead of emitting m² pairs
+    val p = plan("mm4_audio_neardup")
+    assert(p.contains("windowspecdefinition(band"), p)
+    assert(p.contains("bsz"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("s12 stream-minhash batch replay: capped ref side, banded equi-join, no cartesian") {
+    // the stream-static probe must stay a keyed equi-join on (band, bkey)
+    // with the hot-bucket cap window on the REFERENCE side only — a hot
+    // ref bucket is what blows up the per-batch join cost
+    val p = plan("s12_stream_minhash")
+    assert(p.contains("windowspecdefinition(band"), p)
+    assert(p.contains("bsz"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("tc1 triangle joins are all equi-joins — no cartesian, no nested loop") {
     // degree orientation only pays off if every pair stage is a keyed
     // join: apex for wedges, (v, w) for closure. A nested-loop anywhere
