@@ -108,6 +108,9 @@ object GraftFunctions {
       "edit_distance_capped",
       args => EditDistanceCapped(args(0), args(1), foldableInt(args(2))),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "priority_topk_tie",
+      args => PriorityTopKTie(args(0), args(1), args(2), args(3)), "built-in")
   }
 
   /** Fold a literal int argument at registration time (the threshold of

@@ -297,13 +297,19 @@ object Ann {
     val probed = qn
       .select(col("q_id"), col("qv"),
         explode(probeCells(qn, rows, nProbe, shared)).as("cell"))
-    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
+    // O(k)-state deterministic re-rank (cos desc, id): each corpus vector
+    // lives in exactly ONE cell, so the probe join scores it at most once
+    // per query; the aggregate's map-side combine ships k rows per
+    // (query, partition) where the window spelling shuffled and sorted
+    // every scored candidate (n_q x n_corpus x nProbe/k rows at scale)
     probed.join(corpus, Seq("cell"))
       .filter(col("id") =!= col("q_id"))
       .withColumn("cos", expr("cosine_sim(qv, v)"))
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
-      .filter(col("rnk") <= topK)
-      .select(col("q_id"), col("rnk"), col("id"), col("cos"))
+      .groupBy("q_id")
+      .agg(expr(s"priority_topk_tie(-cos, id, struct(id, cos), $topK)").as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("id"), col("col.cos").as("cos"))
   }
 
   /** Brute-force exact top-k (the verification baseline). */
@@ -314,12 +320,16 @@ object Ann {
     val corpus = normalized(emb, idCol, vecCol)
     val qn = normalized(queries, idCol, vecCol)
       .select(col("id").as("q_id"), col("v").as("qv"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
+    // O(k)-state deterministic top-k (priority_topk_tie, ties broken by
+    // id): partial aggregation ships k rows per (query, partition) — the
+    // row_number window spelling shuffles and sorts EVERY scored row
     corpus.crossJoin(broadcast(qn))
       .filter(col("id") =!= col("q_id"))
       .withColumn("cos", expr("cosine_sim(qv, v)"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= topK)
-      .select(col("q_id"), col("rnk"), col("id"), col("cos"))
+      .groupBy("q_id")
+      .agg(expr(s"priority_topk_tie(-cos, id, struct(id, cos), $topK)").as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("id"), col("col.cos").as("cos"))
   }
 }

@@ -375,8 +375,13 @@ object ScaleOpsQueries {
     expr(s"cosine_sim($qvName, $vName)")
 
   /** SS1 — brute-force cosine top-k: query vectors (vec_id % 100 = 0)
-    * broadcast against the corpus scan; row_number per query keeps k=5.
-    * The baseline every ANN variant is verified against. */
+    * broadcast against the corpus scan; `priority_topk_tie` keeps k=5 per
+    * query in O(k) aggregate state with a DETERMINISTIC (cos desc,
+    * vec_id) total order — the map-side combine ships ≤ k·partitions
+    * rows per query instead of window-sorting the whole scored frame
+    * (n_corpus·n_query rows: 4M at sf1.0, quadratic in the embedding
+    * count since the query set is a fixed fraction of it). The baseline
+    * every ANN variant is verified against. */
   private val ss1 = Q(
     "ss1_cosine_topk",
     (s, d) => {
@@ -384,13 +389,14 @@ object ScaleOpsQueries {
       val e = embNorm(s, d)
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos", cosine("qv", "v"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("rnk"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .groupBy("q_id")
+        .agg(expr("priority_topk_tie(-cos, vec_id, struct(vec_id, cos), 5)").as("tk"))
+        .select(col("q_id"), posexplode(col("tk")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.vec_id").as("vec_id"), round(col("col.cos"), 6).as("cos"))
     },
     Some(s"""WITH e AS ($embNormSql),
              q AS (SELECT vec_id AS q_id, embedding, nrm AS qn FROM e WHERE vec_id % 100 = 0),

@@ -171,6 +171,33 @@ class ExpressionsSpec extends SparkSpec {
     assert(agg.sameElements(win))
   }
 
+  test("priority_topk_tie ≡ the window formulation under REAL priority ties") {
+    GraftFunctions.register(spark)
+    // priority = id % 5 → heavy ties; the tiebreak must reproduce the
+    // window's (p ASC, id ASC) total order exactly, group by group
+    val df = spark.range(1000)
+      .select(col("id"), (col("id") % 3).as("g"),
+        (col("id") % 5).cast("double").as("p"))
+    val viaAgg = df.groupBy("g")
+      .agg(expr("priority_topk_tie(p, id, id, 7)").as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), (col("pos") + 1).as("rnk"), col("col").as("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("p"), col("id"))
+    val viaWindow = df
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 7)
+      .select(col("g"), col("rnk"), col("id"))
+    assert(viaAgg.count() == 21)
+    assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty)
+    // partial+final split survives repartitioning (merge path exercised)
+    val viaAggWide = df.repartition(13)
+      .groupBy("g").agg(expr("priority_topk_tie(p, id, id, 7)").as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), (col("pos") + 1).as("rnk"), col("col").as("id"))
+    assert(viaAggWide.except(viaWindow).isEmpty && viaWindow.except(viaAggWide).isEmpty)
+  }
+
   test("priority_topk: groups smaller than k return all rows, in order") {
     GraftFunctions.register(spark)
     val df = Seq((1, 10L, 3.0), (1, 11L, 1.0), (2, 20L, 5.0))
