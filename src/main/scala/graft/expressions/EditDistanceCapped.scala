@@ -70,7 +70,7 @@ case class EditDistanceCapped(left: Expression, right: Expression,
       var l1 = 0
       i = 0
       while (i < 128) { l1 += math.abs(bag(i)); i += 1 }
-      if (l1 > 2 * maxDist) return -1
+      if (l1 > 2L * maxDist) return -1
       // 2. bigram multiset: ed >= L1₂/4 (sorted-merge L1 walk)
       if (na >= 2 && nb >= 2) {
         val ga = new Array[Int](na - 1)
@@ -96,7 +96,7 @@ case class EditDistanceCapped(left: Expression, right: Expression,
           else { l1g += 1; ib += 1 }
         }
         l1g += (ga.length - ia) + (gb.length - ib)
-        if (l1g > 4 * maxDist) return -1
+        if (l1g > 4L * maxDist) return -1
       }
     }
     a.levenshteinDistance(b, maxDist)
