@@ -445,9 +445,15 @@ object EventStreams extends Serializable {
     val refSigs = Dedup.minhashSignatures(
       Dedup.shingleRows(refDocs.filter(col(idCol).isNotNull),
         idCol, textCol, n), k)
-    val refBands = Dedup.capBuckets(Dedup.bandRows(refSigs, k, bandsOf),
+    val refBands0 = Dedup.capBuckets(Dedup.bandRows(refSigs, k, bandsOf),
         Seq(col("band"), col("bkey")), maxBucket, "minhashHitsStatic")
       .select(col("doc_id").as("ref_id"), col("band"), col("bkey"))
+    // a stream-static join re-executes the static subtree EVERY micro-batch
+    // unless it is cached — persist the banded reference for the lifetime
+    // of the streaming query (the index artifact, built once; a real
+    // deployment would materialize it to storage and re-attach). Batch
+    // replays consume it once, where a persist is pure write cost — skip.
+    val refBands = if (docs.isStreaming) refBands0.persist() else refBands0
     // batch replays get the standard explode-path widening; a streaming
     // source keeps its micro-batch partitioning
     val src = if (docs.isStreaming) docs else Dedup.spread(docs)
