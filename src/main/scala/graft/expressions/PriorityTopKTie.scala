@@ -98,7 +98,12 @@ case class PriorityTopKTie(
     if (p != null && t != null) {
       val v = payload.eval(input)
       if (v != null) {
-        val pd = p.asInstanceOf[Double]
+        // normalize -0.0 to 0.0: the heap orders via Double.compare
+        // (-0.0 < 0.0) while Spark's sort normalizes zeros and falls to
+        // the tiebreak — without this a ±0.0 priority at the k boundary
+        // could order by sign-of-zero instead of the tiebreak
+        val pd0 = p.asInstanceOf[Double]
+        val pd = if (pd0 == 0.0d) 0.0d else pd0
         val tl = t.asInstanceOf[Long]
         if (buf.wouldEnter(pd, tl)) {
           scratch.update(0, pd)
