@@ -502,10 +502,10 @@ object Corpus {
       idCol: String = "doc_id", textCol: String = "text",
       shingleN: Int = 3, numHashes: Int = 6, bandsOf: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
-    val newSigs = Dedup.minhashSignatures(
-      Dedup.shingleRows(newDocs, idCol, textCol, shingleN), numHashes)
-    val refSigs = Dedup.minhashSignatures(
-      Dedup.shingleRows(refDocs, idCol, textCol, shingleN), numHashes)
+    val newSigs = Dedup.minhashSignaturesOf(
+      newDocs, idCol, textCol, shingleN, numHashes)
+    val refSigs = Dedup.minhashSignaturesOf(
+      refDocs, idCol, textCol, shingleN, numHashes)
     Dedup.minhashCandidatesAgainst(newSigs, refSigs, numHashes, bandsOf,
         maxBucket)
       .groupBy("doc_id")

@@ -100,10 +100,24 @@ object Dedup {
     shingleExplode(docs, Seq("doc_id" -> col(idCol)), textCol, n)
       .distinct()
 
-  /** MinHash signatures: K min-hashes over the shingle set, one row per
+  /** MinHash signatures straight from documents — min over the raw
+    * shingle MULTISET, which equals min over the shingle SET, so the
+    * values are identical to `minhashSignatures(shingleRows(...))` while
+    * skipping the `.distinct()` exchange entirely: the only shuffle left
+    * is the groupBy(min), whose partial aggregation collapses map-side to
+    * ONE row per (doc, K mins) — fact-sized gram streams never cross the
+    * wire. Use this whenever the shingle frame is not ALSO needed as a
+    * set (Jaccard intersections need `shingleRows`' distinct). */
+  def minhashSignaturesOf(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame =
+    minhashSignatures(
+      shingleExplode(docs, Seq("doc_id" -> col(idCol)), textCol, n), k)
+
+  /** MinHash signatures: K min-hashes over the shingle rows, one row per
     * doc. Each shingle is md5-hashed ONCE (`hash60`); the K families are
     * derived arithmetically (affine mod-p over the base hash), so hashing
-    * cost is 1/K of the naive per-family-md5 scheme. */
+    * cost is 1/K of the naive per-family-md5 scheme. Accepts distinct OR
+    * raw shingle rows — min is multiset-invariant. */
   def minhashSignatures(shingles: DataFrame, k: Int): DataFrame = {
     val base = shingles.withColumn("hs", hash60(col("sh")) % MinhashP)
     val fams = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>

@@ -213,8 +213,7 @@ object CurationQueries {
     "dd7_incremental_dedup",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val sigs = Dedup.minhashSignatures(
-        Dedup.shingleRows(docs, "doc_id", "text", 3), ddK)
+      val sigs = Dedup.minhashSignaturesOf(docs, "doc_id", "text", 3, ddK)
       val flagged = sigs.join(
         docs.select(col("doc_id"),
           (substring(col("source"), 4, 10).cast("int") < refSplit).as("is_ref")),

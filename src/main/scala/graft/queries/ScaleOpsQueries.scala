@@ -217,8 +217,7 @@ object ScaleOpsQueries {
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashCandidates(
-      Dedup.minhashSignatures(
-        Dedup.shingleRows(Tables.documents(s, d), "doc_id", "text", 3), numHashes),
+      Dedup.minhashSignaturesOf(Tables.documents(s, d), "doc_id", "text", 3, numHashes),
       numHashes, bandsOf, maxBucket)
 
   private val dd2 = Q(
@@ -239,8 +238,8 @@ object ScaleOpsQueries {
       // no persist here: minhashCandidates persists the SAME signature
       // plan internally, and cache lookup is by logical plan, so the
       // estimate joins below read that one cached copy
-      val sigs = Dedup.minhashSignatures(
-        Dedup.shingleRows(Tables.documents(s, d), "doc_id", "text", 3), numHashes)
+      val sigs = Dedup.minhashSignaturesOf(
+        Tables.documents(s, d), "doc_id", "text", 3, numHashes)
       Dedup.minhashJaccardEstimate(sigs,
         Dedup.minhashCandidates(sigs, numHashes, bandsOf, maxBucket), numHashes)
     },

@@ -442,9 +442,8 @@ object EventStreams extends Serializable {
     // NULL-id refs must not band: they'd count toward the bucket cap (and
     // emit NULL ref_id hits) that dd7's inner source-flag join and the
     // oracle's USING join both exclude — the same drop the stream side gets
-    val refSigs = Dedup.minhashSignatures(
-      Dedup.shingleRows(refDocs.filter(col(idCol).isNotNull),
-        idCol, textCol, n), k)
+    val refSigs = Dedup.minhashSignaturesOf(
+      refDocs.filter(col(idCol).isNotNull), idCol, textCol, n, k)
     val refBands0 = Dedup.capBuckets(Dedup.bandRows(refSigs, k, bandsOf),
         Seq(col("band"), col("bkey")), maxBucket, "minhashHitsStatic")
       .select(col("doc_id").as("ref_id"), col("band"), col("bkey"))
