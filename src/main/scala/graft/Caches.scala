@@ -56,6 +56,37 @@ object Caches {
     spark.listenerManager.register(listener)
   }
 
+  /** Unpersist `dfs` once the session has no active streaming queries
+    * left — the streaming twin of [[releaseAfterAction]]. A stream-static
+    * join's cached static side (the banded minhash reference, an index
+    * artifact) must live for the WHOLE streaming query, not one action,
+    * so the release trigger is a query-terminated event with no other
+    * query still active. Same blunt-but-safe contract as the batch
+    * listener: a session running several concurrent streaming queries
+    * releases only when the last one stops (caches live longer than
+    * strictly needed, never shorter), and repeated builder calls each
+    * release their own frames at that point instead of accumulating for
+    * the session's lifetime. */
+  def releaseAfterStreams(dfs: DataFrame*): Unit = {
+    if (dfs.isEmpty) return
+    val spark = dfs.head.sparkSession
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      private val done = new AtomicBoolean(false)
+      override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(event: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+        if (spark.streams.active.isEmpty && done.compareAndSet(false, true)) {
+          dfs.foreach { df =>
+            try df.unpersist(blocking = false)
+            catch { case _: Throwable => () }
+          }
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+  }
+
   /** Drop every cached frame in the session (documented escape hatch for
     * long-lived sessions mixing many library calls). */
   def clearCaches(spark: SparkSession): Unit = spark.catalog.clearCache()

@@ -336,11 +336,14 @@ object Corpus {
     * FIXED (blocks × ~maxChars/maxDist bands), so without the cap the
     * per-bucket pair count grows quadratically with corpus size — the
     * r12 scale ramp measured 14.7× wall at 5× docs on the uncapped
-    * join, the one super-linear pair path left in the catalog. */
+    * join, the one super-linear pair path left in the catalog. The
+    * DEFAULT is exact (no cap) to keep the public API's historical
+    * contract — capped callers (every catalog/pipeline site) opt in
+    * explicitly, and the drop audit logs what a binding cap discarded. */
   def fuzzyDuplicates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", blockCol: String = "source",
       maxChars: Int = 200, maxDist: Int = 20,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val bandW = maxDist + 1
     val short = docs
       .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),

@@ -22,8 +22,13 @@ final class TopKTieBuffer(val k: Int) {
       Ordering.by((r: UnsafeRow) => (r.getDouble(0), r.getLong(1))))
   def wouldEnter(p: Double, t: Long): Boolean =
     heap.size < k || {
+      // total order via Double.compare, matching the heap's Ordering[Double]
+      // (Scala total ordering) and Spark's ascending sort: NaN ranks after
+      // +Infinity instead of failing every IEEE compare and being silently
+      // excluded once the heap is full
       val h = heap.head
-      p < h.getDouble(0) || (p == h.getDouble(0) && t < h.getLong(1))
+      val c = java.lang.Double.compare(p, h.getDouble(0))
+      c < 0 || (c == 0 && t < h.getLong(1))
     }
   def insert(row: UnsafeRow): Unit = {
     if (heap.size < k) heap.enqueue(row)
@@ -42,6 +47,14 @@ final class TopKTieBuffer(val k: Int) {
   * every ordering the engine exposes must be total). The hash-priority
   * uses (weighted reservoir sampling, top-p selection) stay on the
   * 3-arg [[PriorityTopK]] — their priorities never tie.
+  *
+  * Ordering is TOTAL: Double.compare semantics, so NaN priorities rank
+  * after +Infinity (same as Spark's ascending sort on the priority
+  * column) instead of being dropped by failed IEEE compares. NULL
+  * priority/tiebreak/payload rows are skipped — standard aggregate
+  * null-in semantics, unlike a window sort's NULLS FIRST — so callers
+  * whose score can be NULL (cosine_sim on a zero norm) get "excluded",
+  * which is what every call site here wants.
   *
   * Same scale shape as the base aggregate: O(k) state per group inside a
   * regular partial+final hash aggregation — map-side combine ships k

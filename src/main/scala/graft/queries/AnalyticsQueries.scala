@@ -429,7 +429,13 @@ object AnalyticsQueries {
 
   private val fzMaxChars = 200L
   private val fzMaxDist = 20L
-  private val fzMaxBucket = 1000L
+  // GRAFT_FZ1_MAXBUCKET: binding-regime test knob (the cap is sized to be
+  // non-binding through sf1.0 — max observed bucket 308 — so exercising
+  // the drop path against real data means lowering it; the oracle SQL
+  // interpolates the SAME value, so Verify + compare replay the capped
+  // join on both engines at any setting). Default unchanged: 1000.
+  private val fzMaxBucket =
+    sys.env.getOrElse("GRAFT_FZ1_MAXBUCKET", "1000").toLong
 
   /** FZ1 — fuzzy near-duplicate pairs by edit distance — the
     * character-level complement to the token-level dedup family (dd2–dd4):

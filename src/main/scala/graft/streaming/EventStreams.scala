@@ -450,9 +450,15 @@ object EventStreams extends Serializable {
     // a stream-static join re-executes the static subtree EVERY micro-batch
     // unless it is cached — persist the banded reference for the lifetime
     // of the streaming query (the index artifact, built once; a real
-    // deployment would materialize it to storage and re-attach). Batch
-    // replays consume it once, where a persist is pure write cost — skip.
-    val refBands = if (docs.isStreaming) refBands0.persist() else refBands0
+    // deployment would materialize it to storage and re-attach), released
+    // when the session's streaming queries terminate so repeated builder
+    // calls don't accumulate session-lifetime caches. Batch replays
+    // consume it once, where a persist is pure write cost — skip.
+    val refBands = if (docs.isStreaming) {
+      val cached = refBands0.persist()
+      graft.Caches.releaseAfterStreams(cached)
+      cached
+    } else refBands0
     // batch replays get the standard explode-path widening; a streaming
     // source keeps its micro-batch partitioning
     val src = if (docs.isStreaming) docs else Dedup.spread(docs)

@@ -174,6 +174,32 @@ class CorpusSpec extends SparkSpec {
     assert(got.toSet === Set((1L, 2L, 2L), (1L, 3L, 20L)))
   }
 
+  test("fuzzyDuplicates: a BINDING bucket cap drops hot buckets whole, audits the count") {
+    import spark.implicits._
+    // 30 identical-length docs in one block blow a cap of 10 — BOTH band
+    // buckets (band0 and band0+1, 30 rows each) exceed it, so the hot
+    // block contributes ZERO pairs; the 4-doc cold block is untouched.
+    // This pins the binding regime of the r12 fz1 fix: bucket dropped
+    // WHOLE (never truncated — truncation would make results order-
+    // dependent), audit metric = exploded rows in over-cap buckets.
+    val hot = (1L to 30L).map(i => (i, "hot", "h" * 10))
+    val cold = Seq((101L, "ok", "a" * 10), (102L, "ok", "a" * 9 + "b"),
+      (103L, "ok", "a" * 8 + "bb"), (104L, "ok", "b" * 10))
+    val docs = (hot ++ cold).toDF("doc_id", "source", "text")
+    val capped = Corpus.fuzzyDuplicates(docs, maxBucket = 10)
+    val got = capped.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got === Set((101L, 102L), (101L, 103L), (101L, 104L),
+      (102L, 103L), (102L, 104L), (103L, 104L)))
+    // the drop audit observed exactly the hot block's 60 banded rows
+    val dropped = capped.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith("graft_capped_fuzzyDuplicates") =>
+        row.getAs[Long]("dropped_rows")
+    }.sum
+    assert(dropped == 60L, s"dropped=$dropped")
+    // the exact default finds the hot pairs the cap dropped (435 + 6)
+    assert(Corpus.fuzzyDuplicates(docs).count() == 441L)
+  }
+
   test("tfidf and LM scores agree on a corpus where one term is unique") {
     import spark.implicits._
     val docs = Seq(

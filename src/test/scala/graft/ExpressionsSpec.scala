@@ -198,6 +198,33 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaAggWide.except(viaWindow).isEmpty && viaWindow.except(viaAggWide).isEmpty)
   }
 
+  test("priority_topk_tie: NaN priorities rank last (total order), not dropped") {
+    GraftFunctions.register(spark)
+    // ids 0..9 with priority = id, plus NaN-priority ids 100..104: under
+    // Spark's ascending sort NaN ranks after +Infinity, so with k=12 the
+    // result is 0..9 then two NaN rows tiebroken by id. The pre-fix IEEE
+    // compares silently excluded NaN once the heap was full — this pins
+    // the total-order semantics and the under-full admission path.
+    val df = spark.range(10)
+      .select(col("id"), col("id").cast("double").as("p"))
+      .union(spark.range(100, 105)
+        .select(col("id"), lit(Double.NaN).as("p")))
+      .repartition(7)
+    val viaAgg = df.groupBy(lit(1).as("g"))
+      .agg(expr("priority_topk_tie(p, id, id, 12)").as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).as("rnk"), col("col").as("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("p"), col("id"))
+    val viaWindow = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 12).select(col("rnk").cast("long").as("rnk"), col("id"))
+    assert(viaAgg.count() == 12)
+    assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty)
+    // the NaN rows that fit are the two smallest NaN ids
+    val ids = viaAgg.orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(ids == ((0L to 9L) ++ Seq(100L, 101L)))
+  }
+
   test("priority_topk: groups smaller than k return all rows, in order") {
     GraftFunctions.register(spark)
     val df = Seq((1, 10L, 3.0), (1, 11L, 1.0), (2, 20L, 5.0))

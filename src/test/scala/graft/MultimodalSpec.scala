@@ -256,4 +256,44 @@ class MultimodalSpec extends SparkSpec {
     val expectBit0 = sw * n > total * e
     assert(((h(1L).get & 1L) == 1L) == expectBit0)
   }
+
+  test("codec behavior PIN: ImageIO / javax.sound round trips are bit-stable " +
+      "(r12 verdict #5 — a JDK codec change must fail HERE, loudly)") {
+    // The mm3/mm4 real paths (DCT pHash, WAV energy envelope) are pinned
+    // by THIS suite's rendered fixtures, not by a relational oracle — so
+    // a JDK upgrade that changes ImageIO's PNG decode or javax.sound's
+    // WAV framing would silently re-baseline every perceptual hash. These
+    // two checksums pin the decoded PIXELS/PCM of the suite's own
+    // fixtures (behavior, not a version string; pinned on JDK 17.0.20).
+    // Regen flow on a deliberate JDK move: run `jshell` over the same
+    // render→encode→decode→h*31+byte fold (or temporarily print the
+    // `got` values here), update the two constants, and note the JDK in
+    // BASELINE.md so the golden provenance stays auditable.
+    val png = tilePng(flip = false, noise = false)
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    var h = 0L
+    (0 until dec.getHeight).foreach { y =>
+      (0 until dec.getWidth).foreach { x =>
+        h = h * 31L + (dec.getRGB(x, y) & 0xffffff)
+      }
+    }
+    assert(h == 3596182840866209792L,
+      s"ImageIO PNG round-trip pixels drifted (got $h): the mm3 pHash " +
+        "golden basis changed — re-pin deliberately, never silently")
+
+    val samples = Array.tabulate(6000) { i =>
+      val a = if (i < 3000) 1000 else 20000
+      (if (i % 2 == 0) a else -a).toShort
+    }
+    val wav = wavBytes(8000, samples)
+    val rais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(rais.getFormat.getSampleRate == 8000f)
+    val pcm = rais.readAllBytes()
+    var hw = 0L
+    pcm.foreach(b => hw = hw * 31L + (b & 0xff))
+    assert(pcm.length == 12000 && hw == -8262856200505264312L,
+      s"javax.sound WAV round-trip PCM drifted (got $hw, n=${pcm.length}): " +
+        "the mm4 envelope golden basis changed — re-pin deliberately")
+  }
 }

@@ -20,10 +20,16 @@ import pandas as pd
 
 
 def main(out_dir):
-    pairs = pd.concat(pd.read_parquet(f) for f in
-                      glob.glob(f"{out_dir}/dd2_minhash_lsh/*.parquet"))
-    comp = pd.concat(pd.read_parquet(f) for f in
-                     glob.glob(f"{out_dir}/dd6_dedup_components/*.parquet"))
+    def read_all(sub):
+        files = glob.glob(f"{out_dir}/{sub}/*.parquet")
+        if not files:
+            print(f"MISS {sub}: no parquet files under {out_dir}/{sub} "
+                  f"(run Verify first)")
+            sys.exit(2)
+        return pd.concat(pd.read_parquet(f) for f in files)
+
+    pairs = read_all("dd2_minhash_lsh")
+    comp = read_all("dd6_dedup_components")
     parent = {}
 
     def find(x):
