@@ -306,7 +306,7 @@ object Ann {
       .filter(col("id") =!= col("q_id"))
       .withColumn("cos", expr("cosine_sim(qv, v)"))
       .groupBy("q_id")
-      .agg(expr(s"priority_topk_tie(-cos, id, struct(id, cos), $topK)").as("tk"))
+      .agg(expr(s"priority_topk_tie(-cos, CAST(id AS BIGINT), struct(id, cos), $topK)").as("tk"))
       .select(col("q_id"), posexplode(col("tk")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("col.id").as("id"), col("col.cos").as("cos"))
@@ -322,12 +322,98 @@ object Ann {
       .select(col("id").as("q_id"), col("v").as("qv"))
     // O(k)-state deterministic top-k (priority_topk_tie, ties broken by
     // id): partial aggregation ships k rows per (query, partition) — the
-    // row_number window spelling shuffles and sorts EVERY scored row
+    // row_number window spelling shuffles and sorts EVERY scored row.
+    // The tiebreak cast keeps non-BIGINT id columns working (the window
+    // spelling accepted any orderable id; the aggregate needs LongType)
     corpus.crossJoin(broadcast(qn))
       .filter(col("id") =!= col("q_id"))
       .withColumn("cos", expr("cosine_sim(qv, v)"))
       .groupBy("q_id")
-      .agg(expr(s"priority_topk_tie(-cos, id, struct(id, cos), $topK)").as("tk"))
+      .agg(expr(s"priority_topk_tie(-cos, CAST(id AS BIGINT), struct(id, cos), $topK)").as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("id"), col("col.cos").as("cos"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Disk-backed IVF(-PQ) index: build once, serve many. ivfTopK recomputes
+  // cells per call — right for one-shot analytics, wrong for a serving
+  // path where the same 100 TB corpus answers query batch after query
+  // batch. The index is a cell-PARTITIONED parquet layout (one directory
+  // per IVF cell — Hive-style, the same shape pp1 proves prunes at the
+  // file index) plus the centroid frame that defines it; a probe reads
+  // ONLY its nProbe cells' files, so per-batch cost is nProbe/k of the
+  // corpus regardless of corpus size.
+  // ---------------------------------------------------------------------
+
+  /** Build the disk index at `path`: train the coarse quantizer, assign
+    * every vector to its cell in one narrow scan, and write
+    * `corpus/cell=<c>/` partitions of `(id, v[, code])` plus
+    * `centroids/`. `pq` optionally attaches product-quantization codes
+    * ([[Pq.encodeCol]], same strict-< fold as `Pq.encode`) — the 64×-
+    * compressed column an ADC-first serving tier scans INSTEAD of `v`;
+    * codes ride the same single pass, no join. The write shuffles once
+    * on `cell` (repartition before partitionBy) so each cell directory
+    * is a few large files rather than one file per input task — the
+    * small-files discipline a 1000-executor write needs. */
+  def writeIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, k: Int, iters: Int,
+      pq: Option[Pq.PqModel] = None): Unit = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, k, iters)
+    val rows = centroidRows(cents)
+    val shared = if (rows.size > LiteralPathMaxK)
+      Some(centroidBc(emb.sparkSession, rows)) else None
+    val assigned0 = assignRows(normalized(emb, idCol, vecCol), rows, shared)
+    val assigned = pq match {
+      case Some(m) => assigned0.withColumn("code", Pq.encodeCol(col("v"), m))
+      case None => assigned0
+    }
+    assigned
+      .select(Seq(col("id"), col("v"), col("cell")) ++
+        (if (pq.isDefined) Seq(col("code")) else Nil): _*)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Serve top-k from a [[writeIvfIndex]] layout. The centroid read is
+    * k-bounded (the quantizer IS small by construction); probe cells are
+    * computed per query and their DISTINCT set — ≤ k values however many
+    * queries the batch carries — becomes a STATIC `cell IN (...)`
+    * partition filter, so the file index lists only the probed cells'
+    * directories (asserted in PlanSpec, the pp1 witness). The probe side
+    * broadcasts; the corpus scan flows into the join with no exchange,
+    * and the rerank is the O(k)-state `priority_topk_tie` aggregate.
+    * nProbe ≥ k degenerates to exact brute-force over the index (the
+    * oracle regime). */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int, topK: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val rows = centroidRows(spark.read.parquet(s"$path/centroids"))
+    val shared = if (rows.size > LiteralPathMaxK)
+      Some(centroidBc(spark, rows)) else None
+    val qn = normalized(queries, idCol, vecCol)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("vn").as("qvn"))
+    val probed = qn
+      .select(col("q_id"), col("qv"),
+        explode(probeCells(qn, rows, nProbe, shared)).as("cell"))
+      .persist()
+    // bounded driver collect: distinct probe cells ⊆ the k cell ids —
+    // never scales with the query batch, and buys STATIC pruning (the
+    // file listing itself skips unprobed cell directories). Runs BEFORE
+    // releaseAfterAction is registered — the release listener fires on
+    // the next completed action, which must be the CALLER's consuming
+    // one, not this collect (the pq1 lesson).
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    graft.Caches.releaseAfterAction(probed)
+    spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("cos", expr("cosine_sim(qv, v)"))
+      .groupBy("q_id")
+      .agg(expr(s"priority_topk_tie(-cos, CAST(id AS BIGINT), struct(id, cos), $topK)").as("tk"))
       .select(col("q_id"), posexplode(col("tk")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("col.id").as("id"), col("col.cos").as("cos"))

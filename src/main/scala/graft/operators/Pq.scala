@@ -160,6 +160,27 @@ object Pq {
     sliced.select(col(idCol), array(codes: _*).as("code"))
   }
 
+  /** The encode projection as a composable Column (same strict-< fold as
+    * [[encode]], so codes are bit-identical) — for callers that attach
+    * codes to a wider frame without a join (the disk-backed IVF-PQ index
+    * writes `(id, v, cell, code)` in ONE narrow pass). Rows outside the
+    * codec's domain (length ≠ dim) yield NULL rather than being dropped:
+    * the surrounding frame owns its row set. */
+  def encodeCol(vec: Column, model: PqModel): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    val codes = (0 until model.m).map { s =>
+      val sub = slice(v, s * model.dsub + 1, model.dsub)
+      aggregate(bookLit(model.books(s)),
+        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("code")),
+        (acc, c) => {
+          val d = sliceD2(sub, c.getField("_2"))
+          when(d < acc.getField("d2"),
+            struct(d.as("d2"), c.getField("_1").as("code"))).otherwise(acc)
+        }).getField("code")
+    }
+    when(size(vec) === model.dim, array(codes: _*))
+  }
+
   /** Reconstruction of a `code` column — m codebook lookups per row,
     * flattened back to a dim-length array. For distortion audits and the
     * decode-side of tests; ADC search never materializes this. */

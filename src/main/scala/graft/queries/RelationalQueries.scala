@@ -77,7 +77,7 @@ object RelationalQueries {
     * gcStaleLayouts' 14-day disuse clause never reaps a layout that is
     * actively read (reads alone never update a directory's mtime).
     * Called on every use — build and cached — by all layout queries. */
-  private def touchLayout(path: String): Unit = {
+  private[graft] def touchLayout(path: String): Unit = {
     // setLastModified can fail (permissions, some mounts); when it does,
     // gcStaleLayouts' 14-day disuse clause may later reap a layout that is
     // actively read by a concurrent JVM (read error, self-healing via the
@@ -117,7 +117,8 @@ object RelationalQueries {
     * charged to the scan query: observed 0.16 s → 2.38 s on zo1). */
   val layoutWriterQueries: Set[String] =
     Set("zo1_zorder_prune", "or1_orc_interchange",
-      "pp1_partition_prune", "pp2_dpp_join", "bk1_bucketed_join")
+      "pp1_partition_prune", "pp2_dpp_join", "bk1_bucketed_join",
+      "ss4_ann_index_scan")
 
   private val zo1 = Q(
     "zo1_zorder_prune",

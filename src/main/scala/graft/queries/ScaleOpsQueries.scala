@@ -492,6 +492,57 @@ object ScaleOpsQueries {
                    FROM pairs)
              SELECT q_id, rnk, vec_id, round(cos, 6) AS cos FROM r WHERE rnk <= 3"""))
 
+  /** SS4 — DISK-BACKED IVF-PQ index, the build-once/serve-many end of the
+    * ANN family (ss1 brute / ss2 LSH / ss3 in-memory IVF recompute per
+    * call — right for one-shot analytics, wrong for a serving corpus that
+    * answers batch after batch). [[Ann.writeIvfIndex]] materializes the
+    * corpus as a cell-PARTITIONED parquet layout (one Hive-style
+    * directory per IVF cell, the pp1 shape) with product-quantization
+    * codes attached in the same narrow pass (frozen codebooks —
+    * [[FrozenModels.pqBooks]], the pq1b convention); [[Ann.ivfIndexTopK]]
+    * then serves: k-bounded centroid read, probe-cell computation, a
+    * STATIC `cell IN (...)` partition filter (distinct probe cells ≤ k,
+    * never query-batch-sized), broadcast probe join with NO exchange on
+    * the corpus scan, `priority_topk_tie` rerank. At 100 TB the probe
+    * reads nProbe/k of the corpus files — the scan-pruning story the
+    * whole ANN family builds toward.
+    *
+    * Write-if-missing (the zo1 stance): re-verification and bench
+    * measure the pruned SCAN; the one-off build is the ingest price any
+    * index pays (Bench pre-warms it via layoutWriterQueries).
+    * Correctness regime: nProbe = k probes every cell, where the index
+    * search provably equals brute force — so build→write→prune→scan→
+    * rerank runs under the plain brute SQL oracle (the ss3 convention).
+    * PlanSpec asserts the nProbe < k pruned-scan plan shape (partition
+    * filters + partitions-read + single shuffle); AnnSpec pins the disk
+    * codes against `Pq.encode` and index-vs-brute equality. */
+  private val ss4 = Q(
+    "ss4_ann_index_scan",
+    (s, d) => {
+      val key = RelationalQueries.cacheKey(d, "embeddings.parquet")
+      val path = s"/tmp/graft_ss4/$key"
+      if (!new java.io.File(s"$path/corpus/_SUCCESS").exists() ||
+          !new java.io.File(s"$path/centroids/_SUCCESS").exists()) {
+        RelationalQueries.gcStaleLayouts("/tmp/graft_ss4", key)
+        Ann.writeIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+          path, k = 8, iters = 2,
+          pq = Some(graft.operators.Pq.PqModel(8, 8, FrozenModels.pqBooks)))
+      }
+      RelationalQueries.touchLayout(path)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0)
+      Ann.ivfIndexTopK(s, path, q, "vec_id", "embedding", nProbe = 8, topK = 3)
+        .select(col("q_id"), col("rnk"), col("id").as("vec_id"),
+          round(col("cos"), 6).as("cos"))
+    },
+    Some(s"""WITH e AS ($embNormSql),
+             q AS (SELECT vec_id AS q_id, embedding, nrm AS qn FROM e WHERE vec_id % 100 = 0),
+             pairs AS (SELECT q.q_id, e.vec_id, ${dotSql("q", "e")} / (q.qn * e.nrm) AS cos
+                       FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+             r AS (SELECT q_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+                   FROM pairs)
+             SELECT q_id, rnk, vec_id, round(cos, 6) AS cos FROM r WHERE rnk <= 3"""))
+
   /** MM1 — the multimodal plumbing under the driver gate: binary payload
     * + typed meta → batched feature extraction (operators.Multimodal, the
     * clearly-marked fake decoder) joined with frame-sample counts. The
@@ -810,5 +861,5 @@ object ScaleOpsQueries {
                round(avg(x), 6) AS mean_val
              FROM x GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd8, dd3, dd4, dd5, dd6, ss1, ss2, ss3, cl1, p1, mm1, mm2, mm3, mm4)
+  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd8, dd3, dd4, dd5, dd6, ss1, ss2, ss3, ss4, cl1, p1, mm1, mm2, mm3, mm4)
 }

@@ -31,6 +31,21 @@ class AnnSpec extends SparkSpec {
     assert(ivf.exceptAll(brute).count() == 0 && brute.exceptAll(ivf).count() == 0)
   }
 
+  test("bruteTopK accepts non-BIGINT id columns (tiebreak cast)") {
+    // the priority_topk_tie rerank needs a LongType tiebreak; the operator
+    // casts internally so callers with INT ids (the pre-r12 window
+    // contract) keep working, and the payload keeps the original type
+    val embInt = emb.withColumn("vec_id", col("vec_id").cast("int"))
+    val qInt = embInt.filter(col("vec_id") % 100 === 0)
+    val got = Ann.bruteTopK(embInt, qInt, "vec_id", "embedding", topK = 3)
+    assert(got.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    val ref = Ann.bruteTopK(emb, queries, "vec_id", "embedding", topK = 3)
+      .select(col("q_id"), col("rnk"), col("id"))
+    val gotL = got.select(col("q_id").cast("long").as("q_id"), col("rnk"),
+      col("id").cast("long").as("id"))
+    assert(gotL.exceptAll(ref).count() == 0 && ref.exceptAll(gotL).count() == 0)
+  }
+
   test("IVF with fewer probes still recalls a usable fraction") {
     val ivf = Ann.ivfTopK(emb, queries, "vec_id", "embedding",
         k = 8, iters = 3, nProbe = 3, topK = 10)
@@ -40,6 +55,27 @@ class AnnSpec extends SparkSpec {
     val recall = (ivf intersect brute).size.toDouble / brute.size
     assert(recall > 0.2, s"recall=$recall") // unstructured vectors: weak but real
     assert(ivf.size <= brute.size)
+  }
+
+  test("disk IVF-PQ index: nProbe = k serve equals brute force; disk codes equal Pq.encode") {
+    import graft.operators.Pq
+    val path = java.nio.file.Files.createTempDirectory("graft_ss4_spec").toString
+    val model = Pq.PqModel(8, 8, graft.queries.FrozenModels.pqBooks)
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", path, k = 8, iters = 3,
+      pq = Some(model))
+    // serve-all-cells regime: the disk layout round trip must be exact
+    val served = Ann.ivfIndexTopK(spark, path, queries, "vec_id", "embedding",
+      nProbe = 8, topK = 5)
+    val brute = Ann.bruteTopK(emb, queries, "vec_id", "embedding", topK = 5)
+    assert(served.exceptAll(brute).count() == 0 &&
+      brute.exceptAll(served).count() == 0)
+    // the PQ codes written in the build's single pass are bit-identical to
+    // the standalone encode (encodeCol shares the strict-< fold)
+    val disk = spark.read.parquet(s"$path/corpus")
+      .select(col("id").as("vec_id"), col("code"))
+    val direct = Pq.encode(emb, "embedding", model)
+    assert(disk.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(disk).count() == 0)
   }
 
   test("large-k broadcast assignment equals the literal fold at k = 8192") {

@@ -516,6 +516,43 @@ class PlanSpec extends SparkSpec {
         s"Q2 has $q2Parts of ${months.size}")
   }
 
+  test("ss4 index serve at nProbe < k: corpus scan statically partition-" +
+      "pruned, probe broadcast, ONE shuffle (the rerank aggregate)") {
+    import org.apache.spark.sql.functions.col
+    // build the layout via the catalog entry (write-if-missing), then
+    // serve a SINGLE query at nProbe = 2 — the regime where pruning has
+    // something to prune (a many-query batch's probe union can cover
+    // every cell; one query probes exactly 2 of the 8)
+    QueryCatalog.byName("ss4_ann_index_scan").run(spark, dir).collect()
+    val key = graft.queries.RelationalQueries.cacheKey(dir, "embeddings.parquet")
+    val path = s"/tmp/graft_ss4/$key"
+    val oneQ = graft.Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+    val df = graft.operators.Ann.ivfIndexTopK(spark, path, oneQ,
+      "vec_id", "embedding", nProbe = 2, topK = 3)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val scan = nodes.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.getOrElse("Location", "").contains("graft_ss4") => f
+    }.getOrElse(fail("no index corpus scan in the serve plan"))
+    val pf = scan.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("cell"), s"probe cells not a partition filter: $pf")
+    val totalCells = Option(new java.io.File(s"$path/corpus").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("cell="))
+    assert(totalCells > 2, s"degenerate layout: $totalCells cells")
+    assert(scan.metrics("numPartitions").value <= 2,
+      s"read ${scan.metrics("numPartitions").value} of $totalCells cells")
+    // probe side broadcasts; the only shuffle is the rerank aggregate's
+    assert(nodes.exists {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    }, "probe join is not a broadcast hash join")
+    val shuffles = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1, s"expected ≤1 shuffle, got ${shuffles.size}")
+  }
+
   test("sj1 star join: optimizer recovers the join tree — dims broadcast, " +
       "no cartesian, fact never broadcast") {
     // sj1 is comma-form FROM: the parser hands Catalyst a cross-join
