@@ -280,6 +280,18 @@ object Demo {
     val lost = trimmed.agg(sum(col("n_tok") - col("n_kept"))).head().getLong(0)
     println(s"[demo] span trim (keep-one): $lost duplicated tokens excised " +
       s"across ${trimmed.filter(col("n_kept") < col("n_tok")).count()} docs")
+
+    // ---- disk-backed IVF-PQ index: build once, serve pruned ---------------
+    val idxPath = java.nio.file.Files.createTempDirectory("demo_ivf").toString
+    graft.operators.Ann.writeIvfIndex(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding", idxPath,
+      k = 8, iters = 2,
+      pq = Some(graft.operators.Pq.PqModel(8, 8, graft.queries.FrozenModels.pqBooks)))
+    val probeQ = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+    val hits = graft.operators.Ann.ivfIndexTopK(spark, idxPath, probeQ,
+      "vec_id", "embedding", nProbe = 2, topK = 3)
+    println(s"[demo] IVF-PQ index: served ${hits.count()} neighbours " +
+      s"for 1 query probing 2/8 cell directories from $idxPath")
     spark.stop()
   }
 }
