@@ -125,6 +125,33 @@ class CachesSpec extends SparkSpec {
         "the register-last rule could be relaxed for it")
   }
 
+  test("releaseAfterStreams unpersists once the last streaming query stops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    val static = (1 to 50).toDF("v").groupBy((col("v") % 5).as("k"))
+      .agg(count(lit(1)).as("n")).persist()
+    static.count()
+    Caches.releaseAfterStreams(static)
+    def cached(): Boolean =
+      spark.sharedState.cacheManager.lookupCachedData(
+        static.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+          org.apache.spark.sql.Row]]).isDefined
+    // batch actions must NOT release it (that's releaseAfterAction's
+    // trigger, not this one) — the stream-static cache outlives actions
+    spark.range(3).count()
+    Thread.sleep(400)
+    assert(cached(), "a batch action must not fire the streaming release")
+    // a streaming query starting and stopping DOES release it
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "5")
+      .load().writeStream.format("noop").start()
+    Thread.sleep(600)
+    q.stop(); q.awaitTermination()
+    val deadline = System.currentTimeMillis() + 20000
+    while (cached() && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(!cached(), "stream termination must unpersist the static frame")
+  }
+
   test("corpus near-dup + search session releases its caches too") {
     import spark.implicits._
     val docs = (1L to 60L)
