@@ -448,14 +448,19 @@ object ScaleOpsQueries {
       graft.Caches.releaseAfterAction(e)
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      // O(k)-state deterministic rerank (the ss1/ss3 r12 rewiring): the
+      // bucket join already cuts the scored frame ~2^planes-fold, but the
+      // row_number spelling still shuffled and sorted ALL of it — the
+      // aggregate's map-side combine ships ≤ k rows per (query, partition)
       e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos", cosine("qv", "v"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select(col("q_id"), col("rnk"), col("vec_id"), col("bucket"),
-          round(col("cos"), 6).as("cos"))
+        .groupBy("q_id")
+        .agg(expr("priority_topk_tie(-cos, vec_id, struct(vec_id, bucket, cos), 3)").as("tk"))
+        .select(col("q_id"), posexplode(col("tk")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.vec_id").as("vec_id"), col("col.bucket").as("bucket"),
+          round(col("col.cos"), 6).as("cos"))
     },
     Some(s"""WITH e AS (SELECT *, $bucketSql AS bucket FROM ($embNormSql)),
              q AS (SELECT vec_id AS q_id, embedding, nrm AS qn, bucket
