@@ -78,6 +78,26 @@ class AnnSpec extends SparkSpec {
       direct.exceptAll(disk).count() == 0)
   }
 
+  test("ADC serving composes over the disk index: pruned code scan equals the in-memory path") {
+    import graft.operators.Pq
+    val path = java.nio.file.Files.createTempDirectory("graft_ss4_adc").toString
+    val model = Pq.PqModel(8, 8, graft.queries.FrozenModels.pqBooks)
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", path, k = 4, iters = 2,
+      pq = Some(model))
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0).toArray
+    // the ADC tier never touches `v`: it scans only (id, code) from the
+    // index — 64× less data than the raw vectors — and must return
+    // exactly what ADC over a fresh in-memory encode returns
+    val fromDisk = Pq.adcTopK(
+      spark.read.parquet(s"$path/corpus").select(col("id").as("vec_id"), col("code")),
+      model, qv, k = 10)
+    val inMem = Pq.adcTopK(Pq.encode(emb, "embedding", model), model, qv, k = 10)
+    assert(fromDisk.exceptAll(inMem).count() == 0 &&
+      inMem.exceptAll(fromDisk).count() == 0)
+  }
+
   test("large-k broadcast assignment equals the literal fold at k = 8192") {
     // 8192 synthetic cells (> LiteralPathMaxK, so Ann.assign takes the
     // broadcast path) on a deterministic grid; both paths must agree on
