@@ -353,12 +353,14 @@ object Ann {
     * ([[Pq.encodeCol]], same strict-< fold as `Pq.encode`) — the 64×-
     * compressed column an ADC-first serving tier scans INSTEAD of `v`;
     * codes ride the same single pass, no join. The write shuffles once
-    * on `cell` (repartition before partitionBy) so each cell directory
-    * is a few large files rather than one file per input task — the
-    * small-files discipline a 1000-executor write needs. */
+    * on `(cell, salt)` before partitionBy: plain `repartition(cell)`
+    * would funnel each cell through ONE writer task — a hot cell at
+    * 100 TB is a serial bottleneck — while the salt spreads every cell
+    * over up to `writeSalts` writers (so ≤ writeSalts files per cell:
+    * still the small-files discipline, directories still prune). */
   def writeIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
       path: String, k: Int, iters: Int,
-      pq: Option[Pq.PqModel] = None): Unit = {
+      pq: Option[Pq.PqModel] = None, writeSalts: Int = 8): Unit = {
     val cents = kmeansCentroids(emb, idCol, vecCol, k, iters)
     val rows = centroidRows(cents)
     val shared = if (rows.size > LiteralPathMaxK)
@@ -371,7 +373,7 @@ object Ann {
     assigned
       .select(Seq(col("id"), col("v"), col("cell")) ++
         (if (pq.isDefined) Seq(col("code")) else Nil): _*)
-      .repartition(col("cell"))
+      .repartition(col("cell"), pmod(hash(col("id")), lit(writeSalts)))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
