@@ -560,4 +560,31 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("priority_topk_tie == row_number window on generated priorities " +
+      "(ties, ±0.0, NaN, partial/merge paths)") {
+    graft.expressions.GraftFunctions.register(spark)
+    // priorities drawn from a SMALL value set (forces real ties) plus the
+    // degenerate doubles the r13 total-order fix covers: -0.0 vs 0.0 at
+    // the boundary and NaN (ranks last under Spark's ascending sort)
+    val prGen = Gen.frequency(
+      6 -> Gen.oneOf(-2.0, -1.0, 0.0, 1.0, 2.0),
+      1 -> Gen.oneOf(-0.0, Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity))
+    val rowsGen = Gen.listOfN(300, prGen)
+    samples(rowsGen, 4).foreach { prs =>
+      val df = prs.zipWithIndex.map { case (p, i) => (i % 5, i.toLong, p) }
+        .toDF("g", "id", "p").repartition(7)
+      val viaAgg = df.groupBy("g")
+        .agg(expr("priority_topk_tie(p, id, id, 9)").as("tk"))
+        .select(col("g"), posexplode(col("tk")))
+        .select(col("g"), (col("pos") + 1).as("rnk"), col("col").as("id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("p"), col("id"))
+      val viaWindow = df.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 9).select(col("g"), col("rnk"), col("id"))
+      assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty,
+        s"diverged on priorities ${prs.take(12)}...")
+    }
+  }
 }
