@@ -66,17 +66,27 @@ object Caches {
     * releases only when the last one stops (caches live longer than
     * strictly needed, never shorter), and repeated builder calls each
     * release their own frames at that point instead of accumulating for
-    * the session's lifetime. */
+    * the session's lifetime.
+    *
+    * The trigger counts only queries STARTED AFTER registration:
+    * builders register during plan construction, before the caller wires
+    * a sink and calls start(), and a pre-existing unrelated query
+    * terminating in that gap must not release a cache whose consumer
+    * hasn't begun. One-shot by design — a caller that stops and restarts
+    * the same plan gets a recomputed (uncached) static side on the
+    * second run; re-invoke the builder for a fresh cache + release. */
   def releaseAfterStreams(dfs: DataFrame*): Unit = {
     if (dfs.isEmpty) return
     val spark = dfs.head.sparkSession
+    val preexisting = spark.streams.active.map(_.id).toSet
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       private val done = new AtomicBoolean(false)
       override def onQueryStarted(event: QueryStartedEvent): Unit = ()
       override def onQueryProgress(event: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
-        if (spark.streams.active.isEmpty && done.compareAndSet(false, true)) {
+        if (!preexisting.contains(event.id) && spark.streams.active.isEmpty &&
+            done.compareAndSet(false, true)) {
           dfs.foreach { df =>
             try df.unpersist(blocking = false)
             catch { case _: Throwable => () }

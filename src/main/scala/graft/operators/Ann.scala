@@ -42,6 +42,22 @@ object Ann {
   private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
 
+  /** The deterministic top-k tiebreak needs a BIGINT: integral id columns
+    * are widened losslessly; anything else must fail HERE with a clear
+    * message — under ANSI mode a blind CAST on a string id would throw
+    * mid-job, and with ANSI off it would yield NULLs the aggregate
+    * silently skips (empty results) or, for fractional doubles, truncate
+    * distinct ids onto one tiebreak (arbitrary tie winners — the exact
+    * nondeterminism the tie variant exists to eliminate). */
+  private def requireIntegralId(df: DataFrame, idCol: String, what: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$what: id column '$idCol' must be an integral type for the " +
+        s"deterministic top-k tiebreak, got ${dt.simpleString}")
+  }
+
   /** Deterministic seeded k-means over normalized vectors.
     *
     * Lloyd iterations run over a bounded training sample — the `maxTrain`
@@ -280,6 +296,7 @@ object Ann {
       k: Int, iters: Int, nProbe: Int, topK: Int): DataFrame = {
     val spark = emb.sparkSession
     GraftFunctions.register(spark)
+    requireIntegralId(emb, idCol, "ivfTopK")
     // the Lloyd result materializes ONCE; both the corpus assign and the
     // query-side probe pick the literal or broadcast path by k
     val rows = centroidRows(kmeansCentroids(emb, idCol, vecCol, k, iters))
@@ -317,14 +334,15 @@ object Ann {
       topK: Int): DataFrame = {
     val spark = emb.sparkSession
     GraftFunctions.register(spark)
+    requireIntegralId(emb, idCol, "bruteTopK")
     val corpus = normalized(emb, idCol, vecCol)
     val qn = normalized(queries, idCol, vecCol)
       .select(col("id").as("q_id"), col("v").as("qv"))
     // O(k)-state deterministic top-k (priority_topk_tie, ties broken by
     // id): partial aggregation ships k rows per (query, partition) — the
     // row_number window spelling shuffles and sorts EVERY scored row.
-    // The tiebreak cast keeps non-BIGINT id columns working (the window
-    // spelling accepted any orderable id; the aggregate needs LongType)
+    // The tiebreak cast widens integral ids losslessly (non-integral ids
+    // are rejected above with a clear error)
     corpus.crossJoin(broadcast(qn))
       .filter(col("id") =!= col("q_id"))
       .withColumn("cos", expr("cosine_sim(qv, v)"))
@@ -350,7 +368,7 @@ object Ann {
     * every vector to its cell in one narrow scan, and write
     * `corpus/cell=<c>/` partitions of `(id, v[, code])` plus
     * `centroids/`. `pq` optionally attaches product-quantization codes
-    * ([[Pq.encodeCol]], same strict-< fold as `Pq.encode`) — the 64×-
+    * ([[Pq.attachCodes]], same strict-< fold as `Pq.encode`) — the 64×-
     * compressed column an ADC-first serving tier scans INSTEAD of `v`;
     * codes ride the same single pass, no join. The write shuffles once
     * on `(cell, salt)` before partitionBy: plain `repartition(cell)`
@@ -361,13 +379,12 @@ object Ann {
   def writeIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
       path: String, k: Int, iters: Int,
       pq: Option[Pq.PqModel] = None, writeSalts: Int = 8): Unit = {
-    val cents = kmeansCentroids(emb, idCol, vecCol, k, iters)
-    val rows = centroidRows(cents)
+    val rows = centroidRows(kmeansCentroids(emb, idCol, vecCol, k, iters))
     val shared = if (rows.size > LiteralPathMaxK)
       Some(centroidBc(emb.sparkSession, rows)) else None
     val assigned0 = assignRows(normalized(emb, idCol, vecCol), rows, shared)
     val assigned = pq match {
-      case Some(m) => assigned0.withColumn("code", Pq.encodeCol(col("v"), m))
+      case Some(m) => Pq.attachCodes(assigned0, "v", m)
       case None => assigned0
     }
     assigned
@@ -375,7 +392,15 @@ object Ann {
         (if (pq.isDefined) Seq(col("code")) else Nil): _*)
       .repartition(col("cell"), pmod(hash(col("id")), lit(writeSalts)))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // centroids are written from the DRIVER-collected rows (k-bounded):
+    // re-running the `cents` plan here would re-execute the whole k-means
+    // pipeline — including the full-corpus training-sample scan — since
+    // its internal caches release after the centroidRows collect; this
+    // also guarantees the file matches the assignment's literals exactly
+    val sess = emb.sparkSession
+    import sess.implicits._
+    rows.toDF("cell", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** Serve top-k from a [[writeIvfIndex]] layout. The centroid read is
@@ -392,6 +417,7 @@ object Ann {
       queries: DataFrame, idCol: String, vecCol: String,
       nProbe: Int, topK: Int): DataFrame = {
     GraftFunctions.register(spark)
+    requireIntegralId(queries, idCol, "ivfIndexTopK")
     val rows = centroidRows(spark.read.parquet(s"$path/centroids"))
     val shared = if (rows.size > LiteralPathMaxK)
       Some(centroidBc(spark, rows)) else None

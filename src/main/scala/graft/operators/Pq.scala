@@ -160,25 +160,32 @@ object Pq {
     sliced.select(col(idCol), array(codes: _*).as("code"))
   }
 
-  /** The encode projection as a composable Column (same strict-< fold as
-    * [[encode]], so codes are bit-identical) — for callers that attach
-    * codes to a wider frame without a join (the disk-backed IVF-PQ index
-    * writes `(id, v, cell, code)` in ONE narrow pass). Rows outside the
-    * codec's domain (length ≠ dim) yield NULL rather than being dropped:
-    * the surrounding frame owns its row set. */
-  def encodeCol(vec: Column, model: PqModel): Column = {
-    val v = transform(vec, x => x.cast("double"))
+  /** Attach a `code` column to a WIDER frame without a join (the
+    * disk-backed IVF-PQ index writes `(id, v, cell, code)` in one narrow
+    * pass). Same two-step shape as [[encode]] — the subvector slices are
+    * projected ONCE per row and only then folded against the codebooks
+    * (a fold whose lambda embeds the slice would re-evaluate it per
+    * codebook entry, ksub× the array churn) — so codes are bit-identical
+    * to `encode`'s. Rows outside the codec's domain (length ≠ dim) get a
+    * NULL code rather than being dropped: the caller owns the row set. */
+  def attachCodes(df: DataFrame, vecCol: String, model: PqModel,
+      out: String = "code"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val subCols = (0 until model.m).map(s => s"__pq_sub_$s")
+    val sliced = df.select(col("*") +: (0 until model.m).map(s =>
+      slice(v, s * model.dsub + 1, model.dsub).as(subCols(s))): _*)
     val codes = (0 until model.m).map { s =>
-      val sub = slice(v, s * model.dsub + 1, model.dsub)
       aggregate(bookLit(model.books(s)),
         struct(lit(Double.MaxValue).as("d2"), lit(-1).as("code")),
         (acc, c) => {
-          val d = sliceD2(sub, c.getField("_2"))
+          val d = sliceD2(col(subCols(s)), c.getField("_2"))
           when(d < acc.getField("d2"),
             struct(d.as("d2"), c.getField("_1").as("code"))).otherwise(acc)
         }).getField("code")
     }
-    when(size(vec) === model.dim, array(codes: _*))
+    sliced
+      .withColumn(out, when(size(col(vecCol)) === model.dim, array(codes: _*)))
+      .drop(subCols: _*)
   }
 
   /** Reconstruction of a `code` column — m codebook lookups per row,

@@ -434,8 +434,15 @@ object AnalyticsQueries {
   // the drop path against real data means lowering it; the oracle SQL
   // interpolates the SAME value, so Verify + compare replay the capped
   // join on both engines at any setting). Default unchanged: 1000.
-  private val fzMaxBucket =
-    sys.env.getOrElse("GRAFT_FZ1_MAXBUCKET", "1000").toLong
+  private val fzMaxBucket: Long = {
+    val v = sys.env.getOrElse("GRAFT_FZ1_MAXBUCKET", "1000").toLong
+    // the Spark side narrows to Int while the oracle interpolates the
+    // Long literal — an out-of-range value would silently desync the two
+    // engines (toInt wraps), so reject it at initialization instead
+    require(v > 0 && v <= Int.MaxValue,
+      s"GRAFT_FZ1_MAXBUCKET must be in (0, ${Int.MaxValue}], got $v")
+    v
+  }
 
   /** FZ1 — fuzzy near-duplicate pairs by edit distance — the
     * character-level complement to the token-level dedup family (dd2–dd4):

@@ -31,10 +31,11 @@ class AnnSpec extends SparkSpec {
     assert(ivf.exceptAll(brute).count() == 0 && brute.exceptAll(ivf).count() == 0)
   }
 
-  test("bruteTopK accepts non-BIGINT id columns (tiebreak cast)") {
-    // the priority_topk_tie rerank needs a LongType tiebreak; the operator
-    // casts internally so callers with INT ids (the pre-r12 window
-    // contract) keep working, and the payload keeps the original type
+  test("bruteTopK widens integral ids; rejects non-integral ids loudly") {
+    // the priority_topk_tie rerank needs a LongType tiebreak; integral ids
+    // widen losslessly (payload keeps the original type), while a string
+    // id must fail AT CONSTRUCTION with a clear message — a blind cast
+    // would throw mid-job under ANSI or silently return empty without
     val embInt = emb.withColumn("vec_id", col("vec_id").cast("int"))
     val qInt = embInt.filter(col("vec_id") % 100 === 0)
     val got = Ann.bruteTopK(embInt, qInt, "vec_id", "embedding", topK = 3)
@@ -44,6 +45,11 @@ class AnnSpec extends SparkSpec {
     val gotL = got.select(col("q_id").cast("long").as("q_id"), col("rnk"),
       col("id").cast("long").as("id"))
     assert(gotL.exceptAll(ref).count() == 0 && ref.exceptAll(gotL).count() == 0)
+    val bad = intercept[IllegalArgumentException] {
+      Ann.bruteTopK(emb.withColumn("vec_id", col("vec_id").cast("string")),
+        queries, "vec_id", "embedding", topK = 3)
+    }
+    assert(bad.getMessage.contains("integral"), bad.getMessage)
   }
 
   test("IVF with fewer probes still recalls a usable fraction") {
@@ -70,7 +76,7 @@ class AnnSpec extends SparkSpec {
     assert(served.exceptAll(brute).count() == 0 &&
       brute.exceptAll(served).count() == 0)
     // the PQ codes written in the build's single pass are bit-identical to
-    // the standalone encode (encodeCol shares the strict-< fold)
+    // the standalone encode (attachCodes shares the strict-< fold)
     val disk = spark.read.parquet(s"$path/corpus")
       .select(col("id").as("vec_id"), col("code"))
     val direct = Pq.encode(emb, "embedding", model)
