@@ -379,6 +379,9 @@ object Ann {
   def writeIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
       path: String, k: Int, iters: Int,
       pq: Option[Pq.PqModel] = None, writeSalts: Int = 8): Unit = {
+    // the serve path's deterministic tiebreak is the CORPUS id as stored
+    // here — reject non-integral ids at build time, not first probe
+    requireIntegralId(emb, idCol, "writeIvfIndex")
     val rows = centroidRows(kmeansCentroids(emb, idCol, vecCol, k, iters))
     val shared = if (rows.size > LiteralPathMaxK)
       Some(centroidBc(emb.sparkSession, rows)) else None
