@@ -160,30 +160,37 @@ object Bench {
     val top = sorted.take(20)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // Same-boot warm RERUN (r9 verdict #4, net widened per r10 verdict #1a):
-    // a second timed run of suspect queries inside the SAME bench process
-    // separates plan regressions (rerun stays slow) from first-reader/GC
-    // environment noise (rerun falls back into band) — the warm number is
-    // the one comparable across rounds. The rerun set is the top-3 of this
-    // run PLUS every query that timed ≥ 2× its committed previous-round
-    // value (r10 had five such inflations outside the top-3, each needing
-    // a judge-side A/B to adjudicate), capped at 8 total, heaviest first.
-    // The archive reference is min(first-run, archived rerun) — the warm
-    // band — and a 0.3 s floor keeps sub-noise queries (0.05 → 0.12 s)
-    // out of the net. Full runs only: a SPARK_GRAFT_ONLY local iteration
-    // would pay extra heavy executions for a driver-round diagnostic.
+    // Same-boot warm RERUN (r9 verdict #4, widened r10 #1a, SELF-ADJUDICATING
+    // per r13 verdict #2): a second timed run of suspect queries inside the
+    // SAME bench process separates plan regressions (rerun stays slow) from
+    // first-reader/GC/environment-stall noise (rerun falls back into band) —
+    // the warm number is the one comparable across rounds. The rerun set is
+    // the top-3 of this run PLUS EVERY query that timed ≥ 1.5× its archived
+    // warm band (r13's drift hit a 19-query alphabetical block that the old
+    // top-3+2.0×-capped-at-8 net only partially covered, costing a round of
+    // judge-side forensics). The archive reference is min(first-run,
+    // archived rerun) — the warm band — and a 0.3 s floor keeps sub-noise
+    // queries (0.05 → 0.12 s) out of the net. The 32-query bound exists only
+    // as a runaway backstop (a boot where EVERYTHING drifts would otherwise
+    // double the suite); when it binds, the dropped names are logged — a cap
+    // that silently truncates would read as "nothing else drifted". Full
+    // runs only: a SPARK_GRAFT_ONLY local iteration would pay extra heavy
+    // executions for a driver-round diagnostic.
     val rerunNames: Seq[String] =
       if (only.nonEmpty) Nil
       else {
         val top3 = sorted.take(3).map(_._1)
         val inflated = results
           .filter { case (n, v) =>
-            prevWarm.get(n).exists(p => p >= 0.3 && v >= 2.0 * p)
+            prevWarm.get(n).exists(p => p >= 0.3 && v >= 1.5 * p)
           }
           .map(_._1)
-        (top3 ++ inflated).distinct
+        val all = (top3 ++ inflated).distinct
           .sortBy(n => -results.find(_._1 == n).map(_._2).getOrElse(0.0))
-          .take(8)
+        if (all.size > 32) System.err.println(
+          s"[bench] rerun net capped at 32 of ${all.size} drifted queries; " +
+            s"dropped: ${all.drop(32).mkString(",")}")
+        all.take(32)
       }
     val rerun = rerunNames.map { name =>
       val fn = SparkEntry.queries(name)
@@ -205,6 +212,16 @@ object Bench {
     val rerunJson = rerun
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // warm_total (r13 verdict #2): the environment-insensitive suite total —
+    // per query, min(first run, same-process rerun) where a rerun exists.
+    // This is the number to compare across rounds when the raw total moved:
+    // a genuine plan regression inflates BOTH (the rerun stays slow), while
+    // a mid-run stall inflates only the raw total. Failures (-1) excluded
+    // from the sum exactly as in `total`.
+    val rerunMap = rerun.filter(_._2 >= 0).toMap
+    val warmTotal = results.collect {
+      case (n, v) if v >= 0 => math.min(v, rerunMap.getOrElse(n, v))
+    }.sum
     // metric "total_full", NOT "total": on a short (subset) run both lines
     // fit inside the driver's ~2 KB stdout tail, and two parseable records
     // both claiming metric=total would make any "find the total line"
@@ -227,7 +244,8 @@ object Bench {
     } catch { case _: Throwable => "unknown" }
     val line = s"""{"metric":"total_full","unit":"sec","git":"$gitHead",""" +
       s""""queries":$qjson,"rerun":$rerunJson,""" +
-      s""""sf":"$sfDir","count":${results.size},"top20":$top,"value":${fmt(total)}}"""
+      s""""sf":"$sfDir","count":${results.size},"top20":$top,""" +
+      s""""warm_total":${fmt(warmTotal)},"value":${fmt(total)}}"""
     println(line)
     // The driver retains only a ~2 KB stdout tail, so the full line above
     // never parses there on a full-suite run (its head is cut off). This
@@ -241,6 +259,7 @@ object Bench {
         .map { case (q, v) => s"\"" + q + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","unit":"sec","value":${fmt(total)},""" +
+        s""""warm_total":${fmt(warmTotal)},""" +
         s""""count":${results.size},"sf":"$sfDir","queries":$topK}"""
     }
     val summary = (10 to 0 by -1).iterator.map(mkSummary)

@@ -68,13 +68,22 @@ object Caches {
     * release their own frames at that point instead of accumulating for
     * the session's lifetime.
     *
-    * The trigger counts only queries STARTED AFTER registration:
-    * builders register during plan construction, before the caller wires
-    * a sink and calls start(), and a pre-existing unrelated query
-    * terminating in that gap must not release a cache whose consumer
-    * hasn't begun. One-shot by design — a caller that stops and restarts
-    * the same plan gets a recomputed (uncached) static side on the
-    * second run; re-invoke the builder for a fresh cache + release. */
+    * The trigger ARMS only once a query STARTED AFTER registration has
+    * been observed: builders register during plan construction, before
+    * the caller wires a sink and calls start(), and a pre-existing
+    * unrelated query terminating in that gap must not release a cache
+    * whose consumer hasn't begun. Once armed, ANY termination that
+    * leaves the session with no active queries releases — including a
+    * pre-existing query's (r13 ADVICE: keying the release to post-
+    * registration ids alone leaked permanently when the builder's own
+    * query ended first and a pre-existing one terminated last). The
+    * remaining documented gap is benign-by-construction: an unrelated
+    * post-registration query starting AND terminating before the
+    * builder's consumer begins releases early, and the consumer then
+    * recomputes its static side per micro-batch — slower, never wrong.
+    * One-shot by design — a caller that stops and restarts the same
+    * plan gets a recomputed (uncached) static side on the second run;
+    * re-invoke the builder for a fresh cache + release. */
   def releaseAfterStreams(dfs: DataFrame*): Unit = {
     if (dfs.isEmpty) return
     val spark = dfs.head.sparkSession
@@ -82,10 +91,15 @@ object Caches {
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       private val done = new AtomicBoolean(false)
-      override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+      private val armed = new AtomicBoolean(false)
+      override def onQueryStarted(event: QueryStartedEvent): Unit =
+        if (!preexisting.contains(event.id)) armed.set(true)
       override def onQueryProgress(event: QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
-        if (!preexisting.contains(event.id) && spark.streams.active.isEmpty &&
+      override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
+        // a post-registration id terminating implies it started — arm even
+        // if the started event raced past before this listener registered
+        if (!preexisting.contains(event.id)) armed.set(true)
+        if (armed.get && spark.streams.active.isEmpty &&
             done.compareAndSet(false, true)) {
           dfs.foreach { df =>
             try df.unpersist(blocking = false)
@@ -93,6 +107,7 @@ object Caches {
           }
           spark.streams.removeListener(this)
         }
+      }
     }
     spark.streams.addListener(listener)
   }

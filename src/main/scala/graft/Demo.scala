@@ -127,7 +127,9 @@ object Demo {
     println(s"[demo] tfidf top-2 term rows = ${top.count()}")
     val lm = graft.api.Corpus.languageModelScores(docs)
     println(s"[demo] LM-scored docs = ${lm.count()}")
-    val fz = graft.api.Corpus.fuzzyDuplicates(docs)
+    // explicit cap: the demo shows the SCALE path (drop-audited hot-bucket
+    // cap), not the exact-uncapped default whose pair space is quadratic
+    val fz = graft.api.Corpus.fuzzyDuplicates(docs, maxBucket = 1000)
     println(s"[demo] fuzzy (edit-distance) near-dup pairs = ${fz.count()}")
 
     // round-4 curation surfaces: rule filters, shuffle-shard, chunking,

@@ -19,6 +19,8 @@ import graft.operators.{Ann, Dedup, Sampling, TextFunctions}
   */
 object Corpus {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
   /** Quality scoring (X2): token counts (whitespace + BPE-ish regex),
@@ -339,11 +341,20 @@ object Corpus {
     * join, the one super-linear pair path left in the catalog. The
     * DEFAULT is exact (no cap) to keep the public API's historical
     * contract — capped callers (every catalog/pipeline site) opt in
-    * explicitly, and the drop audit logs what a binding cap discarded. */
+    * explicitly, and the drop audit logs what a binding cap discarded.
+    * NOTE (r13 default change, see BASELINE.md changelog): before r13
+    * the default capped at 1000; an uncapped call now logs a warning at
+    * plan time so a caller relying on the old default sees the quadratic
+    * risk instead of silently inheriting it. */
   def fuzzyDuplicates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", blockCol: String = "source",
       maxChars: Int = 200, maxDist: Int = 20,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    if (maxBucket == Int.MaxValue) logger.warn(
+      "fuzzyDuplicates: running UNCAPPED (exact) — per-bucket pair counts " +
+        "grow quadratically with corpus size (r12 measured 14.7x wall at " +
+        "5x docs); pass maxBucket (pre-r13 default: 1000) for the capped, " +
+        "drop-audited scale path")
     val bandW = maxDist + 1
     val short = docs
       .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),

@@ -386,15 +386,7 @@ object Ann {
     val shared = if (rows.size > LiteralPathMaxK)
       Some(centroidBc(emb.sparkSession, rows)) else None
     val assigned0 = assignRows(normalized(emb, idCol, vecCol), rows, shared)
-    val assigned = pq match {
-      case Some(m) => Pq.attachCodes(assigned0, "v", m)
-      case None => assigned0
-    }
-    assigned
-      .select(Seq(col("id"), col("v"), col("cell")) ++
-        (if (pq.isDefined) Seq(col("code")) else Nil): _*)
-      .repartition(col("cell"), pmod(hash(col("id")), lit(writeSalts)))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    writeCorpus(assigned0, pq, writeSalts, s"$path/corpus", "overwrite")
     // centroids are written from the DRIVER-collected rows (k-bounded):
     // re-running the `cents` plan here would re-execute the whole k-means
     // pipeline — including the full-corpus training-sample scan — since
@@ -404,6 +396,77 @@ object Ann {
     import sess.implicits._
     rows.toDF("cell", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** The shared corpus-write tail of [[writeIvfIndex]] / [[appendIvfIndex]]:
+    * optional PQ codes attached in the same narrow pass, then the salted
+    * partitioned write. Rows whose vector length differs from the PQ
+    * model's dim are OUTSIDE the codec's domain and are excluded from the
+    * index — matching `Pq.encode`'s own domain filter, so the stored codes
+    * are exactly what an encode of the stored vectors would produce (r13
+    * ADVICE: `attachCodes` alone kept such rows with a NULL code in
+    * cell=-1 — unreachable at serve time but divergent from the in-memory
+    * ADC path an index-vs-encode comparison assumes). */
+  private def writeCorpus(assigned0: DataFrame, pq: Option[Pq.PqModel],
+      writeSalts: Int, corpusPath: String, mode: String): Unit = {
+    val assigned = pq match {
+      case Some(m) =>
+        Pq.attachCodes(assigned0.filter(size(col("v")) === m.dim), "v", m)
+      case None => assigned0
+    }
+    assigned
+      .select(Seq(col("id"), col("v"), col("cell")) ++
+        (if (pq.isDefined) Seq(col("code")) else Nil): _*)
+      .repartition(col("cell"), pmod(hash(col("id")), lit(writeSalts)))
+      .write.mode(mode).partitionBy("cell").parquet(corpusPath)
+  }
+
+  /** Incrementally append a new embedding batch to a [[writeIvfIndex]]
+    * layout — the dd7 shape for the serving index: assign the batch with
+    * the STORED centroids (frozen — no re-train, so existing cell
+    * directories stay valid and a serve over the union is exactly a serve
+    * over a full rebuild with those centroids), attach codes with the
+    * SAME frozen PQ model the build used, and append `(id, v[, code])`
+    * under the existing `cell=` directories with the same salted-writer
+    * discipline. Staleness guards run BEFORE any write: the layout must
+    * exist (appending into nothing is a build, not an append), a PQ
+    * model's dim must match the stored centroid dim (a drifted model
+    * would silently re-code the append under a different geometry), and
+    * the stored corpus must agree with `pq` on whether a `code` column
+    * exists (an appended schema drift would poison every later scan).
+    * Individual wrong-dim VECTORS degrade exactly as in the build: the
+    * PQ domain filter drops them, and without PQ they assign to the
+    * unreachable null cell.
+    *
+    * The caller owns PQ-model identity across build and appends (the
+    * frozen-checkpoint convention — [[graft.queries.FrozenModels]]);
+    * the layout stores vectors + codes, not the codebooks. */
+  def appendIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, pq: Option[Pq.PqModel] = None,
+      writeSalts: Int = 8): Unit = {
+    val spark = emb.sparkSession
+    requireIntegralId(emb, idCol, "appendIvfIndex")
+    require(new java.io.File(s"$path/centroids").isDirectory &&
+        new java.io.File(s"$path/corpus").isDirectory,
+      s"appendIvfIndex: no index layout at $path — build with writeIvfIndex first")
+    val rows = centroidRows(spark.read.parquet(s"$path/centroids"))
+    val storedDim = rows.head._2.length
+    require(rows.forall(_._2.length == storedDim),
+      s"appendIvfIndex: stored centroids at $path have inconsistent dims")
+    pq.foreach(m => require(m.dim == storedDim,
+      s"appendIvfIndex: pq model dim ${m.dim} != stored centroid dim $storedDim"))
+    // schema staleness: the stored corpus either carries codes or it
+    // doesn't; the append must match or every later reader sees a
+    // half-coded index (parquet schema merge would NULL-pad the gap)
+    val storedHasCode =
+      spark.read.parquet(s"$path/corpus").schema.fieldNames.contains("code")
+    require(storedHasCode == pq.isDefined,
+      s"appendIvfIndex: stored corpus hasCode=$storedHasCode but " +
+        s"pq=${pq.isDefined} — append with the build's own PQ setting")
+    val shared = if (rows.size > LiteralPathMaxK)
+      Some(centroidBc(spark, rows)) else None
+    writeCorpus(assignRows(normalized(emb, idCol, vecCol), rows, shared),
+      pq, writeSalts, s"$path/corpus", "append")
   }
 
   /** Serve top-k from a [[writeIvfIndex]] layout. The centroid read is

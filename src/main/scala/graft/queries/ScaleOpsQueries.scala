@@ -512,12 +512,15 @@ object ScaleOpsQueries {
     * reads nProbe/k of the corpus files — the scan-pruning story the
     * whole ANN family builds toward.
     *
-    * Write-if-missing (the zo1 stance): re-verification and bench
-    * measure the pruned SCAN; the one-off build is the ingest price any
-    * index pays (Bench pre-warms it via layoutWriterQueries).
-    * Correctness regime: nProbe = k probes every cell, where the index
-    * search provably equals brute force — so build→write→prune→scan→
-    * rerank runs under the plain brute SQL oracle (the ss3 convention).
+    * Write-if-missing (the zo1 stance): the one-off build is the ingest
+    * price any index pays (Bench pre-warms it via layoutWriterQueries).
+    * What verification and bench MEASURE is the disk-index serve in the
+    * EXACT regime — nProbe = k probes every cell, so every cell directory
+    * is read and the search provably equals brute force, which is what
+    * lets build→write→scan→rerank run under the plain brute SQL oracle
+    * (the ss3 convention). Partition PRUNING (nProbe < k reading only the
+    * probed directories) is pinned separately by PlanSpec's nProbe = 2
+    * plan assertion — a recall-lossy regime no hash oracle can state.
     * PlanSpec asserts the nProbe < k pruned-scan plan shape (partition
     * filters + partitions-read + single shuffle); AnnSpec pins the disk
     * codes against `Pq.encode` and index-vs-brute equality. */

@@ -138,18 +138,65 @@ class CachesSpec extends SparkSpec {
         static.asInstanceOf[org.apache.spark.sql.classic.Dataset[
           org.apache.spark.sql.Row]]).isDefined
     // batch actions must NOT release it (that's releaseAfterAction's
-    // trigger, not this one) — the stream-static cache outlives actions
+    // trigger, not this one) — the stream-static cache outlives actions.
+    // Positive-condition POLLING, not one fixed sleep (r13 ADVICE: a
+    // loaded host could race the async listener bus): the cache must
+    // STAY live across repeated checks after the batch action lands.
     spark.range(3).count()
-    Thread.sleep(400)
-    assert(cached(), "a batch action must not fire the streaming release")
-    // a streaming query starting and stopping DOES release it
+    (1 to 5).foreach { _ =>
+      assert(cached(), "a batch action must not fire the streaming release")
+      Thread.sleep(100)
+    }
+    // a streaming query starting and stopping DOES release it —
+    // processAllAvailable() replaces the fixed start-up sleep: it returns
+    // only after at least one micro-batch has fully processed, so the
+    // query has definitely STARTED (and the cache must still be live)
     val q = spark.readStream.format("rate").option("rowsPerSecond", "5")
       .load().writeStream.format("noop").start()
-    Thread.sleep(600)
-    q.stop(); q.awaitTermination()
+    q.processAllAvailable()
+    assert(cached(), "the cache must survive while its consumer is active")
+    q.stop(); q.awaitTermination(20000)
     val deadline = System.currentTimeMillis() + 20000
     while (cached() && System.currentTimeMillis() < deadline) Thread.sleep(200)
     assert(!cached(), "stream termination must unpersist the static frame")
+  }
+
+  test("releaseAfterStreams releases when a PRE-existing query terminates last") {
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    // the r13 ADVICE leak: registration happens while an unrelated query
+    // is already running; the builder's own query ends FIRST and the
+    // pre-existing one terminates LAST. The old post-registration-ids-only
+    // guard never released (cache + listener leaked until clearCaches).
+    val pre = spark.readStream.format("rate").option("rowsPerSecond", "5")
+      .load().writeStream.format("noop").start()
+    pre.processAllAvailable()
+    val static = spark.range(1, 51).toDF("v").groupBy((col("v") % 5).as("k"))
+      .agg(count(lit(1)).as("n")).persist()
+    static.count()
+    Caches.releaseAfterStreams(static)
+    def cached(): Boolean =
+      spark.sharedState.cacheManager.lookupCachedData(
+        static.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+          org.apache.spark.sql.Row]]).isDefined
+    val own = spark.readStream.format("rate").option("rowsPerSecond", "5")
+      .load().writeStream.format("noop").start()
+    own.processAllAvailable()
+    own.stop(); own.awaitTermination(20000)
+    // the pre-existing query is still active → the cache must STAY live
+    // (poll the positive condition; a wrong early release surfaces here)
+    (1 to 5).foreach { _ =>
+      assert(cached(),
+        "terminating the post-registration query must not release while " +
+          "a pre-existing query is still active")
+      Thread.sleep(100)
+    }
+    pre.stop(); pre.awaitTermination(20000)
+    val deadline = System.currentTimeMillis() + 20000
+    while (cached() && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(!cached(),
+      "the LAST termination — a pre-existing query's — must release once " +
+        "a post-registration consumer has been observed (r13 ADVICE leak)")
   }
 
   test("corpus near-dup + search session releases its caches too") {
