@@ -444,6 +444,41 @@ object Corpus {
         (col("id") === col("comp")).as("keeper"))
   }
 
+  /** [[semanticDuplicates]] SERVED from a persisted
+    * [[graft.operators.Ann.writeIvfIndex]] layout — the build-once/
+    * serve-many completion of the SemDeDup story: the k-means fit and the
+    * corpus assignment happened ONCE at index-build time, so the serve
+    * path reads `(id, v, cell)` straight off the cell-partitioned parquet
+    * (no quantizer re-train, no assignment scan — at 100 TB the re-fit is
+    * most of a per-run SemDeDup's cost) and runs only the within-cell
+    * pair stage + component walk. Same semantics as the in-memory path:
+    * identical vectors always share a cell (any centroid set assigns a
+    * vector pair with equal coordinates identically), so a qualifying
+    * exact-twin pair can never be split by serving from stored cells.
+    * Hot cells are capped + drop-audited exactly as in
+    * [[semanticDuplicatePairs]]. `cosine_sim` normalizes internally, so
+    * the stored RAW vectors feed it directly.
+    * @return `(id, comp, keeper)` — one row per vector in a ≥2-member
+    *         semantic cluster (ids as stored in the index) */
+  def semanticDuplicatesFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, cosMin: Double = 0.95,
+      maxCell: Int = 10000, idOut: String = "vec_id"): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+      .select(col("id"), col("v"), col("cell"))
+    val a = Dedup.capBuckets(corpus, Seq(col("cell")), maxCell, "semdedup_cell")
+    val pairs = a.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+      .join(a.select(col("cell"), col("id").as("id_b"), col("v").as("vb")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", expr("cosine_sim(va, vb)"))
+      .filter(col("cos") >= cosMin)
+      .select("id_a", "id_b", "cos")
+    graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as(idOut), col("comp"),
+        (col("id") === col("comp")).as("keeper"))
+  }
+
   /** C4/Gopher-style heuristic rule filters with per-rule audit flags
     * (X7): token-count band, mean-word-length band, distinct-token ratio,
     * stopword presence; `keep` = every rule passes. Entirely narrow

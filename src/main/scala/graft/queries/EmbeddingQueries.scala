@@ -134,38 +134,78 @@ object EmbeddingQueries {
     * pairs + recursive-CTE closure, dd6's family) states the same set. */
   private val sd2 = Q(
     "sd2_semantic_dedup",
+    (s, d) => graft.api.Corpus.semanticDuplicates(
+      sd2Corpus(s, d), cosMin = 0.9, cells = 4),
+    Some(sd2OracleSql))
+
+  /** The sd2/sd2b shared corpus: base embeddings plus deterministic twins
+    * (every vec_id ≡ 0 mod 97 re-added shifted by 1e6) — the injected
+    * qualifying set that keeps the ≥ 0.9 oracle non-vacuous. */
+  private def sd2Corpus(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val base = Tables.embeddings(s, d).select("vec_id", "embedding")
+    base.unionByName(base.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
+  /** The recursive-CTE closure oracle shared by sd2/sd2b: UNBLOCKED all
+    * pairs at cos ≥ 0.9 + walk — states the answer declaratively, with
+    * no knowledge of how (or whether) the engine blocked the pair space. */
+  // lazy: referenced by sd2, which initializes BEFORE this val in source
+  // order — an eager val would hand sd2's Q a null oracle
+  private lazy val sd2OracleSql: String = {
+    val dot = """list_reduce(list_transform(range(1, 65),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+        (x, y) -> x + y)"""
+    s"""WITH RECURSIVE
+        e0 AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL
+               SELECT vec_id + 1000000, embedding FROM embeddings
+               WHERE vec_id % 97 = 0),
+        e AS (SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+              FROM e0),
+        p AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM e a JOIN e b
+              ON a.vec_id < b.vec_id AND $dot / (a.nrm * b.nrm) >= 0.9),
+        ed AS (SELECT ia AS a, ib AS b FROM p
+               UNION SELECT ib, ia FROM p),
+        walk(id, r) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM ed)
+          UNION
+          SELECT ed.a, w.r FROM ed JOIN walk w ON ed.b = w.id)
+        SELECT id AS vec_id, min(r) AS comp, (id = min(r)) AS keeper
+        FROM walk GROUP BY id"""
+  }
+
+  /** SD2B — SemDeDup SERVED from the persisted IVF layout
+    * ([[graft.api.Corpus.semanticDuplicatesFromIndex]]): where sd2
+    * re-trains its k-means cells every run, sd2b reads the stored
+    * `(id, v, cell)` off a write-if-missing [[Ann.writeIvfIndex]] layout
+    * over the SAME twin-injected corpus — the build-once/serve-many
+    * completion of the dedup family (most of sd2's warm cost is the
+    * re-fit). The serve plan contains NO k-means job and NO embeddings
+    * scan (PlanSpec-asserted: its only file source is the index). The
+    * oracle is the same UNBLOCKED recursive-CTE closure as sd2's — valid
+    * against stored cells for the same reason as learned ones: identical
+    * vectors co-assign under ANY centroid set, so the qualifying
+    * twin pairs can never straddle a stored cell boundary. */
+  private val sd2b = Q(
+    "sd2b_semantic_dedup_index",
     (s, d) => {
-      val base = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val twins = base.filter(col("vec_id") % 97 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      graft.api.Corpus.semanticDuplicates(
-        base.unionByName(twins), cosMin = 0.9, cells = 4)
+      import graft.operators.Ann
+      val key = RelationalQueries.cacheKey(d, "embeddings.parquet")
+      val path = s"/tmp/graft_sd2b/$key"
+      if (!new java.io.File(s"$path/corpus/_SUCCESS").exists() ||
+          !new java.io.File(s"$path/centroids/_SUCCESS").exists()) {
+        RelationalQueries.gcStaleLayouts("/tmp/graft_sd2b", key)
+        Ann.writeIvfIndex(sd2Corpus(s, d), "vec_id", "embedding", path,
+          k = 4, iters = 3)
+      }
+      RelationalQueries.touchLayout(path)
+      graft.api.Corpus.semanticDuplicatesFromIndex(s, path, cosMin = 0.9)
     },
-    Some {
-      val dot = """list_reduce(list_transform(range(1, 65),
-          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-          (x, y) -> x + y)"""
-      s"""WITH RECURSIVE
-          e0 AS (SELECT vec_id, embedding FROM embeddings
-                 UNION ALL
-                 SELECT vec_id + 1000000, embedding FROM embeddings
-                 WHERE vec_id % 97 = 0),
-          e AS (SELECT vec_id, embedding,
-                  sqrt(list_reduce(list_transform(range(1, 65),
-                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-                    (x, y) -> x + y)) AS nrm
-                FROM e0),
-          p AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM e a JOIN e b
-                ON a.vec_id < b.vec_id AND $dot / (a.nrm * b.nrm) >= 0.9),
-          ed AS (SELECT ia AS a, ib AS b FROM p
-                 UNION SELECT ib, ia FROM p),
-          walk(id, r) AS (
-            SELECT a, a FROM (SELECT DISTINCT a FROM ed)
-            UNION
-            SELECT ed.a, w.r FROM ed JOIN walk w ON ed.b = w.id)
-          SELECT id AS vec_id, min(r) AS comp, (id = min(r)) AS keeper
-          FROM walk GROUP BY id"""
-    })
+    Some(sd2OracleSql))
 
   /** PQ1 — product-quantization compress + ADC search
     * ([[graft.operators.Pq]]): 64-d float vectors → 8 four-bit codes
@@ -304,5 +344,5 @@ object EmbeddingQueries {
           FROM enc"""
     })
 
-  def all: Seq[Q] = Seq(rp1, pc1, pc1b, eq1, sd2, pq1, pq1b)
+  def all: Seq[Q] = Seq(rp1, pc1, pc1b, eq1, sd2, sd2b, pq1, pq1b)
 }

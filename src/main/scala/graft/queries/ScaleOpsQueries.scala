@@ -551,6 +551,56 @@ object ScaleOpsQueries {
                    FROM pairs)
              SELECT q_id, rnk, vec_id, round(cos, 6) AS cos FROM r WHERE rnk <= 3"""))
 
+  /** SS5 — INCREMENTAL APPEND to the disk ANN index
+    * ([[Ann.appendIvfIndex]], the r13 verdict's last composition): the
+    * layout is built over one SPLIT of the corpus (vec_id % 3 ≠ 0), then
+    * the remaining batch appends — assigned with the STORED frozen
+    * centroids (no re-train: existing cell directories stay valid) and
+    * coded with the same frozen PQ model, landing under the existing
+    * `cell=` directories with the salted-writer discipline. This is
+    * daily-increment ingestion for a serving index at 100 TB: the
+    * append's cost is one narrow scan of the BATCH, never a rebuild of
+    * the corpus. Served exactly like ss4 at nProbe = k, so the union
+    * layout runs under the plain brute-force SQL oracle over the FULL
+    * table — which is precisely the serve-after-append ≡ full-rebuild
+    * identity (both equal brute force in the exact regime; AnnSpec pins
+    * the same identity plus the staleness guards at spec scale).
+    *
+    * Idempotence: build+append run as ONE write-if-missing unit behind a
+    * marker file created AFTER the append — a layout missing the marker
+    * (crash between the two writes, stale partial state) rebuilds from
+    * scratch via the overwrite, so a re-run can never double-append. */
+  private val ss5 = Q(
+    "ss5_ann_index_append",
+    (s, d) => {
+      val key = RelationalQueries.cacheKey(d, "embeddings.parquet")
+      val path = s"/tmp/graft_ss5/$key"
+      val marker = new java.io.File(s"$path/_GRAFT_APPEND_DONE")
+      if (!marker.exists()) {
+        RelationalQueries.gcStaleLayouts("/tmp/graft_ss5", key)
+        val emb = Tables.embeddings(s, d)
+        val pq = Some(graft.operators.Pq.PqModel(8, 8, FrozenModels.pqBooks))
+        Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", path, k = 8, iters = 2, pq = pq)
+        Ann.appendIvfIndex(emb.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", path, pq = pq)
+        marker.createNewFile()
+      }
+      RelationalQueries.touchLayout(path)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0)
+      Ann.ivfIndexTopK(s, path, q, "vec_id", "embedding", nProbe = 8, topK = 3)
+        .select(col("q_id"), col("rnk"), col("id").as("vec_id"),
+          round(col("cos"), 6).as("cos"))
+    },
+    Some(s"""WITH e AS ($embNormSql),
+             q AS (SELECT vec_id AS q_id, embedding, nrm AS qn FROM e WHERE vec_id % 100 = 0),
+             pairs AS (SELECT q.q_id, e.vec_id, ${dotSql("q", "e")} / (q.qn * e.nrm) AS cos
+                       FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+             r AS (SELECT q_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+                   FROM pairs)
+             SELECT q_id, rnk, vec_id, round(cos, 6) AS cos FROM r WHERE rnk <= 3"""))
+
   /** MM1 — the multimodal plumbing under the driver gate: binary payload
     * + typed meta → batched feature extraction (operators.Multimodal, the
     * clearly-marked fake decoder) joined with frame-sample counts. The
@@ -869,5 +919,5 @@ object ScaleOpsQueries {
                round(avg(x), 6) AS mean_val
              FROM x GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd8, dd3, dd4, dd5, dd6, ss1, ss2, ss3, ss4, cl1, p1, mm1, mm2, mm3, mm4)
+  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd8, dd3, dd4, dd5, dd6, ss1, ss2, ss3, ss4, ss5, cl1, p1, mm1, mm2, mm3, mm4)
 }

@@ -104,6 +104,68 @@ class AnnSpec extends SparkSpec {
       inMem.exceptAll(fromDisk).count() == 0)
   }
 
+  test("appendIvfIndex: serve after append equals a full rebuild over the union") {
+    import graft.operators.Pq
+    val model = Pq.PqModel(8, 8, graft.queries.FrozenModels.pqBooks)
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val inc = emb.filter(col("vec_id") % 3 === 0)
+    val incPath = java.nio.file.Files.createTempDirectory("graft_ss5_inc").toString
+    Ann.writeIvfIndex(base, "vec_id", "embedding", incPath, k = 8, iters = 3,
+      pq = Some(model))
+    Ann.appendIvfIndex(inc, "vec_id", "embedding", incPath, pq = Some(model))
+    // the literal identity the r13 verdict asks for: serve over the
+    // appended layout ≡ serve over a from-scratch rebuild of the union
+    // corpus with the same exact regime (nProbe = k probes everything, so
+    // centroid differences between the two layouts cannot matter)
+    val fullPath = java.nio.file.Files.createTempDirectory("graft_ss5_full").toString
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", fullPath, k = 8, iters = 3,
+      pq = Some(model))
+    val servedInc = Ann.ivfIndexTopK(spark, incPath, queries,
+      "vec_id", "embedding", nProbe = 8, topK = 5)
+    val servedFull = Ann.ivfIndexTopK(spark, fullPath, queries,
+      "vec_id", "embedding", nProbe = 8, topK = 5)
+    assert(servedInc.exceptAll(servedFull).count() == 0 &&
+      servedFull.exceptAll(servedInc).count() == 0)
+    // appended rows carry codes identical to a standalone encode (the
+    // frozen model re-codes the batch exactly as the build coded the base)
+    val disk = spark.read.parquet(s"$incPath/corpus")
+      .select(col("id").as("vec_id"), col("code"))
+    val direct = graft.operators.Pq.encode(emb, "embedding", model)
+    assert(disk.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(disk).count() == 0)
+    // no row lost or duplicated by the append
+    assert(spark.read.parquet(s"$incPath/corpus").count() == emb.count())
+  }
+
+  test("appendIvfIndex staleness guards fail loudly") {
+    import graft.operators.Pq
+    val model = Pq.PqModel(8, 8, graft.queries.FrozenModels.pqBooks)
+    // no layout at all: append must refuse (it is not a build)
+    val empty = java.nio.file.Files.createTempDirectory("graft_ss5_missing").toString
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.appendIvfIndex(emb, "vec_id", "embedding", s"$empty/nope",
+        pq = Some(model))
+    }
+    assert(e1.getMessage.contains("writeIvfIndex"), e1.getMessage)
+    // schema drift: appending UNcoded rows onto a coded layout (and the
+    // reverse) must refuse — parquet schema merge would NULL-pad the gap
+    val coded = java.nio.file.Files.createTempDirectory("graft_ss5_coded").toString
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", coded, k = 4, iters = 2,
+      pq = Some(model))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.appendIvfIndex(emb, "vec_id", "embedding", coded, pq = None)
+    }
+    assert(e2.getMessage.contains("hasCode"), e2.getMessage)
+    // model-dim drift: a PQ model whose dim disagrees with the stored
+    // centroids would re-code the append under a different geometry
+    val badModel = Pq.PqModel(4, 8,
+      graft.queries.FrozenModels.pqBooks.take(4))
+    val e3 = intercept[IllegalArgumentException] {
+      Ann.appendIvfIndex(emb, "vec_id", "embedding", coded, pq = Some(badModel))
+    }
+    assert(e3.getMessage.contains("dim"), e3.getMessage)
+  }
+
   test("large-k broadcast assignment equals the literal fold at k = 8192") {
     // 8192 synthetic cells (> LiteralPathMaxK, so Ann.assign takes the
     // broadcast path) on a deterministic grid; both paths must agree on

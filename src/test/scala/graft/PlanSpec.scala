@@ -553,6 +553,60 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"expected ≤1 shuffle, got ${shuffles.size}")
   }
 
+  test("sd2b index-served SemDeDup: the serve reads ONLY the index — " +
+      "no embeddings scan, no k-means job") {
+    // build the layout via the catalog entry (write-if-missing). The
+    // serve's component walk checkpoints per round, so the FINAL frame's
+    // plan is lineage-truncated — instead capture EVERY file scan the
+    // serve executes (a QueryExecutionListener sees each internal action)
+    // and assert they all read the persisted index. A k-means fit or a
+    // fresh assignment pass would have to scan embeddings.parquet — its
+    // absence IS the no-re-train witness (the sd2-vs-sd2b cost delta the
+    // r13 verdict asks for).
+    QueryCatalog.byName("sd2b_semantic_dedup_index").run(spark, dir).collect()
+    val key = graft.queries.RelationalQueries.cacheKey(dir, "embeddings.parquet")
+    val path = s"/tmp/graft_sd2b/$key"
+    val scans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    // descend through InMemoryTableScan: the serve persists its frames, so
+    // the REAL parquet scan lives inside the cached relation's plan, not in
+    // the top-level executed tree
+    def deepScans(p: SparkPlan): Unit = flatten(p).foreach {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        scans.add(f.metadata.getOrElse("Location", ""))
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        deepScans(m.relation.cachedPlan)
+      case _ => ()
+    }
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        deepScans(qe.executedPlan)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val res = graft.api.Corpus
+        .semanticDuplicatesFromIndex(spark, path, cosMin = 0.9).collect()
+      assert(res.nonEmpty, "sd2b serve returned no clusters")
+      // the listener bus is async — poll until the index scan shows up
+      val deadline = System.currentTimeMillis() + 20000
+      def snapshot(): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        scans.synchronized(scans.asScala.toVector)
+      }
+      while (!snapshot().exists(_.contains("graft_sd2b")) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val got = snapshot()
+      assert(got.exists(_.contains("graft_sd2b")),
+        s"no index scan observed during the serve: $got")
+      assert(!got.exists(_.contains("embeddings.parquet")),
+        s"serve scanned the raw embeddings (k-means re-fit?): $got")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("sj1 star join: optimizer recovers the join tree — dims broadcast, " +
       "no cartesian, fact never broadcast") {
     // sj1 is comma-form FROM: the parser hands Catalyst a cross-join
