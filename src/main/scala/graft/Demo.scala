@@ -294,6 +294,30 @@ object Demo {
       "vec_id", "embedding", nProbe = 2, topK = 3)
     println(s"[demo] IVF-PQ index: served ${hits.count()} neighbours " +
       s"for 1 query probing 2/8 cell directories from $idxPath")
+
+    // ---- incremental index append + index-served SemDeDup (r14) ----------
+    // daily-increment shape: build over one split, append the rest with the
+    // STORED centroids, then serve dedup straight off the stored cells —
+    // no k-means job anywhere in the serve path
+    val incPath = java.nio.file.Files.createTempDirectory("demo_ivf_inc").toString
+    val embAll = Tables.embeddings(spark, sfDir)
+    graft.operators.Ann.writeIvfIndex(
+      embAll, "vec_id", "embedding", incPath, k = 8, iters = 2)
+    // the appended "daily batch": exact twins of every 97th vector — the
+    // stored centroids assign them to their originals' cells, so the
+    // index-served dedup below must recover exactly these pairs
+    val twinBatch = embAll.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.operators.Ann.appendIvfIndex(
+      twinBatch, "vec_id", "embedding", incPath)
+    val idxRows = spark.read.parquet(s"$incPath/corpus").count()
+    println(s"[demo] index append: $idxRows vectors in the layout after " +
+      s"appending ${twinBatch.count()} twins (base ${embAll.count()})")
+    val semClusters = graft.api.Corpus
+      .semanticDuplicatesFromIndex(spark, incPath, cosMin = 0.9)
+    println(s"[demo] index-served SemDeDup: ${semClusters.count()} clustered " +
+      s"vectors from the stored cells (expected 2x the appended twins), " +
+      "zero re-train")
     spark.stop()
   }
 }
