@@ -404,20 +404,38 @@ object Corpus {
       vecCol: String = "embedding", maxCell: Int = 10000): DataFrame = {
     graft.expressions.GraftFunctions.register(emb.sparkSession)
     val cents = Ann.kmeansCentroids(emb, idCol, vecCol, k = cells, iters = 3)
-    val a = Dedup.capBuckets(
-      Ann.assigned(emb, idCol, vecCol, cents).select("id", "vn", "cell"),
-      Seq(col("cell")), maxCell, "semdedup_cell")
-    a.select(col("cell"), col("id").as("id_a"), col("vn").as("va"))
-      .join(a.select(col("cell"), col("id").as("id_b"), col("vn").as("vb")),
+    cellBlockedPairs(
+      Ann.assigned(emb, idCol, vecCol, cents)
+        .select(col("id"), col("vn").as("vec"), col("cell")),
+      cosMin, maxCell)
+  }
+
+  /** The shared within-cell pair stage of the SemDeDup family: capped +
+    * drop-audited cell blocking, `id_a < id_b` self-join, exact cosine
+    * threshold. `assigned` carries `(id, vec, cell)`; `vec` may be raw or
+    * L2-normalized — `cosine_sim` (the fused single-loop codegen
+    * expression; the zip_with+aggregate form allocates two arrays per
+    * candidate pair and benched 4× slower on the in-cell pair space)
+    * normalizes internally, so both sources score identically. */
+  private def cellBlockedPairs(assigned: DataFrame, cosMin: Double,
+      maxCell: Int): DataFrame = {
+    val a = Dedup.capBuckets(assigned, Seq(col("cell")), maxCell,
+      "semdedup_cell")
+    a.select(col("cell"), col("id").as("id_a"), col("vec").as("va"))
+      .join(a.select(col("cell"), col("id").as("id_b"), col("vec").as("vb")),
         Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      // fused single-loop codegen cosine (expressions.CosineSimilarity) —
-      // the zip_with+aggregate form allocates two arrays per candidate
-      // pair and benched 4x slower on the in-cell pair space
       .withColumn("cos", expr("cosine_sim(va, vb)"))
       .filter(col("cos") >= cosMin)
       .select("id_a", "id_b", "cos")
   }
+
+  /** The shared cluster tail: pairs → connected components → min-id
+    * keeper election (one row per vector in a ≥2-member cluster). */
+  private def semanticClusters(pairs: DataFrame, idOut: String): DataFrame =
+    graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as(idOut), col("comp"),
+        (col("id") === col("comp")).as("keeper"))
 
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
@@ -439,9 +457,7 @@ object Corpus {
       cells: Int = 64, idCol: String = "vec_id",
       vecCol: String = "embedding", maxCell: Int = 10000): DataFrame = {
     val pairs = semanticDuplicatePairs(emb, cosMin, cells, idCol, vecCol, maxCell)
-    graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
-      .select(col("id").as(idCol), col("comp"),
-        (col("id") === col("comp")).as("keeper"))
+    semanticClusters(pairs, idCol)
   }
 
   /** [[semanticDuplicates]] SERVED from a persisted
@@ -465,18 +481,8 @@ object Corpus {
       maxCell: Int = 10000, idOut: String = "vec_id"): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     val corpus = spark.read.parquet(s"$indexPath/corpus")
-      .select(col("id"), col("v"), col("cell"))
-    val a = Dedup.capBuckets(corpus, Seq(col("cell")), maxCell, "semdedup_cell")
-    val pairs = a.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
-      .join(a.select(col("cell"), col("id").as("id_b"), col("v").as("vb")),
-        Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", expr("cosine_sim(va, vb)"))
-      .filter(col("cos") >= cosMin)
-      .select("id_a", "id_b", "cos")
-    graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
-      .select(col("id").as(idOut), col("comp"),
-        (col("id") === col("comp")).as("keeper"))
+      .select(col("id"), col("v").as("vec"), col("cell"))
+    semanticClusters(cellBlockedPairs(corpus, cosMin, maxCell), idOut)
   }
 
   /** C4/Gopher-style heuristic rule filters with per-rule audit flags

@@ -406,12 +406,16 @@ object Ann {
     * are exactly what an encode of the stored vectors would produce (r13
     * ADVICE: `attachCodes` alone kept such rows with a NULL code in
     * cell=-1 — unreachable at serve time but divergent from the in-memory
-    * ADC path an index-vs-encode comparison assumes). */
+    * ADC path an index-vs-encode comparison assumes). The excluded count
+    * is drop-audited (`graft_capped_ivf_pq_domain_*`) — a corpus with
+    * malformed vectors sheds them loudly, never silently. */
   private def writeCorpus(assigned0: DataFrame, pq: Option[Pq.PqModel],
       writeSalts: Int, corpusPath: String, mode: String): Unit = {
     val assigned = pq match {
       case Some(m) =>
-        Pq.attachCodes(assigned0.filter(size(col("v")) === m.dim), "v", m)
+        val audited = Dedup.auditDropped(assigned0,
+          size(col("v")) =!= m.dim, "ivf_pq_domain")
+        Pq.attachCodes(audited.filter(size(col("v")) === m.dim), "v", m)
       case None => assigned0
     }
     assigned
@@ -435,19 +439,35 @@ object Ann {
     * the stored corpus must agree with `pq` on whether a `code` column
     * exists (an appended schema drift would poison every later scan).
     * Individual wrong-dim VECTORS degrade exactly as in the build: the
-    * PQ domain filter drops them, and without PQ they assign to the
-    * unreachable null cell.
+    * PQ domain filter drops them (count drop-audited), and without PQ
+    * they assign to the unreachable null cell.
     *
-    * The caller owns PQ-model identity across build and appends (the
-    * frozen-checkpoint convention — [[graft.queries.FrozenModels]]);
+    * AT-LEAST-ONCE contract: the layout is append-only and keyed by
+    * nothing — re-running a batch that already committed stores its ids
+    * TWICE, and the serve's top-k would then carry the duplicate at two
+    * ranks. The caller owns batch idempotence (the ss5 catalog entry's
+    * pattern: a marker file created after the append, rebuild-from-
+    * scratch when it is missing); an exactly-once spelling would need a
+    * per-append anti-join against the stored cells — the full-index scan
+    * this API exists to avoid.
+    *
+    * The caller also owns PQ-model identity across build and appends
+    * (the frozen-checkpoint convention — [[graft.queries.FrozenModels]]);
     * the layout stores vectors + codes, not the codebooks. */
   def appendIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
       path: String, pq: Option[Pq.PqModel] = None,
       writeSalts: Int = 8): Unit = {
     val spark = emb.sparkSession
     requireIntegralId(emb, idCol, "appendIvfIndex")
-    require(new java.io.File(s"$path/centroids").isDirectory &&
-        new java.io.File(s"$path/corpus").isDirectory,
+    // Hadoop-FS existence probe, NOT java.io.File: the layout may live on
+    // any filesystem Spark can write (hdfs://, s3a://, file:/ URIs) — the
+    // 100 TB daily-increment case is exactly the non-local-disk one
+    val hconf = spark.sessionState.newHadoopConf()
+    def dirExists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    require(dirExists(s"$path/centroids") && dirExists(s"$path/corpus"),
       s"appendIvfIndex: no index layout at $path — build with writeIvfIndex first")
     val rows = centroidRows(spark.read.parquet(s"$path/centroids"))
     val storedDim = rows.head._2.length

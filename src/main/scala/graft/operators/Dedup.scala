@@ -131,6 +131,18 @@ object Dedup {
     * never m²). The audit is LAZY: an `observe` metric counts the dropped
     * rows during the caller's own action (no extra Spark job at
     * plan-construction time) and a once-per-session listener logs it. */
+  /** Observe-based drop audit for a caller about to FILTER OUT rows
+    * matching `droppedCond`: attach this on the pre-filter frame and the
+    * [[DropAudit]] listener logs the excluded count when the query runs —
+    * the same lazy, zero-extra-job mechanism as [[capBuckets]]'s audit
+    * (no silent drops: the repo-wide discipline). */
+  private[graft] def auditDropped(df: DataFrame, droppedCond: Column,
+      what: String): DataFrame = {
+    DropAudit.ensure(df.sparkSession)
+    df.observe(s"graft_capped_${what}_${auditSeq.getAndIncrement()}",
+      sum(when(droppedCond, 1L).otherwise(0L)).as("dropped_rows"))
+  }
+
   private[graft] def capBuckets(df: DataFrame, keys: Seq[Column], maxBucket: Int,
       what: String): DataFrame = {
     if (maxBucket == Int.MaxValue) df
@@ -163,7 +175,8 @@ object Dedup {
               if (name.startsWith("graft_capped_")) {
                 val dropped = row.getAs[Long]("dropped_rows")
                 if (dropped > 0)
-                  log.warn(s"$name: dropped $dropped row(s) in hot buckets over the cap")
+                  log.warn(s"$name: dropped $dropped row(s) " +
+                    "(hot-bucket cap or domain filter — see the audit name)")
               }
             }
           override def onFailure(fn: String,

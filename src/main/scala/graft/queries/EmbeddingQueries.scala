@@ -193,16 +193,12 @@ object EmbeddingQueries {
   private val sd2b = Q(
     "sd2b_semantic_dedup_index",
     (s, d) => {
-      import graft.operators.Ann
-      val key = RelationalQueries.cacheKey(d, "embeddings.parquet")
-      val path = s"/tmp/graft_sd2b/$key"
-      if (!new java.io.File(s"$path/corpus/_SUCCESS").exists() ||
-          !new java.io.File(s"$path/centroids/_SUCCESS").exists()) {
-        RelationalQueries.gcStaleLayouts("/tmp/graft_sd2b", key)
-        Ann.writeIvfIndex(sd2Corpus(s, d), "vec_id", "embedding", path,
-          k = 4, iters = 3)
+      val path = RelationalQueries.ensureLayout("/tmp/graft_sd2b",
+          RelationalQueries.cacheKey(d, "embeddings.parquet"),
+          Seq("corpus/_SUCCESS", "centroids/_SUCCESS")) { p =>
+        graft.operators.Ann.writeIvfIndex(sd2Corpus(s, d), "vec_id",
+          "embedding", p, k = 4, iters = 3)
       }
-      RelationalQueries.touchLayout(path)
       graft.api.Corpus.semanticDuplicatesFromIndex(s, path, cosMin = 0.9)
     },
     Some(sd2OracleSql))

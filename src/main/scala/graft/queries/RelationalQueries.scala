@@ -88,6 +88,28 @@ object RelationalQueries {
           "14-day gc clause may reap this layout while in use")
   }
 
+  /** The write-if-missing scratch-layout discipline in ONE place (r14
+    * review: zo1/or1/pp/ss4/ss5/sd2b each hand-rolled the same
+    * check→gc→build→touch block and their freshness sentinels had
+    * already started to drift): if any `sentinels` path (relative to
+    * `root/key`) is missing, gc stale sibling keys and run `build(path)`;
+    * ALWAYS touch (both branches — reads never bump mtime, see
+    * [[touchLayout]]). A build that needs a completion marker beyond the
+    * writers' own `_SUCCESS` files (ss5's append) lists the marker as a
+    * sentinel and creates it at the end of `build`. bk1 stays hand-rolled:
+    * its reuse branch must re-register external tables, which this
+    * shape's "do nothing when fresh" contract cannot express. */
+  private[graft] def ensureLayout(root: String, key: String,
+      sentinels: Seq[String])(build: String => Unit): String = {
+    val path = s"$root/$key"
+    if (!sentinels.forall(s0 => new java.io.File(path, s0).exists())) {
+      gcStaleLayouts(root, key)
+      build(path)
+    }
+    touchLayout(path)
+    path
+  }
+
   /** A2 — parquet scan of a cached/staged table (vital_status_DESeq.R:25-26). */
   private val a2 = Q(
     "a2_scan_cache",
@@ -124,15 +146,12 @@ object RelationalQueries {
   private val zo1 = Q(
     "zo1_zorder_prune",
     (s, d) => {
-      val key = cacheKey(d, "orders.parquet")
-      val path = s"/tmp/graft_zo1/$key"
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
-        gcStaleLayouts("/tmp/graft_zo1", key)
+      val path = ensureLayout("/tmp/graft_zo1", cacheKey(d, "orders.parquet"),
+          Seq("_SUCCESS")) { p =>
         graft.sources.Zorder.writeZordered(
           Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
-          path, Seq("o_totalprice", "o_custkey"), files = 16)
+          p, Seq("o_totalprice", "o_custkey"), files = 16)
       }
-      touchLayout(path)
       s.read.parquet(path)
         .filter(col("o_totalprice").between(100000.0, 150000.0) &&
           col("o_custkey").between(100L, 2000L))
@@ -155,15 +174,12 @@ object RelationalQueries {
   private val or1 = Q(
     "or1_orc_interchange",
     (s, d) => {
-      val key = cacheKey(d, "lineitem.parquet")
-      val path = s"/tmp/graft_or1/$key"
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
-        gcStaleLayouts("/tmp/graft_or1", key)
+      val path = ensureLayout("/tmp/graft_or1", cacheKey(d, "lineitem.parquet"),
+          Seq("_SUCCESS")) { p =>
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
-          .write.mode("overwrite").orc(path)
+          .write.mode("overwrite").orc(p)
       }
-      touchLayout(path)
       s.read.orc(path)
         .filter(col("l_shipdate").between("1996-01-01", "1996-12-31"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
@@ -184,25 +200,19 @@ object RelationalQueries {
     * stance: re-verification and bench measure the pruned SCAN, the
     * one-off partitioned write is the ingest-time price any partitioned
     * table pays. */
-  private def ppLayout(s: SparkSession, d: String): String = {
-    val key = cacheKey(d, "orders.parquet")
-    val path = s"/tmp/graft_pp/$key"
-    if (!new java.io.File(s"$path/orders/_SUCCESS").exists() ||
-        !new java.io.File(s"$path/calendar/_SUCCESS").exists()) {
-      gcStaleLayouts("/tmp/graft_pp", key)
+  private def ppLayout(s: SparkSession, d: String): String =
+    ensureLayout("/tmp/graft_pp", cacheKey(d, "orders.parquet"),
+        Seq("orders/_SUCCESS", "calendar/_SUCCESS")) { p =>
       val om = Tables.orders(s, d)
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
       om.write.mode("overwrite").partitionBy("o_month")
-        .parquet(s"$path/orders")
+        .parquet(s"$p/orders")
       om.select(col("o_month").as("m")).distinct()
         .withColumn("q",
           expr("((cast(substring(m, 6, 2) as int) - 1) div 3) + 1"))
         .coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/calendar")
+        .write.mode("overwrite").parquet(s"$p/calendar")
     }
-    touchLayout(path)
-    path
-  }
 
   /** PP1 — STATIC directory-partition pruning: monthly revenue for one
     * year off the month-partitioned layout. The o_month bounds are

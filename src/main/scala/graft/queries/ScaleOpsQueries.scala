@@ -527,16 +527,13 @@ object ScaleOpsQueries {
   private val ss4 = Q(
     "ss4_ann_index_scan",
     (s, d) => {
-      val key = RelationalQueries.cacheKey(d, "embeddings.parquet")
-      val path = s"/tmp/graft_ss4/$key"
-      if (!new java.io.File(s"$path/corpus/_SUCCESS").exists() ||
-          !new java.io.File(s"$path/centroids/_SUCCESS").exists()) {
-        RelationalQueries.gcStaleLayouts("/tmp/graft_ss4", key)
+      val path = RelationalQueries.ensureLayout("/tmp/graft_ss4",
+          RelationalQueries.cacheKey(d, "embeddings.parquet"),
+          Seq("corpus/_SUCCESS", "centroids/_SUCCESS")) { p =>
         Ann.writeIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
-          path, k = 8, iters = 2,
+          p, k = 8, iters = 2,
           pq = Some(graft.operators.Pq.PqModel(8, 8, FrozenModels.pqBooks)))
       }
-      RelationalQueries.touchLayout(path)
       val q = Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0)
       Ann.ivfIndexTopK(s, path, q, "vec_id", "embedding", nProbe = 8, topK = 3)
         .select(col("q_id"), col("rnk"), col("id").as("vec_id"),
@@ -573,20 +570,17 @@ object ScaleOpsQueries {
   private val ss5 = Q(
     "ss5_ann_index_append",
     (s, d) => {
-      val key = RelationalQueries.cacheKey(d, "embeddings.parquet")
-      val path = s"/tmp/graft_ss5/$key"
-      val marker = new java.io.File(s"$path/_GRAFT_APPEND_DONE")
-      if (!marker.exists()) {
-        RelationalQueries.gcStaleLayouts("/tmp/graft_ss5", key)
+      val path = RelationalQueries.ensureLayout("/tmp/graft_ss5",
+          RelationalQueries.cacheKey(d, "embeddings.parquet"),
+          Seq("_GRAFT_APPEND_DONE")) { p =>
         val emb = Tables.embeddings(s, d)
         val pq = Some(graft.operators.Pq.PqModel(8, 8, FrozenModels.pqBooks))
         Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0),
-          "vec_id", "embedding", path, k = 8, iters = 2, pq = pq)
+          "vec_id", "embedding", p, k = 8, iters = 2, pq = pq)
         Ann.appendIvfIndex(emb.filter(col("vec_id") % 3 === 0),
-          "vec_id", "embedding", path, pq = pq)
-        marker.createNewFile()
+          "vec_id", "embedding", p, pq = pq)
+        new java.io.File(s"$p/_GRAFT_APPEND_DONE").createNewFile(): Unit
       }
-      RelationalQueries.touchLayout(path)
       val q = Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0)
       Ann.ivfIndexTopK(s, path, q, "vec_id", "embedding", nProbe = 8, topK = 3)
         .select(col("q_id"), col("rnk"), col("id").as("vec_id"),
