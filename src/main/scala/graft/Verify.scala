@@ -7,9 +7,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples the shuffle width from the
+    // core count for distributed-correctness sweeps: a real cluster runs
+    // hundreds-to-thousands of shuffle partitions, and an operator whose
+    // result accidentally depends on partition count (two-phase rank
+    // stitches, salted writers, map-side combines) must be flushed out at
+    // an adversarial width (prime, >> CPUs), not only at width = CPUs
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       // external bucketed tables (bk1) touch the warehouse root even
       // though their data lives under /tmp — pin it so no spark-warehouse

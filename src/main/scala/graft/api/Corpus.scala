@@ -474,16 +474,55 @@ object Corpus {
     * Hot cells are capped + drop-audited exactly as in
     * [[semanticDuplicatePairs]]. `cosine_sim` normalizes internally, so
     * the stored RAW vectors feed it directly.
+    *
+    * Only REACHABLE cells participate (`cell >= 0` — matching
+    * `ivfIndexTopK`'s effective reachability): current layouts never
+    * store the null cell (the build/append domain filter sheds wrong-dim
+    * vectors with an audit), but a legacy uncoded layout could carry
+    * malformed vectors under `cell=-1`, and pairing those with each
+    * other would diverge from what a coded layout of the same corpus
+    * reports (r14 ADVICE).
+    *
+    * STALENESS: the serve trusts the layout to cover the corpus —
+    * embeddings ingested after the last build/append are silently absent
+    * from the dedup verdict. Pass `auditCorpus` (the live corpus ids) to
+    * turn that silence into a named number: the uncovered-id count is
+    * computed by [[indexCoverageGap]]'s anti-join and logged before the
+    * serve plan is returned (the PQ domain-drop-audit discipline).
     * @return `(id, comp, keeper)` — one row per vector in a ≥2-member
     *         semantic cluster (ids as stored in the index) */
   def semanticDuplicatesFromIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, cosMin: Double = 0.95,
-      maxCell: Int = 10000, idOut: String = "vec_id"): DataFrame = {
+      maxCell: Int = 10000, idOut: String = "vec_id",
+      auditCorpus: Option[DataFrame] = None,
+      auditIdCol: String = "vec_id"): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
+    auditCorpus.foreach { live =>
+      val gap = indexCoverageGap(spark, indexPath, live, auditIdCol).count()
+      if (gap > 0) System.err.println(
+        s"[graft] semanticDuplicatesFromIndex: $gap corpus id(s) ABSENT " +
+          s"from the index layout at $indexPath — the dedup verdict " +
+          "under-reports until the index is appended/rebuilt")
+    }
     val corpus = spark.read.parquet(s"$indexPath/corpus")
+      .filter(col("cell") >= 0)
       .select(col("id"), col("v").as("vec"), col("cell"))
     semanticClusters(cellBlockedPairs(corpus, cosMin, maxCell), idOut)
   }
+
+  /** The ids of `corpus` (column `idCol`) ABSENT from the
+    * [[graft.operators.Ann.writeIvfIndex]] layout at `indexPath` — the
+    * index-staleness audit behind [[semanticDuplicatesFromIndex]]'s
+    * `auditCorpus`, exposed so any index consumer can gate on coverage.
+    * One distributed anti-join on the id column alone (both sides prune
+    * to a single column at the scan); never a vector read. */
+  def indexCoverageGap(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, corpus: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    corpus.select(col(idCol).as("id")).distinct()
+      .join(spark.read.parquet(s"$indexPath/corpus").select("id"),
+        Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
 
   /** C4/Gopher-style heuristic rule filters with per-rule audit flags
     * (X7): token-count band, mean-word-length band, distinct-token ratio,

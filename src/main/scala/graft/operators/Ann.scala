@@ -386,7 +386,8 @@ object Ann {
     val shared = if (rows.size > LiteralPathMaxK)
       Some(centroidBc(emb.sparkSession, rows)) else None
     val assigned0 = assignRows(normalized(emb, idCol, vecCol), rows, shared)
-    writeCorpus(assigned0, pq, writeSalts, s"$path/corpus", "overwrite")
+    writeCorpus(assigned0, pq, writeSalts, s"$path/corpus", "overwrite",
+      storedDim = rows.head._2.length)
     // centroids are written from the DRIVER-collected rows (k-bounded):
     // re-running the `cents` plan here would re-execute the whole k-means
     // pipeline — including the full-corpus training-sample scan — since
@@ -406,17 +407,29 @@ object Ann {
     * are exactly what an encode of the stored vectors would produce (r13
     * ADVICE: `attachCodes` alone kept such rows with a NULL code in
     * cell=-1 — unreachable at serve time but divergent from the in-memory
-    * ADC path an index-vs-encode comparison assumes). The excluded count
-    * is drop-audited (`graft_capped_ivf_pq_domain_*`) — a corpus with
+    * ADC path an index-vs-encode comparison assumes). The UNcoded path
+    * applies the same filter against the centroid dim (`storedDim`), so
+    * no layout ever stores probe-unreachable rows. Excluded counts are
+    * drop-audited (`graft_capped_ivf_{pq,}_dim_domain_*`) — a corpus with
     * malformed vectors sheds them loudly, never silently. */
   private def writeCorpus(assigned0: DataFrame, pq: Option[Pq.PqModel],
-      writeSalts: Int, corpusPath: String, mode: String): Unit = {
+      writeSalts: Int, corpusPath: String, mode: String,
+      storedDim: Int): Unit = {
     val assigned = pq match {
       case Some(m) =>
         val audited = Dedup.auditDropped(assigned0,
           size(col("v")) =!= m.dim, "ivf_pq_domain")
         Pq.attachCodes(audited.filter(size(col("v")) === m.dim), "v", m)
-      case None => assigned0
+      case None =>
+        // the UNcoded path gets the SAME domain filter (r14 ADVICE): a
+        // dim-drifted vector assigns to cell=-1 (the fold's null distance
+        // never fires) and would sit in the layout unreachable by every
+        // probe — stored but silently invisible. Shed it loudly instead,
+        // mirroring the PQ branch, so coded and uncoded layouts of the
+        // same corpus carry identical row sets.
+        Dedup.auditDropped(assigned0,
+            size(col("v")) =!= storedDim, "ivf_dim_domain")
+          .filter(size(col("v")) === storedDim)
     }
     assigned
       .select(Seq(col("id"), col("v"), col("cell")) ++
@@ -439,24 +452,36 @@ object Ann {
     * the stored corpus must agree with `pq` on whether a `code` column
     * exists (an appended schema drift would poison every later scan).
     * Individual wrong-dim VECTORS degrade exactly as in the build: the
-    * PQ domain filter drops them (count drop-audited), and without PQ
-    * they assign to the unreachable null cell.
+    * domain filter drops them with a drop audit on BOTH the coded and
+    * uncoded paths (r14 ADVICE — the uncoded path used to store them in
+    * the unreachable null cell, i.e. silently invisible to every probe).
     *
-    * AT-LEAST-ONCE contract: the layout is append-only and keyed by
-    * nothing — re-running a batch that already committed stores its ids
-    * TWICE, and the serve's top-k would then carry the duplicate at two
-    * ranks. The caller owns batch idempotence (the ss5 catalog entry's
-    * pattern: a marker file created after the append, rebuild-from-
-    * scratch when it is missing); an exactly-once spelling would need a
-    * per-append anti-join against the stored cells — the full-index scan
-    * this API exists to avoid.
+    * IDEMPOTENCE: without `batchId` the layout is append-only and keyed
+    * by nothing — AT-LEAST-ONCE: re-running a batch that already
+    * committed stores its ids TWICE, and the serve's top-k would then
+    * carry the duplicate at two ranks; the caller owns batch idempotence
+    * (the ss5 catalog entry's pattern: a marker file created after the
+    * append, rebuild-from-scratch when it is missing). Passing
+    * `batchId = Some(id)` moves that contract INTO the engine —
+    * EXACTLY-ONCE per batch id, with no full-index anti-join:
+    * (1) a committed-batch marker (`_append_batch_<id>`) short-circuits
+    * a re-run to a no-op; (2) the batch stages under a HIDDEN directory
+    * (`_`-prefixed — invisible to every Spark reader of the layout) and
+    * publishes by per-file rename into the live `cell=` directories
+    * under deterministic `batch-<id>-` file names; (3) a re-run after a
+    * crash anywhere in the middle first deletes every published
+    * `batch-<id>-*` file (a file LISTING over the cell directories,
+    * never a data scan), so partial publishes can never double-store.
+    * Readers see either none or all of a batch only once the marker
+    * exists; mid-publish they may see a prefix — the same transient any
+    * plain parquet append has, resolved by the marker protocol.
     *
     * The caller also owns PQ-model identity across build and appends
     * (the frozen-checkpoint convention — [[graft.queries.FrozenModels]]);
     * the layout stores vectors + codes, not the codebooks. */
   def appendIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
       path: String, pq: Option[Pq.PqModel] = None,
-      writeSalts: Int = 8): Unit = {
+      writeSalts: Int = 8, batchId: Option[String] = None): Unit = {
     val spark = emb.sparkSession
     requireIntegralId(emb, idCol, "appendIvfIndex")
     // Hadoop-FS existence probe, NOT java.io.File: the layout may live on
@@ -485,8 +510,82 @@ object Ann {
         s"pq=${pq.isDefined} — append with the build's own PQ setting")
     val shared = if (rows.size > LiteralPathMaxK)
       Some(centroidBc(spark, rows)) else None
-    writeCorpus(assignRows(normalized(emb, idCol, vecCol), rows, shared),
-      pq, writeSalts, s"$path/corpus", "append")
+    val assigned = assignRows(normalized(emb, idCol, vecCol), rows, shared)
+    batchId match {
+      case None =>
+        writeCorpus(assigned, pq, writeSalts, s"$path/corpus", "append",
+          storedDim)
+      case Some(bid) =>
+        // leading underscore/dot would make the PUBLISHED file names
+        // hidden to Spark's file index — the batch would commit invisibly
+        require(bid.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+          s"appendIvfIndex: batchId '$bid' must match [A-Za-z0-9][A-Za-z0-9._-]*")
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+        val marker = new org.apache.hadoop.fs.Path(s"$path/_append_batch_$bid")
+        if (fs.exists(marker)) return // committed: exactly-once no-op
+        // crash recovery: delete any files a previous partial publish of
+        // THIS batch landed — deterministic prefix, pure file listing
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+            s"$path/corpus/cell=*/batch-$bid-*")))
+          .getOrElse(Array.empty)
+          .foreach(st => fs.delete(st.getPath, false))
+        val staging = s"$path/_staging_append_$bid"
+        writeCorpus(assigned, pq, writeSalts, staging, "overwrite", storedDim)
+        // publish: per-file rename into the live cell dirs under the
+        // deterministic batch prefix (cheap on hdfs/file; a copy on
+        // object stores — still files-count work, never a data scan)
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+            s"$staging/cell=*/part-*")))
+          .getOrElse(Array.empty)
+          .foreach { st =>
+            val cellDir = st.getPath.getParent.getName // "cell=<c>"
+            val dst = new org.apache.hadoop.fs.Path(
+              s"$path/corpus/$cellDir/batch-$bid-${st.getPath.getName}")
+            fs.mkdirs(dst.getParent)
+            require(fs.rename(st.getPath, dst),
+              s"appendIvfIndex: publish rename failed for ${st.getPath}")
+          }
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        fs.create(marker, true).close() // commit point
+    }
+  }
+
+  /** Rewrite a [[writeIvfIndex]] layout's corpus back to ≤ `writeSalts`
+    * files per cell — the small-files lifecycle completion for
+    * [[appendIvfIndex]]: daily increments accumulate O(batches·salts)
+    * files per cell and the serve's FILE LISTING (not the data) degrades
+    * without bound — the classic lakehouse failure. Row-identical: reads
+    * `(id, v[, code], cell)` off the layout and re-runs the build's own
+    * salted partitioned write, so serve-before ≡ serve-after (AnnSpec).
+    * The rewrite lands in a HIDDEN sibling (`_corpus_compact_tmp`,
+    * invisible to readers) and swaps in with two directory renames;
+    * between them the layout has no `corpus/` — compaction is a
+    * MAINTENANCE window, not a concurrent-serve operation, and a crash
+    * there leaves the freshness sentinel (`corpus/_SUCCESS`) missing, so
+    * the write-if-missing discipline rebuilds from source. Batch markers
+    * (`_append_batch_*`, `_GRAFT_APPEND_DONE`) live beside — not inside —
+    * `corpus/` and survive the swap, preserving the idempotence
+    * protocol. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      writeSalts: Int = 8): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    require(fs.exists(corpus),
+      s"compactIvfIndex: no index layout at $path — build with writeIvfIndex first")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_corpus_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/_corpus_compact_old")
+    fs.delete(tmp, true); fs.delete(old, true) // stale partials from a crash
+    val df = spark.read.parquet(corpus.toString)
+    val cols = Seq(col("id"), col("v")) ++
+      (if (df.schema.fieldNames.contains("code")) Seq(col("code")) else Nil) :+
+      col("cell").cast("int").as("cell")
+    df.select(cols: _*)
+      .repartition(col("cell"), pmod(hash(col("id")), lit(writeSalts)))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    require(fs.rename(corpus, old), s"compactIvfIndex: swap-out failed at $path")
+    require(fs.rename(tmp, corpus), s"compactIvfIndex: swap-in failed at $path")
+    fs.delete(old, true): Unit
   }
 
   /** Serve top-k from a [[writeIvfIndex]] layout. The centroid read is

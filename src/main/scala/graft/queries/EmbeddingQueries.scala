@@ -186,10 +186,16 @@ object EmbeddingQueries {
     * completion of the dedup family (most of sd2's warm cost is the
     * re-fit). The serve plan contains NO k-means job and NO embeddings
     * scan (PlanSpec-asserted: its only file source is the index). The
-    * oracle is the same UNBLOCKED recursive-CTE closure as sd2's — valid
-    * against stored cells for the same reason as learned ones: identical
-    * vectors co-assign under ANY centroid set, so the qualifying
-    * twin pairs can never straddle a stored cell boundary. */
+    * oracle is the same UNBLOCKED recursive-CTE closure as sd2's. Its
+    * validity against the cell-blocked engine rests on TWO legs: the
+    * proof that identical vectors co-assign under ANY centroid set (so
+    * an exact-twin pair can never straddle a stored cell boundary), plus
+    * the DATA-DEPENDENT assumption that the corpus holds no qualifying
+    * NON-twin pair — a non-identical pair at cos ≥ 0.9 could land in
+    * different cells and diverge from the unblocked oracle. That
+    * assumption is not taken on faith: CorpusSpec asserts, on the exact
+    * verify fixture, that every pair at cos ≥ 0.9 in the twin-injected
+    * corpus is an identical-vector twin (r14 ADVICE). */
   private val sd2b = Q(
     "sd2b_semantic_dedup_index",
     (s, d) => {

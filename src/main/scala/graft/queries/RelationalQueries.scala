@@ -104,6 +104,17 @@ object RelationalQueries {
     val path = s"$root/$key"
     if (!sentinels.forall(s0 => new java.io.File(path, s0).exists())) {
       gcStaleLayouts(root, key)
+      // a sentinel-less key dir is a PARTIAL layout (crash mid-build —
+      // e.g. ss5 between its append and its marker). Clear it OURSELVES
+      // rather than trusting the builder's overwrite semantics: under
+      // spark.sql.sources.partitionOverwriteMode=dynamic (a user session
+      // config) a partitioned rebuild replaces only the partitions
+      // present in the new data, and stale rows in other partition dirs
+      // would survive — double-storing ids (r14 ADVICE). Local java.io is
+      // right here: ensureLayout IS the local-scratch discipline (roots
+      // under /tmp); cluster-scale layouts manage their own lifecycle
+      // via the Ann append/compact protocol.
+      deleteRecursively(new java.io.File(path))
       build(path)
     }
     touchLayout(path)
@@ -141,7 +152,7 @@ object RelationalQueries {
     Set("zo1_zorder_prune", "or1_orc_interchange",
       "pp1_partition_prune", "pp2_dpp_join", "bk1_bucketed_join",
       "ss4_ann_index_scan", "ss5_ann_index_append",
-      "sd2b_semantic_dedup_index")
+      "ss6_ann_index_compact", "sd2b_semantic_dedup_index")
 
   private val zo1 = Q(
     "zo1_zorder_prune",

@@ -595,6 +595,54 @@ object ScaleOpsQueries {
                    FROM pairs)
              SELECT q_id, rnk, vec_id, round(cos, 6) AS cos FROM r WHERE rnk <= 3"""))
 
+  /** SS6 — EXACTLY-ONCE batch append + small-files COMPACTION, the
+    * lifecycle completion of the disk-index family (r14 verdict #3/#5):
+    * the layout builds over one split, then the remaining batch appends
+    * under `batchId` — staged in a hidden directory, published by
+    * per-file rename under deterministic `batch-<id>-` names, committed
+    * by a marker — and the SAME batch is deliberately appended a SECOND
+    * time: the committed-batch marker must make the re-run a no-op, and
+    * the hash oracle would convict a double-store as the duplicate id at
+    * two consecutive ranks. [[Ann.compactIvfIndex]] then rewrites the
+    * accumulated per-cell files back to ≤ `writeSalts` each (row-identical
+    * — serve-before ≡ serve-after pinned in AnnSpec; at 100 TB daily
+    * appends otherwise grow the serve's FILE LISTING without bound, the
+    * classic lakehouse failure). Served at nProbe = k like ss4/ss5, so
+    * build → append → re-append → compact → serve all runs under the
+    * plain full-corpus brute-force SQL oracle. */
+  private val ss6 = Q(
+    "ss6_ann_index_compact",
+    (s, d) => {
+      val path = RelationalQueries.ensureLayout("/tmp/graft_ss6",
+          RelationalQueries.cacheKey(d, "embeddings.parquet"),
+          Seq("_GRAFT_COMPACT_DONE")) { p =>
+        val emb = Tables.embeddings(s, d)
+        val pq = Some(graft.operators.Pq.PqModel(8, 8, FrozenModels.pqBooks))
+        Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", p, k = 8, iters = 2, pq = pq)
+        Ann.appendIvfIndex(emb.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", p, pq = pq, batchId = Some("increment-1"))
+        // the exactly-once claim, exercised in the oracle path itself:
+        // the committed batch re-runs as a no-op
+        Ann.appendIvfIndex(emb.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", p, pq = pq, batchId = Some("increment-1"))
+        Ann.compactIvfIndex(s, p)
+        new java.io.File(s"$p/_GRAFT_COMPACT_DONE").createNewFile(): Unit
+      }
+      val q = Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0)
+      Ann.ivfIndexTopK(s, path, q, "vec_id", "embedding", nProbe = 8, topK = 3)
+        .select(col("q_id"), col("rnk"), col("id").as("vec_id"),
+          round(col("cos"), 6).as("cos"))
+    },
+    Some(s"""WITH e AS ($embNormSql),
+             q AS (SELECT vec_id AS q_id, embedding, nrm AS qn FROM e WHERE vec_id % 100 = 0),
+             pairs AS (SELECT q.q_id, e.vec_id, ${dotSql("q", "e")} / (q.qn * e.nrm) AS cos
+                       FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+             r AS (SELECT q_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+                   FROM pairs)
+             SELECT q_id, rnk, vec_id, round(cos, 6) AS cos FROM r WHERE rnk <= 3"""))
+
   /** MM1 — the multimodal plumbing under the driver gate: binary payload
     * + typed meta → batched feature extraction (operators.Multimodal, the
     * clearly-marked fake decoder) joined with frame-sample counts. The
@@ -913,5 +961,5 @@ object ScaleOpsQueries {
                round(avg(x), 6) AS mean_val
              FROM x GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd8, dd3, dd4, dd5, dd6, ss1, ss2, ss3, ss4, ss5, cl1, p1, mm1, mm2, mm3, mm4)
+  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd8, dd3, dd4, dd5, dd6, ss1, ss2, ss3, ss4, ss5, ss6, cl1, p1, mm1, mm2, mm3, mm4)
 }

@@ -166,6 +166,106 @@ class AnnSpec extends SparkSpec {
     assert(e3.getMessage.contains("dim"), e3.getMessage)
   }
 
+  test("compactIvfIndex: row-identical corpus, files per cell bounded, serve unchanged") {
+    import graft.operators.Pq
+    val model = Pq.PqModel(8, 8, graft.queries.FrozenModels.pqBooks)
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding",
+      path, k = 4, iters = 2, pq = Some(model))
+    // two disjoint appends: the accumulated per-cell file count is what
+    // compaction exists to bound
+    Ann.appendIvfIndex(emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding",
+      path, pq = Some(model))
+    Ann.appendIvfIndex(emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      path, pq = Some(model))
+    // materialize the pre-compact state OUTSIDE the layout (a lazy frame
+    // over corpus/ would re-read the rewritten files after the swap)
+    val copy = java.nio.file.Files.createTempDirectory("graft_compact_copy")
+      .toString + "/before"
+    spark.read.parquet(s"$path/corpus")
+      .select("id", "v", "code", "cell").write.parquet(copy)
+    val servedBefore = Ann.ivfIndexTopK(spark, path, queries,
+      "vec_id", "embedding", nProbe = 4, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val salts = 2
+    Ann.compactIvfIndex(spark, path, writeSalts = salts)
+    // row-identical corpus after the rewrite
+    val before = spark.read.parquet(copy)
+    val after = spark.read.parquet(s"$path/corpus").select("id", "v", "code", "cell")
+    assert(after.exceptAll(before).count() == 0 &&
+      before.exceptAll(after).count() == 0)
+    // the small-files bound: ≤ writeSalts parquet files per cell directory
+    val cellDirs = new java.io.File(s"$path/corpus").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n <= salts, s"${d.getName}: $n files > $salts")
+    }
+    // serve-before ≡ serve-after
+    val servedAfter = Ann.ivfIndexTopK(spark, path, queries,
+      "vec_id", "embedding", nProbe = 4, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(servedAfter == servedBefore)
+  }
+
+  test("appendIvfIndex with batchId is exactly-once: committed and crash-window re-runs never double-store") {
+    import graft.operators.Pq
+    val model = Pq.PqModel(8, 8, graft.queries.FrozenModels.pqBooks)
+    val path = java.nio.file.Files.createTempDirectory("graft_batch").toString
+    Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+      path, k = 4, iters = 2, pq = Some(model))
+    val inc = emb.filter(col("vec_id") % 3 === 0)
+    Ann.appendIvfIndex(inc, "vec_id", "embedding", path, pq = Some(model),
+      batchId = Some("day1"))
+    val total = emb.count()
+    def corpus() = spark.read.parquet(s"$path/corpus")
+    assert(corpus().count() == total)
+    // marker present: the whole re-run is a no-op
+    Ann.appendIvfIndex(inc, "vec_id", "embedding", path, pq = Some(model),
+      batchId = Some("day1"))
+    assert(corpus().count() == total)
+    // crash window: publish completed but the marker write was lost — the
+    // worst re-run case (every batch file already live). The deterministic
+    // batch-<id>- prefix cleanup must remove them before republishing.
+    assert(new java.io.File(s"$path/_append_batch_day1").delete())
+    Ann.appendIvfIndex(inc, "vec_id", "embedding", path, pq = Some(model),
+      batchId = Some("day1"))
+    assert(corpus().count() == total)
+    assert(corpus().groupBy("id").count().filter(col("count") > 1).count() == 0)
+    // content (not just count): the republished layout equals a standalone
+    // encode of the full corpus, the ss5 identity
+    val disk = corpus().select(col("id").as("vec_id"), col("code"))
+    val direct = Pq.encode(emb, "embedding", model)
+    assert(disk.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(disk).count() == 0)
+    // hidden-prefix batch ids would publish files invisible to readers
+    val bad = intercept[IllegalArgumentException] {
+      Ann.appendIvfIndex(inc, "vec_id", "embedding", path, pq = Some(model),
+        batchId = Some("_hidden"))
+    }
+    assert(bad.getMessage.contains("batchId"), bad.getMessage)
+  }
+
+  test("uncoded build/append shed wrong-dim vectors — never stored in the unreachable null cell") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dimguard").toString
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    Ann.writeIvfIndex(base, "vec_id", "embedding", path, k = 4, iters = 2)
+    // half the batch arrives dim-drifted (truncated to 32) — the r14
+    // ADVICE case: without the guard these assign to cell=-1 and silently
+    // disappear from every probe while still occupying the layout
+    val inc = emb.filter(col("vec_id") % 3 === 0)
+      .withColumn("embedding", when(col("vec_id") % 2 === 0,
+        slice(col("embedding"), 1, 32)).otherwise(col("embedding")))
+    Ann.appendIvfIndex(inc, "vec_id", "embedding", path)
+    val stored = spark.read.parquet(s"$path/corpus")
+    assert(stored.filter(col("cell") < 0).count() == 0)
+    val expected = base.count() +
+      emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0).count()
+    assert(stored.count() == expected)
+    assert(stored.filter(col("id") % 3 === 0 && col("id") % 2 === 0).count() == 0)
+  }
+
   test("large-k broadcast assignment equals the literal fold at k = 8192") {
     // 8192 synthetic cells (> LiteralPathMaxK, so Ann.assign takes the
     // broadcast path) on a deterministic grid; both paths must agree on

@@ -277,4 +277,64 @@ class CorpusSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     assert(Corpus.semanticDuplicates(emb, cosMin = 0.99, cells = 2).count() == 0)
   }
+
+  /** The sd2/sd2b twin-injected corpus (EmbeddingQueries.sd2Corpus's
+    * shape), rebuilt here over an arbitrary fixture dir. */
+  private def twinCorpus(dir: String) = {
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    base.unionByName(base.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
+  test("indexCoverageGap names live ids absent from the index; the audit leaves the serve unchanged") {
+    import graft.operators.Ann
+    val corpus = twinCorpus("/root/testdata/sf0.001")
+    // full-coverage index: gap is empty and the serve finds the twins
+    val full = java.nio.file.Files.createTempDirectory("graft_cov_full").toString
+    Ann.writeIvfIndex(corpus, "vec_id", "embedding", full, k = 4, iters = 2)
+    assert(Corpus.indexCoverageGap(spark, full, corpus).count() == 0)
+    val audited = Corpus.semanticDuplicatesFromIndex(spark, full, cosMin = 0.9,
+        auditCorpus = Some(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val plain = Corpus.semanticDuplicatesFromIndex(spark, full, cosMin = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(audited == plain && plain.nonEmpty)
+    // stale index: built BEFORE the twins arrived — the gap names exactly
+    // the unindexed ids (and the serve verdict would silently miss their
+    // clusters, which is the failure mode the audit exists to name)
+    val stale = java.nio.file.Files.createTempDirectory("graft_cov_stale").toString
+    Ann.writeIvfIndex(corpus.filter(col("vec_id") < 1000000L),
+      "vec_id", "embedding", stale, k = 4, iters = 2)
+    val gap = Corpus.indexCoverageGap(spark, stale, corpus)
+      .as[Long].collect().toSet
+    val expected = corpus.filter(col("vec_id") >= 1000000L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gap == expected && gap.nonEmpty)
+  }
+
+  test("sd2 oracle validity: every qualifying pair in the twin-injected verify corpus is an identical-vector twin") {
+    // The sd2/sd2b UNBLOCKED recursive-CTE oracle equals the cell-blocked
+    // engine only if no qualifying (cos >= 0.9) pair can straddle a cell
+    // boundary. Identical vectors provably co-assign under ANY centroids;
+    // a NON-identical qualifying pair could straddle. This pins the
+    // data-dependent leg on the exact verify fixture (sf0.01): the
+    // qualifying set is exactly the injected twins — no non-twin pair
+    // exists for the blocking to split (r14 ADVICE).
+    graft.expressions.GraftFunctions.register(spark)
+    val corpus = twinCorpus("/root/testdata/sf0.01")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val qualifying = corpus.select(col("vec_id").as("ia"), col("v").as("va"))
+      .crossJoin(corpus.select(col("vec_id").as("ib"), col("v").as("vb")))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cos", expr("cosine_sim(va, vb)"))
+      .filter(col("cos") >= 0.9)
+    val nTwins = corpus.filter(col("vec_id") % 97 === 0 &&
+      col("vec_id") < 1000000L).count()
+    assert(nTwins > 0)
+    assert(qualifying.count() == nTwins)
+    // every qualifying pair is the twin relation with IDENTICAL vectors
+    assert(qualifying.filter(!(col("ib") === col("ia") + 1000000L &&
+      col("ia") % 97 === 0 && col("va") === col("vb"))).count() == 0)
+  }
 }

@@ -50,6 +50,33 @@ class SourcesSpec extends SparkSpec {
       "14-day-old foreign-prefix layout must be reaped (format-migration strandees)")
   }
 
+  test("ensureLayout clears a partial key dir before rebuilding — stale files cannot survive the build") {
+    // r14 ADVICE: a crash mid-build (ss5: after the append, before the
+    // marker) leaves a sentinel-less PARTIAL layout; trusting the
+    // builder's write.mode("overwrite") to clear it breaks under
+    // partitionOverwriteMode=dynamic (only partitions present in the new
+    // data are replaced). ensureLayout must delete the key dir itself.
+    import graft.queries.RelationalQueries.ensureLayout
+    val root = Files.createTempDirectory("graft_partial").toFile.getAbsolutePath
+    val key = "0123456789abcdef0123456789abcdef_1_1"
+    val partial = new java.io.File(s"$root/$key/cell=-1")
+    partial.mkdirs()
+    val strayFile = new java.io.File(partial, "stale-rows.parquet")
+    assert(strayFile.createNewFile())
+    var built = 0
+    ensureLayout(root, key, Seq("_DONE")) { p =>
+      built += 1
+      assert(!strayFile.exists(),
+        "partial layout must be cleared BEFORE the builder runs")
+      new java.io.File(p).mkdirs()
+      assert(new java.io.File(p, "_DONE").createNewFile())
+    }
+    assert(built == 1 && !strayFile.exists())
+    // fresh layout: no rebuild, no delete
+    ensureLayout(root, key, Seq("_DONE"))(_ => built += 1)
+    assert(built == 1 && new java.io.File(s"$root/$key/_DONE").exists())
+  }
+
   test("bk layout key: volatile inputs ride the suffix so GC reaps a bucket bump") {
     // ADVICE r9: the old bk key folded orders mtime/len + bucket count
     // into the md5 PREFIX, so after a regen or a constant bump the stale
