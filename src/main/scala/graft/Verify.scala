@@ -15,9 +15,16 @@ object Verify {
     // an adversarial width (prime, >> CPUs), not only at width = CPUs
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // SPARK_GRAFT_MAX_PARTITION_BYTES shrinks the scan-split size so the
+    // small local fixtures read as MANY input partitions — the other
+    // parallelism axis a 100 TB scan always exercises (thousands of
+    // splits) and a one-file-per-table local run never does
+    val maxPartitionBytes =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       // external bucketed tables (bk1) touch the warehouse root even
       // though their data lives under /tmp — pin it so no spark-warehouse
