@@ -515,12 +515,17 @@ object Corpus {
     * index-staleness audit behind [[semanticDuplicatesFromIndex]]'s
     * `auditCorpus`, exposed so any index consumer can gate on coverage.
     * One distributed anti-join on the id column alone (both sides prune
-    * to a single column at the scan); never a vector read. */
+    * to a single column at the scan); never a vector read. Counts only
+    * REACHABLE index rows as covering (`cell >= 0`, the same filter the
+    * serve applies): a legacy layout's null-cell rows are invisible to
+    * every probe and every dedup verdict, so treating them as covered
+    * would re-create exactly the silence this audit exists to name. */
   def indexCoverageGap(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, corpus: DataFrame,
       idCol: String = "vec_id"): DataFrame =
     corpus.select(col(idCol).as("id")).distinct()
-      .join(spark.read.parquet(s"$indexPath/corpus").select("id"),
+      .join(spark.read.parquet(s"$indexPath/corpus")
+          .filter(col("cell") >= 0).select("id"),
         Seq("id"), "left_anti")
       .select(col("id").as(idCol))
 

@@ -386,6 +386,17 @@ object Ann {
     val shared = if (rows.size > LiteralPathMaxK)
       Some(centroidBc(emb.sparkSession, rows)) else None
     val assigned0 = assignRows(normalized(emb, idCol, vecCol), rows, shared)
+    // a rebuild starts a NEW index generation: committed-batch markers
+    // from the previous generation would turn a replayed
+    // appendIvfIndex(batchId) into a silent exactly-once no-op — the
+    // replay's rows would be permanently absent while the pipeline
+    // believes them committed. Clear the markers BEFORE the overwrite
+    // (a crash between the two leaves the sentinel missing → rebuild).
+    val fsw = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(emb.sparkSession.sessionState.newHadoopConf())
+    Option(fsw.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/_append_batch_*")))
+      .getOrElse(Array.empty).foreach(st => fsw.delete(st.getPath, false))
     writeCorpus(assigned0, pq, writeSalts, s"$path/corpus", "overwrite",
       storedDim = rows.head._2.length)
     // centroids are written from the DRIVER-collected rows (k-bounded):
@@ -410,7 +421,8 @@ object Ann {
     * ADC path an index-vs-encode comparison assumes). The UNcoded path
     * applies the same filter against the centroid dim (`storedDim`), so
     * no layout ever stores probe-unreachable rows. Excluded counts are
-    * drop-audited (`graft_capped_ivf_{pq,}_dim_domain_*`) — a corpus with
+    * drop-audited (`graft_capped_ivf_pq_domain_*` on the coded path,
+    * `graft_capped_ivf_dim_domain_*` on the uncoded one) — a corpus with
     * malformed vectors sheds them loudly, never silently. */
   private def writeCorpus(assigned0: DataFrame, pq: Option[Pq.PqModel],
       writeSalts: Int, corpusPath: String, mode: String,
@@ -465,16 +477,23 @@ object Ann {
     * `batchId = Some(id)` moves that contract INTO the engine —
     * EXACTLY-ONCE per batch id, with no full-index anti-join:
     * (1) a committed-batch marker (`_append_batch_<id>`) short-circuits
-    * a re-run to a no-op; (2) the batch stages under a HIDDEN directory
-    * (`_`-prefixed — invisible to every Spark reader of the layout) and
-    * publishes by per-file rename into the live `cell=` directories
-    * under deterministic `batch-<id>-` file names; (3) a re-run after a
-    * crash anywhere in the middle first deletes every published
-    * `batch-<id>-*` file (a file LISTING over the cell directories,
-    * never a data scan), so partial publishes can never double-store.
-    * Readers see either none or all of a batch only once the marker
-    * exists; mid-publish they may see a prefix — the same transient any
-    * plain parquet append has, resolved by the marker protocol.
+    * a re-run to an O(1) no-op (checked FIRST — before the centroid
+    * collect and corpus schema read, so a scheduler replaying a
+    * committed day against a 100 TB layout pays one file probe);
+    * (2) the batch stages under a HIDDEN directory (`_`-prefixed —
+    * invisible to every Spark reader of the layout) and publishes by
+    * per-file rename into the live `cell=` directories under
+    * deterministic `batch~<id>~` file names (`~` is OUTSIDE the batchId
+    * alphabet, so one batch's prefix can never prefix-match another's —
+    * `day1` vs `day1-extra` under a `-` delimiter would collide and the
+    * recovery glob would delete the committed sibling's files);
+    * (3) a re-run after a crash anywhere in the middle first deletes
+    * every published `batch~<id>~*` file (a file LISTING over the cell
+    * directories, never a data scan), so partial publishes can never
+    * double-store. Readers see either none or all of a batch only once
+    * the marker exists; mid-publish they may see a prefix — the same
+    * transient any plain parquet append has, resolved by the marker
+    * protocol.
     *
     * The caller also owns PQ-model identity across build and appends
     * (the frozen-checkpoint convention — [[graft.queries.FrozenModels]]);
@@ -488,9 +507,19 @@ object Ann {
     // any filesystem Spark can write (hdfs://, s3a://, file:/ URIs) — the
     // 100 TB daily-increment case is exactly the non-local-disk one
     val hconf = spark.sessionState.newHadoopConf()
-    def dirExists(p: String): Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).exists(hp)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    def dirExists(p: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p))
+    // exactly-once FAST PATH, before any layout read: a committed batch's
+    // re-run must cost one marker probe, not a centroid collect + corpus
+    // schema read over a 100 TB layout's file index
+    batchId.foreach { bid =>
+      // leading underscore/dot would make the PUBLISHED file names hidden
+      // to Spark's file index — the batch would commit invisibly
+      require(bid.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+        s"appendIvfIndex: batchId '$bid' must match [A-Za-z0-9][A-Za-z0-9._-]*")
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_append_batch_$bid")))
+        return // committed: exactly-once no-op
     }
     require(dirExists(s"$path/centroids") && dirExists(s"$path/corpus"),
       s"appendIvfIndex: no index layout at $path — build with writeIvfIndex first")
@@ -516,17 +545,12 @@ object Ann {
         writeCorpus(assigned, pq, writeSalts, s"$path/corpus", "append",
           storedDim)
       case Some(bid) =>
-        // leading underscore/dot would make the PUBLISHED file names
-        // hidden to Spark's file index — the batch would commit invisibly
-        require(bid.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
-          s"appendIvfIndex: batchId '$bid' must match [A-Za-z0-9][A-Za-z0-9._-]*")
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
         val marker = new org.apache.hadoop.fs.Path(s"$path/_append_batch_$bid")
-        if (fs.exists(marker)) return // committed: exactly-once no-op
         // crash recovery: delete any files a previous partial publish of
-        // THIS batch landed — deterministic prefix, pure file listing
+        // THIS batch landed — deterministic `~`-delimited prefix (no
+        // other batch id can prefix-match it), pure file listing
         Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-            s"$path/corpus/cell=*/batch-$bid-*")))
+            s"$path/corpus/cell=*/batch~$bid~*")))
           .getOrElse(Array.empty)
           .foreach(st => fs.delete(st.getPath, false))
         val staging = s"$path/_staging_append_$bid"
@@ -540,7 +564,7 @@ object Ann {
           .foreach { st =>
             val cellDir = st.getPath.getParent.getName // "cell=<c>"
             val dst = new org.apache.hadoop.fs.Path(
-              s"$path/corpus/$cellDir/batch-$bid-${st.getPath.getName}")
+              s"$path/corpus/$cellDir/batch~$bid~${st.getPath.getName}")
             fs.mkdirs(dst.getParent)
             require(fs.rename(st.getPath, dst),
               s"appendIvfIndex: publish rename failed for ${st.getPath}")
@@ -560,22 +584,49 @@ object Ann {
     * The rewrite lands in a HIDDEN sibling (`_corpus_compact_tmp`,
     * invisible to readers) and swaps in with two directory renames;
     * between them the layout has no `corpus/` — compaction is a
-    * MAINTENANCE window, not a concurrent-serve operation, and a crash
-    * there leaves the freshness sentinel (`corpus/_SUCCESS`) missing, so
-    * the write-if-missing discipline rebuilds from source. Batch markers
-    * (`_append_batch_*`, `_GRAFT_APPEND_DONE`) live beside — not inside —
-    * `corpus/` and survive the swap, preserving the idempotence
-    * protocol. */
+    * MAINTENANCE window, not a concurrent-serve operation. A crash
+    * between the renames is SELF-HEALING: the original corpus is intact
+    * in `_corpus_compact_old`, and the next compactIvfIndex (or any
+    * re-run) restores it with one rename before proceeding — no rebuild
+    * from source needed. Batch markers (`_append_batch_*`,
+    * `_GRAFT_APPEND_DONE`) live beside — not inside — `corpus/` and
+    * survive the swap, preserving the idempotence protocol; conversely,
+    * compaction REFUSES a corpus holding `batch~<id>~` files with no
+    * matching marker (a crashed, uncommitted append): folding them into
+    * anonymous compacted files would erase the deterministic prefix the
+    * batch's re-run cleans by, and the re-run would then double-store —
+    * finish the append (re-run it) before compacting. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       writeSalts: Int = 8): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
     val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    require(fs.exists(corpus),
-      s"compactIvfIndex: no index layout at $path — build with writeIvfIndex first")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_corpus_compact_tmp")
     val old = new org.apache.hadoop.fs.Path(s"$path/_corpus_compact_old")
+    // crash recovery FIRST: a prior compact that died between its two
+    // renames left no corpus/ but the intact original under old — one
+    // rename restores it (prefer the original over the finished tmp:
+    // restoring is provably safe, re-compacting is cheap)
+    if (!fs.exists(corpus) && fs.exists(old))
+      require(fs.rename(old, corpus),
+        s"compactIvfIndex: crash-recovery restore failed at $path")
+    require(fs.exists(corpus),
+      s"compactIvfIndex: no index layout at $path — build with writeIvfIndex first")
     fs.delete(tmp, true); fs.delete(old, true) // stale partials from a crash
+    // uncommitted-batch guard: batch files whose marker is missing belong
+    // to a crashed append; compacting would anonymize them and poison the
+    // batch's exactly-once re-run into a double-store
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/corpus/cell=*/batch~*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.split('~')(1)).distinct
+      .foreach { bid =>
+        require(fs.exists(new org.apache.hadoop.fs.Path(
+            s"$path/_append_batch_$bid")),
+          s"compactIvfIndex: corpus at $path holds files of UNCOMMITTED " +
+            s"batch '$bid' (crashed append) — re-run " +
+            s"appendIvfIndex(batchId = Some(\"$bid\")) to finish it before compacting")
+      }
     val df = spark.read.parquet(corpus.toString)
     val cols = Seq(col("id"), col("v")) ++
       (if (df.schema.fieldNames.contains("code")) Seq(col("code")) else Nil) :+

@@ -247,6 +247,59 @@ class AnnSpec extends SparkSpec {
     assert(bad.getMessage.contains("batchId"), bad.getMessage)
   }
 
+  test("batchId protocol survives prefix-sibling batch ids and rebuilds (review findings)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_batch2").toString
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
+    def corpus() = spark.read.parquet(s"$path/corpus")
+    def assertComplete(): Unit = {
+      assert(corpus().count() == emb.count())
+      assert(corpus().groupBy("id").count().filter(col("count") > 1).count() == 0)
+    }
+    Ann.writeIvfIndex(base, "vec_id", "embedding", path, k = 4, iters = 2)
+    // 'day1' is a '-'-prefix of 'day1-extra': under a '-' file delimiter
+    // day1's recovery glob would DELETE the committed sibling's files;
+    // the '~' delimiter makes the prefixes unambiguous
+    Ann.appendIvfIndex(b1, "vec_id", "embedding", path, batchId = Some("day1-extra"))
+    Ann.appendIvfIndex(b2, "vec_id", "embedding", path, batchId = Some("day1"))
+    assertComplete()
+    // a REBUILD starts a new index generation: stale committed-batch
+    // markers must not turn the replayed appends into silent no-ops
+    Ann.writeIvfIndex(base, "vec_id", "embedding", path, k = 4, iters = 2)
+    assert(corpus().count() == base.count())
+    Ann.appendIvfIndex(b1, "vec_id", "embedding", path, batchId = Some("day1-extra"))
+    Ann.appendIvfIndex(b2, "vec_id", "embedding", path, batchId = Some("day1"))
+    assertComplete()
+  }
+
+  test("compactIvfIndex refuses uncommitted batch files and self-heals a crashed swap (review findings)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_compact2").toString
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val inc = emb.filter(col("vec_id") % 3 === 0)
+    Ann.writeIvfIndex(base, "vec_id", "embedding", path, k = 4, iters = 2)
+    Ann.appendIvfIndex(inc, "vec_id", "embedding", path, batchId = Some("day1"))
+    // crashed append (published, marker lost): compacting would anonymize
+    // the batch~day1~ files and the re-run would then double-store —
+    // compact must refuse, naming the batch
+    assert(new java.io.File(s"$path/_append_batch_day1").delete())
+    val e = intercept[IllegalArgumentException] {
+      Ann.compactIvfIndex(spark, path)
+    }
+    assert(e.getMessage.contains("day1"), e.getMessage)
+    // finishing the append clears the refusal
+    Ann.appendIvfIndex(inc, "vec_id", "embedding", path, batchId = Some("day1"))
+    // crashed swap: a prior compact died between its renames — corpus/ is
+    // gone but intact under _corpus_compact_old; the next compact restores
+    // it with one rename and proceeds
+    assert(new java.io.File(s"$path/corpus")
+      .renameTo(new java.io.File(s"$path/_corpus_compact_old")))
+    Ann.compactIvfIndex(spark, path, writeSalts = 2)
+    val c = spark.read.parquet(s"$path/corpus")
+    assert(c.count() == emb.count())
+    assert(c.groupBy("id").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("uncoded build/append shed wrong-dim vectors — never stored in the unreachable null cell") {
     val path = java.nio.file.Files.createTempDirectory("graft_dimguard").toString
     val base = emb.filter(col("vec_id") % 3 =!= 0)

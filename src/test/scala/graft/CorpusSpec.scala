@@ -310,6 +310,17 @@ class CorpusSpec extends SparkSpec {
     val expected = corpus.filter(col("vec_id") >= 1000000L)
       .select("vec_id").as[Long].collect().toSet
     assert(gap == expected && gap.nonEmpty)
+    // null-cell rows are probe-unreachable and serve-filtered (cell >= 0)
+    // — the audit must NOT count them as covering (review finding): a
+    // legacy layout's cell=-1 row would otherwise read as covered while
+    // its clusters are silently absent from every verdict
+    Seq((999999999L, Seq.fill(64)(0.5))).toDF("id", "v")
+      .write.parquet(s"$full/corpus/cell=-1")
+    val live2 = corpus.unionByName(
+      Seq((999999999L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding"))
+    val gap2 = Corpus.indexCoverageGap(spark, full, live2)
+      .as[Long].collect().toSet
+    assert(gap2 == Set(999999999L))
   }
 
   test("sd2 oracle validity: every qualifying pair in the twin-injected verify corpus is an identical-vector twin") {
