@@ -185,7 +185,13 @@ object Bench {
             prevWarm.get(n).exists(p => p >= 0.3 && v >= 1.5 * p)
           }
           .map(_._1)
-        val all = (top3 ++ inflated).distinct
+        // the first suite positions eat whatever JVM/page-cache warmup
+        // the sacrificial passes missed (r15: the a* block read 2-3x its
+        // warm bands yet sat UNDER the 1.5x archived-band net because the
+        // archive itself was head-inflated) — always rerun them, so
+        // warm_total nets the head constant out instead of compounding it
+        val head = qs.take(5).map(_._1)
+        val all = (top3 ++ inflated ++ head).distinct
           .sortBy(n => -results.find(_._1 == n).map(_._2).getOrElse(0.0))
         if (all.size > 32) System.err.println(
           s"[bench] rerun net capped at 32 of ${all.size} drifted queries; " +

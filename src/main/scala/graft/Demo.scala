@@ -310,7 +310,8 @@ object Demo {
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     graft.operators.Ann.appendIvfIndex(
       twinBatch, "vec_id", "embedding", incPath)
-    val idxRows = spark.read.parquet(s"$incPath/corpus").count()
+    val idxRows = spark.read.parquet(
+      graft.operators.Ann.corpusPath(spark, incPath)).count()
     println(s"[demo] index append: $idxRows vectors in the layout after " +
       s"appending ${twinBatch.count()} twins (base ${embAll.count()})")
     val semClusters = graft.api.Corpus

@@ -43,7 +43,10 @@ object ProfileIndexLifecycle {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      walk(new java.io.File(s"$path/corpus"))
+      // corpusPath resolves the live generation (post-compact it is no
+      // longer `corpus/`); strip a possible file: scheme for java.io
+      walk(new java.io.File(
+        new java.net.URI(Ann.corpusPath(spark, path)).getPath))
     }
 
     val emb = Tables.embeddings(spark, d)
@@ -81,7 +84,8 @@ object ProfileIndexLifecycle {
     println(s"[lifecycle] pruned identical: ${pruned1 == pruned2}  " +
       s"exact identical: ${exact1 == exact2}")
     // the corpus row count must equal the source (every batch exactly once)
-    println(s"[lifecycle] stored rows: ${spark.read.parquet(s"$path/corpus").count()}")
+    println(s"[lifecycle] stored rows: ${
+      spark.read.parquet(Ann.corpusPath(spark, path)).count()}")
     spark.stop()
   }
 }

@@ -489,6 +489,11 @@ object Corpus {
     * turn that silence into a named number: the uncovered-id count is
     * computed by [[indexCoverageGap]]'s anti-join and logged before the
     * serve plan is returned (the PQ domain-drop-audit discipline).
+    *
+    * Reads [[graft.operators.Ann.liveCorpus]]: the generation pointer
+    * resolves once at plan construction (never straddles a compaction
+    * cutover) and `deleteFromIndex` tombstones are anti-joined out — a
+    * deleted vector neither pairs nor anchors a cluster.
     * @return `(id, comp, keeper)` — one row per vector in a ≥2-member
     *         semantic cluster (ids as stored in the index) */
   def semanticDuplicatesFromIndex(spark: org.apache.spark.sql.SparkSession,
@@ -504,7 +509,7 @@ object Corpus {
           s"from the index layout at $indexPath — the dedup verdict " +
           "under-reports until the index is appended/rebuilt")
     }
-    val corpus = spark.read.parquet(s"$indexPath/corpus")
+    val corpus = Ann.liveCorpus(spark, indexPath)
       .filter(col("cell") >= 0)
       .select(col("id"), col("v").as("vec"), col("cell"))
     semanticClusters(cellBlockedPairs(corpus, cosMin, maxCell), idOut)
@@ -516,18 +521,50 @@ object Corpus {
     * `auditCorpus`, exposed so any index consumer can gate on coverage.
     * One distributed anti-join on the id column alone (both sides prune
     * to a single column at the scan); never a vector read. Counts only
-    * REACHABLE index rows as covering (`cell >= 0`, the same filter the
-    * serve applies): a legacy layout's null-cell rows are invisible to
-    * every probe and every dedup verdict, so treating them as covered
-    * would re-create exactly the silence this audit exists to name. */
+    * rows a serve can actually return as covering: REACHABLE cells
+    * (`cell >= 0` — a legacy layout's null-cell rows are invisible to
+    * every probe) and NOT tombstoned (`Ann.liveCorpus` masks
+    * `deleteFromIndex` ids — a deliberately deleted id that is still in
+    * the live corpus IS a divergence this audit should name). */
   def indexCoverageGap(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, corpus: DataFrame,
       idCol: String = "vec_id"): DataFrame =
     corpus.select(col(idCol).as("id")).distinct()
-      .join(spark.read.parquet(s"$indexPath/corpus")
+      .join(Ann.liveCorpus(spark, indexPath)
           .filter(col("cell") >= 0).select("id"),
         Seq("id"), "left_anti")
       .select(col("id").as(idCol))
+
+  /** CELL-SKEW drift audit for a [[graft.operators.Ann.writeIvfIndex]]
+    * layout (r15 verdict #6), beside [[indexCoverageGap]]: appends
+    * assign with FROZEN centroids, so a drifting ingest distribution
+    * piles rows into few cells and the pruned serve degrades toward
+    * brute force with no signal — this names the rebuild trigger.
+    * Returns one row per reachable cell, skewest first:
+    * `(cell, n_rows, share, skew)` where `share` = cell rows / total and
+    * `skew` = share × n_cells (1.0 = perfectly uniform; a top cell at
+    * skew ≥ ~2–4 means probes that land there read that multiple of the
+    * uniform cost — re-train the quantizer). Counts PHYSICAL rows
+    * (tombstoned rows still cost the serve I/O until a compact drops
+    * them), and reads only the `cell` partition column + parquet footer
+    * counts — never a vector. */
+  def indexSkewReport(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    val counts = spark.read
+      .parquet(graft.operators.Ann.corpusPath(spark, indexPath))
+      .filter(col("cell") >= 0)
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_rows"))
+    // the window runs over the k-bounded per-cell counts (tens to
+    // thousands of rows), never the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    counts
+      .withColumn("share",
+        col("n_rows").cast("double") / sum(col("n_rows")).over(w))
+      .withColumn("skew", col("share") * count(lit(1)).over(w))
+      .orderBy(col("n_rows").desc, col("cell"))
+  }
 
   /** C4/Gopher-style heuristic rule filters with per-rule audit flags
     * (X7): token-count band, mean-word-length band, distinct-token ratio,

@@ -362,7 +362,211 @@ object Ann {
   // file index) plus the centroid frame that defines it; a probe reads
   // ONLY its nProbe cells' files, so per-batch cost is nProbe/k of the
   // corpus regardless of corpus size.
+  //
+  // Lifecycle protocol (full CRUD, r16): writeIvfIndex builds generation
+  // zero; appendIvfIndex lands increments exactly-once per batchId;
+  // deleteFromIndex tombstones ids (masked at serve by an anti-join);
+  // compactIvfIndex bounds the per-cell file count, MATERIALIZES pending
+  // tombstones, and cuts readers over with a zero-downtime generation
+  // swap. append and compact mutually exclude via a _writer_lock lease.
   // ---------------------------------------------------------------------
+
+  private type HPath = org.apache.hadoop.fs.Path
+  private type HFs = org.apache.hadoop.fs.FileSystem
+
+  private def fsOf(spark: SparkSession, path: String): HFs =
+    new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Corpus GENERATIONS (zero-downtime compaction, r15 verdict #3): the
+    * live corpus directory is `corpus/` at build time (generation 0) and
+    * `corpus_g<N>/` after the Nth compaction. Readers resolve the live
+    * generation ONCE, at plan-construction time:
+    *   1. the `_current` pointer file names an existing generation →
+    *      that directory (the Iceberg version-hint pattern — a HINT, so
+    *      a corrupted or torn pointer can degrade but never corrupt);
+    *   2. no usable pointer → the highest-numbered generation that
+    *      exists: a generation directory APPEARS only via one atomic
+    *      rename, so existing ⇒ complete (this also covers the
+    *      pointer-write crash/truncation window: by then the new
+    *      generation is already the maximum);
+    *   3. neither → the build's `corpus/`.
+    * Every cutover step is an atomic rename or a one-file hint write,
+    * and the outgoing generation stays on disk through the swap, so a
+    * resolution taken at ANY instant lands on a complete corpus — old
+    * or new, never neither, never partial. */
+  private def genNumber(name: String): Option[Int] = name match {
+    case "corpus" => Some(0)
+    case s if s.startsWith("corpus_g") => s.drop("corpus_g".length).toIntOption
+    case _ => None
+  }
+
+  private def generationDirs(fs: HFs, path: String): Seq[(Int, HPath)] = {
+    val legacy = new HPath(s"$path/corpus")
+    val gens = Option(fs.globStatus(new HPath(s"$path/corpus_g*")))
+      .getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => genNumber(st.getPath.getName).map(_ -> st.getPath))
+    (if (fs.exists(legacy)) Seq(0 -> legacy) else Nil) ++ gens
+  }
+
+  private def resolveCorpusDir(fs: HFs, path: String): HPath = {
+    val pointer = new HPath(s"$path/_current")
+    val hinted: Option[HPath] =
+      if (!fs.exists(pointer)) None
+      else {
+        val in = fs.open(pointer)
+        val name =
+          try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        // validated against the generation grammar: a corrupted pointer
+        // must fall back to the listing, never escape the layout as a
+        // relative path or name a half-deleted directory
+        Some(name).filter(n => genNumber(n).isDefined)
+          .map(n => new HPath(s"$path/$n")).filter(fs.exists)
+      }
+    hinted
+      .orElse(generationDirs(fs, path).sortBy(-_._1).headOption.map(_._2))
+      .getOrElse {
+        // nothing resolvable: distinguish the PRE-generation protocol's
+        // crashed two-rename swap (corpus intact under
+        // _corpus_compact_old — ONE compactIvfIndex re-run restores it,
+        // while a rebuild would discard every appended generation) from
+        // a genuinely absent layout (r15 ADVICE)
+        if (fs.exists(new HPath(s"$path/_corpus_compact_old")))
+          throw new IllegalArgumentException(
+            s"index layout at $path has a crashed compaction swap (corpus " +
+              "intact under _corpus_compact_old) — re-run compactIvfIndex " +
+              "to restore it; rebuilding would discard the appended " +
+              "generations")
+        throw new IllegalArgumentException(
+          s"no index layout at $path — build with writeIvfIndex first")
+      }
+  }
+
+  /** The live corpus directory of the index layout at `path`, resolved
+    * through the generation pointer — what every reader (serve, dedup,
+    * audits, specs, profilers) must scan instead of assuming
+    * `$path/corpus`, which goes stale at the first compaction. */
+  def corpusPath(spark: SparkSession, path: String): String =
+    resolveCorpusDir(fsOf(spark, path), path).toString
+
+  /** Writer MUTUAL EXCLUSION (r15 verdict #4): append and compact both
+    * mutate the corpus, and interleaving them loses data — an append
+    * publishing into the generation compaction is snapshotting vanishes
+    * at the generation cutover while its marker claims committed
+    * (exactly-once turned exactly-zero). Both entry points hold a
+    * `_writer_lock` lease: atomic create-if-absent (atomic on HDFS and
+    * local filesystems; object stores with weaker create semantics
+    * should front this with their own conditional-put lock) holding
+    * `<op> <epoch-ms>`. A held lock fails FAST, naming the holder and
+    * its age — the callers are scheduled batch jobs, not interactive
+    * waiters. A crashed writer's lock self-expires after `staleLockMs`
+    * (takeover is logged); the DEFAULT never expires, so breaking a
+    * lease is always an explicit operator decision. Readers never take
+    * the lock: generation resolution plus the batch-marker protocol
+    * give them a consistent corpus at every instant. */
+  private def withWriterLock[T](fs: HFs, path: String, op: String,
+      staleLockMs: Long)(body: => T): T = {
+    val lock = new HPath(s"$path/_writer_lock")
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        out.write(s"$op ${System.currentTimeMillis()}".getBytes("UTF-8"))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val contents =
+        try {
+          val in = fs.open(lock)
+          try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      val ageMs = contents.split(' ').lastOption.flatMap(_.toLongOption)
+        .map(System.currentTimeMillis() - _)
+      if (!ageMs.exists(_ > staleLockMs)) throw new IllegalStateException(
+        s"$op: index layout at $path is locked by another writer (holder: " +
+          s"'${if (contents.isEmpty) "unreadable" else contents}'" +
+          ageMs.map(a => s", age ${a / 1000} s").getOrElse("") +
+          ") — a concurrent append/compact would lose data; retry after " +
+          "it finishes, or delete _writer_lock / pass staleLockMs if the " +
+          "holder is known dead")
+      System.err.println(s"[graft] $op: breaking expired writer lock at " +
+        s"$path ('$contents', age ${ageMs.map(_ / 1000).getOrElse(-1L)} s " +
+        s"> ${staleLockMs / 1000} s lease)")
+      fs.delete(lock, false)
+      if (!tryAcquire()) throw new IllegalStateException(
+        s"$op: lost the race re-acquiring the writer lock at $path — " +
+          "another writer took over the expired lease; retry")
+    }
+    try body finally { fs.delete(lock, false): Unit }
+  }
+
+  /** The tombstone FILES under `_deleted_ids/` — each a parquet of
+    * `id: BIGINT`. Snapshot-by-file-list everywhere: deletes are
+    * append-only (each [[deleteFromIndex]] adds a new file), so a
+    * consumer that lists first and acts on exactly that list can never
+    * half-apply a delete landing mid-operation. */
+  private def tombstoneFiles(fs: HFs, path: String): Seq[HPath] =
+    Option(fs.globStatus(new HPath(s"$path/_deleted_ids/*.parquet")))
+      .getOrElse(Array.empty).toSeq.map(_.getPath)
+
+  /** The tombstoned ids as `graft_del_id: BIGINT` over an explicit file
+    * snapshot — None when no tombstones exist, so a delete-free layout's
+    * serve plan carries no anti-join node at all. Duplicate ids across
+    * tombstone files are harmless: anti-join semantics ignore build-side
+    * multiplicity. */
+  private[graft] def tombstoneIds(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val files = tombstoneFiles(fsOf(spark, path), path)
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files.map(_.toString): _*)
+      .select(col("id").as("graft_del_id")))
+  }
+
+  private def antiTombstone(df: DataFrame, tomb: Option[DataFrame]): DataFrame =
+    tomb.fold(df)(t =>
+      df.join(t, df("id").cast("long") === t("graft_del_id"), "left_anti"))
+
+  /** The resolved, tombstone-masked LIVE corpus of the layout — the one
+    * frame every reader composes on: generation resolution picks the
+    * directory, pending deletes are anti-joined out (the tombstone side
+    * is id-only and file-sized, so Spark broadcasts it off parquet
+    * stats; a delete-free layout gets no join node at all). `cell`
+    * partition filters applied by the caller still push through the
+    * anti-join's left side to the scan, so static pruning is intact. */
+  def liveCorpus(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(corpusPath(spark, path))
+    antiTombstone(df, tombstoneIds(spark, path))
+  }
+
+  /** DELETE ids from a [[writeIvfIndex]] layout — the CRUD quadrant every
+    * real pipeline needs (dedup removals, takedowns, retention): appends
+    * a tombstone parquet of the ids under `_deleted_ids/` beside the
+    * corpus — O(ids), never a corpus rewrite. Serves ([[ivfIndexTopK]],
+    * [[graft.api.Corpus.semanticDuplicatesFromIndex]]) and the coverage
+    * audit anti-join the tombstones out; [[compactIvfIndex]]
+    * MATERIALIZES the delete — tombstoned rows physically dropped, the
+    * applied tombstone files cleared.
+    *
+    * Semantics: a tombstone masks EVERY corpus row with that id —
+    * including one appended AFTER the delete — until a compaction
+    * materializes and clears it, so re-ingesting a deleted id is
+    * compact-then-append. Deleting an id absent from the index is a
+    * harmless no-op, and deleting twice is idempotent (the redundant
+    * tombstone clears at the next compact). Safe WITHOUT the writer
+    * lock: tombstone files are append-only and every consumer acts on an
+    * explicit file-list snapshot, so a delete landing mid-compact is
+    * simply applied by the NEXT compact instead of being lost. The ids
+    * frame coalesces to one file per call (a delete set is id-only — a
+    * single writer holds up to hundreds of millions of longs; truly
+    * corpus-scale removals are a rebuild, not a delete). */
+  def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "id"): Unit = {
+    requireIntegralId(ids, idCol, "deleteFromIndex")
+    resolveCorpusDir(fsOf(spark, path), path) // deleting from nothing is a bug
+    ids.select(col(idCol).cast("long").as("id"))
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/_deleted_ids")
+  }
 
   /** Build the disk index at `path`: train the coarse quantizer, assign
     * every vector to its cell in one narrow scan, and write
@@ -386,17 +590,26 @@ object Ann {
     val shared = if (rows.size > LiteralPathMaxK)
       Some(centroidBc(emb.sparkSession, rows)) else None
     val assigned0 = assignRows(normalized(emb, idCol, vecCol), rows, shared)
-    // a rebuild starts a NEW index generation: committed-batch markers
-    // from the previous generation would turn a replayed
-    // appendIvfIndex(batchId) into a silent exactly-once no-op — the
-    // replay's rows would be permanently absent while the pipeline
-    // believes them committed. Clear the markers BEFORE the overwrite
-    // (a crash between the two leaves the sentinel missing → rebuild).
-    val fsw = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(emb.sparkSession.sessionState.newHadoopConf())
-    Option(fsw.globStatus(new org.apache.hadoop.fs.Path(
-        s"$path/_append_batch_*")))
-      .getOrElse(Array.empty).foreach(st => fsw.delete(st.getPath, false))
+    // a rebuild starts a NEW index at generation zero: committed-batch
+    // markers from the previous index would turn a replayed
+    // appendIvfIndex(batchId) into a silent exactly-once no-op (rows
+    // permanently absent while the pipeline believes them committed),
+    // stale generation dirs or pointer would make readers resolve the
+    // OLD corpus over the fresh build, stale tombstones would mask
+    // re-ingested ids, and a crashed writer's lock or staging would
+    // wedge the first append. Clear ALL of it BEFORE the overwrite — a
+    // rebuild is NOT crash-atomic (a crash mid-write leaves a partial
+    // corpus with no _SUCCESS); the write-if-missing sentinel discipline
+    // (ensureLayout) owns that window, exactly as before.
+    val fsw = fsOf(emb.sparkSession, path)
+    Seq("_append_batch_*", "corpus_g*", "_staging_append_*")
+      .foreach { glob =>
+        Option(fsw.globStatus(new HPath(s"$path/$glob")))
+          .getOrElse(Array.empty).foreach(st => fsw.delete(st.getPath, true))
+      }
+    Seq("_current", "_deleted_ids", "_corpus_compact_tmp",
+        "_corpus_compact_old", "_writer_lock")
+      .foreach(d => fsw.delete(new HPath(s"$path/$d"), true))
     writeCorpus(assigned0, pq, writeSalts, s"$path/corpus", "overwrite",
       storedDim = rows.head._2.length)
     // centroids are written from the DRIVER-collected rows (k-bounded):
@@ -477,9 +690,10 @@ object Ann {
     * `batchId = Some(id)` moves that contract INTO the engine —
     * EXACTLY-ONCE per batch id, with no full-index anti-join:
     * (1) a committed-batch marker (`_append_batch_<id>`) short-circuits
-    * a re-run to an O(1) no-op (checked FIRST — before the centroid
-    * collect and corpus schema read, so a scheduler replaying a
-    * committed day against a 100 TB layout pays one file probe);
+    * a re-run to an O(1) no-op (checked FIRST — before the writer lock,
+    * the centroid collect, and the corpus schema read, so a scheduler
+    * replaying a committed day against a 100 TB layout pays one file
+    * probe and never contends on the lock);
     * (2) the batch stages under a HIDDEN directory (`_`-prefixed —
     * invisible to every Spark reader of the layout) and publishes by
     * per-file rename into the live `cell=` directories under
@@ -493,84 +707,96 @@ object Ann {
     * double-store. Readers see either none or all of a batch only once
     * the marker exists; mid-publish they may see a prefix — the same
     * transient any plain parquet append has, resolved by the marker
-    * protocol.
+    * protocol. CONCURRENT duplicate submission is also exactly-once
+    * (r15 ADVICE): appends serialize on the writer lock and re-probe
+    * the marker under it, so the loser of two simultaneous submissions
+    * of the same batch sees the winner's marker and no-ops.
     *
     * The caller also owns PQ-model identity across build and appends
     * (the frozen-checkpoint convention — [[graft.queries.FrozenModels]]);
     * the layout stores vectors + codes, not the codebooks. */
   def appendIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
       path: String, pq: Option[Pq.PqModel] = None,
-      writeSalts: Int = 8, batchId: Option[String] = None): Unit = {
+      writeSalts: Int = 8, batchId: Option[String] = None,
+      staleLockMs: Long = Long.MaxValue): Unit = {
     val spark = emb.sparkSession
     requireIntegralId(emb, idCol, "appendIvfIndex")
-    // Hadoop-FS existence probe, NOT java.io.File: the layout may live on
-    // any filesystem Spark can write (hdfs://, s3a://, file:/ URIs) — the
-    // 100 TB daily-increment case is exactly the non-local-disk one
-    val hconf = spark.sessionState.newHadoopConf()
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-    def dirExists(p: String): Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(p))
-    // exactly-once FAST PATH, before any layout read: a committed batch's
-    // re-run must cost one marker probe, not a centroid collect + corpus
-    // schema read over a 100 TB layout's file index
+    // Hadoop-FS existence probes, NOT java.io.File: the layout may live
+    // on any filesystem Spark can write (hdfs://, s3a://, file:/ URIs) —
+    // the 100 TB daily-increment case is exactly the non-local-disk one
+    val fs = fsOf(spark, path)
     batchId.foreach { bid =>
       // leading underscore/dot would make the PUBLISHED file names hidden
       // to Spark's file index — the batch would commit invisibly
       require(bid.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
         s"appendIvfIndex: batchId '$bid' must match [A-Za-z0-9][A-Za-z0-9._-]*")
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_append_batch_$bid")))
-        return // committed: exactly-once no-op
     }
-    require(dirExists(s"$path/centroids") && dirExists(s"$path/corpus"),
-      s"appendIvfIndex: no index layout at $path — build with writeIvfIndex first")
-    val rows = centroidRows(spark.read.parquet(s"$path/centroids"))
-    val storedDim = rows.head._2.length
-    require(rows.forall(_._2.length == storedDim),
-      s"appendIvfIndex: stored centroids at $path have inconsistent dims")
-    pq.foreach(m => require(m.dim == storedDim,
-      s"appendIvfIndex: pq model dim ${m.dim} != stored centroid dim $storedDim"))
-    // schema staleness: the stored corpus either carries codes or it
-    // doesn't; the append must match or every later reader sees a
-    // half-coded index (parquet schema merge would NULL-pad the gap)
-    val storedHasCode =
-      spark.read.parquet(s"$path/corpus").schema.fieldNames.contains("code")
-    require(storedHasCode == pq.isDefined,
-      s"appendIvfIndex: stored corpus hasCode=$storedHasCode but " +
-        s"pq=${pq.isDefined} — append with the build's own PQ setting")
-    val shared = if (rows.size > LiteralPathMaxK)
-      Some(centroidBc(spark, rows)) else None
-    val assigned = assignRows(normalized(emb, idCol, vecCol), rows, shared)
-    batchId match {
-      case None =>
-        writeCorpus(assigned, pq, writeSalts, s"$path/corpus", "append",
-          storedDim)
-      case Some(bid) =>
-        val marker = new org.apache.hadoop.fs.Path(s"$path/_append_batch_$bid")
-        // crash recovery: delete any files a previous partial publish of
-        // THIS batch landed — deterministic `~`-delimited prefix (no
-        // other batch id can prefix-match it), pure file listing
-        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-            s"$path/corpus/cell=*/batch~$bid~*")))
-          .getOrElse(Array.empty)
-          .foreach(st => fs.delete(st.getPath, false))
-        val staging = s"$path/_staging_append_$bid"
-        writeCorpus(assigned, pq, writeSalts, staging, "overwrite", storedDim)
-        // publish: per-file rename into the live cell dirs under the
-        // deterministic batch prefix (cheap on hdfs/file; a copy on
-        // object stores — still files-count work, never a data scan)
-        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-            s"$staging/cell=*/part-*")))
-          .getOrElse(Array.empty)
-          .foreach { st =>
-            val cellDir = st.getPath.getParent.getName // "cell=<c>"
-            val dst = new org.apache.hadoop.fs.Path(
-              s"$path/corpus/$cellDir/batch~$bid~${st.getPath.getName}")
-            fs.mkdirs(dst.getParent)
-            require(fs.rename(st.getPath, dst),
-              s"appendIvfIndex: publish rename failed for ${st.getPath}")
-          }
-        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-        fs.create(marker, true).close() // commit point
+    def committed: Boolean = batchId.exists(bid =>
+      fs.exists(new HPath(s"$path/_append_batch_$bid")))
+    // exactly-once FAST PATH as a plain if/else, not a non-local return
+    // from inside a closure (r15 ADVICE: NonLocalReturnControl would be
+    // silently swallowed by a future broad try/catch, turning the
+    // committed-batch no-op into a re-publish)
+    if (!committed) withWriterLock(fs, path, "appendIvfIndex", staleLockMs) {
+      // re-probe under the lock: two CONCURRENT submissions of the same
+      // batch serialize here and the loser sees the winner's marker
+      if (!committed) {
+        require(fs.exists(new HPath(s"$path/centroids")),
+          s"appendIvfIndex: no index layout at $path — build with " +
+            "writeIvfIndex first")
+        // the LIVE generation — appending into a stale `corpus/` after a
+        // compaction would publish rows every reader resolves past
+        val corpusDir = resolveCorpusDir(fs, path)
+        val rows = centroidRows(spark.read.parquet(s"$path/centroids"))
+        val storedDim = rows.head._2.length
+        require(rows.forall(_._2.length == storedDim),
+          s"appendIvfIndex: stored centroids at $path have inconsistent dims")
+        pq.foreach(m => require(m.dim == storedDim,
+          s"appendIvfIndex: pq model dim ${m.dim} != stored centroid dim $storedDim"))
+        // schema staleness: the stored corpus either carries codes or it
+        // doesn't; the append must match or every later reader sees a
+        // half-coded index (parquet schema merge would NULL-pad the gap)
+        val storedHasCode = spark.read.parquet(corpusDir.toString)
+          .schema.fieldNames.contains("code")
+        require(storedHasCode == pq.isDefined,
+          s"appendIvfIndex: stored corpus hasCode=$storedHasCode but " +
+            s"pq=${pq.isDefined} — append with the build's own PQ setting")
+        val shared = if (rows.size > LiteralPathMaxK)
+          Some(centroidBc(spark, rows)) else None
+        val assigned = assignRows(normalized(emb, idCol, vecCol), rows, shared)
+        batchId match {
+          case None =>
+            writeCorpus(assigned, pq, writeSalts, corpusDir.toString,
+              "append", storedDim)
+          case Some(bid) =>
+            val marker = new HPath(s"$path/_append_batch_$bid")
+            // crash recovery: delete any files a previous partial publish
+            // of THIS batch landed — deterministic `~`-delimited prefix
+            // (no other batch id can prefix-match it), pure file listing
+            Option(fs.globStatus(new HPath(
+                s"$corpusDir/cell=*/batch~$bid~*")))
+              .getOrElse(Array.empty)
+              .foreach(st => fs.delete(st.getPath, false))
+            val staging = s"$path/_staging_append_$bid"
+            writeCorpus(assigned, pq, writeSalts, staging, "overwrite",
+              storedDim)
+            // publish: per-file rename into the live cell dirs under the
+            // deterministic batch prefix (cheap on hdfs/file; a copy on
+            // object stores — still files-count work, never a data scan)
+            Option(fs.globStatus(new HPath(s"$staging/cell=*/part-*")))
+              .getOrElse(Array.empty)
+              .foreach { st =>
+                val cellDir = st.getPath.getParent.getName // "cell=<c>"
+                val dst = new HPath(
+                  s"$corpusDir/$cellDir/batch~$bid~${st.getPath.getName}")
+                fs.mkdirs(dst.getParent)
+                require(fs.rename(st.getPath, dst),
+                  s"appendIvfIndex: publish rename failed for ${st.getPath}")
+              }
+            fs.delete(new HPath(staging), true)
+            fs.create(marker, true).close() // commit point
+        }
+      }
     }
   }
 
@@ -578,65 +804,114 @@ object Ann {
     * files per cell — the small-files lifecycle completion for
     * [[appendIvfIndex]]: daily increments accumulate O(batches·salts)
     * files per cell and the serve's FILE LISTING (not the data) degrades
-    * without bound — the classic lakehouse failure. Row-identical: reads
-    * `(id, v[, code], cell)` off the layout and re-runs the build's own
-    * salted partitioned write, so serve-before ≡ serve-after (AnnSpec).
-    * The rewrite lands in a HIDDEN sibling (`_corpus_compact_tmp`,
-    * invisible to readers) and swaps in with two directory renames;
-    * between them the layout has no `corpus/` — compaction is a
-    * MAINTENANCE window, not a concurrent-serve operation. A crash
-    * between the renames is SELF-HEALING: the original corpus is intact
-    * in `_corpus_compact_old`, and the next compactIvfIndex (or any
-    * re-run) restores it with one rename before proceeding — no rebuild
-    * from source needed. Batch markers (`_append_batch_*`,
-    * `_GRAFT_APPEND_DONE`) live beside — not inside — `corpus/` and
-    * survive the swap, preserving the idempotence protocol; conversely,
-    * compaction REFUSES a corpus holding `batch~<id>~` files with no
-    * matching marker (a crashed, uncommitted append): folding them into
-    * anonymous compacted files would erase the deterministic prefix the
-    * batch's re-run cleans by, and the re-run would then double-store —
-    * finish the append (re-run it) before compacting. */
+    * without bound — the classic lakehouse failure. Also MATERIALIZES
+    * pending [[deleteFromIndex]] tombstones: tombstoned rows are
+    * physically dropped from the rewrite and the applied tombstone files
+    * cleared, so the masked state and the stored state converge (modulo
+    * the snapshot, the rewrite is row-identical — serve-before ≡
+    * serve-after, AnnSpec).
+    *
+    * ZERO-DOWNTIME generation swap (r15 verdict #3 — the old two-rename
+    * swap left a window with no corpus at all, forcing a maintenance
+    * stop): the rewrite lands in a HIDDEN sibling
+    * (`_corpus_compact_tmp`), is published by ONE atomic rename as the
+    * next generation `corpus_g<N>`, and readers cut over via the
+    * `_current` pointer — a resolution at any instant lands on the old
+    * or the new generation, never neither (see [[corpusPath]]). The
+    * outgoing generation is retained through the cutover and GC'd only
+    * down to `retainGenerations` predecessors (default 1: in-flight
+    * readers that resolved before the swap keep a complete corpus for a
+    * full compaction cycle; pass 0 to reclaim the space immediately on
+    * single-reader analytics layouts). Crash anywhere is self-healing:
+    * before the publish rename nothing changed; after it the orphaned
+    * generation is either adopted by the pointer write or GC'd by the
+    * next compact; a pre-generation layout crashed mid-two-rename-swap
+    * (corpus intact under `_corpus_compact_old`) is restored with one
+    * rename first.
+    *
+    * Batch markers (`_append_batch_*`, `_GRAFT_APPEND_DONE`) live beside
+    * — not inside — the corpus and survive the swap, preserving the
+    * idempotence protocol; conversely, compaction REFUSES a corpus
+    * holding `batch~<id>~` files with no matching marker (a crashed,
+    * uncommitted append): folding them into anonymous compacted files
+    * would erase the deterministic prefix the batch's re-run cleans by,
+    * and the re-run would then double-store — finish the append (re-run
+    * it) before compacting. Holds the writer lock throughout: a
+    * concurrent append publishing into the snapshotted generation would
+    * silently lose its rows at the cutover. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      writeSalts: Int = 8): Unit = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-    val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_corpus_compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$path/_corpus_compact_old")
-    // crash recovery FIRST: a prior compact that died between its two
-    // renames left no corpus/ but the intact original under old — one
-    // rename restores it (prefer the original over the finished tmp:
-    // restoring is provably safe, re-compacting is cheap)
-    if (!fs.exists(corpus) && fs.exists(old))
-      require(fs.rename(old, corpus),
-        s"compactIvfIndex: crash-recovery restore failed at $path")
-    require(fs.exists(corpus),
-      s"compactIvfIndex: no index layout at $path — build with writeIvfIndex first")
-    fs.delete(tmp, true); fs.delete(old, true) // stale partials from a crash
-    // uncommitted-batch guard: batch files whose marker is missing belong
-    // to a crashed append; compacting would anonymize them and poison the
-    // batch's exactly-once re-run into a double-store
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$path/corpus/cell=*/batch~*")))
-      .getOrElse(Array.empty)
-      .map(_.getPath.getName.split('~')(1)).distinct
-      .foreach { bid =>
-        require(fs.exists(new org.apache.hadoop.fs.Path(
-            s"$path/_append_batch_$bid")),
-          s"compactIvfIndex: corpus at $path holds files of UNCOMMITTED " +
-            s"batch '$bid' (crashed append) — re-run " +
-            s"appendIvfIndex(batchId = Some(\"$bid\")) to finish it before compacting")
-      }
-    val df = spark.read.parquet(corpus.toString)
-    val cols = Seq(col("id"), col("v")) ++
-      (if (df.schema.fieldNames.contains("code")) Seq(col("code")) else Nil) :+
-      col("cell").cast("int").as("cell")
-    df.select(cols: _*)
-      .repartition(col("cell"), pmod(hash(col("id")), lit(writeSalts)))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    require(fs.rename(corpus, old), s"compactIvfIndex: swap-out failed at $path")
-    require(fs.rename(tmp, corpus), s"compactIvfIndex: swap-in failed at $path")
-    fs.delete(old, true): Unit
+      writeSalts: Int = 8, retainGenerations: Int = 1,
+      staleLockMs: Long = Long.MaxValue): Unit = {
+    val fs = fsOf(spark, path)
+    withWriterLock(fs, path, "compactIvfIndex", staleLockMs) {
+      val legacy = new HPath(s"$path/corpus")
+      val tmp = new HPath(s"$path/_corpus_compact_tmp")
+      val old = new HPath(s"$path/_corpus_compact_old")
+      // crash recovery FIRST (pre-generation protocol): a prior
+      // two-rename compact that died between its renames left no corpus
+      // at all but the intact original under old — one rename restores it
+      if (generationDirs(fs, path).isEmpty && fs.exists(old))
+        require(fs.rename(old, legacy),
+          s"compactIvfIndex: crash-recovery restore failed at $path")
+      val cur = resolveCorpusDir(fs, path)
+      fs.delete(tmp, true); fs.delete(old, true) // stale partials
+      // uncommitted-batch guard: batch files whose marker is missing
+      // belong to a crashed append; compacting would anonymize them and
+      // poison the batch's exactly-once re-run into a double-store
+      Option(fs.globStatus(new HPath(s"$cur/cell=*/batch~*")))
+        .getOrElse(Array.empty)
+        .map(_.getPath.getName.split('~')(1)).distinct
+        .foreach { bid =>
+          require(fs.exists(new HPath(s"$path/_append_batch_$bid")),
+            s"compactIvfIndex: corpus at $path holds files of UNCOMMITTED " +
+              s"batch '$bid' (crashed append) — re-run " +
+              s"appendIvfIndex(batchId = Some(\"$bid\")) to finish it " +
+              "before compacting")
+        }
+      // tombstone SNAPSHOT: apply exactly the files listed now and delete
+      // exactly those files after the cutover — a deleteFromIndex landing
+      // mid-compact is untouched and applies at the NEXT compact, never
+      // half-applied or lost
+      val tombFiles = tombstoneFiles(fs, path)
+      val tomb =
+        if (tombFiles.isEmpty) None
+        else Some(spark.read.parquet(tombFiles.map(_.toString): _*)
+          .select(col("id").as("graft_del_id")))
+      val df0 = spark.read.parquet(cur.toString)
+      val cols = Seq(col("id"), col("v")) ++
+        (if (df0.schema.fieldNames.contains("code")) Seq(col("code")) else Nil) :+
+        col("cell").cast("int").as("cell")
+      antiTombstone(df0, tomb).select(cols: _*)
+        .repartition(col("cell"), pmod(hash(col("id")), lit(writeSalts)))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      // COMMIT: one atomic rename publishes the next generation (numbered
+      // past every existing generation, including crash orphans)
+      val next = new HPath(
+        s"$path/corpus_g${generationDirs(fs, path).map(_._1).max + 1}")
+      require(fs.rename(tmp, next),
+        s"compactIvfIndex: generation publish failed at $path")
+      // pointer cutover (one-file hint write): readers resolving before
+      // this see `cur`, after it `next` — and inside the write's own
+      // truncation window the max-generation fallback already names
+      // `next`. A crash exactly here leaves the pointer at `cur` (still
+      // on disk, still correct); the orphaned `next` is GC'd later.
+      val out = fs.create(new HPath(s"$path/_current"), true)
+      out.write(next.getName.getBytes("UTF-8")); out.close()
+      // the snapshot's tombstones are now physically materialized
+      tombFiles.foreach(f => fs.delete(f, false))
+      // generation GC: keep the new current plus `retainGenerations`
+      // predecessors (the outgoing generation first — it is what any
+      // in-flight reader resolved); delete the rest, including orphans
+      val keep = Set(next.getName) ++
+        (if (retainGenerations >= 1) Set(cur.getName) else Set.empty) ++
+        generationDirs(fs, path).map(_._2.getName)
+          .filterNot(n => n == next.getName || n == cur.getName)
+          .sortBy(n => -genNumber(n).getOrElse(-1))
+          .take(math.max(0, retainGenerations - 1))
+      generationDirs(fs, path).map(_._2)
+        .filterNot(p => keep.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+    }
   }
 
   /** Serve top-k from a [[writeIvfIndex]] layout. The centroid read is
@@ -648,7 +923,13 @@ object Ann {
     * broadcasts; the corpus scan flows into the join with no exchange,
     * and the rerank is the O(k)-state `priority_topk_tie` aggregate.
     * nProbe ≥ k degenerates to exact brute-force over the index (the
-    * oracle regime). */
+    * oracle regime).
+    *
+    * Reads the LIVE corpus ([[liveCorpus]]): the generation pointer is
+    * resolved once at plan construction — a serve never straddles a
+    * compaction cutover — and [[deleteFromIndex]] tombstones are
+    * anti-joined out (a broadcast-sized id side against the already
+    * cell-pruned scan; no join node at all on a delete-free layout). */
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String,
       nProbe: Int, topK: Int): DataFrame = {
@@ -671,7 +952,9 @@ object Ann {
     // one, not this collect (the pq1 lesson).
     val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
     graft.Caches.releaseAfterAction(probed)
-    spark.read.parquet(s"$path/corpus")
+    // the cell filter pushes through the tombstone anti-join's left side
+    // to the scan, so static partition pruning is intact (PlanSpec)
+    liveCorpus(spark, path)
       .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
       .join(broadcast(probed), Seq("cell"))
       .filter(col("id") =!= col("q_id"))

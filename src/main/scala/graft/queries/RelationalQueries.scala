@@ -152,7 +152,8 @@ object RelationalQueries {
     Set("zo1_zorder_prune", "or1_orc_interchange",
       "pp1_partition_prune", "pp2_dpp_join", "bk1_bucketed_join",
       "ss4_ann_index_scan", "ss5_ann_index_append",
-      "ss6_ann_index_compact", "sd2b_semantic_dedup_index")
+      "ss6_ann_index_compact", "ss7_ann_index_delete",
+      "sd2b_semantic_dedup_index")
 
   private val zo1 = Q(
     "zo1_zorder_prune",

@@ -599,7 +599,7 @@ object ScaleOpsQueries {
     * lifecycle completion of the disk-index family (r14 verdict #3/#5):
     * the layout builds over one split, then the remaining batch appends
     * under `batchId` — staged in a hidden directory, published by
-    * per-file rename under deterministic `batch-<id>-` names, committed
+    * per-file rename under deterministic `batch~<id>~` names, committed
     * by a marker — and the SAME batch is deliberately appended a SECOND
     * time: the committed-batch marker must make the re-run a no-op, and
     * the hash oracle would convict a double-store as the duplicate id at
@@ -638,6 +638,54 @@ object ScaleOpsQueries {
              q AS (SELECT vec_id AS q_id, embedding, nrm AS qn FROM e WHERE vec_id % 100 = 0),
              pairs AS (SELECT q.q_id, e.vec_id, ${dotSql("q", "e")} / (q.qn * e.nrm) AS cos
                        FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+             r AS (SELECT q_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+                   FROM pairs)
+             SELECT q_id, rnk, vec_id, round(cos, 6) AS cos FROM r WHERE rnk <= 3"""))
+
+  /** SS7 — TOMBSTONE DELETES from the disk ANN index
+    * ([[Ann.deleteFromIndex]], the r15 verdict's #1 — the CRUD quadrant
+    * the build/append/compact/serve lifecycle was missing; every real
+    * pipeline deletes: dedup removals, takedowns, retention): the layout
+    * builds over one split, the remaining batch appends exactly-once
+    * under `batchId`, then every `vec_id % 7 = 0` id is DELETED — an
+    * O(ids) tombstone parquet beside the corpus, never a corpus rewrite.
+    * The serve anti-joins the tombstones out (a broadcast-sized id side
+    * against the already cell-pruned scan), so at nProbe = k the masked
+    * serve runs under the plain brute-force SQL oracle over the
+    * SURVIVING corpus — rank RESEQUENCING included: a deleted id must
+    * vacate its rank to the next-best survivor, not leave a hole, which
+    * is exactly what a post-hoc filter of the undeleted serve would get
+    * wrong and the hash oracle convicts. Physical drop + tombstone
+    * clearing at compact time is pinned in AnnSpec (serve-identical
+    * before/after); this row pins the masked-serve semantics the fleet
+    * runs between compactions. */
+  private val ss7 = Q(
+    "ss7_ann_index_delete",
+    (s, d) => {
+      val path = RelationalQueries.ensureLayout("/tmp/graft_ss7",
+          RelationalQueries.cacheKey(d, "embeddings.parquet"),
+          Seq("_GRAFT_DELETE_DONE")) { p =>
+        val emb = Tables.embeddings(s, d)
+        val pq = Some(graft.operators.Pq.PqModel(8, 8, FrozenModels.pqBooks))
+        Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", p, k = 8, iters = 2, pq = pq)
+        Ann.appendIvfIndex(emb.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", p, pq = pq, batchId = Some("increment-1"))
+        Ann.deleteFromIndex(s, p,
+          Tables.embeddings(s, d).filter(col("vec_id") % 7 === 0), "vec_id")
+        new java.io.File(s"$p/_GRAFT_DELETE_DONE").createNewFile(): Unit
+      }
+      val q = Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0)
+      Ann.ivfIndexTopK(s, path, q, "vec_id", "embedding", nProbe = 8, topK = 3)
+        .select(col("q_id"), col("rnk"), col("id").as("vec_id"),
+          round(col("cos"), 6).as("cos"))
+    },
+    Some(s"""WITH e AS ($embNormSql),
+             q AS (SELECT vec_id AS q_id, embedding, nrm AS qn FROM e WHERE vec_id % 100 = 0),
+             pairs AS (SELECT q.q_id, e.vec_id, ${dotSql("q", "e")} / (q.qn * e.nrm) AS cos
+                       FROM e CROSS JOIN q
+                       WHERE e.vec_id <> q.q_id AND e.vec_id % 7 <> 0),
              r AS (SELECT q_id, vec_id, cos,
                      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
                    FROM pairs)
@@ -961,5 +1009,5 @@ object ScaleOpsQueries {
                round(avg(x), 6) AS mean_val
              FROM x GROUP BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd8, dd3, dd4, dd5, dd6, ss1, ss2, ss3, ss4, ss5, ss6, cl1, p1, mm1, mm2, mm3, mm4)
+  def all: Seq[Q] = Seq(x1, x2, x3, dd1, dd2, dd8, dd3, dd4, dd5, dd6, ss1, ss2, ss3, ss4, ss5, ss6, ss7, cl1, p1, mm1, mm2, mm3, mm4)
 }

@@ -77,7 +77,7 @@ class AnnSpec extends SparkSpec {
       brute.exceptAll(served).count() == 0)
     // the PQ codes written in the build's single pass are bit-identical to
     // the standalone encode (attachCodes shares the strict-< fold)
-    val disk = spark.read.parquet(s"$path/corpus")
+    val disk = spark.read.parquet(Ann.corpusPath(spark, path))
       .select(col("id").as("vec_id"), col("code"))
     val direct = Pq.encode(emb, "embedding", model)
     assert(disk.exceptAll(direct).count() == 0 &&
@@ -97,7 +97,7 @@ class AnnSpec extends SparkSpec {
     // index — 64× less data than the raw vectors — and must return
     // exactly what ADC over a fresh in-memory encode returns
     val fromDisk = Pq.adcTopK(
-      spark.read.parquet(s"$path/corpus").select(col("id").as("vec_id"), col("code")),
+      spark.read.parquet(Ann.corpusPath(spark, path)).select(col("id").as("vec_id"), col("code")),
       model, qv, k = 10)
     val inMem = Pq.adcTopK(Pq.encode(emb, "embedding", model), model, qv, k = 10)
     assert(fromDisk.exceptAll(inMem).count() == 0 &&
@@ -128,13 +128,13 @@ class AnnSpec extends SparkSpec {
       servedFull.exceptAll(servedInc).count() == 0)
     // appended rows carry codes identical to a standalone encode (the
     // frozen model re-codes the batch exactly as the build coded the base)
-    val disk = spark.read.parquet(s"$incPath/corpus")
+    val disk = spark.read.parquet(Ann.corpusPath(spark, incPath))
       .select(col("id").as("vec_id"), col("code"))
     val direct = graft.operators.Pq.encode(emb, "embedding", model)
     assert(disk.exceptAll(direct).count() == 0 &&
       direct.exceptAll(disk).count() == 0)
     // no row lost or duplicated by the append
-    assert(spark.read.parquet(s"$incPath/corpus").count() == emb.count())
+    assert(spark.read.parquet(Ann.corpusPath(spark, incPath)).count() == emb.count())
   }
 
   test("appendIvfIndex staleness guards fail loudly") {
@@ -182,7 +182,7 @@ class AnnSpec extends SparkSpec {
     // over corpus/ would re-read the rewritten files after the swap)
     val copy = java.nio.file.Files.createTempDirectory("graft_compact_copy")
       .toString + "/before"
-    spark.read.parquet(s"$path/corpus")
+    spark.read.parquet(Ann.corpusPath(spark, path))
       .select("id", "v", "code", "cell").write.parquet(copy)
     val servedBefore = Ann.ivfIndexTopK(spark, path, queries,
       "vec_id", "embedding", nProbe = 4, topK = 5)
@@ -191,11 +191,13 @@ class AnnSpec extends SparkSpec {
     Ann.compactIvfIndex(spark, path, writeSalts = salts)
     // row-identical corpus after the rewrite
     val before = spark.read.parquet(copy)
-    val after = spark.read.parquet(s"$path/corpus").select("id", "v", "code", "cell")
+    val after = spark.read.parquet(Ann.corpusPath(spark, path)).select("id", "v", "code", "cell")
     assert(after.exceptAll(before).count() == 0 &&
       before.exceptAll(after).count() == 0)
     // the small-files bound: ≤ writeSalts parquet files per cell directory
-    val cellDirs = new java.io.File(s"$path/corpus").listFiles()
+    // (of the LIVE generation — post-compact that is corpus_g1, not corpus/)
+    val cellDirs = new java.io.File(
+        new java.net.URI(Ann.corpusPath(spark, path)).getPath).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty)
     cellDirs.foreach { d =>
@@ -219,7 +221,7 @@ class AnnSpec extends SparkSpec {
     Ann.appendIvfIndex(inc, "vec_id", "embedding", path, pq = Some(model),
       batchId = Some("day1"))
     val total = emb.count()
-    def corpus() = spark.read.parquet(s"$path/corpus")
+    def corpus() = spark.read.parquet(Ann.corpusPath(spark, path))
     assert(corpus().count() == total)
     // marker present: the whole re-run is a no-op
     Ann.appendIvfIndex(inc, "vec_id", "embedding", path, pq = Some(model),
@@ -227,7 +229,7 @@ class AnnSpec extends SparkSpec {
     assert(corpus().count() == total)
     // crash window: publish completed but the marker write was lost — the
     // worst re-run case (every batch file already live). The deterministic
-    // batch-<id>- prefix cleanup must remove them before republishing.
+    // batch~<id>~ prefix cleanup must remove them before republishing.
     assert(new java.io.File(s"$path/_append_batch_day1").delete())
     Ann.appendIvfIndex(inc, "vec_id", "embedding", path, pq = Some(model),
       batchId = Some("day1"))
@@ -252,7 +254,7 @@ class AnnSpec extends SparkSpec {
     val base = emb.filter(col("vec_id") % 3 =!= 0)
     val b1 = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
     val b2 = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
-    def corpus() = spark.read.parquet(s"$path/corpus")
+    def corpus() = spark.read.parquet(Ann.corpusPath(spark, path))
     def assertComplete(): Unit = {
       assert(corpus().count() == emb.count())
       assert(corpus().groupBy("id").count().filter(col("count") > 1).count() == 0)
@@ -295,7 +297,7 @@ class AnnSpec extends SparkSpec {
     assert(new java.io.File(s"$path/corpus")
       .renameTo(new java.io.File(s"$path/_corpus_compact_old")))
     Ann.compactIvfIndex(spark, path, writeSalts = 2)
-    val c = spark.read.parquet(s"$path/corpus")
+    val c = spark.read.parquet(Ann.corpusPath(spark, path))
     assert(c.count() == emb.count())
     assert(c.groupBy("id").count().filter(col("count") > 1).count() == 0)
   }
@@ -311,7 +313,7 @@ class AnnSpec extends SparkSpec {
       .withColumn("embedding", when(col("vec_id") % 2 === 0,
         slice(col("embedding"), 1, 32)).otherwise(col("embedding")))
     Ann.appendIvfIndex(inc, "vec_id", "embedding", path)
-    val stored = spark.read.parquet(s"$path/corpus")
+    val stored = spark.read.parquet(Ann.corpusPath(spark, path))
     assert(stored.filter(col("cell") < 0).count() == 0)
     val expected = base.count() +
       emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0).count()
@@ -369,6 +371,138 @@ class AnnSpec extends SparkSpec {
       vecs.probeCellsBroadcast(q, cents, 5).as("cells"))
     assert(viaBc.exceptAll(viaLit).count() == 0 &&
       viaLit.exceptAll(viaBc).count() == 0)
+  }
+
+  test("deleteFromIndex: tombstones mask the serve; compact materializes and clears them") {
+    val path = java.nio.file.Files.createTempDirectory("graft_delete").toString
+    Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+      path, k = 4, iters = 2)
+    Ann.appendIvfIndex(emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      path, batchId = Some("day1"))
+    Ann.deleteFromIndex(spark, path,
+      emb.filter(col("vec_id") % 7 === 0), "vec_id")
+    // idempotent: a replayed delete appends a redundant tombstone
+    Ann.deleteFromIndex(spark, path,
+      emb.filter(col("vec_id") % 7 === 0), "vec_id")
+    // pre-compact: rows still PHYSICALLY present but masked from every read
+    assert(spark.read.parquet(Ann.corpusPath(spark, path))
+      .filter(col("id") % 7 === 0).count() > 0)
+    assert(Ann.liveCorpus(spark, path).filter(col("id") % 7 === 0).count() == 0)
+    // the tombstone-masked serve at nProbe = k IS brute force over the
+    // surviving corpus (the ss7 oracle identity)
+    def serve() = Ann.ivfIndexTopK(spark, path, queries, "vec_id", "embedding",
+        nProbe = 4, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val masked = serve()
+    val brute = Ann.bruteTopK(emb.filter(col("vec_id") % 7 =!= 0), queries,
+        "vec_id", "embedding", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(masked == brute)
+    // compact MATERIALIZES: rows physically dropped, tombstone files
+    // cleared, serve identical to pre-compact
+    Ann.compactIvfIndex(spark, path)
+    assert(spark.read.parquet(Ann.corpusPath(spark, path))
+      .filter(col("id") % 7 === 0).count() == 0)
+    val tombDir = new java.io.File(s"$path/_deleted_ids")
+    assert(!tombDir.exists() || Option(tombDir.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet")) == 0)
+    assert(serve() == masked)
+    // re-ingesting a deleted id AFTER the compact is visible again
+    // (compact-then-append, the documented re-ingest path)
+    Ann.appendIvfIndex(emb.filter(col("vec_id") === 7), "vec_id", "embedding",
+      path, batchId = Some("reingest"))
+    assert(Ann.liveCorpus(spark, path).filter(col("id") === 7).count() == 1)
+  }
+
+  test("compaction is a zero-downtime generation swap: pointer cutover, retained generation, max-gen fallback") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gens").toString
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", path, k = 4, iters = 2)
+    assert(Ann.corpusPath(spark, path).endsWith("/corpus"))
+    def serve() = Ann.ivfIndexTopK(spark, path, queries, "vec_id", "embedding",
+        nProbe = 4, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val before = serve()
+    Ann.compactIvfIndex(spark, path, writeSalts = 2)
+    assert(Ann.corpusPath(spark, path).endsWith("/corpus_g1"))
+    // the OUTGOING generation survives the cutover (default retain = 1):
+    // an in-flight reader that resolved before the swap keeps a complete
+    // corpus — this is what makes the swap zero-downtime, not merely atomic
+    assert(new java.io.File(s"$path/corpus").isDirectory)
+    assert(spark.read.parquet(s"$path/corpus").count() == emb.count())
+    assert(serve() == before)
+    // pointer-crash fallback: with _current gone, the highest-numbered
+    // generation (which appears only via one atomic rename) resolves
+    assert(new java.io.File(s"$path/_current").delete())
+    assert(Ann.corpusPath(spark, path).endsWith("/corpus_g1"))
+    assert(serve() == before)
+    // next compact re-adopts: g2 current, g1 retained, generation-0 GC'd
+    Ann.compactIvfIndex(spark, path, writeSalts = 2)
+    assert(Ann.corpusPath(spark, path).endsWith("/corpus_g2"))
+    assert(new java.io.File(s"$path/corpus_g1").isDirectory)
+    assert(!new java.io.File(s"$path/corpus").exists())
+    // retain = 0 reclaims everything but the new current immediately
+    Ann.compactIvfIndex(spark, path, writeSalts = 2, retainGenerations = 0)
+    assert(Ann.corpusPath(spark, path).endsWith("/corpus_g3"))
+    assert(!new java.io.File(s"$path/corpus_g1").exists() &&
+      !new java.io.File(s"$path/corpus_g2").exists())
+    assert(serve() == before)
+  }
+
+  test("writer lock: append/compact mutually exclude; stale lease breaks; committed replay bypasses") {
+    val path = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val inc1 = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
+    val inc2 = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
+    Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+      path, k = 4, iters = 2)
+    Ann.appendIvfIndex(inc1, "vec_id", "embedding", path, batchId = Some("day1"))
+    // a live foreign lock blocks BOTH writers, naming the holder — the
+    // append-into-snapshotted-corpus interleave can never start
+    val lock = new java.io.File(s"$path/_writer_lock")
+    java.nio.file.Files.writeString(lock.toPath,
+      s"appendIvfIndex ${System.currentTimeMillis()}")
+    val e1 = intercept[IllegalStateException] { Ann.compactIvfIndex(spark, path) }
+    assert(e1.getMessage.contains("locked") &&
+      e1.getMessage.contains("appendIvfIndex"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      Ann.appendIvfIndex(inc2, "vec_id", "embedding", path, batchId = Some("day2"))
+    }
+    assert(e2.getMessage.contains("locked"), e2.getMessage)
+    // ...but a COMMITTED batch replay is a read-only no-op: one marker
+    // probe, no lock contention, and the foreign lock is left untouched
+    Ann.appendIvfIndex(inc1, "vec_id", "embedding", path, batchId = Some("day1"))
+    assert(lock.exists())
+    // a stale lease self-expires: the next writer breaks it and proceeds
+    java.nio.file.Files.writeString(lock.toPath,
+      s"appendIvfIndex ${System.currentTimeMillis() - 60000}")
+    Ann.compactIvfIndex(spark, path, staleLockMs = 1000)
+    assert(!lock.exists()) // released cleanly after the takeover
+    Ann.appendIvfIndex(inc2, "vec_id", "embedding", path, batchId = Some("day2"))
+    val c = spark.read.parquet(Ann.corpusPath(spark, path))
+    assert(c.count() == emb.count())
+    assert(c.groupBy("id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("a crashed pre-generation swap points every entry at compactIvfIndex, never a rebuild") {
+    val path = java.nio.file.Files.createTempDirectory("graft_oldswap").toString
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", path, k = 4, iters = 2)
+    // the OLD two-rename protocol's crash window: corpus/ renamed away,
+    // data intact under _corpus_compact_old — the r15 ADVICE case where
+    // "build with writeIvfIndex first" wrongly steered at a rebuild that
+    // would discard appended generations
+    assert(new java.io.File(s"$path/corpus")
+      .renameTo(new java.io.File(s"$path/_corpus_compact_old")))
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.appendIvfIndex(emb, "vec_id", "embedding", path)
+    }
+    assert(e1.getMessage.contains("compactIvfIndex"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.ivfIndexTopK(spark, path, queries, "vec_id", "embedding",
+        nProbe = 4, topK = 3)
+    }
+    assert(e2.getMessage.contains("compactIvfIndex"), e2.getMessage)
+    // the prescribed remedy restores and completes
+    Ann.compactIvfIndex(spark, path)
+    assert(spark.read.parquet(Ann.corpusPath(spark, path)).count() == emb.count())
   }
 
   /** The (id, vn) shape Ann.assign expects, built the same way

@@ -323,6 +323,38 @@ class CorpusSpec extends SparkSpec {
     assert(gap2 == Set(999999999L))
   }
 
+  test("indexSkewReport flags a drifted append's hot cell; tombstoned ids read as uncovered") {
+    import graft.operators.Ann
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", path, k = 4, iters = 2)
+    val uniform = Corpus.indexSkewReport(spark, path)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(uniform.length > 1)
+    assert(math.abs(uniform.map(_._3).sum - 1.0) < 1e-9) // shares sum to 1
+    // drifted ingest: one vector replicated 2x-corpus-many times under new
+    // ids — the FROZEN centroids funnel every copy into a single cell,
+    // which is exactly the silent pruned-serve degradation the audit names
+    val n = emb.count()
+    val skewed = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .crossJoin(spark.range(1, 2 * n).select((col("id") + 1000000L).as("vec_id")))
+      .select(col("vec_id"), col("embedding"))
+    Ann.appendIvfIndex(skewed, "vec_id", "embedding", path)
+    val report = Corpus.indexSkewReport(spark, path)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(report.head._2 >= 2 * n - 1, s"hot cell rows: ${report.head}")
+    assert(report.head._4 > 2.0,
+      s"drifted hot cell not flagged: skew ${report.head._4}")
+    // a tombstoned live id is a coverage gap: the serve can never return
+    // it, so treating it as covered would recreate the silence the audit
+    // exists to name
+    Ann.deleteFromIndex(spark, path, emb.filter(col("vec_id") === 5), "vec_id")
+    val gap = Corpus.indexCoverageGap(spark, path, emb, "vec_id")
+      .as[Long].collect().toSet
+    assert(gap == Set(5L))
+  }
+
   test("sd2 oracle validity: every qualifying pair in the twin-injected verify corpus is an identical-vector twin") {
     // The sd2/sd2b UNBLOCKED recursive-CTE oracle equals the cell-blocked
     // engine only if no qualifying (cos >= 0.9) pair can straddle a cell
