@@ -189,14 +189,18 @@ object Bench {
         // the sacrificial passes missed (r15: the a* block read 2-3x its
         // warm bands yet sat UNDER the 1.5x archived-band net because the
         // archive itself was head-inflated) — always rerun them, so
-        // warm_total nets the head constant out instead of compounding it
+        // warm_total nets the head constant out instead of compounding it.
+        // EXEMPT from the 32-cap (r16: a drifty boot filled the cap with
+        // heavies and squeezed the cheap head seeds out — the cap is a
+        // runaway backstop for the drift net, and five sub-second head
+        // queries cannot be the runaway)
         val head = qs.take(5).map(_._1)
-        val all = (top3 ++ inflated ++ head).distinct
+        val net = (top3 ++ inflated).distinct
           .sortBy(n => -results.find(_._1 == n).map(_._2).getOrElse(0.0))
-        if (all.size > 32) System.err.println(
-          s"[bench] rerun net capped at 32 of ${all.size} drifted queries; " +
-            s"dropped: ${all.drop(32).mkString(",")}")
-        all.take(32)
+        if (net.size > 32) System.err.println(
+          s"[bench] rerun net capped at 32 of ${net.size} drifted queries; " +
+            s"dropped: ${net.drop(32).mkString(",")}")
+        (net.take(32) ++ head).distinct
       }
     val rerun = rerunNames.map { name =>
       val fn = SparkEntry.queries(name)

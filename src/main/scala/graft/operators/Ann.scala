@@ -482,6 +482,16 @@ object Ann {
         } catch { case _: java.io.IOException => "" }
       val ageMs = contents.split(' ').lastOption.flatMap(_.toLongOption)
         .map(System.currentTimeMillis() - _)
+        .orElse {
+          // zero-byte / unparseable lock (a writer crashed inside its own
+          // lease write, or a torn read): fall back to the file's
+          // modification time so the lease can still expire — an age-less
+          // lock otherwise wedged every writer behind a message whose
+          // staleLockMs remedy could never fire (review finding)
+          try Some(System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime)
+          catch { case _: java.io.IOException => None }
+        }
       if (!ageMs.exists(_ > staleLockMs)) throw new IllegalStateException(
         s"$op: index layout at $path is locked by another writer (holder: " +
           s"'${if (contents.isEmpty) "unreadable" else contents}'" +
@@ -489,10 +499,34 @@ object Ann {
           ") — a concurrent append/compact would lose data; retry after " +
           "it finishes, or delete _writer_lock / pass staleLockMs if the " +
           "holder is known dead")
+      // break by PARKING the expired lease (atomic rename), never a blind
+      // delete: only ONE contender's rename wins, and the content check
+      // detects the pathological interleave where the stale lease was
+      // already replaced by a FRESH one between our read and our rename —
+      // restored, not stolen (review finding: a blind delete could remove
+      // another breaker's freshly-acquired live lease). Residual: a third
+      // writer acquiring inside the park-restore window is the no-CAS
+      // filesystem limit — object-store deployments should front this
+      // with a conditional-put lock as documented above.
+      val parked = new HPath(s"$path/_writer_lock_break_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+      if (!fs.rename(lock, parked)) throw new IllegalStateException(
+        s"$op: another writer broke the expired lease at $path first; retry")
+      val parkedContents =
+        try {
+          val in = fs.open(parked)
+          try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        } catch { case _: java.io.IOException => contents }
+      if (parkedContents != contents) {
+        fs.rename(parked, lock)
+        throw new IllegalStateException(
+          s"$op: index layout at $path was re-locked by another writer " +
+            "during the stale-lease break; retry")
+      }
+      fs.delete(parked, false)
       System.err.println(s"[graft] $op: breaking expired writer lock at " +
         s"$path ('$contents', age ${ageMs.map(_ / 1000).getOrElse(-1L)} s " +
         s"> ${staleLockMs / 1000} s lease)")
-      fs.delete(lock, false)
       if (!tryAcquire()) throw new IllegalStateException(
         s"$op: lost the race re-acquiring the writer lock at $path — " +
           "another writer took over the expired lease; retry")
@@ -513,14 +547,18 @@ object Ann {
     * snapshot — None when no tombstones exist, so a delete-free layout's
     * serve plan carries no anti-join node at all. Duplicate ids across
     * tombstone files are harmless: anti-join semantics ignore build-side
-    * multiplicity. */
-  private[graft] def tombstoneIds(spark: SparkSession,
-      path: String): Option[DataFrame] = {
-    val files = tombstoneFiles(fsOf(spark, path), path)
+    * multiplicity. The ONE place the tombstone schema is interpreted —
+    * the serve mask and the compact materialization both read through
+    * here, so they can never diverge (review finding). */
+  private def tombstoneFrame(spark: SparkSession,
+      files: Seq[HPath]): Option[DataFrame] =
     if (files.isEmpty) None
     else Some(spark.read.parquet(files.map(_.toString): _*)
       .select(col("id").as("graft_del_id")))
-  }
+
+  private[graft] def tombstoneIds(spark: SparkSession,
+      path: String): Option[DataFrame] =
+    tombstoneFrame(spark, tombstoneFiles(fsOf(spark, path), path))
 
   private def antiTombstone(df: DataFrame, tomb: Option[DataFrame]): DataFrame =
     tomb.fold(df)(t =>
@@ -532,10 +570,17 @@ object Ann {
     * is id-only and file-sized, so Spark broadcasts it off parquet
     * stats; a delete-free layout gets no join node at all). `cell`
     * partition filters applied by the caller still push through the
-    * anti-join's left side to the scan, so static pruning is intact. */
+    * anti-join's left side to the scan, so static pruning is intact.
+    *
+    * Tombstones are listed BEFORE the generation resolves (review
+    * finding): a compaction cutting over in between then leaves a STALE
+    * tombstone list over the NEW generation — which only over-masks rows
+    * the compact already dropped, a no-op. The reverse order could pair
+    * the OLD generation with an already-cleared tombstone list and serve
+    * deleted rows. */
   def liveCorpus(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read.parquet(corpusPath(spark, path))
-    antiTombstone(df, tombstoneIds(spark, path))
+    val tomb = tombstoneIds(spark, path)
+    antiTombstone(spark.read.parquet(corpusPath(spark, path)), tomb)
   }
 
   /** DELETE ids from a [[writeIvfIndex]] layout — the CRUD quadrant every
@@ -562,10 +607,28 @@ object Ann {
   def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String = "id"): Unit = {
     requireIntegralId(ids, idCol, "deleteFromIndex")
-    resolveCorpusDir(fsOf(spark, path), path) // deleting from nothing is a bug
+    val fs = fsOf(spark, path)
+    resolveCorpusDir(fs, path) // deleting from nothing is a bug
+    // stage under a UNIQUE hidden dir, then rename into _deleted_ids/ —
+    // never a direct append: two concurrent deletes writing the same
+    // output dir race on its shared _temporary commit tree, and the
+    // faster job's cleanup can silently drop the slower job's file
+    // (review finding). Unique staging + unique target names commute.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val staging = s"$path/_staging_delete_$tag"
     ids.select(col(idCol).cast("long").as("id"))
       .coalesce(1)
-      .write.mode("append").parquet(s"$path/_deleted_ids")
+      .write.mode("overwrite").parquet(staging)
+    Option(fs.globStatus(new HPath(s"$staging/part-*")))
+      .getOrElse(Array.empty)
+      .foreach { st =>
+        val dst = new HPath(
+          s"$path/_deleted_ids/del_${tag}_${st.getPath.getName}")
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(st.getPath, dst),
+          s"deleteFromIndex: tombstone publish rename failed for ${st.getPath}")
+      }
+    fs.delete(new HPath(staging), true): Unit
   }
 
   /** Build the disk index at `path`: train the coarse quantizer, assign
@@ -582,45 +645,55 @@ object Ann {
     * still the small-files discipline, directories still prune). */
   def writeIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
       path: String, k: Int, iters: Int,
-      pq: Option[Pq.PqModel] = None, writeSalts: Int = 8): Unit = {
+      pq: Option[Pq.PqModel] = None, writeSalts: Int = 8,
+      staleLockMs: Long = Long.MaxValue): Unit = {
     // the serve path's deterministic tiebreak is the CORPUS id as stored
     // here — reject non-integral ids at build time, not first probe
     requireIntegralId(emb, idCol, "writeIvfIndex")
+    // the quantizer fit reads only `emb`, never the layout — keep it
+    // outside the lease so a long Lloyd fit doesn't age the lock
     val rows = centroidRows(kmeansCentroids(emb, idCol, vecCol, k, iters))
     val shared = if (rows.size > LiteralPathMaxK)
       Some(centroidBc(emb.sparkSession, rows)) else None
     val assigned0 = assignRows(normalized(emb, idCol, vecCol), rows, shared)
-    // a rebuild starts a NEW index at generation zero: committed-batch
-    // markers from the previous index would turn a replayed
-    // appendIvfIndex(batchId) into a silent exactly-once no-op (rows
-    // permanently absent while the pipeline believes them committed),
-    // stale generation dirs or pointer would make readers resolve the
-    // OLD corpus over the fresh build, stale tombstones would mask
-    // re-ingested ids, and a crashed writer's lock or staging would
-    // wedge the first append. Clear ALL of it BEFORE the overwrite — a
-    // rebuild is NOT crash-atomic (a crash mid-write leaves a partial
-    // corpus with no _SUCCESS); the write-if-missing sentinel discipline
-    // (ensureLayout) owns that window, exactly as before.
     val fsw = fsOf(emb.sparkSession, path)
-    Seq("_append_batch_*", "corpus_g*", "_staging_append_*")
-      .foreach { glob =>
-        Option(fsw.globStatus(new HPath(s"$path/$glob")))
-          .getOrElse(Array.empty).foreach(st => fsw.delete(st.getPath, true))
-      }
-    Seq("_current", "_deleted_ids", "_corpus_compact_tmp",
-        "_corpus_compact_old", "_writer_lock")
-      .foreach(d => fsw.delete(new HPath(s"$path/$d"), true))
-    writeCorpus(assigned0, pq, writeSalts, s"$path/corpus", "overwrite",
-      storedDim = rows.head._2.length)
-    // centroids are written from the DRIVER-collected rows (k-bounded):
-    // re-running the `cents` plan here would re-execute the whole k-means
-    // pipeline — including the full-corpus training-sample scan — since
-    // its internal caches release after the centroidRows collect; this
-    // also guarantees the file matches the assignment's literals exactly
-    val sess = emb.sparkSession
-    import sess.implicits._
-    rows.toDF("cell", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // the rebuild is the THIRD writer and holds the same lock as
+    // append/compact (review finding: an unlocked rebuild could overwrite
+    // the corpus mid-append, and its cleanup used to delete the live
+    // lease out from under the holder)
+    withWriterLock(fsw, path, "writeIvfIndex", staleLockMs) {
+      // a rebuild starts a NEW index at generation zero: committed-batch
+      // markers from the previous index would turn a replayed
+      // appendIvfIndex(batchId) into a silent exactly-once no-op (rows
+      // permanently absent while the pipeline believes them committed),
+      // stale generation dirs or pointer would make readers resolve the
+      // OLD corpus over the fresh build, stale tombstones would mask
+      // re-ingested ids, and crashed staging/partials would confuse later
+      // writers. Clear ALL of it BEFORE the overwrite — a rebuild is NOT
+      // crash-atomic (a crash mid-write leaves a partial corpus with no
+      // _SUCCESS); the write-if-missing sentinel discipline (ensureLayout)
+      // owns that window, exactly as before.
+      Seq("_append_batch_*", "corpus_g*", "_staging_append_*",
+          "_staging_delete_*", "_writer_lock_break_*")
+        .foreach { glob =>
+          Option(fsw.globStatus(new HPath(s"$path/$glob")))
+            .getOrElse(Array.empty).foreach(st => fsw.delete(st.getPath, true))
+        }
+      Seq("_current", "_deleted_ids", "_corpus_compact_tmp",
+          "_corpus_compact_old")
+        .foreach(d => fsw.delete(new HPath(s"$path/$d"), true))
+      writeCorpus(assigned0, pq, writeSalts, s"$path/corpus", "overwrite",
+        storedDim = rows.head._2.length)
+      // centroids are written from the DRIVER-collected rows (k-bounded):
+      // re-running the `cents` plan here would re-execute the whole k-means
+      // pipeline — including the full-corpus training-sample scan — since
+      // its internal caches release after the centroidRows collect; this
+      // also guarantees the file matches the assignment's literals exactly
+      val sess = emb.sparkSession
+      import sess.implicits._
+      rows.toDF("cell", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    }
   }
 
   /** The shared corpus-write tail of [[writeIvfIndex]] / [[appendIvfIndex]]:
@@ -873,10 +946,7 @@ object Ann {
       // mid-compact is untouched and applies at the NEXT compact, never
       // half-applied or lost
       val tombFiles = tombstoneFiles(fs, path)
-      val tomb =
-        if (tombFiles.isEmpty) None
-        else Some(spark.read.parquet(tombFiles.map(_.toString): _*)
-          .select(col("id").as("graft_del_id")))
+      val tomb = tombstoneFrame(spark, tombFiles)
       val df0 = spark.read.parquet(cur.toString)
       val cols = Seq(col("id"), col("v")) ++
         (if (df0.schema.fieldNames.contains("code")) Seq(col("code")) else Nil) :+
@@ -884,6 +954,21 @@ object Ann {
       antiTombstone(df0, tomb).select(cols: _*)
         .repartition(col("cell"), pmod(hash(col("id")), lit(writeSalts)))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      // all-tombstoned guard (review finding): a rewrite with zero
+      // surviving rows produces a directory with no parquet files at all
+      // (partitionBy writes nothing for an empty frame) — publishing it
+      // would brick every later read with an unreadable-schema error.
+      // Refuse instead: the masked layout keeps serving (empty results),
+      // and the operator's real intent is a rebuild or removal.
+      if (Option(fs.globStatus(new HPath(s"$tmp/cell=*/part-*")))
+          .getOrElse(Array.empty).isEmpty) {
+        fs.delete(tmp, true)
+        throw new IllegalArgumentException(
+          s"compactIvfIndex: the pending tombstones cover EVERY stored row " +
+            s"at $path — an empty corpus generation would be unreadable; " +
+            "keep serving the masked layout, or rebuild (writeIvfIndex) / " +
+            "remove the index instead of compacting")
+      }
       // COMMIT: one atomic rename publishes the next generation (numbered
       // past every existing generation, including crash orphans)
       val next = new HPath(

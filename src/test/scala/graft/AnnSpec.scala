@@ -384,6 +384,10 @@ class AnnSpec extends SparkSpec {
     // idempotent: a replayed delete appends a redundant tombstone
     Ann.deleteFromIndex(spark, path,
       emb.filter(col("vec_id") % 7 === 0), "vec_id")
+    // each call publishes its own uniquely-named file via stage+rename —
+    // concurrent deletes can never race a shared _temporary commit dir
+    assert(new java.io.File(s"$path/_deleted_ids").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
     // pre-compact: rows still PHYSICALLY present but masked from every read
     assert(spark.read.parquet(Ann.corpusPath(spark, path))
       .filter(col("id") % 7 === 0).count() > 0)
@@ -467,6 +471,13 @@ class AnnSpec extends SparkSpec {
       Ann.appendIvfIndex(inc2, "vec_id", "embedding", path, batchId = Some("day2"))
     }
     assert(e2.getMessage.contains("locked"), e2.getMessage)
+    // the REBUILD is the third writer: the same live lock blocks it too
+    // (review finding: it used to run unlocked and delete the lease)
+    val e3 = intercept[IllegalStateException] {
+      Ann.writeIvfIndex(emb, "vec_id", "embedding", path, k = 4, iters = 2)
+    }
+    assert(e3.getMessage.contains("locked"), e3.getMessage)
+    assert(lock.exists())
     // ...but a COMMITTED batch replay is a read-only no-op: one marker
     // probe, no lock contention, and the foreign lock is left untouched
     Ann.appendIvfIndex(inc1, "vec_id", "embedding", path, batchId = Some("day1"))
@@ -480,6 +491,33 @@ class AnnSpec extends SparkSpec {
     val c = spark.read.parquet(Ann.corpusPath(spark, path))
     assert(c.count() == emb.count())
     assert(c.groupBy("id").count().filter(col("count") > 1).count() == 0)
+    // a ZERO-BYTE lock (writer crashed inside its own lease write) still
+    // expires — age falls back to the file's modification time (review
+    // finding: an age-less lock wedged every writer forever)
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis() - 60000))
+    Ann.compactIvfIndex(spark, path, staleLockMs = 1000)
+    assert(!lock.exists())
+  }
+
+  test("compacting an all-tombstoned corpus refuses; the masked layout keeps serving") {
+    val path = java.nio.file.Files.createTempDirectory("graft_alltomb").toString
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", path, k = 4, iters = 2)
+    Ann.deleteFromIndex(spark, path, emb, "vec_id")
+    def servedRows() = Ann.ivfIndexTopK(spark, path, queries,
+      "vec_id", "embedding", nProbe = 4, topK = 3).count()
+    // every row masked: the serve is EMPTY, not an error
+    assert(servedRows() == 0)
+    // materializing a fully-tombstoned corpus would publish a generation
+    // with no parquet files — refuse and leave the layout untouched
+    val e = intercept[IllegalArgumentException] { Ann.compactIvfIndex(spark, path) }
+    assert(e.getMessage.contains("EVERY stored row"), e.getMessage)
+    assert(Ann.corpusPath(spark, path).endsWith("/corpus"))
+    assert(servedRows() == 0)
+    // the documented way out — a rebuild — recovers and clears tombstones
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", path, k = 4, iters = 2)
+    assert(Ann.liveCorpus(spark, path).count() == emb.count())
+    assert(servedRows() > 0)
   }
 
   test("a crashed pre-generation swap points every entry at compactIvfIndex, never a rebuild") {

@@ -553,6 +553,43 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"expected ≤1 shuffle, got ${shuffles.size}")
   }
 
+  test("ss7 tombstone-masked serve: cell pruning pushes through the " +
+      "anti-join, tombstones broadcast, still ONE shuffle") {
+    import org.apache.spark.sql.functions.col
+    // build the layout (with its tombstones) via the catalog entry, then
+    // serve a single query at nProbe = 2 — the mask must not cost the
+    // plan its static pruning, its broadcast probe, or its single shuffle
+    QueryCatalog.byName("ss7_ann_index_delete").run(spark, dir).collect()
+    val key = graft.queries.RelationalQueries.cacheKey(dir, "embeddings.parquet")
+    val path = s"/tmp/graft_ss7/$key"
+    val oneQ = graft.Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+    val df = graft.operators.Ann.ivfIndexTopK(spark, path, oneQ,
+      "vec_id", "embedding", nProbe = 2, topK = 3)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val scan = nodes.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.getOrElse("Location", "").contains("graft_ss7") &&
+          f.metadata.getOrElse("Location", "").contains("corpus") => f
+    }.getOrElse(fail("no index corpus scan in the serve plan"))
+    val pf = scan.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("cell"),
+      s"probe cells not a partition filter under the tombstone mask: $pf")
+    assert(scan.metrics("numPartitions").value <= 2,
+      s"read ${scan.metrics("numPartitions").value} cells despite pruning")
+    // the tombstone mask is a BROADCAST left-anti hash join — a shuffled
+    // anti-join would re-exchange the whole pruned corpus per serve
+    assert(nodes.exists {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.joinType.toString.toLowerCase.contains("anti")
+      case _ => false
+    }, "tombstone anti-join is not a broadcast hash join")
+    val shuffles = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1, s"expected ≤1 shuffle, got ${shuffles.size}")
+  }
+
   test("sd2b index-served SemDeDup: the serve reads ONLY the index — " +
       "no embeddings scan, no k-means job") {
     // build the layout via the catalog entry (write-if-missing). The
