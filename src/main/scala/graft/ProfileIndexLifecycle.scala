@@ -86,6 +86,30 @@ object ProfileIndexLifecycle {
     // the corpus row count must equal the source (every batch exactly once)
     println(s"[lifecycle] stored rows: ${
       spark.read.parquet(Ann.corpusPath(spark, path)).count()}")
+
+    // DELETE leg (r16): tombstone a 1-in-7 slice, measure the masked
+    // serve (anti-join overhead on top of the pruned scan), then the
+    // compaction that MATERIALIZES it — and pin row counts at each step
+    val delIds = emb.filter(col("vec_id") % 7 === 0)
+    time("deleteFromIndex (1/7 of ids)") {
+      Ann.deleteFromIndex(spark, path, delIds, "vec_id")
+    }
+    val prunedMasked = time("serve nProbe=2 (masked)")(serve(2))
+    val exactMasked = time("serve nProbe=8 (masked)")(serve(8))
+    println(s"[lifecycle] masked results ∩ deleted ids: ${
+      prunedMasked.count(r => r._3 % 7 == 0) + exactMasked.count(r => r._3 % 7 == 0)
+    } (must be 0)")
+    time("compactIvfIndex (materialize deletes)") {
+      Ann.compactIvfIndex(spark, path)
+    }
+    println(s"[lifecycle] files after delete-compact: ${parquetFiles().size}")
+    val prunedFinal = time("serve nProbe=2 (materialized)")(serve(2))
+    val exactFinal = time("serve nProbe=8 (materialized)")(serve(8))
+    println(s"[lifecycle] masked ≡ materialized: ${
+      prunedMasked == prunedFinal && exactMasked == exactFinal}")
+    println(s"[lifecycle] stored rows after materialize: ${
+      spark.read.parquet(Ann.corpusPath(spark, path)).count()} " +
+      s"(expected ${emb.count() - delIds.count()})")
     spark.stop()
   }
 }
