@@ -165,12 +165,25 @@ object Graphs {
     *
     * Scale shape: each round is one degree aggregation plus two
     * node-keyed semi joins — all hash-partitioned on node id, no driver
-    * participation. The surviving edge frame is persisted PER ROUND
-    * (each round's degree count and the next round's join both read it,
-    * and without materialization the unrolled lineage would re-execute
-    * every earlier round per reference); previous rounds' caches are
-    * dropped as soon as the next round materializes, so peak storage is
-    * two edge frames. Monotone shrinkage means later rounds cost less.
+    * participation. Each round's surviving edge frame is materialized
+    * with an EAGER `localCheckpoint` (the [[Components]] idiom): the
+    * round's three consumers (degree count, both next-round joins) read
+    * the stored blocks, AND the next round's logical plan roots at a
+    * constant-size RDD scan instead of the whole unrolled prefix. The
+    * r16 optimization pass measured the old persist-per-round form
+    * leaving the LOGICAL tree to grow ~4× per round (each round
+    * references the previous frame four times: degree, keep ×2 via
+    * degree, and the join base — 1,275 Exchange / 865 scan nodes in the
+    * 3-round catalog query's explain), and Catalyst re-analyzed that
+    * exponential tree at every round's action — pure driver-side
+    * planning cost on top of the unchanged execution (guide §3.3 / §7.3:
+    * "planning time itself can become the bottleneck; truncate with
+    * localCheckpoint"). Post-truncation the final action's plan is 2
+    * Exchanges over an RDD scan and the isolated catalog query dropped
+    * 5.4 → 2.6–2.9 s (local[32], sf0.1; oracle hash unchanged).
+    * Previous rounds' blocks are dropped as each round lands, so peak
+    * storage is two edge frames. Monotone shrinkage means later rounds
+    * cost less.
     *
     * @param edges `src`/`dst` frame; canonicalized like [[triangleCounts]]
     * @return (id, deg) — surviving nodes and their in-core degree after
@@ -188,11 +201,13 @@ object Graphs {
       val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("id")
+      // eager localCheckpoint = the old persist+count materialization PLUS
+      // lineage truncation (values land bit-identical either way — only
+      // the plan shape changes; see the scaladoc's r16 measurement)
       val next = e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "leftsemi")
         .join(keep.withColumnRenamed("id", "b"), Seq("b"), "leftsemi")
-        .select("a", "b").persist()
-      next.count() // materialize, then drop the previous round's cache
-      last.unpersist()
+        .select("a", "b").localCheckpoint(eager = true)
+      last.unpersist(blocking = false)
       e = next
       last = next
       i += 1
@@ -213,10 +228,17 @@ object Graphs {
     *
     * Scale shape: each round is one hash join frontier⋈adjacency plus
     * one anti join against visited — all keyed on node id. The visited
-    * frame is persisted per round with an eager swap (three consumers
-    * per round would otherwise re-execute the whole prefix), previous
-    * rounds' caches dropped as each round lands: peak storage is two
-    * node-sized frames plus the adjacency.
+    * frame is materialized per round with an EAGER `localCheckpoint`
+    * (the [[Components]]/[[kCore]] idiom, r16): the round's three
+    * consumers (frontier filter, anti join, union) read the stored
+    * blocks AND the next round's logical plan roots at a constant-size
+    * RDD scan. The old persist-per-round form let the logical tree grow
+    * ~3× per round (706 Exchange / 463 scan nodes in the 3-round
+    * catalog query's explain) and Catalyst re-analyzed it per round —
+    * guide §3.3's truncate-with-localCheckpoint case; isolated catalog
+    * query 3.4 → 1.7–1.9 s (local[32], sf0.1; oracle hash unchanged).
+    * Previous rounds' blocks are dropped as each round lands: peak
+    * storage is two node-sized frames plus the adjacency.
     *
     * @param edges   `src`/`dst` frame, treated as undirected
     * @param sources frame with an `id` column (dist 0)
@@ -243,9 +265,9 @@ object Graphs {
         .select(col("v").as("id")).distinct()
       val fresh = reached.join(visited, Seq("id"), "leftanti")
         .withColumn("dist", lit(d.toLong))
-      val next = visited.union(fresh).persist()
-      next.count() // materialize before dropping the previous round
-      last.unpersist()
+      // eager localCheckpoint = materialize + truncate lineage (see doc)
+      val next = visited.union(fresh).localCheckpoint(eager = true)
+      last.unpersist(blocking = false)
       visited = next
       last = next
       d += 1
