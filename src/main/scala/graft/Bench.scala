@@ -12,9 +12,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Join-strategy knob (guide §3.1/§9): preferSortMergeJoin=false lets
+    // the planner pick a shuffled-hash join when its size conditions
+    // hold, skipping the two sorts of a medium×medium equi-join. A/B'd
+    // in the r16 optimization pass over the SMJ-bearing catalog queries
+    // (tc1/km2/pr1/d4b, 2×2 runs, local[32] sf0.1): means 19.4 s both
+    // arms — at this scale AQE has already coalesced the exchanges the
+    // sorts run behind, so the sorts are not the bottleneck and the
+    // default stays at Spark's (prefer SMJ, graceful spill). The env
+    // knob keeps the axis a one-flag sweep for a deployment where the
+    // build side provably fits per-partition memory.
+    val preferSmj = sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.join.preferSortMergeJoin", preferSmj)
       .config("spark.sql.session.timeZone", "UTC")
       // external bucketed tables (bk1) touch the warehouse root even
       // though their data lives under /tmp — pin it so no spark-warehouse

