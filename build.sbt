@@ -39,10 +39,26 @@ Global / excludeLintKeys += showSuccess
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g, env-overridable): local[32] runs 32 concurrent
+  // tasks' execution memory + broadcast + cache in ONE JVM; at 8g the
+  // 191-query suite accumulates old-gen debt that lands in later
+  // queries' timed windows (the in-suite premium over isolated runs).
+  // The sandbox has 128 GiB; r16 full-suite A/B (16g + parallel ref
+  // processing vs 8g serial): raw total 279.7 -> 265.7 s, warm 261.6 ->
+  // 259.4 — the raw delta is GC-stall reduction (warm_total nets stalls
+  // by construction, so it moves less).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // the 139-query bench generates far more codegen classes than the
   // 240 MB default code cache holds; once it fills, the JIT stops
   // compiling and every later hot loop runs interpreted (measured: bf1
   // 8.4 s after a 14-query warmup vs 19.1 s after the full-suite warmup)
   "-XX:ReservedCodeCacheSize=1g",
+  // JDK 17 G1 processes j.l.ref.Reference instances single-threaded by
+  // default (parallel became the default only in JDK 18, JDK-8286706);
+  // a 191-query Spark suite churns tens of thousands of weak refs
+  // (broadcast/shuffle/accumulator cleanup through ContextCleaner), so
+  // reference processing rides every GC pause. Parallelizing it is a
+  // pure throughput win on a 32-core box (r16 full-suite A/B recorded
+  // in OPTIMIZATION_r16.md).
+  "-XX:+ParallelRefProcEnabled",
 )
