@@ -39,26 +39,34 @@ Global / excludeLintKeys += showSuccess
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default (was 8g, env-overridable): local[32] runs 32 concurrent
-  // tasks' execution memory + broadcast + cache in ONE JVM; at 8g the
-  // 191-query suite accumulates old-gen debt that lands in later
-  // queries' timed windows (the in-suite premium over isolated runs).
-  // The sandbox has 128 GiB; r16 full-suite A/B (16g + parallel ref
-  // processing vs 8g serial): raw total 279.7 -> 265.7 s, warm 261.6 ->
-  // 259.4 — the raw delta is GC-stall reduction (warm_total nets stalls
-  // by construction, so it moves less).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 8g default (env-overridable). r16 bumped this to 16g (+ parallel ref
+  // processing below) off a single-boot A/B; the driver's 32-core bench
+  // then regressed the two object-path NB-GLM queries 2.7x (d3 10.0 ->
+  // 26.8 s, d4 4.07 -> 11.18 s) and the r17 same-boot 2x2 re-A/B at
+  // driver config confirmed BOTH flags are net harmful here, separately
+  // and together (full 191-query suite, local[32] sf0.1):
+  //   16g+parRef raw 316.4 / warm 292.7 (d3 rerun unstable: 8.3 -> 13.8)
+  //   8g +parRef raw 304.9 / warm 292.1
+  //   8g  serial raw 283.1 / warm 261.3  <- r15 config, restored default
+  // Mechanism consistent with observations: a bigger heap defers old-gen
+  // collection so the MapGroups fit's object churn at 32-way concurrency
+  // lands as giant mixed-GC pauses inside later timed windows.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // the 139-query bench generates far more codegen classes than the
   // 240 MB default code cache holds; once it fills, the JIT stops
   // compiling and every later hot loop runs interpreted (measured: bf1
   // 8.4 s after a 14-query warmup vs 19.1 s after the full-suite warmup)
   "-XX:ReservedCodeCacheSize=1g",
-  // JDK 17 G1 processes j.l.ref.Reference instances single-threaded by
-  // default (parallel became the default only in JDK 18, JDK-8286706);
-  // a 191-query Spark suite churns tens of thousands of weak refs
-  // (broadcast/shuffle/accumulator cleanup through ContextCleaner), so
-  // reference processing rides every GC pause. Parallelizing it is a
-  // pure throughput win on a 32-core box (r16 full-suite A/B recorded
-  // in OPTIMIZATION_r16.md).
-  "-XX:+ParallelRefProcEnabled",
+) ++ (
+  // -XX:+ParallelRefProcEnabled, DEFAULT OFF (opt in via
+  // SPARK_GRAFT_PARREF=true). r16 enabled it bundled with the 16g heap
+  // bump; the r17 separate-axis re-A/B at driver config (see the -Xmx
+  // comment above for all three arms) measured it 22 s slower raw /
+  // 31 s slower warm than the serial default even at 8g — on THIS
+  // hardware the parallel ref-processing threads contend with 32 busy
+  // mutator threads and lengthen every pause they ride. The env knob
+  // keeps the axis a one-flag sweep for other hardware.
+  if (sys.env.getOrElse("SPARK_GRAFT_PARREF", "false") == "true")
+    Seq("-XX:+ParallelRefProcEnabled")
+  else Seq.empty
 )

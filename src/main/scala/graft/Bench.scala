@@ -22,7 +22,13 @@ object Bench {
     // default stays at Spark's (prefer SMJ, graceful spill). The env
     // knob keeps the axis a one-flag sweep for a deployment where the
     // build side provably fits per-partition memory.
-    val preferSmj = sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true")
+    // validated here (r16 ADVICE): a typo like "ture" would otherwise
+    // surface only as an opaque config error at session build
+    val preferSmj = sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true") match {
+      case v @ ("true" | "false") => v
+      case bad => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_PREFER_SMJ must be 'true' or 'false', got '$bad'")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

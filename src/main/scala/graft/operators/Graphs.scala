@@ -12,6 +12,27 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Release a per-round frame's storage blocks. A `persist()`-ed frame
+    * goes through the CacheManager; a `localCheckpoint`-ed frame does NOT
+    * — its blocks are persisted directly on the checkpoint's internal RDD
+    * (the `LogicalRDD` leaf), which the CacheManager never sees, so
+    * `Dataset.unpersist` is a silent no-op there (r16 ADVICE: the
+    * per-round blocks accumulated until JVM GC + ContextCleaner reclaimed
+    * them, contradicting the two-frames peak-storage claim). Unpersisting
+    * the underlying RDD drops the blocks immediately.
+    *
+    * ONLY safe on frames no live plan references again: checkpoint blocks
+    * are not recomputable (lineage is truncated), so a later action on a
+    * released frame fails instead of recomputing. The round loops below
+    * call it strictly on the PREVIOUS round's frame after the next
+    * round's eager checkpoint has materialized. */
+  private def releaseRound(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist(blocking = false)
+    }
+
   /** PageRank with a FIXED iteration count (power iteration, damping
     * `d`): pr₀(v) = 1/N; prₜ₊₁(v) = (1−d)/N + d·Σ_{u→v} prₜ(u)/outdeg(u).
     * Dangling nodes (no out-edges) simply leak their mass — the formula
@@ -181,9 +202,16 @@ object Graphs {
     * localCheckpoint"). Post-truncation the final action's plan is 2
     * Exchanges over an RDD scan and the isolated catalog query dropped
     * 5.4 → 2.6–2.9 s (local[32], sf0.1; oracle hash unchanged).
-    * Previous rounds' blocks are dropped as each round lands, so peak
-    * storage is two edge frames. Monotone shrinkage means later rounds
-    * cost less.
+    * Previous rounds' blocks are dropped as each round lands (via
+    * [[releaseRound]] — `Dataset.unpersist` alone is a no-op on a
+    * checkpointed frame), so peak storage is two edge frames; the FINAL
+    * round's blocks outlive the function (the caller's action reads
+    * them) and are reclaimed by the ContextCleaner once the frame is
+    * unreferenced. Durability is the same trade [[pageRank]] documents:
+    * checkpoint blocks are executor-local and NOT recomputable, so
+    * losing an executor mid-job costs a rerun (swap in reliable
+    * `checkpoint()` for day-long jobs). Monotone shrinkage means later
+    * rounds cost less.
     *
     * @param edges `src`/`dst` frame; canonicalized like [[triangleCounts]]
     * @return (id, deg) — surviving nodes and their in-core degree after
@@ -207,7 +235,7 @@ object Graphs {
       val next = e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "leftsemi")
         .join(keep.withColumnRenamed("id", "b"), Seq("b"), "leftsemi")
         .select("a", "b").localCheckpoint(eager = true)
-      last.unpersist(blocking = false)
+      releaseRound(last)
       e = next
       last = next
       i += 1
@@ -237,8 +265,13 @@ object Graphs {
     * catalog query's explain) and Catalyst re-analyzed it per round —
     * guide §3.3's truncate-with-localCheckpoint case; isolated catalog
     * query 3.4 → 1.7–1.9 s (local[32], sf0.1; oracle hash unchanged).
-    * Previous rounds' blocks are dropped as each round lands: peak
-    * storage is two node-sized frames plus the adjacency.
+    * Previous rounds' blocks are dropped as each round lands (via
+    * [[releaseRound]] — plain `unpersist` is a no-op on checkpointed
+    * frames): peak storage is two node-sized frames plus the adjacency;
+    * the final round's blocks are ContextCleaner-reclaimed after the
+    * caller's action. Same durability trade as [[pageRank]]/[[kCore]]:
+    * executor loss costs a rerun — use reliable `checkpoint()` for
+    * day-long jobs.
     *
     * @param edges   `src`/`dst` frame, treated as undirected
     * @param sources frame with an `id` column (dist 0)
@@ -267,7 +300,7 @@ object Graphs {
         .withColumn("dist", lit(d.toLong))
       // eager localCheckpoint = materialize + truncate lineage (see doc)
       val next = visited.union(fresh).localCheckpoint(eager = true)
-      last.unpersist(blocking = false)
+      releaseRound(last)
       visited = next
       last = next
       d += 1
