@@ -1218,22 +1218,39 @@ object AnalyticsQueries {
     * the a.ok < b.ok predicate — and duplicate (ok, sk, wk) rows
     * collapse in the set exactly as the downstream edge distinct did.
     * Blocks hold ~2 orders each on this data so the per-block pair space
-    * is bounded; a pathological single-block supplier-week would go
-    * quadratic identically under both forms (the edge definition itself
-    * is quadratic in the block). Interleaved same-JVM A/B
-    * (ProfileEdges, local[32] sf0.1, full triangleCounts downstream,
+    * is bounded; a pathological single-block supplier-week stays
+    * quadratic in ROW COUNT under any form (the edge definition itself
+    * is quadratic in the block), but since r17 the pairs are emitted by
+    * two nested Generates with O(n) per-row buffers rather than one
+    * O(n²) in-row array — see the inline comment. Interleaved same-JVM
+    * A/B (ProfileEdges, local[32] sf0.1, full triangleCounts downstream,
     * 3 reps): old 8.63/6.08/5.84 s vs new 6.59/5.04/4.44 s — a
     * consistent ~1.1–1.4 s cut at identical edge sets (503,935 rows
     * both forms). */
   private def coShipEdges(blk: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    blk.groupBy(col("sk"), col("wk"))
+    blk
+      // null-key guard (r16 ADVICE): the old self-join form (and the SQL
+      // oracle's equi-join) dropped null-keyed rows; groupBy would pool
+      // them into one block and emit edges among them. Free on TPC-H's
+      // non-null l_suppkey/l_shipdate — this pins the semantics for any
+      // nullable reuse of the helper.
+      .filter(col("sk").isNotNull && col("wk").isNotNull)
+      .groupBy(col("sk"), col("wk"))
       .agg(sort_array(collect_set(col("ok"))).as("oks"))
-      .select(explode(expr(
-        """flatten(transform(oks, (a, i) ->
-             transform(slice(oks, i + 2, size(oks)),
-               b -> struct(a AS src, b AS dst))))""")).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // TWO-LEVEL explode (r17, guide §5): posexplode picks each anchor,
+      // slice takes its strict successors. The r16 single-explode form
+      // (flatten(transform(.., transform(slice(..)..)))) materialized the
+      // whole O(n²) pair array of a block in ONE row buffer — irrelevant
+      // when blocks hold ~2 orders, but a hot (supplier, week) block with
+      // 10⁵ orders would allocate 10¹⁰ structs in a single task. Nested
+      // Generates bound per-row state at O(n) (the sorted block array)
+      // and stream the pairs; the emitted edge SET is identical
+      // (ok_i < ok_j for i < j, duplicates collapsed by collect_set).
+      .select(col("oks"), posexplode(col("oks")).as(Seq("i", "src")))
+      .select(col("src"),
+        explode(slice(col("oks"), col("i") + lit(2), size(col("oks"))))
+          .as("dst"))
 
   /** TC1 — per-node triangle counts on the order co-shipment graph:
     * orders are adjacent when they take goods from the same supplier in
