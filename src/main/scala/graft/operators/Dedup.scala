@@ -694,9 +694,11 @@ object Dedup {
     * than that many times corpus-wide is dropped from matching entirely
     * (deterministically, mirrored by the oracle; the drop count is
     * surfaced through the lazy `graft_capped_*` observe/log audit, the
-    * capBuckets convention), so the self-join emits ≤ cap² pairs per
-    * gram and the hot-gram quadratic blowup a raw suffix pass suffers on
-    * boilerplate is structurally excluded. Both windows are partitioned
+    * capBuckets convention), so the per-gram occurrence list the pair
+    * build collects holds ≤ cap structs (≤ cap²/2 ordered pairs per
+    * gram, emitted through nested explodes — one hash agg, no
+    * self-join since r17) and the hot-gram quadratic blowup a raw
+    * suffix pass suffers on boilerplate is structurally excluded. Both windows are partitioned
     * by (pair, diagonal) / document — state bounded by one document's
     * length, never the corpus. All-integer arithmetic end to end, so the
     * catalog query carries a full DuckDB hash oracle.
@@ -723,12 +725,27 @@ object Dedup {
       .filter(col("nd") >= 2 && col("occs") <= maxOccPerGram)
       .select("gram")
     val dup = occ.join(dict, Seq("gram"), "leftsemi")
-    val pairs = dup.select(col("gram"), col("doc_id").as("da"),
-        col("pos").cast("long").as("pa"))
-      .join(dup.select(col("gram"), col("doc_id").as("db"),
-        col("pos").cast("long").as("pb")), Seq("gram"))
-      .filter(col("da") < col("db"))
-      .withColumn("diag", col("pa") - col("pb"))
+    // Cross-doc occurrence pairs per gram, via ONE hash agg + nested
+    // explodes (r17; the coShipEdges/triangleCounts ordered-pair idiom)
+    // instead of the old self-join on gram: the join paid the
+    // cache-read + semi-join + gram exchange TWICE (once per side, the
+    // renamed projections defeat exchange reuse) plus a sort/build on
+    // both sides. The per-gram occurrence list is bounded by the
+    // `maxOccPerGram` cap that already gates `dict` (≤ cap structs per
+    // array, ≤ cap²/2 pairs per gram), so collecting it is safe at any
+    // corpus size — the cap, not the data, bounds the state. Sorting by
+    // (doc, pos) makes ordered pairs (i < j) with a.d < b.d exactly the
+    // old join's da < db output.
+    val pairs = dup
+      .groupBy("gram")
+      .agg(sort_array(collect_list(struct(col("doc_id").as("d"),
+        col("pos").cast("long").as("p")))).as("os"))
+      .select(col("os"), posexplode(col("os")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("os"), col("i") + lit(2), size(col("os")))).as("b"))
+      .filter(col("a.d") < col("b.d"))
+      .select(col("a.d").as("da"), col("b.d").as("db"),
+        (col("a.p") - col("b.p")).as("diag"), col("a.p").as("pa"))
     // chain extension: consecutive pa on one (da, db, diag) diagonal are
     // one exact match; pa is unique within a diagonal, so the lag order
     // is total and the islands deterministic
@@ -750,12 +767,25 @@ object Dedup {
       (col("pa0") - col("diag")).as("sp"),
       (col("pa1") - col("diag") + (n - 1)).as("ep"),
       col("da").as("partner"), col("diag"))
+    // both-sides reporting emits the two per-run intervals with ONE
+    // explode (r17; the triangleCounts three-corner idiom): the old
+    // two-branch union referenced the UNCACHED `runs` subtree twice, so
+    // the whole pairs → diagonal-window → runs pipeline executed once
+    // per branch (exchange reuse stops at the runs agg's input — the
+    // window + agg re-ran). keepLowestId consumes one side only, so it
+    // keeps the single-branch projection.
     val iv =
       if (keepLowestId) ivB
-      else runs.select(col("da").as("doc_id"), col("pa0").as("sp"),
-          (col("pa1") + (n - 1)).as("ep"),
-          col("db").as("partner"), col("diag"))
-        .unionByName(ivB)
+      else runs.select(explode(array(
+          struct(col("da").as("doc_id"), col("pa0").as("sp"),
+            (col("pa1") + (n - 1)).as("ep"), col("db").as("partner"),
+            col("diag")),
+          struct(col("db").as("doc_id"), (col("pa0") - col("diag")).as("sp"),
+            (col("pa1") - col("diag") + (n - 1)).as("ep"),
+            col("da").as("partner"), col("diag")))).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.sp").as("sp"),
+          col("e.ep").as("ep"), col("e.partner").as("partner"),
+          col("e.diag").as("diag"))
     // per-doc merge of INTERSECTING intervals only (sp <= prev_end):
     // token-adjacent matches with different partners stay separate —
     // the semantic upgrade over duplicatedSpanList's adjacency merge.
