@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,9 +35,11 @@ final case class DispersionPrior(a0: Double, a1: Double, sigmaSq: Double,
 
 /** Negative-binomial GLM differential expression — the reference's
   * `DESeq()` + `results()` (vital_status_DESeq.R:51,89; Love et al. 2014),
-  * re-expressed as a per-gene grouped fit (`groupByKey(gene).flatMapGroups`)
-  * that parallelizes across executors exactly like the reference's
-  * BiocParallel per-gene fan-out (SURVEY.md §3.4).
+  * re-expressed as a per-gene grouped fit (hash-repartition by gene +
+  * in-partition sort + one `mapPartitions` run-cutter — [[perGene]]; the
+  * typed `groupByKey.flatMapGroups` equivalent, minus one per-row
+  * deserialization) that parallelizes across executors exactly like the
+  * reference's BiocParallel per-gene fan-out (SURVEY.md §3.4).
   *
   * Dispersion estimation follows DESeq2's shape: gene-wise Cox-Reid
   * adjusted profile MLE (MoM-initialized, alternating IRLS / profile
@@ -266,6 +268,43 @@ object DiffExpression {
     * disable (the pre-refit cooksCutoff-only behavior). */
   val MinReplicatesForReplace = 7
 
+  /** Per-gene grouped execution WITHOUT the typed groupByKey path (r17
+    * optimization). `groupByKey(_.gene).flatMapGroups` plans as
+    * AppendColumns (a full object deserialization per ROW just to
+    * evaluate the key closure, plus a key serialization) → Exchange →
+    * Sort → MapGroups (a SECOND per-row deserialization) — at 32-way
+    * local concurrency that object churn is what made d3/d4 the
+    * suite's most GC-sensitive queries. Hash-repartitioning the FRAME
+    * by gene and sorting within partitions by (gene, smp, cond, cnt)
+    * produces the identical grouping through the same exchange+sort
+    * the typed path paid anyway, and one `mapPartitions` deserializes
+    * each row ONCE, cutting consecutive gene runs with a cursor. The
+    * frame sort also replaces fitGene's old per-gene tuple-boxed
+    * `sortBy((smp, cond, cnt))`. Results are bit-identical: each gene
+    * sees the same row multiset in the same accumulation order (rows
+    * tying on the full sort key are full duplicates — smp determines
+    * sf, the group determines gene — hence interchangeable). */
+  private def perGene[T: Encoder](cells: Dataset[CountCell])(
+      f: (Long, Array[CountCell]) => Iterator[T]): Dataset[T] = {
+    import cells.sparkSession.implicits._
+    cells.toDF()
+      .repartition(col("gene"))
+      .sortWithinPartitions("gene", "smp", "cond", "cnt")
+      .as[CountCell]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[Array[CountCell]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Array[CountCell] = {
+            val g = rows.head.gene
+            val buf = scala.collection.mutable.ArrayBuffer.empty[CountCell]
+            while (rows.hasNext && rows.head.gene == g) buf += rows.next()
+            buf.toArray
+          }
+        }.flatMap(arr => f(arr(0).gene, arr))
+      }
+  }
+
   /** Two-group Wald test, `levels = Seq(reference, treatment)`. */
   def waldTest(cells: Dataset[CountCell], levels: Seq[String],
       prior: Option[DispersionPrior] = None,
@@ -273,7 +312,7 @@ object DiffExpression {
     require(levels.size == 2, s"waldTest needs 2 levels, got $levels")
     val spark = cells.sparkSession
     import spark.implicits._
-    cells.groupByKey(_.gene).flatMapGroups { (gene, it) =>
+    perGene[DEResult](cells) { (gene, it) =>
       fitGene(gene, it, levels, prior, minReplicatesForReplace) match {
         case Some(f) =>
           val k = f.levelIndex.getOrElse(levels(1), -1)
@@ -303,7 +342,7 @@ object DiffExpression {
       minReplicatesForReplace: Int = MinReplicatesForReplace): Dataset[DEContrast] = {
     val spark = cells.sparkSession
     import spark.implicits._
-    cells.groupByKey(_.gene).flatMapGroups { (gene, it) =>
+    perGene[DEContrast](cells) { (gene, it) =>
       fitGene(gene, it, levels, prior, minReplicatesForReplace) match {
         case Some(f) =>
           pairs.iterator.flatMap { case (la, lb) =>
@@ -340,7 +379,7 @@ object DiffExpression {
       minReplicatesForReplace: Int = MinReplicatesForReplace): Dataset[(Long, Double)] = {
     val spark = cells.sparkSession
     import spark.implicits._
-    cells.groupByKey(_.gene).flatMapGroups { (gene, it) =>
+    perGene[(Long, Double)](cells) { (gene, it) =>
       fitGene(gene, it, levels, prior, minReplicatesForReplace)
         .map(f => (gene, f.dispersion)).iterator
     }
@@ -365,11 +404,13 @@ object DiffExpression {
     * unflags and its Wald p-values survive `results()` — but a DIFFERENT
     * still-outlying sample keeps the flag. One replacement round only,
     * as in DESeq2. */
-  private def fitGene(gene: Long, it: Iterator[CountCell],
+  private def fitGene(gene: Long, rows: Array[CountCell],
       levels: Seq[String], prior: Option[DispersionPrior],
       minRepForReplace: Int = MinReplicatesForReplace): Option[Fit] = {
-    // deterministic accumulation order, robust to surrogate-id collisions
-    val rows = it.toArray.sortBy(r => (r.smp, r.cond, r.cnt))
+    // rows arrive sorted by (smp, cond, cnt) — [[perGene]]'s frame sort
+    // replaces the old per-gene `it.toArray.sortBy` (same deterministic
+    // accumulation order, robust to surrogate-id collisions, without a
+    // tuple-boxed JVM sort per gene)
     if (rows.length < 2) return None
     val present = levels.filter(l => rows.exists(_.cond == l))
     if (present.size < 2) return None
