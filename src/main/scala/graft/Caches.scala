@@ -112,6 +112,24 @@ object Caches {
     spark.streams.addListener(listener)
   }
 
+  /** Immediately drop a frame's storage blocks, whether it was
+    * `persist()`-ed (CacheManager path) or `localCheckpoint`-ed — a
+    * checkpointed frame's blocks live on the checkpoint's internal RDD
+    * (the `LogicalRDD` leaf), which the CacheManager never sees, so
+    * `Dataset.unpersist` is a silent no-op there (r16 ADVICE). Iterative
+    * operators call this on each PREVIOUS round's frame once the next
+    * round has materialized, keeping peak storage at O(1) frames instead
+    * of O(rounds).
+    *
+    * ONLY safe on frames no live plan references again: checkpoint
+    * blocks are not recomputable (lineage is truncated), so a later
+    * action on a released frame fails instead of recomputing. */
+  def releaseBlocks(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.rdd.unpersist(blocking = false)
+    case _ => df.unpersist(blocking = false)
+  }
+
   /** Drop every cached frame in the session (documented escape hatch for
     * long-lived sessions mixing many library calls). */
   def clearCaches(spark: SparkSession): Unit = spark.catalog.clearCache()

@@ -167,6 +167,11 @@ object Components {
         .drop("old")
         .localCheckpoint(true) // constant-size plan + one action per round
       hooked.unpersist(blocking = false)
+      // drop the PREVIOUS round's checkpoint blocks now that `next` has
+      // materialized (plain unpersist is a no-op on checkpointed frames
+      // — Caches.releaseBlocks goes through the underlying RDD; r17):
+      // peak label storage is two node-sized frames, not O(rounds)
+      graft.Caches.releaseBlocks(labels)
       labels = next
       converged = obs.get("changed").asInstanceOf[Long] == 0
       rounds += 1

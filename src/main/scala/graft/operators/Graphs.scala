@@ -12,26 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  /** Release a per-round frame's storage blocks. A `persist()`-ed frame
-    * goes through the CacheManager; a `localCheckpoint`-ed frame does NOT
-    * — its blocks are persisted directly on the checkpoint's internal RDD
-    * (the `LogicalRDD` leaf), which the CacheManager never sees, so
-    * `Dataset.unpersist` is a silent no-op there (r16 ADVICE: the
-    * per-round blocks accumulated until JVM GC + ContextCleaner reclaimed
-    * them, contradicting the two-frames peak-storage claim). Unpersisting
-    * the underlying RDD drops the blocks immediately.
-    *
-    * ONLY safe on frames no live plan references again: checkpoint blocks
-    * are not recomputable (lineage is truncated), so a later action on a
-    * released frame fails instead of recomputing. The round loops below
-    * call it strictly on the PREVIOUS round's frame after the next
-    * round's eager checkpoint has materialized. */
+  /** Release a per-round frame's storage blocks — cache-entry OR
+    * localCheckpoint blocks (plain `Dataset.unpersist` is a no-op on the
+    * latter; see [[graft.Caches.releaseBlocks]], r16 ADVICE). The round
+    * loops below call it strictly on the PREVIOUS round's frame after
+    * the next round's eager checkpoint has materialized — checkpoint
+    * blocks are not recomputable, so this must never run on a frame a
+    * live plan still references. */
   private def releaseRound(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => df.unpersist(blocking = false)
-    }
+    graft.Caches.releaseBlocks(df)
 
   /** PageRank with a FIXED iteration count (power iteration, damping
     * `d`): pr₀(v) = 1/N; prₜ₊₁(v) = (1−d)/N + d·Σ_{u→v} prₜ(u)/outdeg(u).
