@@ -23,6 +23,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** javax.imageio's default stream cache is a TEMP FILE per call
+    * (`ImageIO.setUseCache(true)` is the JDK default): every
+    * `ImageIO.read`/`write`, even over an in-memory byte array, creates
+    * and deletes a disk-backed cache file. All payloads here are
+    * in-memory, so switch the JVM to the memory cache once per task —
+    * byte-identical encode/decode output, no filesystem I/O. The set is
+    * an idempotent static boolean write (racing tasks store the same
+    * value), guarded to skip the call once flipped. */
+  private def useMemoryImageCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried beside every payload. */
   val mediaMetaType: StructType = StructType(Seq(
     StructField("kind", StringType),          // image | audio | video
@@ -102,17 +113,21 @@ object Multimodal {
     val rdd = df.select(idCol.cast("long"), wCol.cast("int"), hCol.cast("int"),
         rgbCol.cast("int")).rdd
       .mapPartitions { it =>
+        useMemoryImageCache()
         it.map { r =>
           val (w, h, rgb) = (math.max(1, r.getInt(1)), math.max(1, r.getInt(2)),
             r.getInt(3))
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
+          // TYPE_INT_RGB backs onto one int per pixel; bulk-filling the
+          // raster's data array stores the identical 24-bit value per
+          // pixel that the per-pixel setRGB loop did (INT_RGB's
+          // DirectColorModel drops the top byte), without w×h
+          // ColorModel conversions + bounds checks per image
+          java.util.Arrays.fill(
+            img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferInt].getData,
+            rgb & 0xffffff)
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
           Row(r.getLong(0), bos.toByteArray)
@@ -140,6 +155,7 @@ object Multimodal {
     val spark = media.sparkSession
     val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd
       .mapPartitions { it =>
+        useMemoryImageCache()
         it.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
@@ -189,6 +205,7 @@ object Multimodal {
       StructField("payload", BinaryType)))
     val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd
       .mapPartitions { it =>
+        useMemoryImageCache()
         it.map { r =>
           val id = r.getLong(0)
           val img =
@@ -349,6 +366,7 @@ object Multimodal {
     val spark = media.sparkSession
     val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd
       .mapPartitions { it =>
+        useMemoryImageCache()
         // DCT basis for N=32, built once per task: cos((2x+1)·u·π/64)
         val N = 32
         val cosT = Array.tabulate(N, N)((u, x) =>
