@@ -39,7 +39,33 @@ object ProfileD3 {
       time(s"$tag bh+band count") { out.count() }
       spark.catalog.clearCache(); System.gc()
     }
-    run("warm0"); run("warm1"); run("run A"); run("run B")
+    // the real catalog query end-to-end (prior + fit + results() with its
+    // independent-filtering collects + banding) — what the bench times
+    def runFull(tag: String): Unit = {
+      val q = graft.queries.QueryCatalog.byName("d3_nbglm_wald")
+      time(s"$tag full catalog d3") { q.run(spark, d).count() }
+      spark.catalog.clearCache(); System.gc()
+    }
+    // results() in isolation over a persisted fit frame: separates the
+    // quantile collect / rejection-count collect / final join from the fit
+    def runResults(tag: String): Unit = {
+      val cellsDf = graft.queries.DomainQueries.profileNbInput(spark, d, 2)
+      val cells = cellsDf.as[CountCell]
+      val prior = DiffExpression.dispersionPrior(cells, 2)
+      val de = DiffExpression.waldTest(cells, Seq("NT", "TP"), Some(prior))
+        .toDF().persist()
+      de.count() // fit materialized OUTSIDE the timed region
+      val out = time(s"$tag results() given fit") {
+        val r = DiffExpression.results(de)
+          .withColumn("p_signif", Stats.signifBand(col("padj")))
+        r.count()
+      }
+      de.unpersist()
+      spark.catalog.clearCache(); System.gc()
+    }
+    run("warm0"); runFull("warm0"); run("warm1"); run("run A"); run("run B")
+    runFull("run A"); runFull("run B")
+    runResults("run A"); runResults("run B")
     spark.stop()
   }
 }

@@ -217,40 +217,51 @@ object DiffExpression {
     * (cardinality bounded by the genome, not data volume) × ≤ 20
     * candidates, ranking p-values inside per-candidate window partitions —
     * the same bounded-partition argument as the event-table windows. The
-    * fact-sized path is untouched. Two bounded collects (quantiles,
-    * 20 rejection counts); the input is persisted across them and released
-    * after the caller's next action. */
+    * fact-sized path is untouched. The whole threshold selection runs
+    * IN-PLAN (r17): candidates, rejection counts, and the argmax-min pick
+    * ride two tiny broadcast subtrees into the caller's single action —
+    * the previous form's two driver collects (quantiles, 20 rejection
+    * counts) each planned and ran a separate top-level job (~1 s of d3's
+    * wall time at sf0.1 between them). The input is persisted (four plan
+    * references) and released after the caller's next action. */
   def results(de: DataFrame, alpha: Double = 0.1, pCol: String = "pvalue",
       geneCol: String = "gene", baseMeanCol: String = "base_mean",
       outlierCol: String = "cooks_outlier"): DataFrame = {
     val in = de.persist()
     val universe = in.filter(!col(outlierCol) && col(pCol).isNotNull)
     val probs = (0 until 20).map(_ * 0.05)
-    val qRow = universe
-      .agg(expr(s"percentile($baseMeanCol, array(${probs.mkString(",")}))"))
-      .collect()(0)
-    val theta =
-      if (qRow.isNullAt(0)) 0.0 // empty universe: nothing to filter
-      else {
-        val cands = qRow.getSeq[Double](0).distinct.sorted.zipWithIndex
-          .map { case (th, i) => (i, th) }
-        val candDf = de.sparkSession.createDataFrame(cands).toDF("tid", "theta")
-        val wRank = Window.partitionBy(col("tid"))
-          .orderBy(col(pCol).asc, col(geneCol).asc)
-        val wAll = Window.partitionBy(col("tid"))
-        // BH rejection count = max{k : p_(k) ≤ α·k/m} per candidate
-        val rej = universe.select(col(geneCol), col(pCol), col(baseMeanCol))
-          .join(broadcast(candDf), col(baseMeanCol) >= col("theta"))
-          .withColumn("rnk", row_number().over(wRank))
-          .withColumn("m", count(lit(1)).over(wAll))
-          .groupBy("tid", "theta")
-          .agg(max(when(col(pCol) <= lit(alpha) * col("rnk") / col("m"),
-            col("rnk")).otherwise(0L)).as("rej"))
-          .collect()
-        val best = rej.map(_.getAs[Long]("rej")).max
-        rej.filter(_.getAs[Long]("rej") == best).map(_.getAs[Double]("theta")).min
-      }
-    val adj = Stats.bhAdjust(universe.filter(col(baseMeanCol) >= theta),
+    // candidate thresholds: the 0–0.95 base_mean quantiles, deduplicated —
+    // same percentile expression and dedup as the old collect path (exact
+    // double equality both ways); an empty universe yields a NULL array,
+    // which explodes to zero candidates
+    val candDf = universe
+      .agg(expr(s"percentile($baseMeanCol, array(${probs.mkString(",")}))")
+        .as("__qs"))
+      .select(explode(col("__qs")).as("theta"))
+      .distinct()
+    val wRank = Window.partitionBy(col("theta"))
+      .orderBy(col(pCol).asc, col(geneCol).asc)
+    val wAll = Window.partitionBy(col("theta"))
+    // BH rejection count = max{k : p_(k) ≤ α·k/m} per candidate (grouping
+    // by the theta VALUE — the old tid index was 1:1 with it)
+    val rej = universe.select(col(geneCol), col(pCol), col(baseMeanCol))
+      .join(broadcast(candDf), col(baseMeanCol) >= col("theta"))
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .groupBy("theta")
+      .agg(max(when(col(pCol) <= lit(alpha) * col("rnk") / col("m"),
+        col("rnk")).otherwise(0L)).as("rej"))
+    // SMALLEST candidate reaching the MAXIMUM count: struct max orders by
+    // rej first, then −theta (ties → min theta — the old argmax-min rule);
+    // an empty candidate frame aggregates to NULL, coalesced to the old
+    // empty-universe θ = 0.0 (and −(−0.0) = 0.0, so the sign round trip
+    // is lossless)
+    val thetaDf = rej
+      .agg(max(struct(col("rej").as("r"), (-col("theta")).as("nt"))).as("b"))
+      .select(coalesce(-col("b.nt"), lit(0.0)).as("__theta"))
+    val adj = Stats.bhAdjust(
+        universe.crossJoin(broadcast(thetaDf))
+          .filter(col(baseMeanCol) >= col("__theta")).drop("__theta"),
         pCol, geneCol)
       .select(col(geneCol), col("padj"))
     val out = in.join(adj, Seq(geneCol), "left")
