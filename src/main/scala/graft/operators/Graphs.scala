@@ -142,18 +142,27 @@ object Graphs {
       .persist()
     // wedges from each apex's out-neighbours: the out-list is BOUNDED at
     // O(√m) by the orientation, so collecting it per apex is safe — one
-    // hash agg plus a narrow ordered-pair explode, instead of a
-    // sort-both-sides self-join producing the identical wedge set.
-    // Closed by the oriented (v, w) edge — which, if the undirected edge
-    // exists, is oriented exactly min-key → max-key.
+    // hash agg plus ordered-pair explodes, instead of a sort-both-sides
+    // self-join producing the identical wedge set. TWO-LEVEL explode
+    // (r17, the coShipEdges fix applied here too): posexplode picks each
+    // anchor, slice takes its strict successors — per-row state stays
+    // O(out-list), where the old single-explode
+    // flatten(transform(.., transform(slice(..)..))) materialized the
+    // whole O(outdeg²) pair array of an apex in ONE row buffer (for a
+    // √m-degree apex at web scale that is an O(m)-struct allocation in
+    // a single task). Pair multiset identical: (i, j) with i < j over
+    // the same sorted list. Closed by the oriented (v, w) edge — which,
+    // if the undirected edge exists, is oriented exactly min-key →
+    // max-key.
     val wedges = eo
       .groupBy("u")
       .agg(sort_array(collect_list(struct(col("vk"), col("v")))).as("nb"))
-      .select(col("u").as("x"), explode(expr(
-        """flatten(transform(nb, (a, i) ->
-             transform(slice(nb, i + 2, size(nb)), b -> struct(a.v AS y, b.v AS z))))"""))
-        .as("p"))
-      .select(col("x"), col("p.y").as("y"), col("p.z").as("z"))
+      .select(col("u").as("x"), col("nb"),
+        posexplode(col("nb")).as(Seq("__i", "__w1")))
+      .select(col("x"), col("__w1.v").as("y"),
+        explode(slice(col("nb"), col("__i") + lit(2), size(col("nb"))))
+          .as("__w2"))
+      .select(col("x"), col("y"), col("__w2.v").as("z"))
     val tri = wedges
       .join(eo.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
     // one pass, three corners: explode instead of a 3-way union — a union
