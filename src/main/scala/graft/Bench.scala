@@ -315,8 +315,15 @@ object Bench {
     // ambiguous, so skip — never guess. Repeated local runs of the same
     // round overwrite the same archive (last run wins — the driver's is
     // last). Skipped for subset runs: a 3-query SPARK_GRAFT_ONLY map
-    // archived as the round's "full" file would poison the trend.
-    if (only.isEmpty) try {
+    // archived as the round's "full" file would poison the trend — and
+    // skipped when SPARK_GRAFT_BENCH_OUT is set: that env marks a
+    // diagnostic run (an off-config sweep, an 8-core validation), and an
+    // off-config line in the per-round archive poisons the trend the
+    // same way (observed: an 8-core validation with LATEST redirected
+    // still overwrote the round's 32-core archive, because this write
+    // was unconditional). The driver sets neither env, so its archiving
+    // behavior is unchanged.
+    if (only.isEmpty && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty) try {
       val rx = "BENCH_r(\\d+)\\.json".r
       val tracked: Seq[String] = {
         val pr = new ProcessBuilder("git", "ls-files", "BENCH_r*.json").start()
